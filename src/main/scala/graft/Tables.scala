@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * In the reference's domain these are HBase tables read via
+  * TableInputFormat (one split per region); here every table is a parquet
+  * directory and Spark's FileSourceScanExec provides splits, columnar
+  * vectorized reads, predicate pushdown and column pruning for free
+  * (SURVEY.md §1.2, §2.1).
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** One group of registered queries + their DuckDB oracle SQL.
+  * SparkEntry unions all packs; keys must be globally unique.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+
+  /** DuckDB-runnable ANSI SQL per query key. Omit keys whose semantics are
+    * not SQL-expressible (driver then records a weaker rows-only check).
+    */
+  def oracle: Map[String, String]
+}

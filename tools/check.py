@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Dev-loop replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the sfDir
+tables, and compares: column names (sorted), row count, and exact values
+after sorting columns by name and rows by all columns.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows):
+    """Rows -> sorted list of tuples with canonical value forms."""
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+
+    names = sorted(
+        d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))
+    )
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        spark_rel = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        )
+        s_cols = sorted(spark_rel.columns)
+        s_proj = con.sql(
+            f"SELECT {', '.join(q(c) for c in s_cols)} FROM spark_rel"
+        )
+        s_rows = canon(s_proj.fetchall())
+        if name not in oracle:
+            print(f"  WEAK  {name}: rows={len(s_rows)} (no oracle, rows-only)")
+            n_weak += 1
+            if len(s_rows) == 0:
+                print(f"        ^^ WARNING: zero rows")
+            continue
+        try:
+            o_rel = con.sql(oracle[name])
+        except Exception as e:
+            print(f"  FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        o_cols = sorted(o_rel.columns)
+        if o_cols != s_cols:
+            print(f"  FAIL  {name}: columns differ spark={s_cols} oracle={o_cols}")
+            n_fail += 1
+            continue
+        o_proj = con.sql(
+            f"SELECT {', '.join(q(c) for c in o_cols)} FROM o_rel"
+        )
+        o_rows = canon(o_proj.fetchall())
+        if len(s_rows) != len(o_rows):
+            print(f"  FAIL  {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+            n_fail += 1
+            continue
+        diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
+        if diffs:
+            print(f"  FAIL  {name}: {len(diffs)}/{len(s_rows)} rows differ; first:")
+            print(f"        spark : {diffs[0][0]}")
+            print(f"        oracle: {diffs[0][1]}")
+            n_fail += 1
+        else:
+            print(f"  PASS  {name}: {len(s_rows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+def q(c):
+    return '"' + c.replace('"', '""') + '"'
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
