@@ -9,7 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    ops.AggQueries
+    ops.ScanQueries,
+    ops.FilterQueries,
+    ops.JoinQueries,
+    ops.AggQueries,
+    ops.ScalarQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

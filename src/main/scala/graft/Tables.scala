@@ -14,6 +14,20 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default. Read it as a long (legacy conf) and convert to a proper
+    * TimestampType at ingest — integer `div` (not `/`, which goes through
+    * double and loses precision at 1e18 nanos). All fixture timestamps are
+    * µs-aligned so the ns→µs truncation is lossless, matching DuckDB's
+    * native µs TIMESTAMP read of the same file.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
@@ -21,7 +35,6 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join tier (SURVEY.md §2.3).
+  *
+  * The reference hand-rolls two MapReduce join patterns: map-side
+  * (small-table HashMap loaded in setup()) and reduce-side (tagged records
+  * shuffled on the join key). Spark's equivalents are broadcast-hash join
+  * and shuffle (sort-merge/hash) join; `broadcast()` hints pin the map-side
+  * pattern for genuinely small dims so no shuffle of the fact table's rows
+  * ever happens — the property that matters at 100 TB. Semi/anti joins
+  * replace the per-record Get existence probe, and the as-of join models
+  * HBase version semantics ("latest value ≤ t") with a single shuffle +
+  * sorted window pass instead of a per-row lookup.
+  */
+object JoinQueries extends QueryPack {
+
+  /** Map-side (broadcast) join: fact ⋈ small dim, zero fact shuffle
+    * before aggregation.
+    */
+  def joinBcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Reduce-side (shuffle) join: both sides large, co-partitioned on key. */
+  def joinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** As-of join (HBase "value as of time t"): for each purchase event, the
+    * latest click timestamp of the same user at or before it. One union +
+    * one shuffle on user_id + a sorted window pass — no per-row probe, no
+    * range join; scales linearly in events.
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"), lit(0).as("tag"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
+    // tag asc orders a click before a purchase at the same ts => "<= t".
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("asof_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_join_bcast" -> joinBcast,
+    "q_join_shuffle" -> joinShuffle,
+
+    // Existence probe (mapper Get hit) = left-semi join.
+    "q_join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Existence probe miss (mapper Get miss) = left-anti join.
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Multi-way star join: fact + 4 dims (dims broadcast, fact never
+    // shuffled until the final aggregation).
+    "q_join_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // Non-equi range join (reducer residual predicate) — broadcast
+    // nested-loop over the small side, aggregated per supplier.
+    "q_join_range" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("p_retailprice").between(col("s_acctbal"), col("s_acctbal") + 50.0))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(min(col("p_retailprice")), 2).as("min_price"),
+          round(max(col("p_retailprice")), 2).as("max_price"))
+        .orderBy(col("s_suppkey"))),
+
+    "q_join_asof" -> joinAsof
+  )
+
+  val oracle = Map(
+    "q_join_bcast" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_range" ->
+      """SELECT s_suppkey, count(*) AS n_parts,
+        |  round(min(p_retailprice), 2) AS min_price,
+        |  round(max(p_retailprice), 2) AS max_price
+        |FROM part JOIN supplier
+        |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 50.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts <= p.ts) AS asof_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin
+  )
+}

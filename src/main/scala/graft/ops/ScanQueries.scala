@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan / source tier (SURVEY.md §2.1).
+  *
+  * Reference semantics: TableInputFormat full/range scans with
+  * start/stop-row region pruning, Scan.addColumn projection, Get point
+  * lookups, MultiTableInputFormat unions, TableSnapshotInputFormat direct
+  * file reads. Spark analogs rely on parquet row-group min/max pruning for
+  * ranges (`PushedFilters` in explain) and Catalyst column pruning for
+  * projections (`ReadSchema`). At 100 TB the same plans hold: file splits
+  * replace region splits, and the pushed predicates keep the scan I/O
+  * proportional to selectivity, not table size.
+  */
+object ScanQueries extends QueryPack {
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    // Full table scan: every row, every column (one split per file).
+    "q_scan_full" -> ((s, d) =>
+      Tables.part(s, d).orderBy(col("p_partkey"))),
+
+    // Rowkey range scan: predicate pushed to parquet row-group stats —
+    // the analog of start/stop-row region pruning.
+    "q_scan_range" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") >= 100 && col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Projection scan: only named columns are read (ReadSchema pruning).
+    "q_scan_proj" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Point lookup (Get): unique-key equality, pushed to the scan.
+    "q_point_get" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") === 42L)),
+
+    // Multi-table input: two sources normalized into one logical stream.
+    "q_multi_src" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("acct_key"), col("c_name").as("acct_name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+      val su = Tables.supplier(s, d).select(
+        col("s_suppkey").as("acct_key"), col("s_name").as("acct_name"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("src"))
+      c.unionByName(su).orderBy(col("src"), col("acct_key"))
+    }),
+
+    // Snapshot scan: direct file read bypassing the serving layer —
+    // Spark's default mode for parquet.
+    "q_snapshot_src" -> ((s, d) =>
+      Tables.region(s, d).orderBy(col("r_regionkey")))
+  )
+
+  val oracle = Map(
+    "q_scan_full" ->
+      "SELECT * FROM part ORDER BY p_partkey",
+    "q_scan_range" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_point_get" ->
+      "SELECT * FROM orders WHERE o_orderkey = 42",
+    "q_multi_src" ->
+      """SELECT c_custkey AS acct_key, c_name AS acct_name,
+        |       c_acctbal AS acctbal, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+        |ORDER BY src, acct_key""".stripMargin,
+    "q_snapshot_src" ->
+      "SELECT * FROM region ORDER BY r_regionkey"
+  )
+}
