@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass program stdout through unprefixed: Bench prints one JSON line the
+// driver must parse; sbt's default logger wraps it in "[info] " which broke
+// round 1's bench parse (BENCH_r01.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // events.parquet is TIMESTAMP(NANOS), which Spark 4 rejects by default;
+  // set once for every session created in this JVM (keeps Tables pure —
+  // no per-read session-conf mutation).
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the project's SparkSession so every entry point
+  * (Smoke/Verify/Bench/tests) gets identical, scale-conscious settings.
+  *
+  * - shuffle.partitions = cpus, not the 200 default: at local[32] over
+  *   sf0.1 parquet, 200 partitions is pure scheduling overhead; on a real
+  *   cluster AQE coalescing makes the initial number a ceiling, not a
+  *   budget.
+  * - AQE on: runtime re-planning (broadcast switch, skew-join splitting,
+  *   partition coalescing) is the 100-TB safety net for every join here.
+  * - nanosAsLong: events.parquet is TIMESTAMP(NANOS) which Spark 4 rejects
+  *   by default; set once here (never mutated mid-session — see
+  *   Tables.events).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(master: String = s"local[$cpus]",
+            shufflePartitions: String = cpus): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -15,18 +15,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a long (legacy conf) and convert to a proper
-    * TimestampType at ingest — integer `div` (not `/`, which goes through
-    * double and loses precision at 1e18 nanos). All fixture timestamps are
-    * µs-aligned so the ns→µs truncation is lossless, matching DuckDB's
-    * native µs TIMESTAMP read of the same file.
+    * default; every session in this project enables
+    * `spark.sql.legacy.parquet.nanosAsLong` at build time (build.sbt
+    * javaOptions + the entry-point builders), so the column arrives as a
+    * long of nanos. Convert to a proper TimestampType at ingest — integer
+    * `div` (not `/`, which goes through double and loses precision at 1e18
+    * nanos). All fixture timestamps are µs-aligned so the ns→µs truncation
+    * is lossless, matching DuckDB's native µs TIMESTAMP read of the file.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

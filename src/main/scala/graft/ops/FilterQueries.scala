@@ -18,15 +18,13 @@ object FilterQueries extends QueryPack {
     "q_filter_row" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 50L)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))),
 
     // PrefixFilter: rowkey starts-with.
     "q_filter_prefix" -> ((s, d) =>
       Tables.customer(s, d)
         .filter(col("c_name").startsWith("Customer#00000001"))
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))),
+        .select(col("c_custkey"), col("c_name"))),
 
     // SingleColumnValueFilter: keep row when a named column passes a
     // comparison (implicitly requires the column present = isNotNull).
@@ -34,8 +32,7 @@ object FilterQueries extends QueryPack {
       Tables.customer(s, d)
         .filter(col("c_acctbal").isNotNull && col("c_acctbal") > 5000.0 &&
           col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))),
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))),
 
     // ValueFilter: compare EVERY cell value — evaluated over the exploded
     // tall (key, qualifier, value) form of a dynamic-schema row.
@@ -46,15 +43,13 @@ object FilterQueries extends QueryPack {
             lit("p_size"), col("p_size").cast("double"),
             lit("p_retailprice"), col("p_retailprice")))
             .as(Seq("qual", "val")))
-        .filter(col("val") >= 990.0)
-        .orderBy(col("p_partkey"), col("qual"))),
+        .filter(col("val") >= 990.0)),
 
     // RegexStringComparator: regex match on a cell value.
     "q_filter_regex" -> ((s, d) =>
       Tables.documents(s, d)
         .filter(col("text").rlike("join .*filter"))
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
 
     // PageFilter: first N rows in key order.
     "q_filter_page" -> ((s, d) =>
@@ -65,8 +60,7 @@ object FilterQueries extends QueryPack {
       Tables.events(s, d)
         .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
           col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
-        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))),
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))),
 
     // FilterList: MUST_PASS_ALL / MUST_PASS_ONE tree = &&/|| conjunctions.
     "q_filter_list" -> ((s, d) =>
@@ -74,8 +68,7 @@ object FilterQueries extends QueryPack {
         .filter((col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
           || (col("l_returnflag") === "R" && col("l_tax") > 0.06))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_discount"), col("l_tax"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          col("l_discount"), col("l_tax"))),
 
     // Rowkey compose / decompose / salt: salted key = pmod(key,S) # key,
     // then parse it back — the round-trip proves both directions.
@@ -86,8 +79,7 @@ object FilterQueries extends QueryPack {
           concat(col("salt"), lit("#"), lpad(col("c_custkey").cast("string"), 9, "0")))
         .withColumn("parsed_key",
           split(col("salted_key"), "#").getItem(1).cast("long"))
-        .select(col("c_custkey"), col("salt"), col("salted_key"), col("parsed_key"))
-        .orderBy(col("c_custkey")))
+        .select(col("c_custkey"), col("salt"), col("salted_key"), col("parsed_key")))
   )
 
   val oracle = Map(

@@ -19,18 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object JoinQueries extends QueryPack {
 
-  /** Map-side (broadcast) join: fact ⋈ small dim, zero fact shuffle
-    * before aggregation.
+  /** Map-side (broadcast) join: fact ⋈ dim, zero fact shuffle before
+    * aggregation. No forced hint: part is scale-proportional (200k rows/SF
+    * — far past broadcastable at 100 TB), so the broadcast-vs-shuffle call
+    * belongs to JoinSelection + AQE, which still picks broadcast whenever
+    * the dim side is actually under the threshold.
     */
   def joinBcast(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("p_brand"))
 
   /** Reduce-side (shuffle) join: both sides large, co-partitioned on key. */
   def joinShuffle(s: SparkSession, d: String): DataFrame =
@@ -40,7 +42,6 @@ object JoinQueries extends QueryPack {
       .agg(
         count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
-      .orderBy(col("o_orderpriority"))
 
   /** As-of join (HBase "value as of time t"): for each purchase event, the
     * latest click timestamp of the same user at or before it. One union +
@@ -63,7 +64,6 @@ object JoinQueries extends QueryPack {
         last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("user_id"), col("asof_ts"))
-      .orderBy(col("event_id"))
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
@@ -75,41 +75,52 @@ object JoinQueries extends QueryPack {
       Tables.customer(s, d)
         .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000.0),
           col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))),
+        .select(col("c_custkey"), col("c_name"))),
 
     // Existence probe miss (mapper Get miss) = left-anti join.
     "q_join_anti" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
           "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))),
+        .select(col("c_custkey"), col("c_name"))),
 
-    // Multi-way star join: fact + 4 dims (dims broadcast, fact never
-    // shuffled until the final aggregation).
+    // Multi-way star join. Only fixed-cardinality dims carry a broadcast
+    // hint (nation=25, region=5 rows at EVERY scale factor); customer grows
+    // 150k rows/SF, so its join mode is left to JoinSelection/AQE.
     "q_join_multi" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
-        .orderBy(col("r_name"), col("n_name"))),
+          .as("revenue"))),
 
-    // Non-equi range join (reducer residual predicate) — broadcast
-    // nested-loop over the small side, aggregated per supplier.
-    "q_join_range" -> ((s, d) =>
-      Tables.part(s, d)
-        .join(broadcast(Tables.supplier(s, d)),
-          col("p_retailprice").between(col("s_acctbal"), col("s_acctbal") + 50.0))
+    // Non-equi band join (reducer residual predicate), O(n+m) shape:
+    // the band width is a constant 50, so bucket both sides on
+    // floor(value/50) and equi-join. p ∈ [s, s+50] ⇒ floor(p/50) ∈
+    // {floor(s/50), floor(s/50)+1}, so each supplier row is emitted into
+    // its bucket and the next one, the join is a plain shuffled equi-join
+    // on the bucket key, and the BETWEEN survives only as a cheap residual
+    // filter. A naive non-equi join here plans as BroadcastNestedLoopJoin —
+    // |part|×|supplier| pair evaluations, quadratic at scale.
+    "q_join_range" -> ((s, d) => {
+      val band = lit(50.0)
+      val p = Tables.part(s, d)
+        .withColumn("bucket", floor(col("p_retailprice") / band))
+      val sup = Tables.supplier(s, d)
+        .withColumn("bucket", explode(array(
+          floor(col("s_acctbal") / band),
+          floor(col("s_acctbal") / band) + 1)))
+      p.join(sup, Seq("bucket"))
+        .filter(col("p_retailprice")
+          .between(col("s_acctbal"), col("s_acctbal") + band))
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_parts"),
           round(min(col("p_retailprice")), 2).as("min_price"),
           round(max(col("p_retailprice")), 2).as("max_price"))
-        .orderBy(col("s_suppkey"))),
+    }),
 
     "q_join_asof" -> joinAsof
   )

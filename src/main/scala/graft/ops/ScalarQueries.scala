@@ -29,8 +29,7 @@ object ScalarQueries extends QueryPack {
           lpad(col("doc_id").cast("string"), 6, "0").as("padded_id"),
           translate(col("lang"), "en", "EN").as("lang_up"),
           levenshtein(col("lang"), lit("en")).as("lev_en"),
-          trim(lit("  x  ")).as("trimmed"))
-        .orderBy(col("doc_id"))),
+          trim(lit("  x  ")).as("trimmed"))),
 
     // Date/time family over orders.o_orderdate (midnight-aligned ms).
     "q_scalar_date" -> ((s, d) =>
@@ -44,8 +43,7 @@ object ScalarQueries extends QueryPack {
           date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
           datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
             .as("days_to_98"),
-          unix_timestamp(col("o_orderdate")).as("epoch_s"))
-        .orderBy(col("o_orderkey"))),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))),
 
     // Math family over lineitem.
     "q_scalar_math" -> ((s, d) =>
@@ -59,8 +57,7 @@ object ScalarQueries extends QueryPack {
           ceil(col("l_extendedprice")).as("price_ceil"),
           round(abs(col("l_discount") - 0.05), 6).as("disc_dev"),
           round(log(col("l_extendedprice")), 6).as("ln_price"),
-          pmod(col("l_orderkey"), lit(7L)).as("key_mod7"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          pmod(col("l_orderkey"), lit(7L)).as("key_mod7"))),
 
     // Conditional family over customer.
     "q_scalar_cond" -> ((s, d) =>
@@ -73,8 +70,7 @@ object ScalarQueries extends QueryPack {
           coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE"))
             .as("seg_or_none"),
           greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
-          least(col("c_acctbal"), lit(0.0)).as("bal_neg"))
-        .orderBy(col("c_custkey"))),
+          least(col("c_acctbal"), lit(0.0)).as("bal_neg"))),
 
     // Hash family (dedup fingerprints, SyncTable-style row hashes).
     "q_scalar_hash" -> ((s, d) =>
@@ -82,8 +78,7 @@ object ScalarQueries extends QueryPack {
         .select(
           col("doc_id"),
           md5(col("text")).as("md5_text"),
-          sha2(col("text"), 256).as("sha256_text"))
-        .orderBy(col("doc_id"))),
+          sha2(col("text"), 256).as("sha256_text"))),
 
     // Array family over embeddings (dims, element access, fold, min).
     "q_scalar_array" -> ((s, d) =>
@@ -95,16 +90,14 @@ object ScalarQueries extends QueryPack {
           round(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double")), 6).as("el_sum"),
           round(array_min(col("embedding")).cast("double"), 6).as("el_min"),
-          round(array_max(col("embedding")).cast("double"), 6).as("el_max"))
-        .orderBy(col("vec_id"))),
+          round(array_max(col("embedding")).cast("double"), 6).as("el_max"))),
 
     // JSON family over events.props (dynamic-schema cell payloads).
     "q_scalar_json" -> ((s, d) =>
       Tables.events(s, d)
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
-        .orderBy(col("event_id"))),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))),
 
     // Map family: dynamic qualifiers as MapType + map_filter + explode.
     "q_map_ops" -> ((s, d) =>
@@ -115,8 +108,7 @@ object ScalarQueries extends QueryPack {
             lit("uid"), col("user_id").cast("string")).as("quals"))
         .select(col("event_id"),
           explode(map_filter(col("quals"), (k, _) => k === "type"))
-            .as(Seq("qual", "val")))
-        .orderBy(col("event_id")))
+            .as(Seq("qual", "val"))))
   )
 
   val oracle = Map(

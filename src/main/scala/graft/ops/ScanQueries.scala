@@ -20,7 +20,7 @@ object ScanQueries extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     // Full table scan: every row, every column (one split per file).
     "q_scan_full" -> ((s, d) =>
-      Tables.part(s, d).orderBy(col("p_partkey"))),
+      Tables.part(s, d)),
 
     // Rowkey range scan: predicate pushed to parquet row-group stats —
     // the analog of start/stop-row region pruning.
@@ -28,14 +28,12 @@ object ScanQueries extends QueryPack {
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") >= 100 && col("l_orderkey") < 200)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          col("l_quantity"))),
 
     // Projection scan: only named columns are read (ReadSchema pruning).
     "q_scan_proj" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))),
 
     // Point lookup (Get): unique-key equality, pushed to the scan.
     "q_point_get" -> ((s, d) =>
@@ -49,13 +47,13 @@ object ScanQueries extends QueryPack {
       val su = Tables.supplier(s, d).select(
         col("s_suppkey").as("acct_key"), col("s_name").as("acct_name"),
         col("s_acctbal").as("acctbal"), lit("supplier").as("src"))
-      c.unionByName(su).orderBy(col("src"), col("acct_key"))
+      c.unionByName(su)
     }),
 
     // Snapshot scan: direct file read bypassing the serving layer —
     // Spark's default mode for parquet.
     "q_snapshot_src" -> ((s, d) =>
-      Tables.region(s, d).orderBy(col("r_regionkey")))
+      Tables.region(s, d))
   )
 
   val oracle = Map(

@@ -43,11 +43,20 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import os
 
-    names = sorted(
+    dirs = sorted(
         d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))
     )
+    # Drive the gate from the FULL expected key set (registered queries =
+    # oracle keys ∪ dumped dirs): a query that throws inside Verify writes
+    # no dir, and iterating dirs alone would silently skip it and still
+    # report pass. Extra dirs (stale from a prior run) are also flagged.
+    names = sorted(set(dirs) | set(oracle))
     n_pass = n_fail = n_weak = 0
     for name in names:
+        if name not in dirs:
+            print(f"  FAIL  {name}: no Verify output (query threw or never ran)")
+            n_fail += 1
+            continue
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
         )
