@@ -13,7 +13,8 @@ object SparkEntry {
     ops.FilterQueries,
     ops.JoinQueries,
     ops.AggQueries,
-    ops.ScalarQueries
+    ops.ScalarQueries,
+    ops.LlmQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline tier (SURVEY.md §2.9) — all
+  * built-in higher-order functions, so every step stays inside Catalyst
+  * (codegen'd where supported, no UDFs, nothing driver-side).
+  *
+  * Determinism contract: every hash here is md5, whose hex output is
+  * identical in Spark and DuckDB — the oracle reproduces signatures and
+  * band keys bit-for-bit (SURVEY.md §7 M5 "seed everything").
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokens with empties dropped — the tokenizer
+    * shared by wordcount, text-stats, shingling and lang-id so their
+    * results compose.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Distinct 3-word shingles of a token array, built by zipping the array
+    * with its own 1- and 2-shifted slices. Deliberately NOT the
+    * transform(sequence(...), i => element_at(words, i+k)) formulation:
+    * after CollapseProject inlines `words`' defining expression, element_at
+    * inside the lambda re-evaluates that whole pipeline PER ELEMENT in the
+    * interpreted path (measured 25s at sf0.1 vs ~1s for this shape). Here
+    * `words` appears only as a top-level array argument — evaluated once
+    * per row. Trailing zip positions pair with null, making null shingles
+    * that the final filter drops; <3 tokens therefore yields [] with no
+    * special-casing.
+    */
+  def shingles3(words: Column): Column = {
+    val w12 = zip_with(words, slice(words, lit(2), size(words)),
+      (a, b) => concat(a, lit(" "), b))
+    val w123 = zip_with(w12, slice(words, lit(3), size(words)),
+      (ab, c) => concat(ab, lit(" "), c))
+    array_distinct(filter(w123, x => x.isNotNull))
+  }
+
+}

@@ -1,0 +1,372 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import graft.functions.{ScoredVec, TextFns, TopKByScore, VectorFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline tier (SURVEY.md §2.9) — the north-star extension
+  * surface: dedup (exact + MinHash/LSH near-dup), similarity search
+  * (brute-force + LSH-bucketed ANN), text analysis, multimodal columns.
+  *
+  * 100-TB design notes, per operator:
+  *  - exact dedup: one hash-shuffle on the 64-hex fingerprint; never
+  *    compares full text across nodes.
+  *  - near-dup: LSH banding turns candidate generation into a groupBy on
+  *    (band, key) — work is O(n·bands + candidate pairs), never the O(n²)
+  *    all-pairs product. Exact Jaccard runs only on candidates.
+  *  - brute-force similarity: probe set is bounded (fixed predicate), so
+  *    broadcasting it is scale-safe; the corpus streams map-side, and a
+  *    typed top-k Aggregator keeps the shuffle at k rows/probe/partition.
+  *  - ANN: a deterministic random-hyperplane bucket computed map-side, then
+  *    a plain equi-join on the bucket id — within-bucket brute force only.
+  *  - every hash/seed is md5-derived, so the DuckDB oracle replays the
+  *    SAME algorithm bit-for-bit (no recall-based flakiness in the gate).
+  */
+object LlmQueries extends QueryPack {
+
+  private val MinhashPerms = 16
+  private val Bands = 8
+  private val RowsPerBand = 2 // recall at j=0.8: 1-(1-0.8²)^8 ≈ 0.9997
+  private val JaccardThreshold = 0.8
+  private val NumPlanes = 4 // 16 ANN buckets — sized for the fixture corpus
+  private val Dim = 64
+
+  /** x_dedup_exact: fingerprint-grouped exact dedup. Output one row per
+    * distinct content hash with the canonical survivor (min doc_id) and
+    * the duplicate count — the shape a 100-TB dedup job materializes.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** x_dedup_near: MinHash + LSH-banded near-duplicate pairs, verified by
+    * exact Jaccard over 3-word shingles. Candidates come ONLY from shared
+    * LSH bands (groupBy-joinable at any scale); the quadratic all-pairs
+    * compare never happens.
+    */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
+    // Signature via the TALL form: explode shingles once, then m codegen'd
+    // min(md5(p:shingle)) hash aggregates. Equivalent to a per-row nested
+    // transform() but ~25× faster (higher-order lambdas run interpreted)
+    // and the same map-side-combine shape a 100-TB run wants.
+    val tall = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sigCols = (0 until MinhashPerms).map(p =>
+      min(md5(concat(lit(s"$p:"), col("sh")))).as(s"s$p"))
+    val sig = tall.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}")): _*))
+          .as("bkey"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** x_sim_brute: exact cosine top-5 per probe. Probes are a bounded set
+    * (vec_id < 8 — fixed cardinality at every SF), hence broadcast; the
+    * corpus is scanned once map-side and the typed TopKByScore Aggregator
+    * (partial+final) keeps the shuffle at ≤5 rows per probe per partition.
+    */
+  def simBrute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFns.cosine(col("pv"), col("v")), 6).as("cos_sim"))
+      .as[ScoredVec]
+    scored.groupByKey(_.probe_id)
+      .agg(new TopKByScore(5).toColumn.name("top"))
+      .flatMap { case (pid, top) =>
+        top.zipWithIndex.map { case (t, i) => (pid, t.vec_id, t.cos_sim, i + 1L) }
+      }
+      .toDF("probe_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** x_sim_lsh: ANN — deterministic random-hyperplane bucket (md5-seeded
+    * sign matrix) computed map-side, probes joined to the corpus on bucket
+    * equality only, exact cosine within the bucket, top-3 per probe.
+    * Production scale-up path: more planes per table + OR over several
+    * tables (union of bucket joins) for recall; the join stays equi.
+    */
+  def simLsh(s: SparkSession, d: String): DataFrame = {
+    val planeMatrix = VectorFns.planes(NumPlanes, Dim)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+      .withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    emb.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFns.cosine(col("pv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** x_text_stats: corpus quality profile per language — doc counts, size,
+    * token stats, type-token ratio, stopword ratio. One scan + one agg.
+    */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("lang"), col("n_chars"),
+        size(col("w")).cast("double").as("nt"),
+        size(array_distinct(col("w"))).cast("double").as("nu"),
+        size(filter(col("w"), x => x.isin("the", "a"))).cast("double").as("sw"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("nt")), 4).as("avg_tokens"),
+        round(avg(col("nu") / col("nt")), 6).as("avg_ttr"),
+        round(avg(col("sw") / col("nt")), 6).as("avg_stop_ratio"))
+  }
+
+  /** x_lang_id: n-gram/stopword language heuristic. The fixture corpus is
+    * one synthetic vocabulary under rotating lang labels, so the detector
+    * legitimately reads everything as English — the operator demonstrates
+    * the shape (per-doc feature scores → argmax label → agreement flag),
+    * which is what transfers to a real corpus.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val w = TextFns.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(filter(w, x => x.isin("the", "a", "of", "and"))).as("en_hits"),
+        size(w).as("n_tokens"))
+      .withColumn("pred_lang",
+        when(col("en_hits") > 0, lit("en")).otherwise(lit("und")))
+      .withColumn("agrees", (col("pred_lang") === col("lang")).cast("int"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("en_hits"),
+        col("n_tokens"), col("agrees"))
+  }
+
+  /** x_token_count: whitespace tokens vs BPE-ish regex tokens (word /
+    * number / single-symbol pieces) vs non-space chars — the three token
+    * budgets a training-data pipeline tracks per document.
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        length(regexp_replace(col("text"), "\\s", "")).as("n_chars_nospace"))
+
+  /** x_fingerprint: document fingerprints — md5 of the whitespace-
+    * normalized text, its 60-bit integer form (rowkey/shard-friendly), and
+    * a winnowing-style min-shingle-hash (stable under small edits).
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(norm).as("fp_md5"),
+        TextFns.shingles3(TextFns.tokens(col("text"))).as("sh"))
+      .withColumn("fp_int60",
+        conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("fp_shingle_min",
+        array_min(transform(col("sh"), x => md5(x))))
+      .select(col("doc_id"), col("fp_md5"), col("fp_int60"), col("fp_shingle_min"))
+  }
+
+  /** x_multimodal: opaque binary payload + typed metadata as a struct
+    * column, then metadata extraction back out of it. The "decode" here is
+    * a DETERMINISTIC FAKE (md5-derived width/height) standing in for a real
+    * image decoder: this container has no imaging libs, so the real decode
+    * body is stubbed while the Spark-side plumbing — binary column, struct
+    * schema, per-row extraction, parquet round-trip (LlmOpsSpec) — is real.
+    */
+  def multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"),
+        struct(
+          col("text").cast("binary").as("content"),
+          lit("text/plain").as("mime"),
+          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1024
+            + 64).as("width"),
+          (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1024
+            + 64).as("height")).as("media"))
+    media.select(
+      col("doc_id"),
+      col("media.mime").as("mime"),
+      length(col("media.content")).cast("long").as("n_bytes"),
+      sha2(col("media.content"), 256).as("sha256_hex"),
+      col("media.width").as("width"),
+      col("media.height").as("height"),
+      col("media.content").as("content"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_dedup_exact" -> dedupExact,
+    "x_dedup_near" -> dedupNear,
+    "x_sim_brute" -> simBrute,
+    "x_sim_lsh" -> simLsh,
+    "x_text_stats" -> textStats,
+    "x_lang_id" -> langId,
+    "x_token_count" -> tokenCount,
+    "x_fingerprint" -> fingerprint,
+    "x_multimodal" -> multimodal
+  )
+
+  val oracle = Map(
+    "x_dedup_exact" ->
+      """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x_dedup_near" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(shingles, s -> md5(concat(CAST(p AS VARCHAR), ':', s))), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(concat(sig[2*b+1], '|', sig[2*b+2])) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+        |FROM cand
+        |JOIN sh x ON x.doc_id = doc_a
+        |JOIN sh y ON y.doc_id = doc_b
+        |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8""".stripMargin,
+    "x_sim_brute" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 8),
+        |pr AS (
+        |  SELECT probe_id, vec_id,
+        |    round(list_dot_product(pv, v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM p JOIN emb ON vec_id <> probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) rnk
+        |  FROM pr)
+        |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+    "x_sim_lsh" ->
+      """WITH planes AS (
+        |  SELECT j,
+        |    [CASE WHEN CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ',', CAST(d AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] h
+        |  FROM range(0, 4) t(j)),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |buck AS (
+        |  SELECT vec_id, v,
+        |    string_agg(CASE WHEN list_dot_product(v, h) >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) bucket
+        |  FROM emb CROSS JOIN planes GROUP BY vec_id, v),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM buck WHERE vec_id < 8),
+        |pr AS (
+        |  SELECT probe_id, c.vec_id,
+        |    round(list_dot_product(pv, c.v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        |  FROM p JOIN buck c ON p.bucket = c.bucket AND c.vec_id <> p.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) rnk
+        |  FROM pr)
+        |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 3""".stripMargin,
+    "x_text_stats" ->
+      """WITH perdoc AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(w) AS DOUBLE) nt,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) nu,
+        |    CAST(len([x for x in w if list_contains(['the', 'a'], x)]) AS DOUBLE) sw
+        |  FROM (SELECT lang, n_chars,
+        |          [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |        FROM documents)
+        |  WHERE len(w) > 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(nt), 4) AS avg_tokens,
+        |  round(avg(nu / nt), 6) AS avg_ttr,
+        |  round(avg(sw / nt), 6) AS avg_stop_ratio
+        |FROM perdoc GROUP BY lang""".stripMargin,
+    "x_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS pred_lang,
+        |  en_hits, n_tokens,
+        |  CAST(CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END = lang AS INT) AS agrees
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(len([x for x in w if list_contains(['the', 'a', 'of', 'and'], x)]) AS INT) en_hits,
+        |    CAST(len(w) AS INT) n_tokens
+        |  FROM (SELECT doc_id, lang,
+        |          [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |        FROM documents))""".stripMargin,
+    "x_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len([w for w in string_split_regex(lower(text), '\s+') if w != '']) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_chars_nospace
+        |FROM documents""".stripMargin,
+    "x_fingerprint" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp_md5,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents)
+        |SELECT doc_id, fp_md5,
+        |  CAST(('0x' || substr(fp_md5, 1, 15)) AS BIGINT) AS fp_int60,
+        |  list_aggregate(list_transform(
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)])
+        |         ELSE [] END,
+        |    x -> md5(x)), 'min') AS fp_shingle_min
+        |FROM base""".stripMargin,
+    "x_multimodal" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256_hex,
+        |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 64 AS width,
+        |  CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 64 AS height,
+        |  encode(text) AS content
+        |FROM documents""".stripMargin
+  )
+}
