@@ -13,6 +13,8 @@ object SparkEntry {
     ops.FilterQueries,
     ops.JoinQueries,
     ops.AggQueries,
+    ops.WindowQueries,
+    ops.SetQueries,
     ops.ScalarQueries,
     ops.LlmQueries
   )

@@ -34,10 +34,109 @@ object AggQueries extends QueryPack {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
-    "q_group_agg" -> groupAgg
+    "q_group_agg" -> groupAgg,
+
+    // RowCounter: the most-used hbase-mapreduce tool. Column pruning gives
+    // the FirstKeyOnlyFilter optimization (scan reads no data pages beyond
+    // the first column's) — SURVEY.md §3.3.
+    "q_count_rows" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))),
+
+    // CellCounter: per-qualifier non-null cell counts, computed over the
+    // exploded tall (qualifier, value) form of each row — the dynamic-
+    // schema wide-row accounting job.
+    "q_count_cells" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(explode(map(
+          lit("o_orderstatus"), col("o_orderstatus"),
+          lit("o_orderpriority"), col("o_orderpriority"),
+          lit("o_custkey"), col("o_custkey").cast("string"),
+          lit("o_totalprice"), col("o_totalprice").cast("string")))
+          .as(Seq("qual", "cell")))
+        .filter(col("cell").isNotNull)
+        .groupBy(col("qual"))
+        .agg(count(lit(1)).as("n_cells"))),
+
+    // The canonical MR job: tokenize → shuffle on word → count.
+    "q_wordcount" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Distinct values: key-only shuffle, reducer emits once per key.
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .distinct()),
+
+    // Count distinct per group. The exact form shuffles twice (expand by
+    // distinct key); at 100 TB swap in approx_count_distinct (HLL, single
+    // pass) — kept out of the oracle-gated output per SURVEY §7.
+    "q_distinct_count" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))),
+
+    // Multi-level totals (rollup + grouping_id) — the tagged multi-emit
+    // MR pattern as one pass.
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          grouping_id().cast("int").as("gid"))),
+
+    // AggregationClient coprocessor surface: sum/min/max/avg/std per group
+    // in one partial+final pass.
+    "q_agg_coproc" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+          count(lit(1)).as("n")))
   )
 
   val oracle = Map(
+    "q_count_rows" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q_count_cells" ->
+      """SELECT qual, count(*) AS n_cells FROM (
+        |  SELECT 'o_orderstatus' AS qual, o_orderstatus AS cell FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+        |) WHERE cell IS NOT NULL GROUP BY qual""".stripMargin,
+    "q_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest([w for w in string_split_regex(lower(text), '\s+') if w != '']) AS word
+        |  FROM documents)
+        |GROUP BY word""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+    "q_distinct_count" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_agg_coproc" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 4) AS std_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / sort / top-k tier (SURVEY.md §2.5) — the hand-rolled MR
+  * patterns (TotalOrderPartitioner sort, composite-key secondary sort,
+  * bounded-TreeMap top-N, sorted-reducer ranking/running values) as
+  * declarative window/sort operators, plus V1: HBase's defining
+  * latest-version-per-cell semantics (Scan#setMaxVersions analog).
+  *
+  * Every window ordering includes a unique key tiebreaker so results are
+  * deterministic under any partitioning (and match the oracle exactly).
+  */
+object WindowQueries extends QueryPack {
+
+  /** V1 — latest version per cell. Model: rowkey = user_id, qualifier =
+    * event_type, version = ts; "maxVersions(1)" keeps the newest cell per
+    * (row, qualifier). One shuffle on the key, one sorted window pass.
+    */
+  def v1Latest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"),
+        col("event_id"))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    // Total-order sort: Spark range-partitions by sampled quantiles —
+    // exactly TotalOrderPartitioner's contract (SURVEY.md §3.2).
+    "q_sort_global" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    // Secondary sort: partition by the grouping key, order by the value
+    // key WITHIN each partition — composite-key + grouping-comparator MR
+    // pattern with no global exchange beyond the repartition.
+    "q_sort_secondary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linenumber"),
+          col("l_quantity"))
+        .repartition(col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_shipdate"),
+          col("l_linenumber"))),
+
+    // Top-N: plans as TakeOrderedAndProject — per-partition bounded heap
+    // + driver merge, the exact TreeMap-in-cleanup() trick, never a full
+    // global sort.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)),
+
+    // Top-N per group: row_number over a per-group ordered window.
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
+    // Ranking family: rank / dense_rank / percent_rank / ntile.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // Analytic family: lag / lead / running aggregate over an ordered
+    // per-key frame — the sorted-reducer-iteration patterns.
+    "q_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          round(sum(col("o_totalprice")).over(run), 2).as("running_spend"),
+          row_number().over(w).as("order_seq"))
+    }),
+
+    "q_v1_latest" -> v1Latest
+  )
+
+  val oracle = Map(
+    "q_sort_global" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_sort_secondary" ->
+      """SELECT l_orderkey, l_shipdate, l_linenumber, l_quantity
+        |FROM lineitem""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_topk_group" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        |  CAST(row_number() OVER w AS INT) AS order_seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_v1_latest" ->
+      """SELECT user_id, event_type, ts, value, event_id FROM (
+        |  SELECT user_id, event_type, ts, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin
+  )
+}
