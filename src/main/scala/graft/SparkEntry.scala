@@ -16,7 +16,9 @@ object SparkEntry {
     ops.WindowQueries,
     ops.SetQueries,
     ops.ScalarQueries,
-    ops.LlmQueries
+    ops.LlmQueries,
+    ops.EtlQueries,
+    ops.StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

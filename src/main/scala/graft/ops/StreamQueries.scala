@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch registrations of the streaming transforms (SURVEY.md §2.8): the
+  * t2 oracle is DuckDB over static parquet, so each windowed transform is
+  * gated here on its BATCH semantics — StreamOps transforms are
+  * input-agnostic, and StreamingSpec proves the same plans produce the
+  * same results when fed through readStream + memory sink.
+  */
+object StreamQueries extends QueryPack {
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "s_tumbling" -> ((s, d) => StreamOps.tumbling(Tables.events(s, d))),
+    "s_sliding" -> ((s, d) => StreamOps.sliding(Tables.events(s, d))),
+    "s_session" -> ((s, d) => StreamOps.sessionize(Tables.events(s, d)))
+  )
+
+  val oracle = Map(
+    // Spark's window() origin is the epoch; 5-minute buckets are therefore
+    // identical to DuckDB's 2000-01-01-origin time_bucket (both origins
+    // are midnight-aligned).
+    "s_tumbling" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // A 10-minute window sliding every 5 puts each event in exactly the
+    // buckets starting at tb and tb-5min, where tb = its 5-minute bucket.
+    "s_sliding" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS tb,
+        |    event_type
+        |  FROM events),
+        |x AS (
+        |  SELECT tb AS bucket_start, event_type FROM b
+        |  UNION ALL
+        |  SELECT tb - INTERVAL '5 minutes', event_type FROM b)
+        |SELECT bucket_start, event_type, count(*) AS n_events
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    // Gaps-and-islands sessionization; session end = last event + gap,
+    // matching session_window's contract.
+    "s_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+        |              > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin
+  )
+}

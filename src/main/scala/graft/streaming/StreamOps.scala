@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming tier (SURVEY.md §2.8) — the WALPlayer / incremental-scan
+  * surface of the reference generalized to Structured Streaming over the
+  * `events` table.
+  *
+  * Every transform here takes a DataFrame and works UNCHANGED on a batch
+  * or a streaming input — that is the point: the same declarative plan
+  * serves the DuckDB-oracle-gated batch registration (s_* keys in
+  * StreamQueries) and the readStream → memory-sink paths in
+  * StreamingSpec. Event-time semantics (watermarks, windows, sessions)
+  * rather than arrival order make the results deterministic at any
+  * parallelism.
+  */
+object StreamOps {
+
+  /** Parquet schema of the events table AFTER ingest normalization
+    * (ts: nanos long → TimestampType µs, see Tables.events).
+    */
+  val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING")
+
+  /** File-source incremental ingest — the WALPlayer analog: replay a
+    * directory of event files as an unbounded stream.
+    */
+  def readEventStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(eventSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** s_tumbling: 5-minute tumbling window counts per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** s_sliding: 10-minute window sliding every 5 — each event lands in
+    * exactly two buckets.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n_events"))
+
+  /** s_session: 30-minute-gap session windows per user. Session end =
+    * last event + gap (Spark's session_window contract).
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** s_watermark: tumbling counts with a 10-minute watermark — bounds
+    * state and drops late data in append mode.
+    */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    tumbling(events.withWatermark("ts", "10 minutes"))
+
+  /** s_dedup: exactly-once by event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}
