@@ -26,11 +26,12 @@ object StreamOps {
       "event_type STRING, value DOUBLE, props STRING")
 
   /** File-source incremental ingest — the WALPlayer analog: replay a
-    * directory of event files as an unbounded stream.
+    * landing DIRECTORY of event files as an unbounded stream (the file
+    * source tails the directory; new files = new WAL segments).
     */
-  def readEventStream(s: SparkSession, dir: String): DataFrame =
+  def readEventStream(s: SparkSession, eventsDir: String): DataFrame =
     s.readStream.schema(eventSchema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(eventsDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** s_tumbling: 5-minute tumbling window counts per event type. */

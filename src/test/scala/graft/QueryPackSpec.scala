@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every registered query must run, produce its declared non-empty schema,
+  * and (where cheap to pin) match hand-checked values at sf0.001. The
+  * DuckDB hash gate is the deep check; this suite is the fast in-JVM
+  * regression net.
+  */
+class QueryPackSpec extends SparkSpec {
+
+  // Queries that legitimately return zero rows at the smallest SF (e.g.
+  // no order-less customer, no part priced within 50 of any supplier
+  // balance, no cell value ≥ the filter threshold at sf0.001).
+  private val mayBeEmpty =
+    Set("q_join_anti", "q_point_get", "q_except", "q_filter_value", "q_join_range")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.schema.nonEmpty, "schema must be non-empty")
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query key has oracle SQL") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("no oracle SQL without a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("entry() flagship returns the 6 TPC-H Q1 groups") {
+    assert(SparkEntry.entry(spark).count() === 6)
+  }
+
+  test("q_group_agg pins: row count equals distinct flag/status pairs") {
+    val li = Tables.lineitem(spark, sf)
+    val expected = li
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus")).distinct().count()
+    assert(ops.AggQueries.groupAgg(spark, sf).count() === expected)
+  }
+
+  test("q_count_rows matches DataFrame.count") {
+    val n = SparkEntry.queries("q_count_rows")(spark, sf)
+      .collect().head.getLong(0)
+    assert(n === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q_v1_latest keeps exactly one row per (user, event_type)") {
+    val v1 = ops.WindowQueries.v1Latest(spark, sf)
+    assert(v1.groupBy(col("user_id"), col("event_type")).count()
+      .filter(col("count") > 1).count() === 0)
+    val keys = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(v1.count() === keys)
+  }
+}

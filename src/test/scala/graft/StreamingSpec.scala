@@ -1,0 +1,176 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming event record for MemoryStream-driven tests. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Structured Streaming tier (SURVEY.md §2.8): every StreamOps transform
+  * driven through a real streaming source (file source or MemoryStream)
+  * into a memory sink, asserting stream/batch parity and the stateful
+  * semantics (watermark drop, dedup, arbitrary state, upsert sink) that
+  * have no batch analog.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(m: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  /** The fixture is a single parquet FILE; the file stream source tails a
+    * directory, so stage a landing dir holding a copy of it.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events-00000.parquet"))
+    dir.toString
+  }
+
+  test("s_source: file-source replay delivers every event exactly once") {
+    val q = StreamOps.readEventStream(spark, eventsDir)
+      .writeStream.format("memory").queryName("src_tbl")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("src_tbl").count() ===
+      Tables.events(spark, sf).count())
+  }
+
+  test("s_tumbling: streaming result equals the batch transform") {
+    val q = StreamOps.tumbling(StreamOps.readEventStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("tumb_tbl")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumb_tbl")
+    val batch = StreamOps.tumbling(Tables.events(spark, sf))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("s_sliding: streaming result equals the batch transform") {
+    val q = StreamOps.sliding(StreamOps.readEventStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("slide_tbl")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide_tbl")
+    val batch = StreamOps.sliding(Tables.events(spark, sf))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("s_session: streaming result equals the batch transform") {
+    val q = StreamOps.sessionize(StreamOps.readEventStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("sess_tbl")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_tbl")
+    val batch = StreamOps.sessionize(Tables.events(spark, sf))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("s_watermark: late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.tumblingWithWatermark(in.toDF())
+      .writeStream.format("memory").queryName("wm_tbl")
+      .outputMode("append").start()
+    // batch 1: two on-time clicks at 10:00–10:05 + one at 10:30 that will
+    // advance the watermark to 10:20 (> window end 10:05).
+    in.addData(
+      Ev(1, ts("10:01"), 1, "click", 1.0, "{}"),
+      Ev(2, ts("10:03"), 1, "click", 1.0, "{}"),
+      Ev(3, ts("10:30"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the already-closed 10:00 window, plus a
+    // far-future row to flush remaining windows.
+    in.addData(
+      Ev(4, ts("10:02"), 1, "click", 1.0, "{}"),
+      Ev(5, ts("11:30"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val counts = spark.table("wm_tbl")
+      .select(col("bucket_start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    assert(counts("2024-01-01 10:00:00") === 2,
+      "late event must NOT be counted into the closed 10:00 window")
+  }
+
+  test("s_dedup: duplicate event_ids within the watermark emit once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_tbl")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("10:00"), 1, "click", 1.0, "{}"),
+      Ev(1, ts("10:00"), 1, "click", 1.0, "{}"),
+      Ev(2, ts("10:01"), 2, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts("10:02"), 1, "click", 1.0, "{}")) // dup, 2nd batch
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_tbl").count() === 2)
+  }
+
+  test("s_stateful: per-user running counters via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val counted = in.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "running_n")
+    val q = counted.writeStream.format("memory").queryName("state_tbl")
+      .outputMode("append").start()
+    in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}"),
+      Ev(2, ts("10:01"), 7, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts("10:02"), 7, "buy", 2.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val byBatch = spark.table("state_tbl").as[(Long, Long)].collect().toSet
+    assert(byBatch === Set((7L, 2L), (7L, 3L)),
+      "state must carry the count across micro-batches")
+  }
+
+  test("s_upsert_sink: foreachBatch merge keeps latest version per key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(target)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val all = if (existing.isEmpty) batch
+          else existing.unionByName(batch)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("ts").desc)
+        all.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(target + "_next")
+        // atomic-swap stand-in for a real table commit
+        spark.read.parquet(target + "_next")
+          .write.mode("overwrite").parquet(target)
+      }
+      .start()
+    in.addData(Ev(1, ts("10:00"), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts("10:05"), 1, "click", 9.0, "{}")) // newer version
+    q.processAllAvailable(); q.stop()
+    val fin = spark.read.parquet(target).as[Ev].collect()
+    assert(fin.length === 1 && fin.head.value === 9.0,
+      "upsert must keep only the latest version of key 1")
+  }
+}
