@@ -6,6 +6,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build()
+    // Untimed JVM/codegen warm-up so the alphabetically-first query doesn't
+    // absorb ~5s of JIT + classloading into its measurement.
+    SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -70,6 +70,23 @@ object FilterQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_discount"), col("l_tax"))),
 
+    // QualifierFilter / ColumnPrefixFilter / ColumnRangeFilter: project
+    // columns of a DYNAMIC-schema row by name predicate — map_filter over
+    // the MapType qualifier map (name prefix + lexicographic range), then
+    // explode the surviving cells.
+    "q_filter_qualifier" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          map(
+            lit("evt:type"), col("event_type"),
+            lit("evt:user"), col("user_id").cast("string"),
+            lit("val:amount"), col("value").cast("string"),
+            lit("val:props"), col("props")).as("cells"))
+        .select(col("event_id"),
+          explode(map_filter(col("cells"),
+            (k, _) => k.startsWith("evt:") && k < "evt:zz"))
+            .as(Seq("qual", "cell")))),
+
     // Rowkey compose / decompose / salt: salted key = pmod(key,S) # key,
     // then parse it back — the round-trip proves both directions.
     "q_rowkey_ops" -> ((s, d) =>
@@ -86,6 +103,12 @@ object FilterQueries extends QueryPack {
     "q_filter_row" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
         |WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_qualifier" ->
+      """SELECT event_id, qual, cell FROM (
+        |  SELECT event_id, 'evt:type' AS qual, event_type AS cell FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'evt:user', CAST(user_id AS VARCHAR) FROM events
+        |) WHERE starts_with(qual, 'evt:') AND qual < 'evt:zz'""".stripMargin,
     "q_filter_prefix" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE starts_with(c_name, 'Customer#00000001') ORDER BY c_custkey""".stripMargin,

@@ -69,11 +69,20 @@ object LlmQueries extends QueryPack {
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs per bucket WITHOUT a bands self-join: a self-join
+    // re-executes the whole signature pipeline for each side, so instead
+    // collect each bucket's (sorted) members once and expand the i<j pairs
+    // in-place. Bucket membership lists are tiny by construction (docs
+    // sharing a 2-row minhash band), so the expansion is local and bounded.
+    val cand = bands
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan-shape assertions — the 100-TB safety properties the
+  * row-level gates cannot see. A query can be value-correct with a plan
+  * that dies at scale (quadratic joins, forced broadcasts of unbounded
+  * tables, unpushed scans); these tests pin the plan shapes.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_join_range never nested-loops (banded equi-join rewrite)") {
+    val p = planOf(SparkEntry.queries("q_join_range")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_scan_proj prunes columns at the parquet scan") {
+    val df = SparkEntry.queries("q_scan_proj")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema"))
+    // only the three projected lineitem columns may be read
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q_scan_range pushes the key predicate into the scan") {
+    val df = SparkEntry.queries("q_scan_range")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_orderkey"), s"filter not pushed: $pushed")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (bounded heap, no full sort)") {
+    val p = SparkEntry.queries("q_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(3).mkString)
+  }
+
+  test("x_dedup_near contains no cartesian/nested-loop stage") {
+    val p = planOf(SparkEntry.queries("x_dedup_near")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_group_agg does map-side partial aggregation (combiner)") {
+    val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("no forced broadcast of scale-proportional tables in the join tier") {
+    // nation/region hints are fine (fixed 25/5 rows); part and customer
+    // must not carry hints — their joins may still BE broadcast at tiny SF
+    // by the size-based planner, which is exactly the point: the DECISION
+    // stays with JoinSelection/AQE.
+    val multi = SparkEntry.queries("q_join_multi")(spark, sf)
+    val hinted = multi.queryExecution.logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size <= 2, s"more hints than the two fixed dims: $hinted")
+  }
+}
