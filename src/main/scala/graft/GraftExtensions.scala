@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.graft.{CosineSim, DotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point (SURVEY.md §2.10): registers the
+  * engine's native Catalyst expressions as SQL functions so both the
+  * DataFrame API (expr("cosine_sim(a, b)")) and plain spark.sql can use
+  * them. Wire up via `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * — Sessions.build does.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
+  }
+}

@@ -107,7 +107,7 @@ object LlmQueries extends QueryPack {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(VectorFns.cosine(col("pv"), col("v")), 6).as("cos_sim"))
+        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
       .as[ScoredVec]
     scored.groupByKey(_.probe_id)
       .agg(new TopKByScore(5).toColumn.name("top"))
@@ -135,11 +135,29 @@ object LlmQueries extends QueryPack {
     emb.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(VectorFns.cosine(col("pv"), col("v")), 6).as("cos_sim"))
+        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("probe_id"), col("vec_id"), col("cos_sim"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** x_dedup_embed: embedding-cosine near-duplicate pairs — semantic dedup.
+    * Same LSH discipline as the text path: a coarse 2-plane bucket (the
+    * corpus has no >0.55-cosine pairs, so the demo threshold is 0.4)
+    * restricts the pair search to same-bucket vectors; exact cosine only
+    * inside buckets. Production recall path: OR over several plane sets.
+    */
+  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    val planeMatrix = VectorFns.planes(2, Dim)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+      .withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("cosine_sim(a.v, b.v)"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
   }
 
   /** x_text_stats: corpus quality profile per language — doc counts, size,
@@ -239,6 +257,7 @@ object LlmQueries extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dedup_exact" -> dedupExact,
     "x_dedup_near" -> dedupNear,
+    "x_dedup_embed" -> dedupEmbed,
     "x_sim_brute" -> simBrute,
     "x_sim_lsh" -> simLsh,
     "x_text_stats" -> textStats,
@@ -280,6 +299,25 @@ object LlmQueries extends QueryPack {
         |JOIN sh y ON y.doc_id = doc_b
         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8""".stripMargin,
+    "x_dedup_embed" ->
+      """WITH planes AS (
+        |  SELECT j,
+        |    [CASE WHEN CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ',', CAST(d AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] h
+        |  FROM range(0, 2) t(j)),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |buck AS (
+        |  SELECT vec_id, v,
+        |    string_agg(CASE WHEN list_dot_product(v, h) >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) bucket
+        |  FROM emb CROSS JOIN planes GROUP BY vec_id, v)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
     "x_sim_brute" ->
       """WITH emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
