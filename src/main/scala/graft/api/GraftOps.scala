@@ -1,0 +1,225 @@
+package graft.api
+
+import graft.functions.{ScoredVec, TextFns, TopKByScore, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The public, table-agnostic operator API — what a user of the reference
+  * engine calls after switching to this library. Every operator takes
+  * caller DataFrames/Columns (never fixture paths); the registered gate
+  * queries in graft.ops are thin bindings of these to the test fixtures.
+  *
+  * All operators are declarative DataFrame transforms: Catalyst owns
+  * pushdown/pruning/join selection, AQE owns runtime re-planning, and
+  * nothing here collects to the driver.
+  */
+object GraftOps {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup by content fingerprint: one row per distinct fingerprint
+    * with the canonical (minimum) key and the duplicate count.
+    */
+  def dedupExact(df: DataFrame, content: Column, key: Column): DataFrame =
+    df.groupBy(sha2(content, 256).as("fp"))
+      .agg(min(key).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash/LSH near-duplicate pairs over a text column, verified with
+    * exact Jaccard on 3-word shingles. Candidates come only from shared
+    * LSH bands — never an all-pairs product. Deterministic: permutations
+    * and band keys are md5-derived.
+    *
+    * @param df        input table
+    * @param key       unique document key column (orderable)
+    * @param text      text column
+    * @param perms     MinHash permutations (signature width)
+    * @param bands     LSH bands; rows per band = perms / bands
+    * @param threshold exact-Jaccard acceptance threshold
+    */
+  def dedupNear(df: DataFrame, key: Column, text: Column,
+                perms: Int = 16, bands: Int = 8,
+                threshold: Double = 0.8): DataFrame = {
+    require(perms % bands == 0, "perms must be divisible by bands")
+    val rowsPerBand = perms / bands
+    val sh = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
+    // Signature via the tall form: explode once, then `perms` codegen'd
+    // min(md5()) aggregates (map-side combined) — no interpreted
+    // nested-lambda minhash.
+    val tall = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sigCols = (0 until perms).map(p =>
+      min(md5(concat(lit(s"$p:"), col("sh")))).as(s"s$p"))
+    val sig = tall.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*))
+          .as("bkey"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Per-bucket member lists once (no self-join re-execution), i<j pairs
+    // expanded locally; bucket lists are small by construction.
+    val cand = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs behind a random-hyperplane
+    * bucket: exact cosine runs only within buckets. Raise `planes` to
+    * shrink buckets (higher precision, lower recall per table).
+    */
+  def dedupEmbed(df: DataFrame, key: Column, embedding: Column,
+                 planes: Int, dim: Int, threshold: Double): DataFrame = {
+    val planeMatrix = VectorFns.planes(planes, dim)
+    val emb = df.select(key.as("vec_id"), VectorFns.toDoubles(embedding).as("v"))
+      .withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(expr("cosine_sim(a.v, b.v)"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  // ----------------------------------------------------- similarity search
+
+  /** Exact cosine top-k of every probe against the corpus. The probe set
+    * is broadcast (caller guarantees it is bounded); per-probe top-k runs
+    * as a typed partial+final Aggregator, so only k rows per probe per
+    * partition cross the shuffle.
+    */
+  def similarityTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      VectorFns.toDoubles(col("embedding")).as("pv"))
+    c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
+      .as[ScoredVec]
+      .groupByKey(_.probe_id)
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .flatMap { case (pid, top) =>
+        top.zipWithIndex.map { case (t, i) => (pid, t.vec_id, t.cos_sim, i + 1L) }
+      }
+      .toDF("probe_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Approximate nearest neighbors: md5-seeded random-hyperplane buckets,
+    * probe joined to corpus on bucket equality, exact cosine within the
+    * bucket only, top-k per probe.
+    */
+  def annTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              planes: Int, dim: Int): DataFrame = {
+    val planeMatrix = VectorFns.planes(planes, dim)
+    def withBucket(df: DataFrame) =
+      df.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+        .withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
+    val c = withBucket(corpus)
+    val p = withBucket(probes).select(col("vec_id").as("probe_id"),
+      col("v").as("pv"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    c.join(broadcast(p), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // ------------------------------------------------------ HBase-semantics
+
+  /** V1 latest-version-per-cell (Scan#setMaxVersions(1) analog): keep the
+    * newest row per (rowkey, qualifier), ordered by version desc with a
+    * unique tiebreaker.
+    */
+  def latestVersion(df: DataFrame, rowkey: Column, qualifier: Column,
+                    version: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(rowkey, qualifier)
+      .orderBy(version.desc, tiebreak.desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** As-of join: for each right-side row, the latest left-side `ts` of the
+    * same key at or before the right row's ts. One union + one shuffle on
+    * the key + a sorted window pass — linear, no range join, no per-row
+    * probe.
+    */
+  def asofJoin(quotes: DataFrame, trades: DataFrame, key: String,
+               ts: String, tradeId: String): DataFrame = {
+    val q = quotes.select(col(key), col(ts),
+      lit(null).cast("long").as(tradeId), lit(0).as("tag"))
+    val t = trades.select(col(key), col(ts), col(tradeId), lit(1).as("tag"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.unionByName(t)
+      .withColumn("asof_ts",
+        last(when(col("tag") === 0, col(ts)), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col(tradeId), col(key), col("asof_ts"))
+  }
+
+  /** SyncTable-style diff: compare two tables by range-bucket digests
+    * (count + order-insensitive sum of md5-derived row hashes); returns
+    * only the buckets whose digests disagree. Fingerprint columns must be
+    * exactly-representable (strings/longs — no doubles).
+    */
+  def syncDiff(source: DataFrame, target: DataFrame, bucketKey: Column,
+               fingerprint: Column, buckets: Int): DataFrame = {
+    def digest(df: DataFrame, cnt: String, hsh: String): DataFrame =
+      df.groupBy(pmod(bucketKey, lit(buckets.toLong)).as("bucket"))
+        .agg(count(lit(1)).as(cnt),
+          sum(conv(substring(md5(fingerprint), 1, 8), 16, 10).cast("long"))
+            .as(hsh))
+    digest(source, "src_count", "src_hash")
+      .join(digest(target, "tgt_count", "tgt_hash"), "bucket")
+      .filter(col("src_count") =!= col("tgt_count") ||
+        col("src_hash") =!= col("tgt_hash"))
+  }
+
+  /** Bulk load: total-order write (range-partitioned by sampled key
+    * quantiles + per-partition sort) — every output file is internally
+    * sorted and files hold disjoint key ranges.
+    */
+  def bulkLoad(df: DataFrame, key: Column, numFiles: Int, path: String): Unit =
+    df.repartitionByRange(numFiles, key)
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(path)
+
+  /** Top-N per group with a deterministic tiebreak. */
+  def topKPerGroup(df: DataFrame, group: Column, order: Column,
+                   tiebreak: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order.desc, tiebreak.asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Salted rowkey for hot-key mitigation: prefix = pmod(hash(key), S). */
+  def saltKey(key: Column, salts: Int): Column =
+    concat(pmod(xxhash64(key), lit(salts.toLong)).cast("string"),
+      lit("#"), key.cast("string"))
+}

@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.Files
 
 import graft.{QueryPack, Tables}
+import graft.api.GraftOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -48,10 +49,8 @@ object EtlQueries extends QueryPack {
 
   /** The write half of [[bulkLoad]], reusable by EtlSpec to audit layout. */
   def bulkLoadTo(s: SparkSession, d: String, out: String): String = {
-    Tables.part(s, d)
-      .repartitionByRange(8, col("p_partkey"))
-      .sortWithinPartitions(col("p_partkey"))
-      .write.mode("overwrite").parquet(out)
+    GraftOps.bulkLoad(Tables.part(s, d), col("p_partkey"),
+      numFiles = 8, path = out)
     out
   }
 

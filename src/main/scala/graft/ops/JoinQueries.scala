@@ -1,8 +1,8 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
+import graft.api.GraftOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join tier (SURVEY.md §2.3).
@@ -50,20 +50,10 @@ object JoinQueries extends QueryPack {
     */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"),
-        lit(null).cast("long").as("event_id"), lit(0).as("tag"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"))
-    // tag asc orders a click before a purchase at the same ts => "<= t".
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(purchases)
-      .withColumn("asof_ts",
-        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      .select(col("event_id"), col("user_id"), col("asof_ts"))
+    GraftOps.asofJoin(
+      quotes = ev.filter(col("event_type") === "click"),
+      trades = ev.filter(col("event_type") === "purchase"),
+      key = "user_id", ts = "ts", tradeId = "event_id")
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](

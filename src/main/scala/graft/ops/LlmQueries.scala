@@ -1,9 +1,9 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
-import graft.functions.{ScoredVec, TextFns, TopKByScore, VectorFns}
+import graft.api.GraftOps
+import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline tier (SURVEY.md §2.9) — the north-star extension
@@ -27,8 +27,7 @@ import org.apache.spark.sql.functions._
 object LlmQueries extends QueryPack {
 
   private val MinhashPerms = 16
-  private val Bands = 8
-  private val RowsPerBand = 2 // recall at j=0.8: 1-(1-0.8²)^8 ≈ 0.9997
+  private val Bands = 8 // 2 rows/band; recall at j=0.8: 1-(1-0.8²)^8 ≈ 0.9997
   private val JaccardThreshold = 0.8
   private val NumPlanes = 4 // 16 ANN buckets — sized for the fixture corpus
   private val Dim = 64
@@ -38,61 +37,16 @@ object LlmQueries extends QueryPack {
     * the duplicate count — the shape a 100-TB dedup job materializes.
     */
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .groupBy(sha2(col("text"), 256).as("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    GraftOps.dedupExact(Tables.documents(s, d), col("text"), col("doc_id"))
 
   /** x_dedup_near: MinHash + LSH-banded near-duplicate pairs, verified by
     * exact Jaccard over 3-word shingles. Candidates come ONLY from shared
     * LSH bands (groupBy-joinable at any scale); the quadratic all-pairs
     * compare never happens.
     */
-  def dedupNear(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
-    // Signature via the TALL form: explode shingles once, then m codegen'd
-    // min(md5(p:shingle)) hash aggregates. Equivalent to a per-row nested
-    // transform() but ~25× faster (higher-order lambdas run interpreted)
-    // and the same map-side-combine shape a 100-TB run wants.
-    val tall = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sigCols = (0 until MinhashPerms).map(p =>
-      min(md5(concat(lit(s"$p:"), col("sh")))).as(s"s$p"))
-    val sig = tall.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandStructs = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|",
-          (0 until RowsPerBand).map(r => col(s"s${b * RowsPerBand + r}")): _*))
-          .as("bkey"))
-    }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Candidate pairs per bucket WITHOUT a bands self-join: a self-join
-    // re-executes the whole signature pipeline for each side, so instead
-    // collect each bucket's (sorted) members once and expand the i<j pairs
-    // in-place. Bucket membership lists are tiny by construction (docs
-    // sharing a 2-row minhash band), so the expansion is local and bounded.
-    val cand = bands
-      .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(flatten(
-        transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb"))), 6))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+  def dedupNear(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupNear(Tables.documents(s, d), col("doc_id"), col("text"),
+      perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
 
   /** x_sim_brute: exact cosine top-5 per probe. Probes are a bounded set
     * (vec_id < 8 — fixed cardinality at every SF), hence broadcast; the
@@ -100,21 +54,8 @@ object LlmQueries extends QueryPack {
     * (partial+final) keeps the shuffle at ≤5 rows per probe per partition.
     */
   def simBrute(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
-    val probes = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
-    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
-      .as[ScoredVec]
-    scored.groupByKey(_.probe_id)
-      .agg(new TopKByScore(5).toColumn.name("top"))
-      .flatMap { case (pid, top) =>
-        top.zipWithIndex.map { case (t, i) => (pid, t.vec_id, t.cos_sim, i + 1L) }
-      }
-      .toDF("probe_id", "vec_id", "cos_sim", "rank")
+    GraftOps.similarityTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
   }
 
   /** x_sim_lsh: ANN — deterministic random-hyperplane bucket (md5-seeded
@@ -124,22 +65,9 @@ object LlmQueries extends QueryPack {
     * tables (union of bucket joins) for recall; the join stays equi.
     */
   def simLsh(s: SparkSession, d: String): DataFrame = {
-    val planeMatrix = VectorFns.planes(NumPlanes, Dim)
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
-      .withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
-    val probes = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("bucket"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    emb.join(broadcast(probes), "bucket")
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("probe_id"), col("vec_id"), col("cos_sim"),
-        col("rank").cast("long").as("rank"))
+    GraftOps.annTopK(emb, emb.filter(col("vec_id") < 8), k = 3,
+      planes = NumPlanes, dim = Dim)
   }
 
   /** x_dedup_embed: embedding-cosine near-duplicate pairs — semantic dedup.
@@ -148,17 +76,9 @@ object LlmQueries extends QueryPack {
     * restricts the pair search to same-bucket vectors; exact cosine only
     * inside buckets. Production recall path: OR over several plane sets.
     */
-  def dedupEmbed(s: SparkSession, d: String): DataFrame = {
-    val planeMatrix = VectorFns.planes(2, Dim)
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
-      .withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
-    emb.as("a").join(emb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(expr("cosine_sim(a.v, b.v)"), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
-  }
+  def dedupEmbed(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupEmbed(Tables.embeddings(s, d), col("vec_id"),
+      col("embedding"), planes = 2, dim = Dim, threshold = 0.4)
 
   /** x_text_stats: corpus quality profile per language — doc counts, size,
     * token stats, type-token ratio, stopword ratio. One scan + one agg.

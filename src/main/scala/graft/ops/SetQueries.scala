@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
+import graft.api.GraftOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,31 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object SetQueries extends QueryPack {
 
-  /** 32-bit integer hash of a row fingerprint, md5-derived so the DuckDB
-    * oracle computes the identical value. Only exactly-representable
-    * columns (longs/strings) go into the fingerprint — double-to-string
-    * formatting differs across engines.
-    */
-  private def hash32(fp: org.apache.spark.sql.Column) =
-    conv(substring(md5(fp), 1, 8), 16, 10).cast("long")
-
   /** SyncTable: source = orders; target = a deterministic "replica" that
-    * lost every 97th order. Bucket both sides by pmod(key, 32), aggregate
-    * (count, sum of row hashes) per bucket, and report buckets whose
-    * digests disagree.
+    * lost every 97th order. Only exactly-representable columns (longs/
+    * strings) go into the fingerprint — double-to-string formatting
+    * differs across engines.
     */
   def syncDiff(s: SparkSession, d: String): DataFrame = {
-    def digest(df: DataFrame, cnt: String, hsh: String): DataFrame =
-      df.groupBy(pmod(col("o_orderkey"), lit(32L)).as("bucket"))
-        .agg(count(lit(1)).as(cnt),
-          sum(hash32(concat_ws("|", col("o_orderkey"), col("o_orderstatus"))))
-            .as(hsh))
     val src = Tables.orders(s, d)
     val tgt = src.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
-    digest(src, "src_count", "src_hash")
-      .join(digest(tgt, "tgt_count", "tgt_hash"), "bucket")
-      .filter(col("src_count") =!= col("tgt_count") ||
-        col("src_hash") =!= col("tgt_hash"))
+    GraftOps.syncDiff(src, tgt, bucketKey = col("o_orderkey"),
+      fingerprint = concat_ws("|", col("o_orderkey"), col("o_orderstatus")),
+      buckets = 32)
       .select(col("bucket"), col("src_count"), col("tgt_count"),
         col("src_hash"), col("tgt_hash"))
   }

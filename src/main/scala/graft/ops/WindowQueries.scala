@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
+import graft.api.GraftOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,15 +21,12 @@ object WindowQueries extends QueryPack {
     * event_type, version = ts; "maxVersions(1)" keeps the newest cell per
     * (row, qualifier). One shuffle on the key, one sorted window pass.
     */
-  def v1Latest(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def v1Latest(s: SparkSession, d: String): DataFrame =
+    GraftOps.latestVersion(Tables.events(s, d),
+      rowkey = col("user_id"), qualifier = col("event_type"),
+      version = col("ts"), tiebreak = col("event_id"))
       .select(col("user_id"), col("event_type"), col("ts"), col("value"),
         col("event_id"))
-  }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     // Total-order sort: Spark range-partitions by sampled quantiles —
@@ -59,15 +57,11 @@ object WindowQueries extends QueryPack {
         .limit(100)),
 
     // Top-N per group: row_number over a per-group ordered window.
-    "q_topk_group" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+    "q_topk_group" -> ((s, d) =>
+      GraftOps.topKPerGroup(Tables.orders(s, d), group = col("o_orderpriority"),
+        order = col("o_totalprice"), tiebreak = col("o_orderkey"), k = 3)
         .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
-          col("o_totalprice"))
-    }),
+          col("o_totalprice"))),
 
     // Ranking family: rank / dense_rank / percent_rank / ntile.
     "q_window_rank" -> ((s, d) => {
