@@ -70,6 +70,36 @@ object FilterQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_discount"), col("l_tax"))),
 
+    // MultiRowRangeFilter: several disjoint rowkey ranges in one scan —
+    // each range prunes parquet row groups independently (OR of pushed
+    // predicates), the analog of multi-range region pruning.
+    "q_filter_multirange" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter((col("l_orderkey") >= 100 && col("l_orderkey") < 200) ||
+          (col("l_orderkey") >= 1000 && col("l_orderkey") < 1100) ||
+          (col("l_orderkey") >= 5000 && col("l_orderkey") < 5100))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // RandomRowFilter, made reproducible: a deterministic 1% hash sample
+    // (md5-keyed), the only sane form at 100 TB — re-running the job
+    // yields the same sample, and the oracle can replay it.
+    "q_filter_sample" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          conv(substring(md5(concat_ws("|", col("l_orderkey"),
+            col("l_linenumber"))), 1, 8), 16, 10).cast("long") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // TTL expiry (HColumnDescriptor#setTimeToLive): keep only cells
+    // younger than maxAge relative to the newest cell. The global max is a
+    // one-row broadcast, not a window over a single partition.
+    "q_filter_ttl" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.crossJoin(broadcast(ev.agg(max(col("ts")).as("mx"))))
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+        .select(col("event_id"), col("ts"), col("event_type"))
+    }),
+
     // QualifierFilter / ColumnPrefixFilter / ColumnRangeFilter: project
     // columns of a DYNAMIC-schema row by name predicate — map_filter over
     // the MapType qualifier map (name prefix + lexicographic range), then
@@ -103,6 +133,17 @@ object FilterQueries extends QueryPack {
     "q_filter_row" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
         |WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_multirange" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE (l_orderkey >= 100 AND l_orderkey < 200)
+        |   OR (l_orderkey >= 1000 AND l_orderkey < 1100)
+        |   OR (l_orderkey >= 5000 AND l_orderkey < 5100)""".stripMargin,
+    "q_filter_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 8)) AS BIGINT) % 100 = 0""".stripMargin,
+    "q_filter_ttl" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY""".stripMargin,
     "q_filter_qualifier" ->
       """SELECT event_id, qual, cell FROM (
         |  SELECT event_id, 'evt:type' AS qual, event_type AS cell FROM events
