@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    // Plan-level optimization: constant-width range theta-joins become
+    // banded equi-joins (no BroadcastNestedLoopJoin at scale).
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }

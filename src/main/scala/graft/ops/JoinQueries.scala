@@ -87,30 +87,21 @@ object JoinQueries extends QueryPack {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))),
 
-    // Non-equi band join (reducer residual predicate), O(n+m) shape:
-    // the band width is a constant 50, so bucket both sides on
-    // floor(value/50) and equi-join. p ∈ [s, s+50] ⇒ floor(p/50) ∈
-    // {floor(s/50), floor(s/50)+1}, so each supplier row is emitted into
-    // its bucket and the next one, the join is a plain shuffled equi-join
-    // on the bucket key, and the BETWEEN survives only as a cheap residual
-    // filter. A naive non-equi join here plans as BroadcastNestedLoopJoin —
-    // |part|×|supplier| pair evaluations, quadratic at scale.
-    "q_join_range" -> ((s, d) => {
-      val band = lit(50.0)
-      val p = Tables.part(s, d)
-        .withColumn("bucket", floor(col("p_retailprice") / band))
-      val sup = Tables.supplier(s, d)
-        .withColumn("bucket", explode(array(
-          floor(col("s_acctbal") / band),
-          floor(col("s_acctbal") / band) + 1)))
-      p.join(sup, Seq("bucket"))
-        .filter(col("p_retailprice")
-          .between(col("s_acctbal"), col("s_acctbal") + band))
+    // Non-equi range join (reducer residual predicate), written NAIVELY:
+    // the injected BandedRangeJoinRule (graft.plans) rewrites this
+    // constant-width BETWEEN into a banded equi-join on floor(value/50)
+    // with the predicate as a residual — a shuffled hash/sort-merge join,
+    // never the BroadcastNestedLoopJoin this would otherwise plan as
+    // (|part|×|supplier| pair evaluations, quadratic at scale). The plan
+    // shape is pinned by PlanSpec and BandedRangeJoinRuleSpec.
+    "q_join_range" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.supplier(s, d),
+          col("p_retailprice").between(col("s_acctbal"), col("s_acctbal") + 50.0))
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_parts"),
           round(min(col("p_retailprice")), 2).as("min_price"),
-          round(max(col("p_retailprice")), 2).as("max_price"))
-    }),
+          round(max(col("p_retailprice")), 2).as("max_price"))),
 
     "q_join_asof" -> joinAsof
   )
