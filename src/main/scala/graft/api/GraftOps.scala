@@ -222,4 +222,18 @@ object GraftOps {
   def saltKey(key: Column, salts: Int): Column =
     concat(pmod(xxhash64(key), lit(salts.toLong)).cast("string"),
       lit("#"), key.cast("string"))
+
+  /** Two-phase salted aggregation for skewed keys: phase 1 aggregates on
+    * (key, salt) so a hot key's rows spread over `salts` reducers; phase 2
+    * merges the partials per key. Correct for any associative aggregate;
+    * exposed here for count+sum. With AQE's skew handling this is rarely
+    * needed for joins, but aggregation skew on a hot key still wants it.
+    */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+                salts: Int): DataFrame =
+    df.groupBy(key.as("k"),
+        pmod(xxhash64(value), lit(salts.toLong)).as("graft_salt"))
+      .agg(count(lit(1)).as("pc"), sum(value).as("ps"))
+      .groupBy(col("k"))
+      .agg(sum(col("pc")).as("n"), sum(col("ps")).as("sum_value"))
 }

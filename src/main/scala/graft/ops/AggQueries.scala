@@ -88,6 +88,15 @@ object AggQueries extends QueryPack {
           round(sum(col("o_totalprice")), 2).as("sum_price"),
           grouping_id().cast("int").as("gid"))),
 
+    // HLL sketch path — the 100-TB form of count-distinct: one pass, fixed
+    // memory per group, no expand-by-distinct-key shuffle. No oracleSql on
+    // purpose (approximate ≠ DuckDB-replayable): the driver records the
+    // weaker rows-only check, per the SparkEntry contract.
+    "q_distinct_approx" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))),
+
     // AggregationClient coprocessor surface: sum/min/max/avg/std per group
     // in one partial+final pass.
     "q_agg_coproc" -> ((s, d) =>
