@@ -80,6 +80,33 @@ object LlmQueries extends QueryPack {
     GraftOps.dedupEmbed(Tables.embeddings(s, d), col("vec_id"),
       col("embedding"), planes = 2, dim = Dim, threshold = 0.4)
 
+  /** x_pipeline: the end-to-end corpus-curation flow a training-data user
+    * actually runs, composed from the library operators — exact dedup
+    * (keep canonical doc), near-dup removal (drop the higher doc_id of
+    * each LSH-confirmed pair), quality gate (length + token floor), then
+    * per-language corpus accounting. Every stage is the same scale-safe
+    * shape as its standalone operator; composition adds two semi/anti
+    * joins, no new shuffles beyond them.
+    */
+  def pipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepExact = GraftOps.dedupExact(docs, col("text"), col("doc_id"))
+      .select(col("keep_id"))
+    val dropNear = GraftOps.dedupNear(docs, col("doc_id"), col("text"),
+      perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
+      .select(col("doc_b")).distinct()
+    docs
+      .join(keepExact, col("doc_id") === col("keep_id"), "left_semi")
+      .join(dropNear, col("doc_id") === col("doc_b"), "left_anti")
+      .select(col("lang"), col("n_chars"),
+        size(TextFns.tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_chars") >= 100 && col("n_tokens") >= 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+  }
+
   /** x_text_stats: corpus quality profile per language — doc counts, size,
     * token stats, type-token ratio, stopword ratio. One scan + one agg.
     */
@@ -178,6 +205,7 @@ object LlmQueries extends QueryPack {
     "x_dedup_exact" -> dedupExact,
     "x_dedup_near" -> dedupNear,
     "x_dedup_embed" -> dedupEmbed,
+    "x_pipeline" -> pipeline,
     "x_sim_brute" -> simBrute,
     "x_sim_lsh" -> simLsh,
     "x_text_stats" -> textStats,
@@ -219,6 +247,43 @@ object LlmQueries extends QueryPack {
         |JOIN sh y ON y.doc_id = doc_b
         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8""".stripMargin,
+    "x_pipeline" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(shingles, s -> md5(concat(CAST(p AS VARCHAR), ':', s))), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(concat(sig[2*b+1], '|', sig[2*b+2])) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |dropnear AS (
+        |  SELECT DISTINCT doc_b FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a
+        |  JOIN sh y ON y.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8),
+        |keepexact AS (
+        |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY sha256(text)),
+        |kept AS (
+        |  SELECT d.lang, d.n_chars, len(ws.w) AS n_tokens
+        |  FROM documents d JOIN ws ON ws.doc_id = d.doc_id
+        |  WHERE d.doc_id IN (SELECT keep_id FROM keepexact)
+        |    AND d.doc_id NOT IN (SELECT doc_b FROM dropnear)
+        |    AND d.n_chars >= 100 AND len(ws.w) >= 20)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM kept GROUP BY lang""".stripMargin,
     "x_dedup_embed" ->
       """WITH planes AS (
         |  SELECT j,
