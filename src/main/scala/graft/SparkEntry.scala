@@ -18,7 +18,8 @@ object SparkEntry {
     ops.ScalarQueries,
     ops.LlmQueries,
     ops.EtlQueries,
-    ops.StreamQueries
+    ops.StreamQueries,
+    ops.TpchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

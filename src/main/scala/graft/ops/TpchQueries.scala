@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H-shaped analytics (Q3/Q5/Q10 adapted to the fixture
+  * schema and its 1995–2001 date range) — the multi-join + agg + top-k
+  * workloads an analytics user of the engine runs daily. These stress
+  * join ordering, pushed date/segment predicates, partial aggregation and
+  * TakeOrderedAndProject together; only the fixed-cardinality nation/
+  * region dims ever carry broadcast hints (and here none are needed —
+  * JoinSelection/AQE handles every side).
+  */
+object TpchQueries extends QueryPack {
+
+  /** Q3 shipping priority: unshipped-revenue top 10. */
+  def q3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Q5 local-supplier volume: revenue per nation inside one region/year,
+    * customer and supplier in the same nation.
+    */
+  def q5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  /** Q10 returned-item reporting: top 20 customers by returned revenue. */
+  def q10(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_tpch_q3" -> q3,
+    "q_tpch_q5" -> q5,
+    "q_tpch_q10" -> q10
+  )
+
+  val oracle = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+  )
+}
