@@ -15,10 +15,17 @@ object TextFns {
 
   /** Lowercased whitespace tokens with empties dropped — the tokenizer
     * shared by wordcount, text-stats, shingling and lang-id so their
-    * results compose.
+    * results compose. trim+split instead of a filter() lambda: interior
+    * runs of whitespace produce no empty tokens under the \s+ regex and
+    * trim removes the edge cases, so the result is identical to
+    * filter(split(...), _ != "") while staying fully codegen'd (the
+    * higher-order filter runs interpreted per element).
     */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => w =!= "")
+  def tokens(text: Column): Column = {
+    val t = trim(lower(text))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Distinct 3-word shingles of a token array, built by zipping the array
     * with its own 1- and 2-shifted slices. Deliberately NOT the

@@ -55,6 +55,18 @@ class PlanSpec extends SparkSpec {
       "expected partial+final HashAggregate pair")
   }
 
+  test("partitionBy layout gives partition-pruned reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.events(spark, sf)
+      .withColumn("route", org.apache.spark.sql.functions.col("event_type"))
+      .write.mode("overwrite").partitionBy("route").parquet(out)
+    val read = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("route") === "click")
+    val scan = read.queryExecution.executedPlan.toString
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("route"), s"route filter not pruned: $pf")
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF
