@@ -19,7 +19,8 @@ object SparkEntry {
     ops.LlmQueries,
     ops.EtlQueries,
     ops.StreamQueries,
-    ops.TpchQueries
+    ops.TpchQueries,
+    ops.SqlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

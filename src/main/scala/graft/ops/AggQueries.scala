@@ -88,6 +88,32 @@ object AggQueries extends QueryPack {
           round(sum(col("o_totalprice")), 2).as("sum_price"),
           grouping_id().cast("int").as("gid"))),
 
+    // Exact continuous percentiles per group (median/p90) — single-pass
+    // sort-based aggregate; at 100 TB the swap is approx_percentile
+    // (t-digest-style sketch, fixed memory).
+    "q_agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))),
+
+    // Ordered string concatenation per group (sorted for determinism).
+    "q_agg_stringcat" -> ((s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))),
+
+    // Pivot: long → wide crosstab with a FIXED value list (an unbounded
+    // pivot would need a driver-side distinct pass — never at scale).
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // HLL sketch path — the 100-TB form of count-distinct: one pass, fixed
     // memory per group, no expand-by-distinct-key shuffle. No oracleSql on
     // purpose (approximate ≠ DuckDB-replayable): the driver records the
@@ -114,6 +140,21 @@ object AggQueries extends QueryPack {
   val oracle = Map(
     "q_count_rows" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_stringcat" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_count_cells" ->
       """SELECT qual, count(*) AS n_cells FROM (
         |  SELECT 'o_orderstatus' AS qual, o_orderstatus AS cell FROM orders

@@ -103,6 +103,19 @@ object JoinQueries extends QueryPack {
           round(min(col("p_retailprice")), 2).as("min_price"),
           round(max(col("p_retailprice")), 2).as("max_price"))),
 
+    // Full outer join: both unmatched sides survive with nulls — the
+    // tagged-union reduce-side pattern's outer variant.
+    "q_join_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_name"))
+        .join(
+          Tables.orders(s, d)
+            .filter(col("o_orderkey") <= 400)
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "full_outer")),
+
     "q_join_asof" -> joinAsof
   )
 
@@ -143,6 +156,13 @@ object JoinQueries extends QueryPack {
         |FROM part JOIN supplier
         |  ON p_retailprice BETWEEN s_acctbal AND s_acctbal + 50.0
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_outer" ->
+      """SELECT c_custkey, c_name, o_custkey, n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_orderkey <= 400 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id,
         |  (SELECT max(c.ts) FROM events c

@@ -92,6 +92,16 @@ object ScalarQueries extends QueryPack {
           round(array_min(col("embedding")).cast("double"), 6).as("el_min"),
           round(array_max(col("embedding")).cast("double"), 6).as("el_max"))),
 
+    // Generator surface (1→N expansion): posexplode with ordinality —
+    // the TableMapper multi-emit extension point as a built-in generator.
+    "q_generator" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "el")))
+        .select(col("vec_id"), col("pos"),
+          round(col("el").cast("double"), 6).as("el"))),
+
     // JSON family over events.props (dynamic-schema cell payloads).
     "q_scalar_json" -> ((s, d) =>
       Tables.events(s, d)
@@ -164,6 +174,12 @@ object ScalarQueries extends QueryPack {
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS el_min,
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS el_max
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_generator" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        |  round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 6) AS el
+        |FROM (SELECT vec_id, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings WHERE vec_id < 8)""".stripMargin,
     "q_scalar_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
