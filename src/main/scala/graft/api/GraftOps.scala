@@ -73,9 +73,21 @@ object GraftOps {
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+    // Verification joins the shingle table ONCE: melt each pair to two
+    // (pair, member) rows, join sh on the member key, regroup — the naive
+    // two-join form re-executes the whole tokenize+shingle pipeline per
+    // side. Exactly two rows per pair group, so the when()-guarded first()
+    // is deterministic.
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sh, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("shingles")),
+          ignoreNulls = true).as("sa"),
+        first(when(col("doc_id") === col("doc_b"), col("shingles")),
+          ignoreNulls = true).as("sb"))
       .withColumn("jaccard",
         round(size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))), 6))
