@@ -1,0 +1,56 @@
+package graft
+
+import graft.api.GraftOps
+import org.apache.spark.sql.functions._
+
+/** Opt-in scale stress (set GRAFT_SCALE_TEST=1): runs key operators over a
+  * synthetic table ~30× the sf0.1 fixture to observe shuffle behavior and
+  * correctness at a size where a wrong plan shape (all-pairs, unsalted hot
+  * key, full sort) visibly degrades. Skipped by default so the dev loop
+  * stays fast.
+  *
+  *   GRAFT_SCALE_TEST=1 sbt "testOnly graft.ScaleSpec"
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def enabled = sys.env.get("GRAFT_SCALE_TEST").contains("1")
+
+  /** 20M synthetic (key, qualifier, version, payload) rows, deterministic,
+    * with a deliberately hot key 0 (~5% of all rows).
+    */
+  private lazy val big = {
+    import spark.implicits._
+    spark.range(0, 20000000L, 1, 32)
+      .select(
+        when(pmod(col("id"), lit(20L)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("key"),
+        pmod(col("id"), lit(4L)).cast("string").as("qual"),
+        col("id").as("version"),
+        (col("id") % 1000).cast("double").as("payload"))
+  }
+
+  test("latest-version at 20M rows returns one row per (key, qual)") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    val v1 = GraftOps.latestVersion(big, col("key"), col("qual"),
+      col("version"), col("version"))
+    val keys = big.select(col("key"), col("qual")).distinct().count()
+    assert(v1.count() === keys)
+  }
+
+  test("salted aggregation handles the hot key at 20M rows") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    val salted = GraftOps.saltedAgg(big, col("key"), col("payload"), salts = 32)
+    val hot = salted.filter(col("k") === 0).select(col("n")).collect()
+    assert(hot.head.getLong(0) === big.filter(col("key") === 0).count())
+  }
+
+  test("exact dedup at 20M rows (hash-groupBy, no content shuffle)") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    val deduped = GraftOps.dedupExact(
+      big.select(col("key"), concat_ws("|", col("qual"), col("payload")).as("text"),
+        col("version").as("doc_id")),
+      col("text"), col("doc_id"))
+    assert(deduped.count() ===
+      big.select(concat_ws("|", col("qual"), col("payload"))).distinct().count())
+  }
+}
