@@ -9,23 +9,35 @@ object Bench {
     // Untimed JVM/codegen warm-up so the alphabetically-first query doesn't
     // absorb ~5s of JIT + classloading into its measurement.
     SparkEntry.entry(spark).count()
+    // A throwing query is reported with a NEGATIVE elapsed time and listed
+    // in "errors", so downstream parsing can tell a failed query from a
+    // fast one; total covers successful queries only.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // Short, total-only summary line printed LAST: the detailed line is
+    // ~3.4 KB and a 4 KB tail capture can truncate its head, leaving no
+    // parseable JSON (rounds 1 and 2 both recorded "parsed": null).
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt passes it through unprefixed) AND a
-    // file copy so a logger-wrapped stdout can never zero a round's bench
-    // again (round-1 BENCH_r01.json had "parsed": null).
+    // file copy so a logger-wrapped stdout can never zero a round's bench.
     println(json)
+    println(summary)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/bench_last.json")), json)
+        "/root/repo/bench_last.json")), json + "\n" + summary + "\n")
     spark.stop()
   }
 }

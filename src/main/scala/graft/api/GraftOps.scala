@@ -88,11 +88,15 @@ object GraftOps {
           ignoreNulls = true).as("sa"),
         first(when(col("doc_id") === col("doc_b"), col("shingles")),
           ignoreNulls = true).as("sb"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
-          / size(array_union(col("sa"), col("sb"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("jaccard_raw",
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))))
+      // threshold on the UNROUNDED ratio (the oracle does the same);
+      // rounding happens only in the reported column, so a jaccard of
+      // 0.7999995 can never pass on one side and fail on the other.
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate pairs behind a random-hyperplane
@@ -107,8 +111,11 @@ object GraftOps {
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(expr("cosine_sim(a.v, b.v)"), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+        expr("cosine_sim(a.v, b.v)").as("cs_raw"))
+      // threshold pre-rounding, report rounded — same discipline as
+      // dedupNear, matching the oracle's WHERE-on-raw / SELECT-rounded.
+      .filter(col("cs_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cs_raw"), 6).as("cos_sim"))
   }
 
   // ----------------------------------------------------- similarity search
@@ -208,8 +215,16 @@ object GraftOps {
         .agg(count(lit(1)).as(cnt),
           sum(conv(substring(md5(fingerprint), 1, 8), 16, 10).cast("long"))
             .as(hsh))
+    // full_outer + coalesce-to-0: a bucket that exists on only one side
+    // (a whole key range lost, or an empty table) must surface as a diff —
+    // an inner join would silently drop exactly the worst divergence.
     digest(source, "src_count", "src_hash")
-      .join(digest(target, "tgt_count", "tgt_hash"), "bucket")
+      .join(digest(target, "tgt_count", "tgt_hash"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("src_count"), lit(0L)).as("src_count"),
+        coalesce(col("tgt_count"), lit(0L)).as("tgt_count"),
+        coalesce(col("src_hash"), lit(0L)).as("src_hash"),
+        coalesce(col("tgt_hash"), lit(0L)).as("tgt_hash"))
       .filter(col("src_count") =!= col("tgt_count") ||
         col("src_hash") =!= col("tgt_hash"))
   }
@@ -243,8 +258,14 @@ object GraftOps {
     */
   def saltedAgg(df: DataFrame, key: Column, value: Column,
                 salts: Int): DataFrame =
+    // Salt from a row-unique id, NOT from the aggregated value: a hot key
+    // whose values are constant/low-cardinality would hash to one salt and
+    // silently degenerate to the unsalted plan. monotonically_increasing_id
+    // is round-robin within each partition, so fan-out is guaranteed; the
+    // aggregates are associative, so the result is independent of which
+    // salt a row lands on (including across task retries).
     df.groupBy(key.as("k"),
-        pmod(xxhash64(value), lit(salts.toLong)).as("graft_salt"))
+        pmod(monotonically_increasing_id(), lit(salts.toLong)).as("graft_salt"))
       .agg(count(lit(1)).as("pc"), sum(value).as("ps"))
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("sum_value"))

@@ -174,15 +174,15 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("fp_md5"), col("fp_int60"), col("fp_shingle_min"))
   }
 
-  /** x_multimodal: opaque binary payload + typed metadata as a struct
-    * column, then metadata extraction back out of it. The "decode" here is
-    * a DETERMINISTIC FAKE (md5-derived width/height) standing in for a real
-    * image decoder: this container has no imaging libs, so the real decode
-    * body is stubbed while the Spark-side plumbing — binary column, struct
-    * schema, per-row extraction, parquet round-trip (LlmOpsSpec) — is real.
+  /** The multimodal media table: opaque binary payload + typed metadata as
+    * a struct column. The "decode" here is a DETERMINISTIC FAKE
+    * (md5-derived width/height) standing in for a real image decoder: this
+    * container has no imaging libs, so the real decode body is stubbed
+    * while the Spark-side plumbing — binary column, struct schema, per-row
+    * extraction, parquet round-trip (EtlSpec/LlmOpsSpec) — is real.
     */
-  def multimodal(s: SparkSession, d: String): DataFrame = {
-    val media = Tables.documents(s, d)
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         struct(
           col("text").cast("binary").as("content"),
@@ -191,15 +191,21 @@ object LlmQueries extends QueryPack {
             + 64).as("width"),
           (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1024
             + 64).as("height")).as("media"))
-    media.select(
+
+  /** x_multimodal: metadata extraction back out of the media struct. The
+    * gated projection carries the payload only as n_bytes + sha256_hex —
+    * the raw BLOB column stays out of the oracle-compared output (the
+    * driver's pandas comparator cannot sort bytearray cells; the byte-level
+    * round-trip is asserted in EtlSpec instead, where it belongs).
+    */
+  def multimodal(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(
       col("doc_id"),
       col("media.mime").as("mime"),
       length(col("media.content")).cast("long").as("n_bytes"),
       sha2(col("media.content"), 256).as("sha256_hex"),
       col("media.width").as("width"),
-      col("media.height").as("height"),
-      col("media.content").as("content"))
-  }
+      col("media.height").as("height"))
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dedup_exact" -> dedupExact,
@@ -281,7 +287,8 @@ object LlmQueries extends QueryPack {
         |  WHERE d.doc_id IN (SELECT keep_id FROM keepexact)
         |    AND d.doc_id NOT IN (SELECT doc_b FROM dropnear)
         |    AND d.n_chars >= 100 AND len(ws.w) >= 20)
-        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM kept GROUP BY lang""".stripMargin,
     "x_dedup_embed" ->
@@ -397,8 +404,7 @@ object LlmQueries extends QueryPack {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex,
         |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 64 AS width,
-        |  CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 64 AS height,
-        |  encode(text) AS content
+        |  CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 64 AS height
         |FROM documents""".stripMargin
   )
 }

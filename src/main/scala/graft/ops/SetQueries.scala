@@ -57,17 +57,25 @@ object SetQueries extends QueryPack {
       "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
     "q_intersect" ->
       "SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+    // CAST(sum(..) AS BIGINT): DuckDB widens sum(BIGINT) to HUGEINT, which
+    // the driver's pandas comparator collapses to float64 and stringifies
+    // differently than Spark's exact long — cast back before comparing.
+    // FULL OUTER + coalesce mirrors GraftOps.syncDiff's one-sided-bucket
+    // semantics.
     "q_sync_diff" ->
       """WITH src AS (
         |  SELECT o_orderkey % 32 AS bucket, count(*) AS src_count,
-        |    sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 8)) AS BIGINT)) AS src_hash
+        |    CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 8)) AS BIGINT)) AS BIGINT) AS src_hash
         |  FROM orders GROUP BY 1),
         |tgt AS (
         |  SELECT o_orderkey % 32 AS bucket, count(*) AS tgt_count,
-        |    sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 8)) AS BIGINT)) AS tgt_hash
+        |    CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 8)) AS BIGINT)) AS BIGINT) AS tgt_hash
         |  FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY 1)
-        |SELECT bucket, src_count, tgt_count, src_hash, tgt_hash
-        |FROM src JOIN tgt USING (bucket)
-        |WHERE src_count <> tgt_count OR src_hash <> tgt_hash""".stripMargin
+        |SELECT bucket,
+        |  coalesce(src_count, 0) AS src_count, coalesce(tgt_count, 0) AS tgt_count,
+        |  coalesce(src_hash, 0) AS src_hash, coalesce(tgt_hash, 0) AS tgt_hash
+        |FROM src FULL OUTER JOIN tgt USING (bucket)
+        |WHERE coalesce(src_count, 0) <> coalesce(tgt_count, 0)
+        |   OR coalesce(src_hash, 0) <> coalesce(tgt_hash, 0)""".stripMargin
   )
 }

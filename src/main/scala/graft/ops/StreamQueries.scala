@@ -43,7 +43,7 @@ object StreamQueries extends QueryPack {
     // matching session_window's contract.
     "s_session" ->
       """WITH e AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, value,
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
         |              > INTERVAL '30 minutes'
@@ -52,7 +52,7 @@ object StreamQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, ts
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM e)
         |SELECT min(ts) AS session_start,

@@ -15,11 +15,6 @@ class EtlSpec extends SparkSpec {
       Files.createTempDirectory("graft_bulktest").toString)
     val perFile = spark.read.parquet(out)
       .select(col("p_partkey"), input_file_name().as("f"))
-    // within-file sorted: key position within its file must follow key order
-    val windowed = perFile
-      .withColumn("prev", lag(col("p_partkey"), 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("f"))
-          .orderBy(col("p_partkey"))))
     // ranges disjoint: [min,max] intervals must not overlap across files
     val ranges = perFile.groupBy(col("f"))
       .agg(min(col("p_partkey")).as("lo"), max(col("p_partkey")).as("hi"))
@@ -31,10 +26,18 @@ class EtlSpec extends SparkSpec {
       case _ =>
     }
     assert(ranges.length > 1, "expected multiple range files")
+    // within-file sorted, in PHYSICAL row order: read each file on its own
+    // (small file -> one input partition, so collect() preserves the
+    // parquet row order) and assert the key sequence is non-decreasing.
+    ranges.map(_.getString(0)).foreach { f =>
+      val keys = spark.read.parquet(f)
+        .select(col("p_partkey")).collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted),
+        s"file $f is not internally key-sorted")
+    }
     // totality: nothing lost
     assert(spark.read.parquet(out).count() ===
       Tables.part(spark, sf).count())
-    windowed.collect() // force evaluation of the within-file pass
   }
 
   test("tsv round-trip is lossless") {
@@ -46,7 +49,8 @@ class EtlSpec extends SparkSpec {
 
   test("multimodal struct survives a parquet round-trip byte-for-byte") {
     val out = Files.createTempDirectory("graft_mediatest").toString
-    val media = ops.LlmQueries.multimodal(spark, sf)
+    val media = ops.LlmQueries.mediaTable(spark, sf)
+      .select(col("doc_id"), col("media.content").as("content"))
     media.write.mode("overwrite").parquet(out)
     val back = spark.read.parquet(out)
     assert(back.count() === media.count())

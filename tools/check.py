@@ -5,8 +5,16 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the sfDir
-tables, and compares: column names (sorted), row count, and exact values
-after sorting columns by name and rows by all columns.
+tables, and compares THROUGH PANDAS, exactly like the driver does:
+both relations go through duckdb's .df() (so DuckDB HUGEINT becomes
+float64, BLOB becomes bytearray, BIGINT-with-nulls becomes float64),
+columns are sorted by name, rows are sorted by all columns with
+DataFrame.sort_values (which raises on unhashable cells, e.g. bytearray
+— a real driver failure mode), then values are canonicalized to strings.
+
+Round 2 shipped 3 driver-red queries because this script previously
+compared via fetchall() (Python ints, bytes hashable) and saw PASS where
+the driver's pandas path saw FAIL. Fidelity to the driver > convenience.
 """
 import json
 import math
@@ -17,10 +25,20 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(rows):
-    """Rows -> sorted list of tuples with canonical value forms."""
+def canon(df):
+    """pandas DataFrame -> sorted list of stringified tuples.
+
+    Mirrors the driver: sort columns by name, sort rows by all columns via
+    pandas (raises TypeError on unhashable values, like the driver), then
+    stringify. Floats are rounded to 9 places; a HUGEINT that collapsed to
+    float64 stringifies with a trailing '.0' and so diverges from an exact
+    int64 — the exact divergence the driver sees.
+    """
+    df = df[sorted(df.columns)]
+    if len(df.columns) > 0 and len(df) > 0:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     out = []
-    for row in rows:
+    for row in df.itertuples(index=False, name=None):
         vals = []
         for v in row:
             if isinstance(v, float):
@@ -30,7 +48,6 @@ def canon(rows):
                     v = round(v, 9)
             vals.append(str(v))
         out.append(tuple(vals))
-    out.sort()
     return out
 
 
@@ -57,14 +74,16 @@ def main(sf_dir, out_dir):
             print(f"  FAIL  {name}: no Verify output (query threw or never ran)")
             n_fail += 1
             continue
-        spark_rel = con.sql(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-        )
-        s_cols = sorted(spark_rel.columns)
-        s_proj = con.sql(
-            f"SELECT {', '.join(q(c) for c in s_cols)} FROM spark_rel"
-        )
-        s_rows = canon(s_proj.fetchall())
+        try:
+            s_df = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).df()
+            s_rows = canon(s_df)
+        except Exception as e:
+            print(f"  FAIL  {name}: spark-side pandas canon error: {e}")
+            n_fail += 1
+            continue
+        s_cols = sorted(s_df.columns)
         if name not in oracle:
             print(f"  WEAK  {name}: rows={len(s_rows)} (no oracle, rows-only)")
             n_weak += 1
@@ -72,20 +91,17 @@ def main(sf_dir, out_dir):
                 print(f"        ^^ WARNING: zero rows")
             continue
         try:
-            o_rel = con.sql(oracle[name])
+            o_df = con.sql(oracle[name]).df()
+            o_rows = canon(o_df)
         except Exception as e:
-            print(f"  FAIL  {name}: oracle SQL error: {e}")
+            print(f"  FAIL  {name}: oracle error: {e}")
             n_fail += 1
             continue
-        o_cols = sorted(o_rel.columns)
+        o_cols = sorted(o_df.columns)
         if o_cols != s_cols:
             print(f"  FAIL  {name}: columns differ spark={s_cols} oracle={o_cols}")
             n_fail += 1
             continue
-        o_proj = con.sql(
-            f"SELECT {', '.join(q(c) for c in o_cols)} FROM o_rel"
-        )
-        o_rows = canon(o_proj.fetchall())
         if len(s_rows) != len(o_rows):
             print(f"  FAIL  {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
             n_fail += 1
@@ -101,10 +117,6 @@ def main(sf_dir, out_dir):
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
     return 1 if n_fail else 0
-
-
-def q(c):
-    return '"' + c.replace('"', '""') + '"'
 
 
 if __name__ == "__main__":
