@@ -25,15 +25,45 @@ object GraftOps {
     df.groupBy(sha2(content, 256).as("fp"))
       .agg(min(key).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The 3-word-shingle table a near-dup pipeline is built on: one row per
+    * doc with its distinct shingle set. Exposed so composed pipelines can
+    * share (or materialize) this subtree instead of re-deriving it.
+    */
+  def shingleTable(df: DataFrame, key: Column, text: Column): DataFrame =
+    df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
+
+  /** MinHash permutation value for perm `p` from one base md5 per shingle:
+    * a 48-bit hex window of the digest, mixed by an odd multiplier and
+    * truncated mod 2^42. One md5 per exploded row feeds all `perms`
+    * LONG-typed min() aggregates (HashAggregate + map-side combine, fully
+    * codegen'd) — versus `perms` separate md5 calls whose STRING buffers
+    * would force SortAggregate. The multiply-then-mod step is what makes
+    * the perms behave independently (a plain window or a monotonic multiply
+    * would preserve the argmin across perms); exact-integer math only, so
+    * the DuckDB oracle replays it bit-for-bit. Production note: a keyed
+    * hash family (e.g. seeded xxhash) is stronger; this family keeps the
+    * oracle replayable with engine-identical semantics.
+    */
+  private def permHash(h: Column, p: Int): Column =
+    conv(substring(h, p + 1, 12), 16, 10).cast("long") * (2 * p + 1) %
+      (1L << 42)
+
   /** MinHash/LSH near-duplicate pairs over a text column, verified with
     * exact Jaccard on 3-word shingles. Candidates come only from shared
     * LSH bands — never an all-pairs product. Deterministic: permutations
     * and band keys are md5-derived.
     *
+    * The shingle table is persisted (memory-and-disk) because it feeds
+    * both signature derivation and candidate verification; at cluster
+    * scale a curation pipeline would materialize it to a table once —
+    * recomputing the tokenize+shingle scan is the alternative trade.
+    *
     * @param df        input table
     * @param key       unique document key column (orderable)
     * @param text      text column
-    * @param perms     MinHash permutations (signature width)
+    * @param perms     MinHash permutations (signature width, <= 20)
     * @param bands     LSH bands; rows per band = perms / bands
     * @param threshold exact-Jaccard acceptance threshold
     */
@@ -41,21 +71,22 @@ object GraftOps {
                 perms: Int = 16, bands: Int = 8,
                 threshold: Double = 0.8): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
+    require(perms <= 20, "perm hex window p+1..p+12 must stay inside md5's 32 chars")
     val rowsPerBand = perms / bands
-    val sh = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
-    // Signature via the tall form: explode once, then `perms` codegen'd
-    // min(md5()) aggregates (map-side combined) — no interpreted
-    // nested-lambda minhash.
-    val tall = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sigCols = (0 until perms).map(p =>
-      min(md5(concat(lit(s"$p:"), col("sh")))).as(s"s$p"))
+    val sh = shingleTable(df, key, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Signature via the tall form: explode once, ONE md5 per row, then
+    // `perms` codegen'd min(BIGINT) aggregates (map-side combined) — no
+    // interpreted nested-lambda minhash, no string-buffer SortAggregate.
+    val tall = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val sigCols = (0 until perms).map(p => min(permHash(col("h"), p)).as(s"s$p"))
     val sig = tall.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
-          (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")): _*))
+          (0 until rowsPerBand).map(r =>
+            col(s"s${b * rowsPerBand + r}").cast("string")): _*))
           .as("bkey"))
     }
     val banded = sig
@@ -99,9 +130,22 @@ object GraftOps {
         round(col("jaccard_raw"), 6).as("jaccard"))
   }
 
+  /** Hyperplane count for an LSH bucketing sized to the corpus: the
+    * smallest p in [2, 30] with 2^p buckets of expected size <=
+    * `targetBucket`. Exact integer math (no float log2), so any oracle can
+    * replay the same derivation. A FIXED plane count is the classic LSH
+    * scale bug — bucket size then grows linearly with the corpus and the
+    * within-bucket self-join quietly becomes O(n^2); deriving p from n
+    * keeps the per-bucket work bounded at any scale. (Recall at high p is
+    * recovered in production by OR-ing several independent plane tables.)
+    */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    (2 to 30).find(p => (1L << p) * targetBucket >= n).getOrElse(30)
+
   /** Embedding-cosine near-duplicate pairs behind a random-hyperplane
     * bucket: exact cosine runs only within buckets. Raise `planes` to
-    * shrink buckets (higher precision, lower recall per table).
+    * shrink buckets (higher precision, lower recall per table); size it
+    * with [[planesFor]] so bucket cardinality tracks the corpus.
     */
   def dedupEmbed(df: DataFrame, key: Column, embedding: Column,
                  planes: Int, dim: Int, threshold: Double): DataFrame = {

@@ -29,8 +29,16 @@ object LlmQueries extends QueryPack {
   private val MinhashPerms = 16
   private val Bands = 8 // 2 rows/band; recall at j=0.8: 1-(1-0.8²)^8 ≈ 0.9997
   private val JaccardThreshold = 0.8
-  private val NumPlanes = 4 // 16 ANN buckets — sized for the fixture corpus
   private val Dim = 64
+  private val TargetBucket = 64 // LSH bucket-size budget; planes derive from n
+
+  /** Corpus-sized hyperplane count (GraftOps.planesFor): a parquet
+    * metadata count (no data scan) at plan time — the same "read the
+    * stats, pick the plan" move AQE makes. The oracle replays the identical
+    * integer derivation from count(*).
+    */
+  private def planesOf(s: SparkSession, d: String): Int =
+    GraftOps.planesFor(Tables.embeddings(s, d).count(), TargetBucket)
 
   /** x_dedup_exact: fingerprint-grouped exact dedup. Output one row per
     * distinct content hash with the canonical survivor (min doc_id) and
@@ -67,18 +75,21 @@ object LlmQueries extends QueryPack {
   def simLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     GraftOps.annTopK(emb, emb.filter(col("vec_id") < 8), k = 3,
-      planes = NumPlanes, dim = Dim)
+      planes = planesOf(s, d), dim = Dim)
   }
 
   /** x_dedup_embed: embedding-cosine near-duplicate pairs — semantic dedup.
-    * Same LSH discipline as the text path: a coarse 2-plane bucket (the
-    * corpus has no >0.55-cosine pairs, so the demo threshold is 0.4)
-    * restricts the pair search to same-bucket vectors; exact cosine only
-    * inside buckets. Production recall path: OR over several plane sets.
+    * Same LSH discipline as the text path: a corpus-sized hyperplane bucket
+    * (2^planesOf buckets, so expected bucket size stays <= TargetBucket at
+    * ANY corpus size — the within-bucket self-join never degenerates to
+    * O(n^2)) restricts the pair search to same-bucket vectors; exact cosine
+    * only inside buckets. The fixture corpus has no >0.55-cosine pairs, so
+    * the demo threshold is 0.4. Production recall path: OR over several
+    * independent plane sets.
     */
   def dedupEmbed(s: SparkSession, d: String): DataFrame =
     GraftOps.dedupEmbed(Tables.embeddings(s, d), col("vec_id"),
-      col("embedding"), planes = 2, dim = Dim, threshold = 0.4)
+      col("embedding"), planes = planesOf(s, d), dim = Dim, threshold = 0.4)
 
   /** x_pipeline: the end-to-end corpus-curation flow a training-data user
     * actually runs, composed from the library operators — exact dedup
@@ -233,13 +244,17 @@ object LlmQueries extends QueryPack {
         |  SELECT doc_id,
         |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
         |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
         |sig AS (
         |  SELECT doc_id,
-        |    [list_aggregate(list_transform(shingles, s -> md5(concat(CAST(p AS VARCHAR), ':', s))), 'min')
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, p+1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
         |     for p in range(0, 16)] sig
-        |  FROM sh),
+        |  FROM hs),
         |bands AS (
-        |  SELECT doc_id, b, md5(concat(sig[2*b+1], '|', sig[2*b+2])) bkey
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
         |  FROM sig CROSS JOIN range(0, 8) t(b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -261,13 +276,17 @@ object LlmQueries extends QueryPack {
         |  SELECT doc_id,
         |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
         |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
         |sig AS (
         |  SELECT doc_id,
-        |    [list_aggregate(list_transform(shingles, s -> md5(concat(CAST(p AS VARCHAR), ':', s))), 'min')
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, p+1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
         |     for p in range(0, 16)] sig
-        |  FROM sh),
+        |  FROM hs),
         |bands AS (
-        |  SELECT doc_id, b, md5(concat(sig[2*b+1], '|', sig[2*b+2])) bkey
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
         |  FROM sig CROSS JOIN range(0, 8) t(b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -292,11 +311,14 @@ object LlmQueries extends QueryPack {
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM kept GROUP BY lang""".stripMargin,
     "x_dedup_embed" ->
-      """WITH planes AS (
+      """WITH np AS (
+        |  SELECT min(p) p FROM range(2, 31) t(p)
+        |  WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT count(*) FROM embeddings)),
+        |planes AS (
         |  SELECT j,
         |    [CASE WHEN CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ',', CAST(d AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
         |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] h
-        |  FROM range(0, 2) t(j)),
+        |  FROM range(0, 31) t(j), np WHERE j < p),
         |emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |  FROM embeddings),
@@ -327,11 +349,14 @@ object LlmQueries extends QueryPack {
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 5""".stripMargin,
     "x_sim_lsh" ->
-      """WITH planes AS (
+      """WITH np AS (
+        |  SELECT min(p) p FROM range(2, 31) t(p)
+        |  WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT count(*) FROM embeddings)),
+        |planes AS (
         |  SELECT j,
         |    [CASE WHEN CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ',', CAST(d AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
         |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] h
-        |  FROM range(0, 4) t(j)),
+        |  FROM range(0, 31) t(j), np WHERE j < p),
         |emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
         |  FROM embeddings),

@@ -17,11 +17,12 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
     val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.shingles"), col("b.shingles")))
+        (size(array_intersect(col("a.shingles"), col("b.shingles")))
           .cast("double")
-          / size(array_union(col("a.shingles"), col("b.shingles"))), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+          / size(array_union(col("a.shingles"), col("b.shingles"))))
+          .as("j_raw"))
+      .filter(col("j_raw") >= 0.8) // threshold pre-rounding, like dedupNear
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
     val lsh = ops.LlmQueries.dedupNear(spark, sf)
     // LSH recall on this corpus must be total (16 perms / 8 bands / j>=0.8
     // => miss probability < 1e-3 per pair), and precision is exact by
@@ -37,7 +38,8 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("ANN results are genuine same-bucket neighbors with true cosine") {
-    val planes = VectorFns.planes(4, 64)
+    val n = Tables.embeddings(spark, sf).count()
+    val planes = VectorFns.planes(graft.api.GraftOps.planesFor(n), 64)
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
       .withColumn("bucket", VectorFns.bucket(col("v"), planes))
@@ -60,6 +62,35 @@ class LlmOpsSpec extends SparkSpec {
         (col("a.rank") < col("b.rank")) &&
         (col("a.cos_sim") < col("b.cos_sim")))
     assert(bad.count() === 0, "rank inversion found")
+  }
+
+  test("planesFor scales bucket count with the corpus") {
+    import graft.api.GraftOps.planesFor
+    // bucket capacity always covers the corpus: 2^p * target >= n
+    for (n <- Seq(1L, 100L, 500L, 2000L, 100000L, 2000000L, 10000000000L))
+      assert((1L << planesFor(n)) * 64 >= math.min(n, (1L << 30) * 64L))
+    assert(planesFor(500) === 3)     // sf0.01 fixture -> 8 buckets
+    assert(planesFor(2000) === 5)    // sf0.1 fixture -> 32 buckets
+    assert(planesFor(2000000) === 15) // 100x corpus -> 32768 buckets
+    // monotone in n: more corpus never means fewer buckets
+    val ps = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(planesFor(_))
+    assert(ps === ps.sorted)
+    assert(planesFor(1) === 2) // floor: at least 4 buckets
+  }
+
+  test("syncDiff surfaces buckets that exist on only one side") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    val src = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val tgt = src.filter(col("k") % 2 === 0) // odd buckets vanish entirely
+    val diff = GraftOps.syncDiff(src, tgt, col("k"),
+      org.apache.spark.sql.functions.concat_ws("|", col("k"), col("v")),
+      buckets = 2).collect()
+    // bucket 1 has zero target rows: an inner join would drop it silently
+    val b1 = diff.find(_.getLong(0) == 1L)
+    assert(b1.isDefined, "one-sided bucket missing from the diff")
+    assert(b1.get.getLong(2) === 0L && b1.get.getLong(4) === 0L,
+      "empty side must coalesce to 0")
   }
 
   test("topk(3) per group is a subset of topk(5) per group") {
