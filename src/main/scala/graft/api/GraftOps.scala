@@ -92,10 +92,20 @@ object GraftOps {
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Per-bucket member lists once (no self-join re-execution), i<j pairs
-    // expanded locally; bucket lists are small by construction.
-    val cand = banded
-      .groupBy(col("band"), col("bkey"))
+    verifyJaccard(bucketPairs(banded, Seq(col("band"), col("bkey"))),
+      sh, threshold)
+  }
+
+  /** Candidate i<j pairs from a blocked/bucketed member table holding a
+    * `doc_id` column: per-bucket member lists once (no self-join
+    * re-execution), pairs expanded locally. Bucket lists must be small by
+    * construction (LSH bands, simhash blocks, rare-first prefixes) — this
+    * is the shape that keeps every candidate generator off the all-pairs
+    * product at any scale.
+    */
+  private def bucketPairs(member: DataFrame, buckets: Seq[Column]): DataFrame =
+    member
+      .groupBy(buckets: _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(
@@ -104,11 +114,18 @@ object GraftOps {
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    // Verification joins the shingle table ONCE: melt each pair to two
-    // (pair, member) rows, join sh on the member key, regroup — the naive
-    // two-join form re-executes the whole tokenize+shingle pipeline per
-    // side. Exactly two rows per pair group, so the when()-guarded first()
-    // is deterministic.
+
+  /** Exact-Jaccard verification of candidate pairs, joining the shingle
+    * table ONCE: melt each pair to two (pair, member) rows, join on the
+    * member key, regroup — the naive two-join form re-executes the whole
+    * tokenize+shingle pipeline per side. Exactly two rows per pair group,
+    * so the when()-guarded first() is deterministic. Threshold applies to
+    * the UNROUNDED ratio (the oracle does the same); rounding happens only
+    * in the reported column, so a jaccard of 0.7999995 can never pass on
+    * one side and fail on the other.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
     cand
       .select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -122,12 +139,128 @@ object GraftOps {
       .withColumn("jaccard_raw",
         size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))))
-      // threshold on the UNROUNDED ratio (the oracle does the same);
-      // rounding happens only in the reported column, so a jaccard of
-      // 0.7999995 can never pass on one side and fail on the other.
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard_raw"), 6).as("jaccard"))
+
+  /** SimHash near-duplicate pairs: one 60-bit tf-weighted fingerprint per
+    * document (bit i is set iff more of the doc's md5 token hashes have
+    * bit i set than clear), candidates from pigeonhole blocking — the
+    * fingerprint splits into maxHamming+1 equal blocks, and any pair
+    * within the hamming radius must agree exactly on at least one block —
+    * then exact hamming distance on candidates only. Candidate generation
+    * is a groupBy on (block, value), never the all-pairs product; the
+    * blocking is LOSSLESS, which the oracle gate proves by comparing
+    * against a brute-force all-pairs hamming filter. 60 bits = 15 md5 hex
+    * chars, so the fingerprint fits a signed long in both engines and the
+    * whole derivation is exact-integer, oracle-replayable math.
+    */
+  def dedupSimhash(df: DataFrame, key: Column, text: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0, s"$bits bits must split into $blocks blocks")
+    val blockBits = bits / blocks
+    val tall = df
+      .select(key.as("doc_id"), explode(TextFns.tokens(text)).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    // One aggregation pass: 60 codegen'd long sums (per-bit popularity)
+    // plus the token count — all map-side combined; bit i of the
+    // fingerprint is then (2 * popularity > count), ties to 0.
+    val sums = (0 until bits).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i")) :+
+      count(lit(1)).as("n")
+    val fp = tall.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i =>
+          when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blockStructs = (0 until blocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("fp"), b * blockBits)
+          .bitwiseAND(lit((1L << blockBits) - 1)).as("bv"))
+    }
+    val blocked = fp
+      .select(col("doc_id"), explode(array(blockStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+    bucketPairs(blocked, Seq(col("blk"), col("bv")))
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(fp, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("fp")),
+          ignoreNulls = true).as("fa"),
+        first(when(col("doc_id") === col("doc_b"), col("fp")),
+          ignoreNulls = true).as("fb"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram (3-word shingle) Jaccard similarity join: EVERY pair
+    * with jaccard >= threshold, no approximation — the exact counterpart
+    * to [[dedupNear]]'s probabilistic MinHash recall. Candidates come from
+    * lossless prefix filtering (the AllPairs/PPJoin principle): order each
+    * doc's shingles by global document frequency (rarest first, shingle
+    * text as tiebreak), keep only the first s - ceil(t*s) + 1; any
+    * qualifying pair must share a prefix shingle, so an inverted index
+    * over prefixes alone yields a candidate superset — and prefix shingles
+    * are the RARE ones, so inverted-index buckets stay small where a full
+    * inverted index would put every doc of a 100-TB corpus in the
+    * "the"-bucket. ceil(t*s) uses exact integer math (threshold as a ppm
+    * ratio), so float rounding can never shrink a prefix and lose a pair.
+    */
+  def jaccardJoin(df: DataFrame, key: Column, text: Column,
+                  threshold: Double): DataFrame = {
+    val ppm = math.round(threshold * 1000000)
+    val sh = shingleTable(df, key, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tall = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("s"))
+    val dfreq = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("s").asc)
+    val prefix = tall.join(dfreq, "s")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("plen",
+        expr(s"sz - ((sz * $ppm + 999999) div 1000000) + 1"))
+      .filter(col("rnk") <= col("plen"))
+    // Pair expansion carries (size, prefix position) so the two other
+    // lossless AllPairs/PPJoin prunes can run BEFORE the array-carrying
+    // verification join — the verify shuffle moves two full shingle
+    // arrays per pair, so every candidate pruned here is real bandwidth:
+    //  - size filter: jaccard >= t forces min(sa,sb) >= t*max(sa,sb);
+    //  - positional filter: for the FIRST shingle two prefixes share,
+    //    overlap <= 1 + min(sa-pa, sb-pb), and jaccard >= t forces
+    //    overlap >= ceil(t*(sa+sb)/(1+t)). OR-ing the test across every
+    //    shared shingle includes the first one, so pruning keeps a
+    //    superset of the answer. Exact ppm integer math throughout.
+    val m = prefix.select(col("s"),
+      struct(col("doc_id"), col("sz"), col("rnk")).as("m"))
+    val cand = m.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(
+        transform(col("ms"), (x, i) =>
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+            y => struct(
+              x.getField("doc_id").as("doc_a"),
+              y.getField("doc_id").as("doc_b"),
+              x.getField("sz").as("sa"), y.getField("sz").as("sb"),
+              x.getField("rnk").as("pa"), y.getField("rnk").as("pb"))))))
+        .as("p"))
+      .select(col("p.*"))
+      .filter(least(col("sa"), col("sb")) * 1000000L >=
+        greatest(col("sa"), col("sb")) * ppm)
+      .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+        expr(s"($ppm * (sa + sb) + ${1000000L + ppm - 1}) div ${1000000L + ppm}"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** Hyperplane count for an LSH bucketing sized to the corpus: the

@@ -56,6 +56,26 @@ object LlmQueries extends QueryPack {
     GraftOps.dedupNear(Tables.documents(s, d), col("doc_id"), col("text"),
       perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
 
+  /** x_dedup_simhash: SimHash near-duplicate pairs — one 60-bit
+    * fingerprint per doc, pigeonhole block candidates (hamming<=3 pairs
+    * must agree on one of 4 fingerprint blocks), exact hamming verify.
+    * The oracle is a brute-force all-pairs hamming filter, so the gate
+    * itself proves the blocking is lossless.
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupSimhash(Tables.documents(s, d), col("doc_id"), col("text"),
+      maxHamming = 3)
+
+  /** x_dedup_ngram: EXACT n-gram-Jaccard similarity join (AllPairs/PPJoin
+    * prefix filtering) — every pair at jaccard>=0.8, deterministically,
+    * where x_dedup_near answers the same question probabilistically. The
+    * oracle is the naive all-pairs join, so the gate proves the prefix
+    * filter loses nothing.
+    */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    GraftOps.jaccardJoin(Tables.documents(s, d), col("doc_id"), col("text"),
+      threshold = JaccardThreshold)
+
   /** x_sim_brute: exact cosine top-5 per probe. Probes are a bounded set
     * (vec_id < 8 — fixed cardinality at every SF), hence broadcast; the
     * corpus is scanned once map-side and the typed TopKByScore Aggregator
@@ -221,6 +241,8 @@ object LlmQueries extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dedup_exact" -> dedupExact,
     "x_dedup_near" -> dedupNear,
+    "x_dedup_simhash" -> dedupSimhash,
+    "x_dedup_ngram" -> dedupNgram,
     "x_dedup_embed" -> dedupEmbed,
     "x_pipeline" -> pipeline,
     "x_sim_brute" -> simBrute,
@@ -268,6 +290,42 @@ object LlmQueries extends QueryPack {
         |JOIN sh y ON y.doc_id = doc_b
         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8""".stripMargin,
+    // Brute-force all-pairs hamming: deliberately NOT the blocked plan —
+    // matching it proves the engine's pigeonhole blocking is lossless.
+    "x_dedup_simhash" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t.w1), 1, 15)) AS BIGINT) h
+        |  FROM ws, unnest(w) t(w1)),
+        |bits AS (
+        |  SELECT doc_id, i, sum((h >> i) & 1) v, count(*) c
+        |  FROM hs CROSS JOIN range(0, 60) t(i) GROUP BY doc_id, i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN 2*v > c THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) fp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+    // Brute-force all-pairs jaccard: matching it proves the engine's
+    // rare-first prefix filter (AllPairs/PPJoin) is lossless.
+    "x_dedup_ngram" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin,
     "x_pipeline" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

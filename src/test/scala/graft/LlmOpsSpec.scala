@@ -31,6 +31,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(brute.except(lsh).isEmpty, "LSH missed a duplicate pair")
   }
 
+  test("x_dedup_ngram prefix filter is lossless (equals all-pairs join)") {
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles")))
+          .cast("double")
+          / size(array_union(col("a.shingles"), col("b.shingles"))))
+          .as("j_raw"))
+      .filter(col("j_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
+    val exact = ops.LlmQueries.dedupNgram(spark, sf)
+    // unlike MinHash, the prefix-filtered join is EXACT: equality both
+    // ways, no probabilistic recall argument needed
+    assert(exact.except(brute).isEmpty, "prefix join produced a false pair")
+    assert(brute.except(exact).isEmpty, "prefix filter lost a pair")
+  }
+
+  test("x_dedup_simhash pigeonhole blocking is lossless") {
+    import graft.api.GraftOps
+    val docs = Tables.documents(spark, sf)
+    // maxHamming=59 => 60 one-bit blocks: any pair agreeing on ANY bit is
+    // a candidate, i.e. brute force for every pair that is not an exact
+    // 60-bit complement — in particular for every pair at hamming<=3.
+    val brute = GraftOps.dedupSimhash(docs, col("doc_id"), col("text"),
+      maxHamming = 59).filter(col("hamming") <= 3)
+    val blocked = GraftOps.dedupSimhash(docs, col("doc_id"), col("text"),
+      maxHamming = 3)
+    assert(blocked.except(brute).isEmpty, "blocked found a phantom pair")
+    assert(brute.except(blocked).isEmpty, "4-block pigeonhole lost a pair")
+    // invariants of the reported pairs: canonical orientation, hamming in
+    // range, and the corpus's near-identical docs are actually found
+    val rows = blocked.collect()
+    assert(rows.nonEmpty, "simhash found nothing on a dup-rich corpus")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pair not a<b")
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3),
+      "hamming outside the radius")
+  }
+
   test("exact dedup is idempotent") {
     val once = ops.LlmQueries.dedupExact(spark, sf)
     assert(once.count() ===

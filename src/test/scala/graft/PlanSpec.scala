@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x_dedup_simhash contains no cartesian/nested-loop stage") {
+    val p = planOf(SparkEntry.queries("x_dedup_simhash")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x_dedup_ngram contains no cartesian/nested-loop stage") {
+    val p = planOf(SparkEntry.queries("x_dedup_ngram")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_group_agg does map-side partial aggregation (combiner)") {
     val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
     assert(p.contains("HashAggregate"), "expected hash aggregation")
