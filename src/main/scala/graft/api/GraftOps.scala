@@ -34,21 +34,22 @@ object GraftOps {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
 
-  /** MinHash permutation value for perm `p` from one base md5 per shingle:
-    * a 48-bit hex window of the digest, mixed by an odd multiplier and
-    * truncated mod 2^42. One md5 per exploded row feeds all `perms`
-    * LONG-typed min() aggregates (HashAggregate + map-side combine, fully
-    * codegen'd) — versus `perms` separate md5 calls whose STRING buffers
-    * would force SortAggregate. The multiply-then-mod step is what makes
-    * the perms behave independently (a plain window or a monotonic multiply
-    * would preserve the argmin across perms); exact-integer math only, so
-    * the DuckDB oracle replays it bit-for-bit. Production note: a keyed
-    * hash family (e.g. seeded xxhash) is stronger; this family keeps the
-    * oracle replayable with engine-identical semantics.
+  /** MinHash permutation value for perm `p` from ONE pre-parsed 48-bit
+    * integer per shingle (`hv`), mixed by an odd multiplier and truncated
+    * mod 2^42. The single parse matters: a per-perm hex window means 16
+    * substring+conv string parses per exploded shingle row (~22M allocating
+    * NumberConverter calls at sf0.1 — measured as the dominant near-dup
+    * cost); deriving every perm arithmetically from one 48-bit parse keeps
+    * the whole signature stage in codegen'd long math. The multiply-then-
+    * mod step makes the perms behave independently (a monotonic multiply
+    * would preserve the argmin across perms); hv < 2^48 and multiplier
+    * <= 39 keep the product under 2^54 — no overflow in Spark or DuckDB
+    * BIGINT, so the oracle replays it bit-for-bit. Production note: a
+    * keyed hash family (e.g. seeded xxhash) is stronger; this family keeps
+    * the oracle replayable with engine-identical semantics.
     */
-  private def permHash(h: Column, p: Int): Column =
-    conv(substring(h, p + 1, 12), 16, 10).cast("long") * (2 * p + 1) %
-      (1L << 42)
+  private def permHash(hv: Column, p: Int): Column =
+    hv * (2 * p + 1) % (1L << 42)
 
   /** MinHash/LSH near-duplicate pairs over a text column, verified with
     * exact Jaccard on 3-word shingles. Candidates come only from shared
@@ -71,7 +72,7 @@ object GraftOps {
                 perms: Int = 16, bands: Int = 8,
                 threshold: Double = 0.8): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
-    require(perms <= 20, "perm hex window p+1..p+12 must stay inside md5's 32 chars")
+    require(perms <= 20, "multiplier 2p+1 <= 39 keeps hv*(2p+1) under 2^54 (no BIGINT overflow)")
     val rowsPerBand = perms / bands
     val sh = shingleTable(df, key, text)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -79,8 +80,9 @@ object GraftOps {
     // `perms` codegen'd min(BIGINT) aggregates (map-side combined) — no
     // interpreted nested-lambda minhash, no string-buffer SortAggregate.
     val tall = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("h"))
-    val sigCols = (0 until perms).map(p => min(permHash(col("h"), p)).as(s"s$p"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("hv"))
+    val sigCols = (0 until perms).map(p => min(permHash(col("hv"), p)).as(s"s$p"))
     val sig = tall.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -114,6 +116,30 @@ object GraftOps {
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+
+  /** [[bucketPairs]] with a scalar payload column carried through the pair
+    * expansion (emitted as `pa`/`pb`), letting a verify step with a small
+    * per-doc payload (a fingerprint long) run inline on the expanded pairs
+    * instead of re-joining the source table. NOT deduplicated — callers
+    * filter (cheap, codegen'd) and then distinct. Payloads must be
+    * functionally determined by doc_id so duplicates collapse cleanly.
+    */
+  private def bucketPairsWith(member: DataFrame, buckets: Seq[Column],
+                              payload: Column): DataFrame =
+    member
+      .groupBy(buckets: _*)
+      .agg(sort_array(collect_list(struct(col("doc_id"), payload.as("pl"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(
+              x.getField("doc_id").as("doc_a"),
+              y.getField("doc_id").as("doc_b"),
+              x.getField("pl").as("pa"),
+              y.getField("pl").as("pb")))))).as("p"))
+      .select(col("p.*"))
 
   /** Exact-Jaccard verification of candidate pairs, joining the shingle
     * table ONCE: melt each pair to two (pair, member) rows, join on the
@@ -177,28 +203,26 @@ object GraftOps {
         (0 until bits).map(i =>
           when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("fp"), b * blockBits)
           .bitwiseAND(lit((1L << blockBits) - 1)).as("bv"))
     }
     val blocked = fp
-      .select(col("doc_id"), explode(array(blockStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
-    bucketPairs(blocked, Seq(col("blk"), col("bv")))
+      .select(col("doc_id"), col("fp"), explode(array(blockStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("bk.blk").as("blk"), col("bk.bv").as("bv"))
+    // The payload is ONE long, so the fingerprints ride along through the
+    // pair expansion and hamming verifies inline — no re-join against the
+    // fingerprint table. That join is the right shape when the verify
+    // payload is a big array (see verifyJaccard); here it only re-shuffled
+    // candidate pairs that low-entropy corpora (many near-identical docs →
+    // colliding blocks) make numerous. Filter BEFORE distinct: the hamming
+    // test is three codegen'd long ops, dedup is a shuffle.
+    bucketPairsWith(blocked, Seq(col("blk"), col("bv")), col("fp"))
       .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(fp, "doc_id")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        first(when(col("doc_id") === col("doc_a"), col("fp")),
-          ignoreNulls = true).as("fa"),
-        first(when(col("doc_id") === col("doc_b"), col("fp")),
-          ignoreNulls = true).as("fb"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram (3-word shingle) Jaccard similarity join: EVERY pair
@@ -278,21 +302,75 @@ object GraftOps {
   /** Embedding-cosine near-duplicate pairs behind a random-hyperplane
     * bucket: exact cosine runs only within buckets. Raise `planes` to
     * shrink buckets (higher precision, lower recall per table); size it
-    * with [[planesFor]] so bucket cardinality tracks the corpus.
+    * with [[planesFor]] so bucket cardinality tracks the corpus. `tables`
+    * is the standard LSH recall lever: each extra table re-buckets with an
+    * INDEPENDENT plane family (offset seed) and the pair sets are OR-ed —
+    * recall grows per table while every within-bucket join stays bounded.
+    * Identical pairs found by several tables collapse in one distinct
+    * (same pair → bit-identical cosine, so whole rows dedupe).
     */
   def dedupEmbed(df: DataFrame, key: Column, embedding: Column,
-                 planes: Int, dim: Int, threshold: Double): DataFrame = {
-    val planeMatrix = VectorFns.planes(planes, dim)
+                 planes: Int, dim: Int, threshold: Double,
+                 tables: Int = 1): DataFrame = {
     val emb = df.select(key.as("vec_id"), VectorFns.toDoubles(embedding).as("v"))
-      .withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
-    emb.as("a").join(emb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("cosine_sim(a.v, b.v)").as("cs_raw"))
-      // threshold pre-rounding, report rounded — same discipline as
-      // dedupNear, matching the oracle's WHERE-on-raw / SELECT-rounded.
-      .filter(col("cs_raw") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cs_raw"), 6).as("cos_sim"))
+    val perTable = (0 until tables).map { t =>
+      val planeMatrix = VectorFns.planes(planes, dim, offset = t * 1024)
+      val b = emb.withColumn("bucket", VectorFns.bucket(col("v"), planeMatrix))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          expr("cosine_sim(a.v, b.v)").as("cs_raw"))
+        // threshold pre-rounding, report rounded — same discipline as
+        // dedupNear, matching the oracle's WHERE-on-raw / SELECT-rounded.
+        .filter(col("cs_raw") >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cs_raw"), 6).as("cos_sim"))
+    }
+    // one table emits each pair at most once already (bucket is a function
+    // of the vector) — skip the distinct shuffle unless tables were OR-ed.
+    if (tables == 1) perTable.head
+    else perTable.reduce(_ unionByName _).distinct()
+  }
+
+  /** Per-document quality scoring — the C4/Gopher-style heuristic filter
+    * a training-data pipeline runs before anything else. Four boolean
+    * signals (token-count window, mean word length window, stopword floor,
+    * symbol-ratio ceiling), each an exact integer/rational test; the score
+    * is the fraction of signals passed (quarters are exact doubles, so the
+    * score is bit-stable across engines) and `keep` is score == 1.
+    * One scan, no shuffle, fully codegen'd — embarrassingly parallel at
+    * any corpus size.
+    */
+  def qualityScore(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val lower_t = lower(text)
+    val w = TextFns.tokens(text)
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    df.select(key.as("doc_id"),
+        size(w).as("n_tokens"),
+        aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        size(filter(w, x => x.isin(stops.map(lit): _*))).as("stop_hits"),
+        size(regexp_extract_all(lower_t, lit("[^a-z0-9\\s]"), lit(0)))
+          .as("sym_hits"),
+        length(regexp_replace(lower_t, "\\s", "")).as("n_chars_nospace"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_len").cast("double") / col("n_tokens"), 6)
+          .as("mean_word_len"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 6)
+          .as("stop_ratio"),
+        round(col("sym_hits").cast("double") / col("n_chars_nospace"), 6)
+          .as("sym_ratio"),
+        // the four gates compare EXACT integers (hits*den vs bound*num),
+        // so no float threshold can flake at a boundary.
+        ((col("n_tokens") >= 20 && col("n_tokens") <= 100000).cast("int") +
+          (col("sum_len") * 10 >= col("n_tokens") * 30 &&
+            col("sum_len") * 10 <= col("n_tokens") * 100).cast("int") +
+          (col("stop_hits") * 100 >= col("n_tokens")).cast("int") +
+          (col("sym_hits") * 10 <= col("n_chars_nospace") * 3).cast("int"))
+          .as("n_pass"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("stop_ratio"), col("sym_ratio"),
+        (col("n_pass").cast("double") / 4).as("quality_score"),
+        (col("n_pass") === 4).cast("int").as("keep"))
   }
 
   // ----------------------------------------------------- similarity search
@@ -318,6 +396,62 @@ object GraftOps {
         top.zipWithIndex.map { case (t, i) => (pid, t.vec_id, t.cos_sim, i + 1L) }
       }
       .toDF("probe_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Coarse-quantizer cell count for an IVF index sized to the corpus:
+    * the smallest c with c*c >= n (≈ ceil(sqrt(n)), the standard nlist
+    * heuristic), in exact integer math so an oracle replays it.
+    */
+  def nlistFor(n: Long): Int =
+    (1 to 100000).find(c => c.toLong * c >= n).getOrElse(100000)
+
+  /** IVF (inverted-file) approximate nearest neighbors — the second ANN
+    * family next to [[annTopK]]'s hyperplane LSH. Coarse quantizer =
+    * `nlist` deterministically sampled corpus vectors (the first nlist by
+    * key — sampling-based centroid init, no iterative training; a k-means
+    * refinement would slot in here unchanged). Every corpus vector joins
+    * its nearest centroid's cell; a probe searches only its `nprobe`
+    * nearest cells. All distributed shapes: centroids are a bounded
+    * broadcast, cell assignment is one map-side broadcast join + a partial
+    * max(struct) agg (ties broken by centroid id — deterministic), and the
+    * probe→corpus search is an equi-join on cell_id. Shuffle volume is one
+    * row per corpus vector, never n×nlist.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nlist: Int, nprobe: Int): DataFrame = {
+    val emb = corpus.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val cent = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // nearest centroid per corpus vector: max(struct(cos, cid)) is a
+    // partial-aggregable lexicographic argmax — map-side combine leaves
+    // one row per vec_id per partition before the single n-row shuffle.
+    val assigned = emb.join(broadcast(cent))
+      .select(col("vec_id"), col("v"),
+        struct(expr("cosine_sim(v, cv)").as("cs"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(col("sc")).getField("cid").as("cell"))
+    // probes search their nprobe nearest cells (probe set is bounded, so
+    // the rank window and the broadcast are driver-safe at any corpus SF).
+    val pw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcs").desc, col("cid").desc)
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), VectorFns.toDoubles(col("embedding")).as("pv"))
+      .join(broadcast(cent))
+      .select(col("probe_id"), col("pv"), col("cid"),
+        expr("cosine_sim(pv, cv)").as("pcs"))
+      .withColumn("prnk", row_number().over(pw))
+      .filter(col("prnk") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probeCells), "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Approximate nearest neighbors: md5-seeded random-hyperplane buckets,

@@ -27,6 +27,24 @@ object TextFns {
       .otherwise(split(t, "\\s+"))
   }
 
+  /** All 2-word grams of a token array WITH duplicates preserved — the
+    * input to repetition statistics, where occurrence counts are the whole
+    * point (contrast [[shingles3]], which deduplicates for set-Jaccard).
+    * Same zip-with-shifted-self shape as shingles3 for the same codegen
+    * reason; the trailing null pair is filtered.
+    */
+  def grams2(words: Column): Column =
+    filter(zip_with(words, slice(words, lit(2), size(words)),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+
+  /** All 3-word grams with duplicates preserved — see [[grams2]]. */
+  def grams3(words: Column): Column = {
+    val w12 = zip_with(words, slice(words, lit(2), size(words)),
+      (a, b) => concat(a, lit(" "), b))
+    filter(zip_with(w12, slice(words, lit(3), size(words)),
+      (ab, c) => concat(ab, lit(" "), c)), x => x.isNotNull)
+  }
+
   /** Distinct 3-word shingles of a token array, built by zipping the array
     * with its own 1- and 2-shifted slices. Deliberately NOT the
     * transform(sequence(...), i => element_at(words, i+k)) formulation:

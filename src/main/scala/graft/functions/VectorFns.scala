@@ -28,12 +28,16 @@ object VectorFns {
   /** Deterministic ±1 hyperplane components: sign j,d = parity of the
     * first hex nibble of md5("j,d"). The same formula is expressible in
     * DuckDB SQL, so the oracle rebuilds the identical plane matrix.
+    * `offset` shifts the plane index space, yielding an INDEPENDENT plane
+    * family per offset — the multi-table OR recall path of LSH (each table
+    * t uses offset t*1024; offset 0 is byte-identical to the original
+    * single-table family).
     */
-  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+  def planes(nPlanes: Int, dim: Int, offset: Int = 0): Seq[Seq[Double]] =
     (0 until nPlanes).map { j =>
       (0 until dim).map { d =>
         val digest = MessageDigest.getInstance("MD5")
-          .digest(s"$j,$d".getBytes(StandardCharsets.UTF_8))
+          .digest(s"${j + offset},$d".getBytes(StandardCharsets.UTF_8))
         if (((digest(0) >> 4) & 0x1) == 0) 1.0 else -1.0
       }
     }

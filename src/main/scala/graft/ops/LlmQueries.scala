@@ -138,6 +138,26 @@ object LlmQueries extends QueryPack {
         round(avg(col("n_chars")), 4).as("avg_chars"))
   }
 
+  /** x_sim_ivf: IVF approximate nearest neighbors — the second ANN family
+    * next to x_sim_lsh. nlist ≈ sqrt(n) sampled centroids (broadcast),
+    * map-side nearest-centroid assignment, probes search their 3 nearest
+    * cells, exact cosine + top-3 inside them. The two intentional
+    * broadcast-nested-loop stages pair every vector with the BOUNDED
+    * centroid set (nlist ~ sqrt(n)) — never vector×vector.
+    */
+  def simIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 3,
+      nlist = GraftOps.nlistFor(emb.count()), nprobe = 3)
+  }
+
+  /** x_quality: per-document C4/Gopher-style quality heuristics — exact
+    * integer gates, score = fraction of gates passed. The pre-filter stage
+    * of every curation pipeline.
+    */
+  def quality(s: SparkSession, d: String): DataFrame =
+    GraftOps.qualityScore(Tables.documents(s, d), col("doc_id"), col("text"))
+
   /** x_text_stats: corpus quality profile per language — doc counts, size,
     * token stats, type-token ratio, stopword ratio. One scan + one agg.
     */
@@ -247,6 +267,8 @@ object LlmQueries extends QueryPack {
     "x_pipeline" -> pipeline,
     "x_sim_brute" -> simBrute,
     "x_sim_lsh" -> simLsh,
+    "x_sim_ivf" -> simIvf,
+    "x_quality" -> quality,
     "x_text_stats" -> textStats,
     "x_lang_id" -> langId,
     "x_token_count" -> tokenCount,
@@ -271,7 +293,7 @@ object LlmQueries extends QueryPack {
         |sig AS (
         |  SELECT doc_id,
         |    [list_aggregate(list_transform(h, x ->
-        |       (CAST(('0x' || substr(x, p+1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
         |     for p in range(0, 16)] sig
         |  FROM hs),
         |bands AS (
@@ -339,7 +361,7 @@ object LlmQueries extends QueryPack {
         |sig AS (
         |  SELECT doc_id,
         |    [list_aggregate(list_transform(h, x ->
-        |       (CAST(('0x' || substr(x, p+1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
         |     for p in range(0, 16)] sig
         |  FROM hs),
         |bands AS (
@@ -434,6 +456,71 @@ object LlmQueries extends QueryPack {
         |  FROM pr)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 3""".stripMargin,
+    // Replays the IVF algorithm exactly: same sampled centroids, same
+    // argmax cell assignment (ties → higher centroid id), same nprobe
+    // search — so the gate is deterministic, not recall-based.
+    "x_sim_ivf" ->
+      """WITH nl AS (
+        |  SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cid DESC) rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |pc AS (
+        |  SELECT probe_id, pv, cid AS cell FROM (
+        |    SELECT p.vec_id probe_id, p.v pv, c.cid,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(p.v, c.cv)
+        |          / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cid DESC) rn
+        |    FROM emb p CROSS JOIN cent c WHERE p.vec_id < 8) WHERE rn <= 3),
+        |pr AS (
+        |  SELECT probe_id, a.vec_id,
+        |    round(list_dot_product(pv, a.v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(a.v, a.v))), 6) cos_sim
+        |  FROM pc JOIN asg a ON pc.cell = a.cell AND a.vec_id <> pc.probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) rnk
+        |  FROM pr)
+        |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 3""".stripMargin,
+    "x_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w,
+        |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) sym_hits,
+        |    length(regexp_replace(lower(text), '\s', '', 'g')) n_chars_nospace
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(w) n_tokens,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') sum_len,
+        |    len([x for x in w if list_contains(['the','a','of','and','to','in','is'], x)]) stop_hits,
+        |    sym_hits, n_chars_nospace
+        |  FROM base WHERE len(w) > 0),
+        |g AS (
+        |  SELECT *,
+        |    CAST(n_tokens >= 20 AND n_tokens <= 100000 AS INT)
+        |      + CAST(sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100 AS INT)
+        |      + CAST(stop_hits * 100 >= n_tokens AS INT)
+        |      + CAST(sym_hits * 10 <= n_chars_nospace * 3 AS INT) AS n_pass
+        |  FROM m)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS mean_word_len,
+        |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  round(CAST(sym_hits AS DOUBLE) / n_chars_nospace, 6) AS sym_ratio,
+        |  CAST(n_pass AS DOUBLE) / 4 AS quality_score,
+        |  CAST(n_pass = 4 AS INT) AS keep
+        |FROM g""".stripMargin,
     "x_text_stats" ->
       """WITH perdoc AS (
         |  SELECT lang, n_chars,

@@ -15,7 +15,8 @@ object StreamQueries extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "s_tumbling" -> ((s, d) => StreamOps.tumbling(Tables.events(s, d))),
     "s_sliding" -> ((s, d) => StreamOps.sliding(Tables.events(s, d))),
-    "s_session" -> ((s, d) => StreamOps.sessionize(Tables.events(s, d)))
+    "s_session" -> ((s, d) => StreamOps.sessionize(Tables.events(s, d))),
+    "s_join" -> ((s, d) => StreamOps.clickAttribution(Tables.events(s, d)))
   )
 
   val oracle = Map(
@@ -58,6 +59,16 @@ object StreamQueries extends QueryPack {
         |SELECT min(ts) AS session_start,
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM g GROUP BY user_id, sid""".stripMargin
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // Batch semantics of the stream-stream interval join: purchases at or
+    // within 10 minutes after a same-user click.
+    "s_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(b.ts AS TIMESTAMP) AS buy_ts
+        |FROM events c JOIN events b
+        |  ON b.user_id = c.user_id
+        | AND c.event_type = 'click' AND b.event_type = 'purchase'
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '10 minutes'""".stripMargin
   )
 }

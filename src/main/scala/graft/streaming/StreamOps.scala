@@ -73,4 +73,31 @@ object StreamOps {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** s_join: stream-stream interval join — every purchase within 10
+    * minutes after a click by the same user (click attribution). The time
+    * bound in the join condition is what lets Structured Streaming expire
+    * join state (each side keeps only a watermark-deep buffer); in batch
+    * the same plan is an equi-join on user_id with the range as a post-
+    * filter — one shuffle per side, never a time-range cross product.
+    * withWatermark is a no-op on batch inputs, so the transform serves
+    * both the oracle-gated batch registration and StreamingSpec's
+    * stream-stream parity test unchanged.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        col("click_ts"), col("buy_ts"))
+  }
 }

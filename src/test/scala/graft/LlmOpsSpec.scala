@@ -119,6 +119,61 @@ class LlmOpsSpec extends SparkSpec {
     assert(planesFor(1) === 2) // floor: at least 4 buckets
   }
 
+  test("dedupEmbed multi-table OR widens recall, never precision") {
+    import graft.api.GraftOps
+    val emb = Tables.embeddings(spark, sf)
+    val planes = GraftOps.planesFor(emb.count())
+    def run(tables: Int) = GraftOps.dedupEmbed(emb, col("vec_id"),
+      col("embedding"), planes, dim = 64, threshold = 0.3, tables = tables)
+    val one = run(1)
+    val three = run(3)
+    // every pair any table finds is a TRUE >=threshold pair (precision is
+    // exact by construction) ...
+    val v = emb.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val brute = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr("cosine_sim(a.v, b.v)").as("cs_raw"))
+      .filter(col("cs_raw") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("cs_raw"), 6).as("cos_sim"))
+    assert(three.except(brute).isEmpty, "a table produced a phantom pair")
+    // ... and OR-ing tables only ever ADDS pairs
+    assert(one.except(three).isEmpty, "multi-table lost a single-table pair")
+    assert(three.count() >= one.count())
+  }
+
+  test("IVF top-k: true cosines, ranked, at most k per probe") {
+    val res = ops.LlmQueries.simIvf(spark, sf)
+    assert(res.groupBy(col("probe_id")).count()
+      .filter(col("count") > 3).count() === 0, "more than k per probe")
+    // reported score must be the TRUE cosine of the pair (IVF approximates
+    // the candidate set, never the metric)
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val recheck = res
+      .join(v.select(col("vec_id").as("probe_id"), col("v").as("pv")), "probe_id")
+      .join(v, "vec_id")
+      .filter(round(expr("cosine_sim(pv, v)"), 6) =!= col("cos_sim"))
+    assert(recheck.count() === 0, "reported cosine is not the true cosine")
+    val bad = res.alias("a").join(res.alias("b"),
+      col("a.probe_id") === col("b.probe_id") &&
+        (col("a.rank") < col("b.rank")) && (col("a.cos_sim") < col("b.cos_sim")))
+    assert(bad.count() === 0, "rank inversion found")
+  }
+
+  test("quality score is the exact fraction of gates passed") {
+    val q = ops.LlmQueries.quality(spark, sf)
+    assert(q.count() > 0)
+    // score quantized to quarters; keep <=> all four gates
+    assert(q.filter(col("quality_score") * 4 =!=
+      round(col("quality_score") * 4, 0)).count() === 0)
+    assert(q.filter((col("keep") === 1) =!= (col("quality_score") === 1.0))
+      .count() === 0)
+    // ratios are ratios
+    assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
+    assert(q.filter(col("sym_ratio") < 0).count() === 0)
+    assert(q.filter(col("mean_word_len") <= 0).count() === 0)
+  }
+
   test("syncDiff surfaces buckets that exist on only one side") {
     import graft.api.GraftOps
     import spark.implicits._

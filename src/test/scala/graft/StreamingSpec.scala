@@ -116,6 +116,17 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_tbl").count() === 2)
   }
 
+  test("s_join: stream-stream interval join equals the batch join") {
+    val q = StreamOps.clickAttribution(StreamOps.readEventStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("join_tbl")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("join_tbl")
+    val batch = StreamOps.clickAttribution(Tables.events(spark, sf))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("s_stateful: per-user running counters via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
