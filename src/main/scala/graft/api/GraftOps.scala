@@ -373,6 +373,60 @@ object GraftOps {
         (col("n_pass") === 4).cast("int").as("keep"))
   }
 
+  /** Per-document repetition statistics — the Gopher-style repetitiousness
+    * signals a curation pipeline filters on: fraction of 2-gram occurrences
+    * claimed by the single most frequent 2-gram, and the fraction of 2-/
+    * 3-gram occurrences whose gram appears more than once. Grams keep
+    * duplicates (counts are the point — contrast the deduplicated shingle
+    * set used for Jaccard). Shape: explode → count per (doc, gram) → agg
+    * per doc; work is O(total grams) with map-side combine, and both
+    * aggregations plus the final join share the doc_id hash partitioning,
+    * so the whole operator costs one gram-shuffle per n-gram order at any
+    * corpus size. All ratios divide exact integers and round at 6, the
+    * established oracle-parity discipline.
+    */
+  def repetitionStats(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val base = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= 3)
+    def gramStats(grams: Column, p: String) =
+      base.select(col("doc_id"), explode(grams).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"${p}_tot"),
+          max(col("c")).as(s"${p}_top"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(s"${p}_dup"))
+    val s2 = gramStats(TextFns.grams2(col("w")), "g2")
+    val s3 = gramStats(TextFns.grams3(col("w")), "g3")
+    s2.join(s3, "doc_id")
+      .select(col("doc_id"),
+        col("g2_tot").as("n_2grams"),
+        round(col("g2_top").cast("double") / col("g2_tot"), 6)
+          .as("top_2gram_frac"),
+        round(col("g2_dup").cast("double") / col("g2_tot"), 6)
+          .as("dup_2gram_frac"),
+        round(col("g3_dup").cast("double") / col("g3_tot"), 6)
+          .as("dup_3gram_frac"))
+  }
+
+  /** Deterministic stratified sampling — the domain-mixing primitive of a
+    * training-data pipeline: keep each row with its stratum's rate, chosen
+    * by a hash of the row key rather than an RNG, so the sample is
+    * reproducible across runs, retries, and engines, and a document's
+    * membership never depends on partitioning. `ratePct` is a per-row
+    * integer-percent column (e.g. when(lang === "en", 50).otherwise(20));
+    * the keep test compares exact integers (h*100 < pct*2^48, both under
+    * 2^55 — no float boundary to flake on). Embarrassingly parallel: one
+    * scan, no shuffle, filter pushes down around it. `weight` = 100/pct is
+    * the Horvitz-Thompson reweight downstream token accounting multiplies
+    * by.
+    */
+  def sampleStratified(df: DataFrame, key: Column, ratePct: Column): DataFrame = {
+    val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    df.filter(h * 100 < ratePct.cast("long") * (1L << 48))
+      .withColumn("weight", round(lit(100.0) / ratePct, 6))
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** Exact cosine top-k of every probe against the corpus. The probe set

@@ -158,6 +158,23 @@ object LlmQueries extends QueryPack {
   def quality(s: SparkSession, d: String): DataFrame =
     GraftOps.qualityScore(Tables.documents(s, d), col("doc_id"), col("text"))
 
+  /** x_repetition: Gopher-style per-doc repetition signals — top-2-gram
+    * fraction and duplicate 2-/3-gram fractions. The repetitiousness
+    * filter that runs next to x_quality in a curation pipeline.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    GraftOps.repetitionStats(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  /** x_sample_strat: deterministic hash-keyed stratified sampling — 50%
+    * of English docs, 20% of everything else, with Horvitz-Thompson
+    * weights. Reproducible across runs/engines (md5-keyed, no RNG).
+    */
+  def sampleStrat(s: SparkSession, d: String): DataFrame =
+    GraftOps.sampleStratified(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      col("doc_id"),
+      when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+
   /** x_text_stats: corpus quality profile per language — doc counts, size,
     * token stats, type-token ratio, stopword ratio. One scan + one agg.
     */
@@ -269,6 +286,8 @@ object LlmQueries extends QueryPack {
     "x_sim_lsh" -> simLsh,
     "x_sim_ivf" -> simIvf,
     "x_quality" -> quality,
+    "x_repetition" -> repetition,
+    "x_sample_strat" -> sampleStrat,
     "x_text_stats" -> textStats,
     "x_lang_id" -> langId,
     "x_token_count" -> tokenCount,
@@ -521,6 +540,36 @@ object LlmQueries extends QueryPack {
         |  CAST(n_pass AS DOUBLE) / 4 AS quality_score,
         |  CAST(n_pass = 4 AS INT) AS keep
         |FROM g""".stripMargin,
+    "x_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, unnest([concat(w[i], ' ', w[i+1]) for i in range(1, len(w))]) g
+        |  FROM ws WHERE len(w) >= 3),
+        |g3 AS (
+        |  SELECT doc_id, unnest([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) g
+        |  FROM ws WHERE len(w) >= 3),
+        |c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, g, count(*) c FROM g3 GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_2gram_frac,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_2gram_frac
+        |  FROM c2 GROUP BY doc_id),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_3gram_frac
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT s2.doc_id, n_2grams, top_2gram_frac, dup_2gram_frac, dup_3gram_frac
+        |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id""".stripMargin,
+    "x_sample_strat" ->
+      """SELECT doc_id, lang, round(100.0 / pct, 6) AS weight FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS pct,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM documents)
+        |WHERE h * 100 < pct * (CAST(1 AS BIGINT) << 48)""".stripMargin,
     "x_text_stats" ->
       """WITH perdoc AS (
         |  SELECT lang, n_chars,

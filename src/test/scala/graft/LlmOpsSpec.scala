@@ -174,6 +174,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(q.filter(col("mean_word_len") <= 0).count() === 0)
   }
 
+  test("repetition stats: exact gram accounting, bounded fractions") {
+    val r = ops.LlmQueries.repetition(spark, sf)
+    assert(r.count() > 0)
+    assert(r.filter(col("top_2gram_frac") <= 0 || col("top_2gram_frac") > 1)
+      .count() === 0)
+    assert(r.filter(col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1)
+      .count() === 0)
+    assert(r.filter(col("dup_3gram_frac") < 0 || col("dup_3gram_frac") > 1)
+      .count() === 0)
+    // the most frequent 2-gram is itself duplicated whenever any is
+    // (1.99 not 2: the fraction is rounded at 6 decimals before the
+    // multiply, so an exact count of 2 can land a hair under 2.0)
+    assert(r.filter(col("dup_2gram_frac") > 0 &&
+      col("top_2gram_frac") * col("n_2grams") < 1.99).count() === 0)
+    // grams preserve duplicates: exactly size(tokens)-1 two-gram slots
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (size(TextFns.tokens(col("text"))) - 1).cast("long").as("want"))
+    assert(r.join(want, "doc_id").filter(col("n_2grams") =!= col("want"))
+      .count() === 0)
+  }
+
+  test("stratified sample is deterministic, weighted, rate-accurate") {
+    val a = ops.LlmQueries.sampleStrat(spark, sf)
+    val b = ops.LlmQueries.sampleStrat(spark, sf)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "sample not reproducible")
+    assert(a.filter(col("lang") === "en" && col("weight") =!= 2.0).count() === 0)
+    assert(a.filter(col("lang") =!= "en" && col("weight") =!= 5.0).count() === 0)
+    val nEn = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    val frac = a.filter(col("lang") === "en").count().toDouble / nEn
+    assert(frac > 0.3 && frac < 0.7, s"en sampled fraction $frac far from 50%")
+  }
+
   test("syncDiff surfaces buckets that exist on only one side") {
     import graft.api.GraftOps
     import spark.implicits._

@@ -58,6 +58,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x_sim_ivf: only the bounded centroid set nested-loops; the probe->corpus search is an equi-join") {
+    val p = planOf(SparkEntry.queries("x_sim_ivf")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian in IVF")
+    // the cell-assignment BNLJ pairs vectors with the broadcast sqrt(n)
+    // centroid set — bounded by construction; vector x vector never happens,
+    // which the equi-join on cell (hash-joinable) witnesses.
+    assert(p.contains("cell"), "expected the cell equi-join")
+  }
+
+  test("x_quality and x_sample_strat are single-scan, shuffle-free") {
+    for (q <- Seq("x_quality", "x_sample_strat")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q shuffles:\n${p.linesIterator.take(8).mkString("\n")}")
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"), s"$q joins")
+    }
+  }
+
+  test("x_repetition keeps both gram aggregations on the doc_id partitioning") {
+    val p = planOf(SparkEntry.queries("x_repetition")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // per-(doc,gram) count -> per-doc agg -> join all hash on doc_id; the
+    // plan needs exchanges for the counts but none for the final join side
+    // beyond them (SortMergeJoin/ShuffledHashJoin on doc_id is fine).
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
   test("q_group_agg does map-side partial aggregation (combiner)") {
     val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
     assert(p.contains("HashAggregate"), "expected hash aggregation")
