@@ -408,6 +408,32 @@ object GraftOps {
           .as("dup_3gram_frac"))
   }
 
+  /** PII scrubbing — redact emails, NANP-style phone numbers, and IPv4
+    * addresses, reporting per-document redaction counts next to the
+    * cleaned text. Patterns are deliberately plain (char classes, bounded
+    * quantifiers, \b) so they mean the same thing to Java regex and RE2 —
+    * the portability a multi-engine pipeline needs anyway. Scrub order is
+    * fixed (emails first: they contain dot-digit runs an IP pattern could
+    * nibble at). Single scan, no shuffle, embarrassingly parallel.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def scrubPii(df: DataFrame, key: Column, text: Column): DataFrame =
+    df.select(key.as("doc_id"),
+        text.as("t"),
+        size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"))
+      .withColumn("t", regexp_replace(col("t"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))))
+      .withColumn("t", regexp_replace(col("t"), PhoneRe, "<PHONE>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))))
+      .withColumn("t", regexp_replace(col("t"), Ipv4Re, "<IP>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("t")).as("clean_md5"))
+
   /** Deterministic stratified sampling — the domain-mixing primitive of a
     * training-data pipeline: keep each row with its stratum's rate, chosen
     * by a hash of the row key rather than an RNG, so the sample is

@@ -175,6 +175,62 @@ object LlmQueries extends QueryPack {
       col("doc_id"),
       when(col("lang") === "en", lit(50)).otherwise(lit(20)))
 
+  /** x_pii_scrub: PII redaction — emails, phones, IPv4s replaced with
+    * typed placeholder tokens, with per-doc redaction counts. The fixture
+    * corpus carries no PII (no digits at all), so the binding plants a
+    * deterministic doc-derived contact line first; the gate then compares
+    * the md5 of the CLEANED text, so the two engines must agree on every
+    * replacement span — a real regex-parity check, not a zero-count no-op.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" call 555-123-4567 from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".99")).as("text"))
+    GraftOps.scrubPii(planted, col("doc_id"), col("text"))
+  }
+
+  /** x_pipeline_full: the COMPLETE curation pipeline, every stage from
+    * this tier composed end-to-end — exact dedup (keep canonical), LSH
+    * near-dup removal, C4/Gopher quality gate (all four signals), Gopher
+    * repetition ceiling, deterministic stratified sampling, and
+    * Horvitz-Thompson-weighted per-language token accounting. Weighted
+    * totals stay in exact integer math (weight = 100/pct is integral for
+    * the chosen rates), so the oracle's replay is bit-identical. Each
+    * stage keeps its standalone scale shape; the composition adds only
+    * doc_id semi/anti joins.
+    */
+  def pipelineFull(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepExact = GraftOps.dedupExact(docs, col("text"), col("doc_id"))
+      .select(col("keep_id"))
+    val dropNear = GraftOps.dedupNear(docs, col("doc_id"), col("text"),
+      perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
+      .select(col("doc_b")).distinct()
+    val qualityKeep = GraftOps.qualityScore(docs, col("doc_id"), col("text"))
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val calmKeep = GraftOps.repetitionStats(docs, col("doc_id"), col("text"))
+      .filter(col("dup_2gram_frac") <= 0.2).select(col("doc_id"))
+    val sampled = GraftOps.sampleStratified(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"),
+      when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+    sampled
+      .join(keepExact, col("doc_id") === col("keep_id"), "left_semi")
+      .join(dropNear, col("doc_id") === col("doc_b"), "left_anti")
+      .join(qualityKeep, Seq("doc_id"), "left_semi")
+      .join(calmKeep, Seq("doc_id"), "left_semi")
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        (lit(100) / when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+          .cast("long").as("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sampled_tokens"),
+        sum(col("n_tokens") * col("w")).as("est_total_tokens"))
+  }
+
   /** x_text_stats: corpus quality profile per language — doc counts, size,
     * token stats, type-token ratio, stopword ratio. One scan + one agg.
     */
@@ -288,6 +344,8 @@ object LlmQueries extends QueryPack {
     "x_quality" -> quality,
     "x_repetition" -> repetition,
     "x_sample_strat" -> sampleStrat,
+    "x_pii_scrub" -> piiScrub,
+    "x_pipeline_full" -> pipelineFull,
     "x_text_stats" -> textStats,
     "x_lang_id" -> langId,
     "x_token_count" -> tokenCount,
@@ -570,6 +628,101 @@ object LlmQueries extends QueryPack {
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
         |  FROM documents)
         |WHERE h * 100 < pct * (CAST(1 AS BIGINT) << 48)""".stripMargin,
+    // The md5 of the CLEANED text is the real assertion: both engines must
+    // agree on every replacement span, not just the redaction counts.
+    "x_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+        |           ' call 555-123-4567 from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.99') t
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) n_emails,
+        |    regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') t
+        |  FROM planted),
+        |p AS (
+        |  SELECT doc_id, n_emails,
+        |    len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) n_phones,
+        |    regexp_replace(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') t
+        |  FROM e),
+        |i AS (
+        |  SELECT doc_id, n_emails, n_phones,
+        |    len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) n_ips,
+        |    regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') t
+        |  FROM p)
+        |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+        |  CAST(n_phones AS INT) AS n_phones, CAST(n_ips AS INT) AS n_ips,
+        |  md5(t) AS clean_md5
+        |FROM i""".stripMargin,
+    "x_pipeline_full" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |dropnear AS (
+        |  SELECT DISTINCT doc_b FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a
+        |  JOIN sh y ON y.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8),
+        |keepexact AS (
+        |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY sha256(text)),
+        |qm AS (
+        |  SELECT d.doc_id, len(w) n_tokens,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') sum_len,
+        |    len([x for x in w if list_contains(['the','a','of','and','to','in','is'], x)]) stop_hits,
+        |    len(regexp_extract_all(lower(d.text), '[^a-z0-9\s]')) sym_hits,
+        |    length(regexp_replace(lower(d.text), '\s', '', 'g')) n_chars_nospace
+        |  FROM documents d JOIN ws ON ws.doc_id = d.doc_id WHERE len(w) > 0),
+        |qkeep AS (
+        |  SELECT doc_id FROM qm
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+        |    AND sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100
+        |    AND stop_hits * 100 >= n_tokens
+        |    AND sym_hits * 10 <= n_chars_nospace * 3),
+        |g2 AS (
+        |  SELECT doc_id, unnest([concat(w[i], ' ', w[i+1]) for i in range(1, len(w))]) g
+        |  FROM ws WHERE len(w) >= 3),
+        |c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+        |calm AS (
+        |  SELECT doc_id FROM c2 GROUP BY doc_id
+        |  HAVING round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) <= 0.2),
+        |samp AS (
+        |  SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 50 ELSE 20 END AS pct
+        |  FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) * 100
+        |        < CASE WHEN lang = 'en' THEN 50 ELSE 20 END * (CAST(1 AS BIGINT) << 48)),
+        |kept AS (
+        |  SELECT s.lang, len(ws.w) AS n_tokens, 100 // s.pct AS w
+        |  FROM samp s JOIN ws ON ws.doc_id = s.doc_id
+        |  WHERE s.doc_id IN (SELECT keep_id FROM keepexact)
+        |    AND s.doc_id NOT IN (SELECT doc_b FROM dropnear)
+        |    AND s.doc_id IN (SELECT doc_id FROM qkeep)
+        |    AND s.doc_id IN (SELECT doc_id FROM calm))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+        |  CAST(sum(n_tokens * w) AS BIGINT) AS est_total_tokens
+        |FROM kept GROUP BY lang""".stripMargin,
     "x_text_stats" ->
       """WITH perdoc AS (
         |  SELECT lang, n_chars,

@@ -207,6 +207,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(frac > 0.3 && frac < 0.7, s"en sampled fraction $frac far from 50%")
   }
 
+  test("scrubPii redacts exactly the PII spans of a known input") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    val in = Seq(
+      (1L, "reach me at jane.doe+spam@mail-host.org or 555-867-5309 soon"),
+      (2L, "server 192.168.1.254 logged 3 hits; no pii here otherwise"),
+      (3L, "plain text with nothing to scrub at all")
+    ).toDF("id", "txt")
+    val out = GraftOps.scrubPii(in, col("id"), col("txt"))
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((1, 1, 0), (0, 0, 1), (0, 0, 0)))
+    // the cleaned text of row 1 is exactly the redacted form
+    val wantMd5 = spark.range(1).select(
+      md5(lit("reach me at <EMAIL> or <PHONE> soon"))).head.getString(0)
+    assert(out(0).getString(4) === wantMd5)
+    // nothing-to-scrub text passes through byte-identical
+    val passMd5 = spark.range(1).select(
+      md5(lit("plain text with nothing to scrub at all"))).head.getString(0)
+    assert(out(2).getString(4) === passMd5)
+  }
+
+  test("x_pipeline_full: weighted totals are consistent with the sample") {
+    val r = ops.LlmQueries.pipelineFull(spark, sf)
+    assert(r.count() > 0 && r.count() <= 5)
+    // HT weights are >= 2, so estimates dominate the sampled counts
+    assert(r.filter(col("est_total_tokens") < col("sampled_tokens") * 2)
+      .count() === 0)
+    assert(r.filter(col("n_docs") <= 0).count() === 0)
+  }
+
   test("syncDiff surfaces buckets that exist on only one side") {
     import graft.api.GraftOps
     import spark.implicits._
