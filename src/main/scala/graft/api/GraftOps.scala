@@ -103,18 +103,22 @@ object GraftOps {
     * re-execution), pairs expanded locally. Bucket lists must be small by
     * construction (LSH bands, simhash blocks, rare-first prefixes) — this
     * is the shape that keeps every candidate generator off the all-pairs
-    * product at any scale.
+    * product at any scale. The expansion is two chained explodes (member,
+    * then its remainder slice) rather than one flattened pair array, so
+    * peak row size is O(bucket), never O(bucket²) — a degenerate bucket
+    * (say a million byte-identical docs landing in one simhash block)
+    * produces many candidate ROWS, which stream, instead of one
+    * multi-gigabyte array value, which OOMs.
     */
   private def bucketPairs(member: DataFrame, buckets: Seq[Column]): DataFrame =
     member
       .groupBy(buckets: _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(
-        transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("doc_a"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
+          .as("doc_b"))
       .distinct()
 
   /** [[bucketPairs]] with a scalar payload column carried through the pair
@@ -131,15 +135,12 @@ object GraftOps {
       .agg(sort_array(collect_list(struct(col("doc_id"), payload.as("pl"))))
         .as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(
-        transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-            y => struct(
-              x.getField("doc_id").as("doc_a"),
-              y.getField("doc_id").as("doc_b"),
-              x.getField("pl").as("pa"),
-              y.getField("pl").as("pb")))))).as("p"))
-      .select(col("p.*"))
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("x"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds"))))
+          .as("y"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pl").as("pa"), col("y.pl").as("pb"))
 
   /** Exact-Jaccard verification of candidate pairs, joining the shingle
     * table ONCE: melt each pair to two (pair, member) rows, join on the
@@ -268,16 +269,16 @@ object GraftOps {
     val cand = m.groupBy(col("s"))
       .agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(flatten(
-        transform(col("ms"), (x, i) =>
-          transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-            y => struct(
-              x.getField("doc_id").as("doc_a"),
-              y.getField("doc_id").as("doc_b"),
-              x.getField("sz").as("sa"), y.getField("sz").as("sb"),
-              x.getField("rnk").as("pa"), y.getField("rnk").as("pb"))))))
-        .as("p"))
-      .select(col("p.*"))
+      // two chained explodes, not one flattened pair array: peak row size
+      // stays O(bucket) even when a prefix shingle's bucket is huge (see
+      // bucketPairs for the full rationale).
+      .select(col("ms"), posexplode(col("ms")))
+      .select(col("col").as("x"),
+        explode(slice(col("ms"), col("pos") + lit(2), size(col("ms"))))
+          .as("y"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sa"), col("y.sz").as("sb"),
+        col("x.rnk").as("pa"), col("y.rnk").as("pb"))
       .filter(least(col("sa"), col("sb")) * 1000000L >=
         greatest(col("sa"), col("sb")) * ppm)
       .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
@@ -329,6 +330,109 @@ object GraftOps {
     // of the vector) — skip the distinct shuffle unless tables were OR-ed.
     if (tables == 1) perTable.head
     else perTable.reduce(_ unionByName _).distinct()
+  }
+
+  /** Duplicate-cluster grouping: connected components over an undirected
+    * near-dup pair table (the output shape of [[dedupNear]] /
+    * [[dedupSimhash]] / [[jaccardJoin]] / [[dedupEmbed]]). Pairs only say
+    * "a~b"; an actual dedup job needs the transitive closure — one cluster
+    * id per duplicate class, a canonical survivor elected per cluster, and
+    * everything else dropped. Min-label propagation with POINTER JUMPING:
+    * each round first takes the min label over direct neighbors (one
+    * groupBy), then contracts paths by looking the label's own label up
+    * (one self-join), so label distance halves per round and convergence
+    * is O(log diameter) rounds — a chain of 1M chained near-dups resolves
+    * in ~20 rounds, where naive one-hop propagation would need 1M. Each
+    * round is two shuffles on doc_id; the driver only ever sees ONE number
+    * per round (the label-sum convergence check — labels are monotonically
+    * non-increasing, so an unchanged sum IS the fixpoint, and no per-row
+    * data reaches the driver). Each round's label table is
+    * localCheckpoint-ed: the self-join references the previous round
+    * TWICE, so without truncation the logical plan doubles per round —
+    * exponential plan-object growth that kills the driver long before any
+    * executor sees data trouble. Checkpointing flattens each round to a
+    * LogicalRDD, keeping the plan O(1) deep regardless of rounds. (On a
+    * real cluster a reliable `checkpoint` to HDFS would be the
+    * fault-tolerant variant of the same move.)
+    *
+    * Output: one row per doc appearing in any pair — cluster_id (min doc
+    * id of the component), cluster_size, is_canonical (doc == cluster_id).
+    */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // both orientations from ONE explode, not a self-union: the pair table
+    // is usually the output of a whole near-dup pipeline, and a union of
+    // two selects over it would execute that pipeline twice.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("es"), col("doc_b").as("ed")),
+        struct(col("doc_b").as("es"), col("doc_a").as("ed")))).as("e"))
+      .select(col("e.es").as("es"), col("e.ed").as("ed"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("es").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    // coalesce: an empty pair table (nothing to cluster) must yield an
+    // empty result, not a null-aggregate NPE
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevTotal = Long.MinValue
+    var total = labelSum(labels)
+    var rounds = 0
+    while (total != prevTotal && rounds < 60) {
+      val nbrMin = edges.join(labels, edges("ed") === labels("doc_id"))
+        .groupBy(col("es")).agg(min(col("lbl")).as("lbl"))
+        .select(col("es").as("doc_id"), col("lbl"))
+      val hopped = labels.unionByName(nbrMin)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: lbl := label(lbl). Every label IS a node id, so the
+      // lookup is a total inner join.
+      val jump = hopped.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
+      val next = hopped.join(jump, hopped("lbl") === jump("j_id"))
+        .select(col("doc_id"), col("j_lbl").as("lbl"))
+        .localCheckpoint(true)
+      prevTotal = total
+      total = labelSum(next)
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("lbl")).cast("int").as("is_canonical"))
+  }
+
+  /** Benchmark decontamination — drop training documents that overlap a
+    * held-out evaluation set. The contamination test is 3-word-shingle
+    * overlap: a corpus doc is contaminated when at least half its distinct
+    * shingles also occur somewhere in the benchmark set (exact integer
+    * gate, no float boundary). Shape: the benchmark's distinct shingle set
+    * is bounded by definition (eval sets are thousands of docs, not
+    * billions), so it BROADCASTS; the corpus side is one explode + one
+    * broadcast-hash semi-match + one doc_id groupBy — no shuffle touches
+    * corpus text, and corpus size only enters linearly. Reports every
+    * corpus doc with its overlap evidence, so the caller can pick a
+    * different cut without rescanning.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    key: Column, text: Column): DataFrame = {
+    val c = shingleTable(corpus, key, text)
+    val bench = shingleTable(benchmark, key, text)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val shared = c.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared_cnt"))
+    c.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("shared_cnt"), lit(0L)).as("n_shared"),
+        round(coalesce(col("shared_cnt"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("shared_frac"),
+        (coalesce(col("shared_cnt"), lit(0L)) * 2 >= col("n_shingles"))
+          .cast("int").as("contaminated"))
   }
 
   /** Per-document quality scoring — the C4/Gopher-style heuristic filter
@@ -451,6 +555,34 @@ object GraftOps {
       .cast("long")
     df.filter(h * 100 < ratePct.cast("long") * (1L << 48))
       .withColumn("weight", round(lit(100.0) / ratePct, 6))
+  }
+
+  /** Fixed-size token chunking with overlap — the sequence-preparation
+    * step between curation and training: each document's token stream
+    * splits into windows of `chunkSize` tokens every `stride` tokens
+    * (overlap = chunkSize - stride), the last window ragged. Pure per-row
+    * array math (sequence → explode → slice): no shuffle, no state, and
+    * the chunk count per doc is exact integer arithmetic the oracle
+    * replays. Emits the chunk's md5 next to its bounds so downstream
+    * exact-dedup of chunks (a common second dedup pass) gets its
+    * fingerprint for free.
+    */
+  def chunkDocs(df: DataFrame, key: Column, text: Column,
+                chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= chunkSize, "0 < stride <= chunkSize")
+    df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("w")) - 1) / lit(stride)).cast("int")),
+          i => i * stride)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        slice(col("w"), col("col") + 1, lit(chunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_md5"))
   }
 
   // ----------------------------------------------------- similarity search

@@ -76,6 +76,41 @@ object LlmQueries extends QueryPack {
     GraftOps.jaccardJoin(Tables.documents(s, d), col("doc_id"), col("text"),
       threshold = JaccardThreshold)
 
+  /** x_dedup_cluster: duplicate-cluster grouping — connected components
+    * over the MinHash near-dup pairs, min-label + pointer-jumping rounds
+    * (O(log diameter) — a transitively chained duplicate class resolves
+    * without ever materializing the closure). One row per clustered doc
+    * with its cluster id, size, and canonical-survivor flag. The oracle
+    * replays the same closure with a recursive CTE, so the gate proves
+    * the distributed iteration reaches the exact fixpoint.
+    */
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    GraftOps.clusterPairs(
+      GraftOps.dedupNear(Tables.documents(s, d), col("doc_id"), col("text"),
+        perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold))
+
+  /** x_decontam: benchmark decontamination — flag corpus docs whose
+    * distinct-3-shingle overlap with the held-out set (docs with
+    * doc_id % 10 == 0 stand in for the benchmark) reaches 50%. The
+    * benchmark shingle set broadcasts; corpus text never shuffles.
+    */
+  def decontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    GraftOps.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"))
+  }
+
+  /** x_chunk: fixed-size token chunking with overlap — 64-token windows
+    * every 48 tokens (16-token overlap), the training-sequence prep step.
+    * Pure per-row array math; chunk md5s feed a downstream chunk-level
+    * exact dedup for free.
+    */
+  def chunk(s: SparkSession, d: String): DataFrame =
+    GraftOps.chunkDocs(Tables.documents(s, d), col("doc_id"), col("text"),
+      chunkSize = 64, stride = 48)
+
   /** x_sim_brute: exact cosine top-5 per probe. Probes are a bounded set
     * (vec_id < 8 — fixed cardinality at every SF), hence broadcast; the
     * corpus is scanned once map-side and the typed TopKByScore Aggregator
@@ -337,6 +372,9 @@ object LlmQueries extends QueryPack {
     "x_dedup_simhash" -> dedupSimhash,
     "x_dedup_ngram" -> dedupNgram,
     "x_dedup_embed" -> dedupEmbed,
+    "x_dedup_cluster" -> dedupCluster,
+    "x_decontam" -> decontam,
+    "x_chunk" -> chunk,
     "x_pipeline" -> pipeline,
     "x_sim_brute" -> simBrute,
     "x_sim_lsh" -> simLsh,
@@ -425,6 +463,92 @@ object LlmQueries extends QueryPack {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8""".stripMargin,
+    // Replays the minhash pair derivation, then closes it transitively
+    // with a recursive CTE — matching it proves the engine's pointer-
+    // jumping iteration reaches the exact connected-components fixpoint.
+    "x_dedup_cluster" ->
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a
+        |  JOIN sh y ON y.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS doc FROM edges),
+        |reach(doc, lab) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.s, r.lab FROM reach r JOIN edges e ON e.d = r.doc),
+        |lbl AS (
+        |  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc)
+        |SELECT l.doc_id, l.cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
+        |  CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+        |FROM lbl l""".stripMargin,
+    "x_chunk" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest([i*48 for i in range(0, ((len(w)-1)//48)+1)]) AS start_tok,
+        |    unnest(range(0, ((len(w)-1)//48)+1)) AS chunk_idx
+        |  FROM ws WHERE len(w) > 0),
+        |ck AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) chunk_idx,
+        |    CAST(start_tok AS BIGINT) start_tok,
+        |    list_slice(w, start_tok+1, start_tok+64) c
+        |  FROM st)
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(c, ' ')) AS chunk_md5
+        |FROM ck""".stripMargin,
+    "x_decontam" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |bench AS (
+        |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0),
+        |corpus AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 <> 0),
+        |shared AS (
+        |  SELECT doc_id, count(*) AS shared_cnt
+        |  FROM corpus JOIN bench USING (s) GROUP BY doc_id),
+        |alldocs AS (
+        |  SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT a.doc_id, CAST(a.n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(shared_cnt, 0) AS BIGINT) AS n_shared,
+        |  round(CAST(coalesce(shared_cnt, 0) AS DOUBLE) / a.n_shingles, 6) AS shared_frac,
+        |  CAST(coalesce(shared_cnt, 0) * 2 >= a.n_shingles AS INT) AS contaminated
+        |FROM alldocs a LEFT JOIN shared USING (doc_id)""".stripMargin,
     "x_pipeline" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

@@ -72,6 +72,102 @@ class LlmOpsSpec extends SparkSpec {
       "hamming outside the radius")
   }
 
+  test("x_dedup_cluster equals a union-find transitive closure") {
+    import graft.api.GraftOps
+    val pairs = GraftOps.dedupNear(Tables.documents(spark, sf),
+      col("doc_id"), col("text"))
+    // reference closure: plain union-find over the collected pairs (test
+    // scale only — the operator itself never collects)
+    val es = pairs.select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = GraftOps.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.map(g => g._1 -> g._2).toMap === expected)
+    val bySize = expected.groupBy(_._2).view.mapValues(_.size).toMap
+    got.foreach { case (doc, cl, sz, canon) =>
+      assert(sz === bySize(cl), s"wrong size for cluster $cl")
+      assert(canon === (if (doc == cl) 1 else 0))
+    }
+  }
+
+  test("clusterPairs resolves a long chain (pointer jumping, not one-hop)") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    // a 40-link chain has diameter 40: one-hop min propagation would need
+    // 40 rounds, pointer jumping must close it within the 60-round cap
+    // (and in ~log2(40) effective rounds)
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cl = GraftOps.clusterPairs(chain).collect()
+    assert(cl.length === 41)
+    assert(cl.forall(_.getLong(1) == 0L), "chain must collapse to one cluster")
+    assert(cl.forall(_.getLong(2) == 41L))
+    assert(cl.count(_.getInt(3) == 1) === 1)
+  }
+
+  test("x_decontam overlap counts match a brute array_intersect recompute") {
+    import graft.api.GraftOps
+    val docs = Tables.documents(spark, sf)
+    val got = GraftOps.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"))
+    val sh = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
+    val benchSet = sh.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("shingles")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = sh.filter(col("doc_id") % 10 =!= 0)
+      .collect().map { r =>
+        val shingles = r.getSeq[String](1)
+        r.getLong(0) -> (shingles.size.toLong,
+          shingles.count(benchSet.contains).toLong)
+      }.toMap
+    val rows = got.collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (n, shared) = expected(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === shared)
+      assert(r.getInt(4) === (if (shared * 2 >= n) 1 else 0))
+    }
+  }
+
+  test("x_chunk: windows tile every token with the declared overlap") {
+    import graft.api.GraftOps
+    val docs = Tables.documents(spark, sf)
+    val chunks = GraftOps.chunkDocs(docs, col("doc_id"), col("text"),
+      chunkSize = 64, stride = 48).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    val toks = docs.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.foreach { case (doc, cs) =>
+      val n = toks(doc)
+      assert(cs.length === (n - 1) / 48 + 1, s"chunk count for doc $doc")
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(2) === i * 48L) // start = idx * stride
+        assert(c.getLong(3) === math.min(64L, n - i * 48L)) // ragged tail
+      }
+      // consecutive full chunks overlap by exactly chunkSize - stride = 16
+      cs.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(b.getLong(2) - a.getLong(2) === 48L)
+      }
+    }
+    assert(toks.keySet === chunks.keySet)
+  }
+
   test("exact dedup is idempotent") {
     val once = ops.LlmQueries.dedupExact(spark, sf)
     assert(once.count() ===

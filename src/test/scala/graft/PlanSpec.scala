@@ -84,6 +84,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "expected hash aggregation")
   }
 
+  test("x_decontam broadcasts the benchmark set; corpus side never nested-loops") {
+    val p = planOf(SparkEntry.queries("x_decontam")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "benchmark shingle set should broadcast")
+  }
+
+  test("x_chunk is single-scan, shuffle-free") {
+    val p = planOf(SparkEntry.queries("x_chunk")(spark, sf))
+    assert(!p.contains("Exchange"), s"x_chunk shuffles:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.contains("Join"), "x_chunk joins")
+  }
+
   test("q_group_agg does map-side partial aggregation (combiner)") {
     val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
     assert(p.contains("HashAggregate"), "expected hash aggregation")

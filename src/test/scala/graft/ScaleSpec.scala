@@ -44,6 +44,37 @@ class ScaleSpec extends SparkSpec {
     assert(hot.head.getLong(0) === big.filter(col("key") === 0).count())
   }
 
+  test("degenerate simhash bucket (5k identical docs) streams, never OOMs") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // Worst case for pigeonhole blocking: every doc identical, so all 5k
+    // land in the SAME bucket of every block -> the full 12.5M-pair
+    // product is the honest answer (one giant duplicate class). The
+    // two-step explode keeps peak ROW size O(bucket) (a 5k array, not a
+    // 12.5M-struct array) — with the old flattened-pair-array expansion
+    // this enumeration OOMed the executor; now it streams and the count
+    // is exact. (A LIMIT cannot bound this: the trailing distinct() is an
+    // aggregation, so every pair must be enumerated regardless.)
+    val n = 5000L
+    val clones = spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_id"),
+        lit("the same exact document body repeated many times over").as("text"))
+    val pairs = GraftOps.dedupSimhash(clones, col("doc_id"), col("text"), 3)
+    assert(pairs.count() === n * (n - 1) / 2)
+  }
+
+  test("quality/repetition/sampling scan 20M rows linearly") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    val docs = big.select(col("version").as("doc_id"),
+      concat_ws(" ", lit("alpha beta gamma delta the a of and"),
+        col("qual"), col("payload").cast("string")).as("text"),
+      when(col("key") % 2 === 0, lit("en")).otherwise(lit("de")).as("lang"))
+    assert(GraftOps.qualityScore(docs, col("doc_id"), col("text")).count() === 20000000L)
+    val sampled = GraftOps.sampleStratified(docs.select(col("doc_id"), col("lang")),
+      col("doc_id"), when(col("lang") === "en", lit(50)).otherwise(lit(20)))
+    val n = sampled.count()
+    assert(n > 5000000L && n < 9000000L, s"sampled $n")
+  }
+
   test("exact dedup at 20M rows (hash-groupBy, no content shuffle)") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     val deduped = GraftOps.dedupExact(
