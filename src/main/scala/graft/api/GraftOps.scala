@@ -585,6 +585,36 @@ object GraftOps {
         md5(concat_ws(" ", col("c"))).as("chunk_md5"))
   }
 
+  /** Sequence packing — the step after [[chunkDocs]]: concatenate the
+    * chunk stream in a deterministic shard-local order and cut it into
+    * `budget`-token training sequences. Packing is chunk-atomic by start
+    * offset (a chunk belongs to the pack its first token falls in), so a
+    * pack can slightly overshoot the budget — the contiguous-fill
+    * discipline pipelines use when they concat-then-split; splitting
+    * chunks at pack boundaries would change only the slice arithmetic,
+    * not the shape. Scale: one hash shuffle on the shard key + an
+    * in-partition running sum — no global ordering, no single-partition
+    * window; the shard count is the parallelism lever. Output one row per
+    * pack: chunk count, token count, fill fraction.
+    */
+  def packChunks(chunks: DataFrame, budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .groupBy(col("shard"),
+        floor(col("start_off") / lit(budget.toLong)).as("pack_idx"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"))
+      .select(col("shard"), col("pack_idx"), col("n_chunks"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / budget, 6).as("fill_frac"))
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** Exact cosine top-k of every probe against the corpus. The probe set

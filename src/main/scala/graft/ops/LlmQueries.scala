@@ -111,6 +111,17 @@ object LlmQueries extends QueryPack {
     GraftOps.chunkDocs(Tables.documents(s, d), col("doc_id"), col("text"),
       chunkSize = 64, stride = 48)
 
+  /** x_pack: sequence packing — the 64/48 chunk stream concatenated
+    * shard-locally (8 shards) and cut into 256-token training sequences.
+    * Chunk-atomic contiguous fill; fill_frac ~1.0 except each shard's
+    * ragged tail.
+    */
+  def pack(s: SparkSession, d: String): DataFrame =
+    GraftOps.packChunks(
+      GraftOps.chunkDocs(Tables.documents(s, d), col("doc_id"), col("text"),
+        chunkSize = 64, stride = 48),
+      budget = 256, shards = 8)
+
   /** x_sim_brute: exact cosine top-5 per probe. Probes are a bounded set
     * (vec_id < 8 — fixed cardinality at every SF), hence broadcast; the
     * corpus is scanned once map-side and the typed TopKByScore Aggregator
@@ -375,6 +386,7 @@ object LlmQueries extends QueryPack {
     "x_dedup_cluster" -> dedupCluster,
     "x_decontam" -> decontam,
     "x_chunk" -> chunk,
+    "x_pack" -> pack,
     "x_pipeline" -> pipeline,
     "x_sim_brute" -> simBrute,
     "x_sim_lsh" -> simLsh,
@@ -527,6 +539,29 @@ object LlmQueries extends QueryPack {
         |  CAST(len(c) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(c, ' ')) AS chunk_md5
         |FROM ck""".stripMargin,
+    "x_pack" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest([i*48 for i in range(0, ((len(w)-1)//48)+1)]) AS start_tok,
+        |    unnest(range(0, ((len(w)-1)//48)+1)) AS chunk_idx
+        |  FROM ws WHERE len(w) > 0),
+        |ck AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, CAST(chunk_idx AS BIGINT) chunk_idx,
+        |    CAST(len(list_slice(w, start_tok+1, start_tok+64)) AS BIGINT) n_chunk_tokens
+        |  FROM st),
+        |off AS (
+        |  SELECT shard, n_chunk_tokens,
+        |    coalesce(sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM ck)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(start_off // 256 AS BIGINT) AS pack_idx,
+        |  count(*) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_chunk_tokens) AS DOUBLE) / 256, 6) AS fill_frac
+        |FROM off GROUP BY 1, 2""".stripMargin,
     "x_decontam" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

@@ -168,6 +168,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(toks.keySet === chunks.keySet)
   }
 
+  test("x_pack: packs tile each shard's chunk stream exactly") {
+    import graft.api.GraftOps
+    val chunks = GraftOps.chunkDocs(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), chunkSize = 64, stride = 48)
+    val packs = GraftOps.packChunks(chunks, budget = 256, shards = 8).collect()
+    // brute recompute: running offsets per shard in plain Scala
+    val byShard = chunks.collect()
+      .map(r => (r.getLong(0) % 8, r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3))).toMap
+    val expected = byShard.toSeq.flatMap { case (shard, cs) =>
+      var off = 0L
+      cs.map { case (_, _, _, n) =>
+        val pack = off / 256; off += n; (shard, pack) -> n
+      }
+    }.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(packs.length === expected.size)
+    packs.foreach { r =>
+      val (nc, nt) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) === nc && r.getLong(3) === nt)
+      // HALF_UP to match Spark's round() (math.rint would be half-even)
+      assert(r.getDouble(4) === BigDecimal(nt.toDouble / 256)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("exact dedup is idempotent") {
     val once = ops.LlmQueries.dedupExact(spark, sf)
     assert(once.count() ===

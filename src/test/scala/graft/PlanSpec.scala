@@ -97,6 +97,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "x_chunk joins")
   }
 
+  test("x_pack shuffles only on the shard key (no global sort, no join)") {
+    val p = planOf(SparkEntry.queries("x_pack")(spark, sf))
+    assert(!p.contains("Join"), "x_pack joins")
+    // a single-partition global window would appear as Exchange SinglePartition
+    assert(!p.contains("SinglePartition"),
+      "x_pack must not funnel through one partition")
+  }
+
   test("q_group_agg does map-side partial aggregation (combiner)") {
     val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
     assert(p.contains("HashAggregate"), "expected hash aggregation")
