@@ -696,6 +696,37 @@ object GraftOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** One Lloyd refinement round for an IVF coarse quantizer — the
+    * training step [[ivfTopK]]'s sampling-based init points at: re-assign
+    * every corpus vector to its nearest centroid (cosine), then move each
+    * centroid to the mean of its members. Because cosine ignores centroid
+    * scale, the un-normalized mean is the spherical-k-means update, so the
+    * sum-of-max-cosines objective is non-decreasing round over round
+    * (pinned in LlmOpsSpec). Shapes: centroids broadcast (bounded ~sqrt n);
+    * assignment is the same map-side argmax as ivfTopK; the update is
+    * posexplode → (cid, pos) partial-agg sums → per-cid array rebuild —
+    * shuffle volume O(n·dim) values with map-side combine, never n×nlist.
+    * Cells that lose every member keep their previous centroid.
+    * Input/output centroid schema: (cid, cv) with cv Array[Double].
+    */
+  def kmeansRefine(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        struct(expr("cosine_sim(v, cv)").as("cs"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max(col("sc")).getField("cid").as("cid"))
+    val refined = assigned
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+        x => x.getField("m")).as("rv"))
+    centroids.join(refined, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("rv"), col("cv")).as("cv"))
+  }
+
   /** Approximate nearest neighbors: md5-seeded random-hyperplane buckets,
     * probe joined to corpus on bucket equality, exact cosine within the
     * bucket only, top-k per probe.

@@ -282,6 +282,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad.count() === 0, "rank inversion found")
   }
 
+  test("kmeansRefine: spherical objective is non-decreasing") {
+    import graft.api.GraftOps
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val nlist = GraftOps.nlistFor(emb.count())
+    val init = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def objective(cent: org.apache.spark.sql.DataFrame): Double =
+      emb.join(broadcast(cent))
+        .select(col("vec_id"), expr("cosine_sim(v, cv)").as("cs"))
+        .groupBy(col("vec_id")).agg(max(col("cs")).as("best"))
+        .agg(sum(col("best"))).head.getDouble(0)
+    val o0 = objective(init)
+    val c1 = GraftOps.kmeansRefine(emb, init)
+    val o1 = objective(c1)
+    val o2 = objective(GraftOps.kmeansRefine(emb, c1))
+    assert(o1 >= o0 - 1e-9, s"round 1 decreased the objective: $o0 -> $o1")
+    assert(o2 >= o1 - 1e-9, s"round 2 decreased the objective: $o1 -> $o2")
+    assert(c1.count() === init.count(), "refine must keep every cell")
+  }
+
   test("quality score is the exact fraction of gates passed") {
     val q = ops.LlmQueries.quality(spark, sf)
     assert(q.count() > 0)

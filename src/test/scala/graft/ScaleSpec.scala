@@ -62,6 +62,18 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.count() === n * (n - 1) / 2)
   }
 
+  test("clusterPairs closes a 100k-node chain in logarithmic rounds") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // diameter 100k: one-hop propagation would need 100k rounds (and die
+    // on the 60-round cap); pointer jumping must finish in ~log2 rounds.
+    val n = 100000L
+    val chain = spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val cl = GraftOps.clusterPairs(chain)
+    assert(cl.filter(col("cluster_id") === 0).count() === n + 1)
+    assert(cl.count() === n + 1)
+  }
+
   test("quality/repetition/sampling scan 20M rows linearly") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     val docs = big.select(col("version").as("doc_id"),
