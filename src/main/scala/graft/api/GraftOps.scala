@@ -60,6 +60,10 @@ object GraftOps {
     * both signature derivation and candidate verification; at cluster
     * scale a curation pipeline would materialize it to a table once —
     * recomputing the tokenize+shingle scan is the alternative trade.
+    * The cache lives until the session drops it (Spark evicts LRU under
+    * pressure); long-lived services calling these operators repeatedly
+    * should `spark.catalog.clearCache()` between corpora or materialize
+    * the shingle table themselves via [[shingleTable]].
     *
     * @param df        input table
     * @param key       unique document key column (orderable)
@@ -251,8 +255,12 @@ object GraftOps {
       .orderBy(col("df").asc, col("s").asc)
     val prefix = tall.join(dfreq, "s")
       .withColumn("rnk", row_number().over(w))
+      // BIGINT before multiplying: sz is a 32-bit size() and ppm is up to
+      // 10^6, so `sz * ppm` overflows Int at ~2.7k shingles — a big but
+      // realistic document — and Spark 4's default ANSI mode turns that
+      // wrap into a runtime ARITHMETIC_OVERFLOW.
       .withColumn("plen",
-        expr(s"sz - ((sz * $ppm + 999999) div 1000000) + 1"))
+        expr(s"sz - ((CAST(sz AS BIGINT) * $ppm + 999999) div 1000000) + 1"))
       .filter(col("rnk") <= col("plen"))
     // Pair expansion carries (size, prefix position) so the two other
     // lossless AllPairs/PPJoin prunes can run BEFORE the array-carrying
@@ -282,7 +290,8 @@ object GraftOps {
       .filter(least(col("sa"), col("sb")) * 1000000L >=
         greatest(col("sa"), col("sb")) * ppm)
       .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
-        expr(s"($ppm * (sa + sb) + ${1000000L + ppm - 1}) div ${1000000L + ppm}"))
+        expr(s"(CAST($ppm AS BIGINT) * (sa + sb) + ${1000000L + ppm - 1})" +
+          s" div ${1000000L + ppm}"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     verifyJaccard(cand, sh, threshold)
@@ -333,8 +342,9 @@ object GraftOps {
   }
 
   /** Duplicate-cluster grouping: connected components over an undirected
-    * near-dup pair table (the output shape of [[dedupNear]] /
-    * [[dedupSimhash]] / [[jaccardJoin]] / [[dedupEmbed]]). Pairs only say
+    * near-dup pair table with `doc_a`/`doc_b` columns (the output shape of
+    * [[dedupNear]] / [[dedupSimhash]] / [[jaccardJoin]]; [[dedupEmbed]]
+    * emits `vec_a`/`vec_b` — rename before composing). Pairs only say
     * "a~b"; an actual dedup job needs the transitive closure — one cluster
     * id per duplicate class, a canonical survivor elected per cluster, and
     * everything else dropped. Min-label propagation with POINTER JUMPING:
@@ -419,7 +429,11 @@ object GraftOps {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     key: Column, text: Column): DataFrame = {
+    // persisted because it feeds BOTH the overlap count and the
+    // per-doc shingle-count projection — without it the full corpus
+    // tokenize+shingle scan (the expensive side) runs twice.
     val c = shingleTable(corpus, key, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = shingleTable(benchmark, key, text)
       .select(explode(col("shingles")).as("s")).distinct()
     val shared = c.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -602,8 +616,12 @@ object GraftOps {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // md5-derived shard, not pmod(doc_id): type-agnostic (string/UUID keys
+    // hash the same way), deterministic across engines, and immune to
+    // pathological key spacings (all-even ids etc.) skewing the shards.
     chunks
-      .select(pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+      .select(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+          16, 10).cast("long"), lit(shards.toLong)).as("shard"),
         col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
       .withColumn("start_off",
         coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
@@ -659,19 +677,31 @@ object GraftOps {
     * probe→corpus search is an equi-join on cell_id. Shuffle volume is one
     * row per corpus vector, never n×nlist.
     */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              nlist: Int, nprobe: Int): DataFrame = {
-    val emb = corpus.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
-    val cent = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // nearest centroid per corpus vector: max(struct(cos, cid)) is a
-    // partial-aggregable lexicographic argmax — map-side combine leaves
-    // one row per vec_id per partition before the single n-row shuffle.
-    val assigned = emb.join(broadcast(cent))
+  /** Nearest-centroid cell per corpus vector: broadcast centroids, then a
+    * map-side cosine argmax — max(struct(cos, cid)) is a partial-aggregable
+    * lexicographic argmax (ties to the higher centroid id), so map-side
+    * combine leaves one row per vec_id per partition before the single
+    * n-row shuffle. Shared by [[ivfTopK]] (index build) and
+    * [[kmeansRefine]] (training), so their tie-breaks can never diverge.
+    */
+  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.join(broadcast(cent))
       .select(col("vec_id"), col("v"),
         struct(expr("cosine_sim(v, cv)").as("cs"), col("cid")).as("sc"))
       .groupBy(col("vec_id"), col("v"))
       .agg(max(col("sc")).getField("cid").as("cell"))
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nlist: Int, nprobe: Int): DataFrame = {
+    val emb = corpus.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    // Sampling-based init: the first nlist vectors BY KEY — which requires
+    // a dense 0-based vec_id space (true of the fixtures; the oracle
+    // replays the same rule). Sparse/hashed/string key spaces need a
+    // caller-provided centroid set (see kmeansRefine) — `vec_id < nlist`
+    // over such keys would silently under-select or empty the quantizer.
+    val cent = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = assignCells(emb, cent)
     // probes search their nprobe nearest cells (probe set is bounded, so
     // the rank window and the broadcast are driver-safe at any corpus SF).
     val pw = Window.partitionBy(col("probe_id"))
@@ -699,24 +729,25 @@ object GraftOps {
   /** One Lloyd refinement round for an IVF coarse quantizer — the
     * training step [[ivfTopK]]'s sampling-based init points at: re-assign
     * every corpus vector to its nearest centroid (cosine), then move each
-    * centroid to the mean of its members. Because cosine ignores centroid
-    * scale, the un-normalized mean is the spherical-k-means update, so the
-    * sum-of-max-cosines objective is non-decreasing round over round
-    * (pinned in LlmOpsSpec). Shapes: centroids broadcast (bounded ~sqrt n);
-    * assignment is the same map-side argmax as ivfTopK; the update is
+    * centroid to the mean of its NORMALIZED members. Normalizing first is
+    * what makes this the spherical-k-means update: for a fixed assignment
+    * the summed cosine is maximized by the direction of sum(v/|v|), so the
+    * objective is non-decreasing round over round (pinned in LlmOpsSpec) —
+    * a raw mean would let one long vector drag the centroid and can
+    * DECREASE it. Shapes: centroids broadcast (bounded ~sqrt n);
+    * assignment is [[assignCells]], shared with ivfTopK; the update is
     * posexplode → (cid, pos) partial-agg sums → per-cid array rebuild —
     * shuffle volume O(n·dim) values with map-side combine, never n×nlist.
     * Cells that lose every member keep their previous centroid.
-    * Input/output centroid schema: (cid, cv) with cv Array[Double].
+    * Corpus schema: (vec_id, embedding) like ivfTopK; centroid schema
+    * in/out: (cid, cv) with cv Array[Double].
     */
   def kmeansRefine(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val assigned = corpus.join(broadcast(centroids))
-      .select(col("vec_id"), col("v"),
-        struct(expr("cosine_sim(v, cv)").as("cs"), col("cid")).as("sc"))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max(col("sc")).getField("cid").as("cid"))
-    val refined = assigned
-      .select(col("cid"), posexplode(col("v")))
+    val emb = corpus.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val refined = assignCells(emb, centroids)
+      .select(col("cell").as("cid"),
+        posexplode(transform(col("v"),
+          x => x / sqrt(expr("dot_product(v, v)")))))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
       .groupBy(col("cid"))

@@ -549,7 +549,8 @@ object LlmQueries extends QueryPack {
         |    unnest(range(0, ((len(w)-1)//48)+1)) AS chunk_idx
         |  FROM ws WHERE len(w) > 0),
         |ck AS (
-        |  SELECT doc_id % 8 AS shard, doc_id, CAST(chunk_idx AS BIGINT) chunk_idx,
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard,
+        |    doc_id, CAST(chunk_idx AS BIGINT) chunk_idx,
         |    CAST(len(list_slice(w, start_tok+1, start_tok+64)) AS BIGINT) n_chunk_tokens
         |  FROM st),
         |off AS (
@@ -628,7 +629,7 @@ object LlmQueries extends QueryPack {
         |FROM kept GROUP BY lang""".stripMargin,
     "x_dedup_embed" ->
       """WITH np AS (
-        |  SELECT min(p) p FROM range(2, 31) t(p)
+        |  SELECT coalesce(min(p), 30) p FROM range(2, 31) t(p)
         |  WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT count(*) FROM embeddings)),
         |planes AS (
         |  SELECT j,
@@ -666,7 +667,7 @@ object LlmQueries extends QueryPack {
         |FROM rk WHERE rnk <= 5""".stripMargin,
     "x_sim_lsh" ->
       """WITH np AS (
-        |  SELECT min(p) p FROM range(2, 31) t(p)
+        |  SELECT coalesce(min(p), 30) p FROM range(2, 31) t(p)
         |  WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT count(*) FROM embeddings)),
         |planes AS (
         |  SELECT j,

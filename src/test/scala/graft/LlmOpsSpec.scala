@@ -173,9 +173,16 @@ class LlmOpsSpec extends SparkSpec {
     val chunks = GraftOps.chunkDocs(Tables.documents(spark, sf),
       col("doc_id"), col("text"), chunkSize = 64, stride = 48)
     val packs = GraftOps.packChunks(chunks, budget = 256, shards = 8).collect()
-    // brute recompute: running offsets per shard in plain Scala
+    // brute recompute: running offsets per shard in plain Scala, with the
+    // same md5-derived shard key the operator uses
+    def shardOf(docId: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
     val byShard = chunks.collect()
-      .map(r => (r.getLong(0) % 8, r.getLong(0), r.getLong(1), r.getLong(3)))
+      .map(r => (shardOf(r.getLong(0)), r.getLong(0), r.getLong(1), r.getLong(3)))
       .groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3))).toMap
     val expected = byShard.toSeq.flatMap { case (shard, cs) =>
       var off = 0L
@@ -284,7 +291,8 @@ class LlmOpsSpec extends SparkSpec {
 
   test("kmeansRefine: spherical objective is non-decreasing") {
     import graft.api.GraftOps
-    val emb = Tables.embeddings(spark, sf)
+    val corpus = Tables.embeddings(spark, sf)
+    val emb = corpus
       .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
     val nlist = GraftOps.nlistFor(emb.count())
     val init = emb.filter(col("vec_id") < nlist)
@@ -295,9 +303,9 @@ class LlmOpsSpec extends SparkSpec {
         .groupBy(col("vec_id")).agg(max(col("cs")).as("best"))
         .agg(sum(col("best"))).head.getDouble(0)
     val o0 = objective(init)
-    val c1 = GraftOps.kmeansRefine(emb, init)
+    val c1 = GraftOps.kmeansRefine(corpus, init)
     val o1 = objective(c1)
-    val o2 = objective(GraftOps.kmeansRefine(emb, c1))
+    val o2 = objective(GraftOps.kmeansRefine(corpus, c1))
     assert(o1 >= o0 - 1e-9, s"round 1 decreased the objective: $o0 -> $o1")
     assert(o2 >= o1 - 1e-9, s"round 2 decreased the objective: $o1 -> $o2")
     assert(c1.count() === init.count(), "refine must keep every cell")
