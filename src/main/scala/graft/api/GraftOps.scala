@@ -380,10 +380,13 @@ object GraftOps {
       .select(col("e.es").as("es"), col("e.ed").as("ed"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager=false everywhere: the labelSum convergence check right below
+    // is the materializing action anyway, so an eager checkpoint would
+    // just spend one extra job per round on the same work.
     var labels = edges.select(col("es").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // coalesce: an empty pair table (nothing to cluster) must yield an
     // empty result, not a null-aggregate NPE
     def labelSum(df: DataFrame): Long =
@@ -402,7 +405,7 @@ object GraftOps {
       val jump = hopped.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
       val next = hopped.join(jump, hopped("lbl") === jump("j_id"))
         .select(col("doc_id"), col("j_lbl").as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       prevTotal = total
       total = labelSum(next)
       labels = next
@@ -447,6 +450,32 @@ object GraftOps {
           / col("n_shingles"), 6).as("shared_frac"),
         (coalesce(col("shared_cnt"), lit(0L)) * 2 >= col("n_shingles"))
           .cast("int").as("contaminated"))
+  }
+
+  /** Per-document salient-term profile — tf-idf-shaped keyword extraction
+    * with the idf log replaced by an exact integer rational: salience =
+    * floor(tf·10^6 / df). The log is monotone in 1/df, so for a FIXED tf
+    * the ranking is the log ranking; dropping it keeps every value and
+    * tie exactly replayable across engines (a float ln can differ in the
+    * last ulp and flip a rank at a 6-decimal boundary — the same reason
+    * every ratio in this library rounds only in reported columns).
+    * Shapes: one token shuffle to (doc, term) counts, one term-shuffle
+    * for document frequencies, an equi-join on term (zipf skew lands on
+    * AQE's skew-join handling at scale), top-k per doc via window.
+    */
+  def termSalience(df: DataFrame, key: Column, text: Column,
+                   k: Int): DataFrame = {
+    val tall = df.select(key.as("doc_id"), explode(TextFns.tokens(text)).as("term"))
+    val tf = tall.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("salience_ppm").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("salience_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("salience_ppm"), col("rank"))
   }
 
   /** Per-document quality scoring — the C4/Gopher-style heuristic filter

@@ -122,6 +122,14 @@ object LlmQueries extends QueryPack {
         chunkSize = 64, stride = 48),
       budget = 256, shards = 8)
 
+  /** x_tfidf: top-5 salient terms per doc — tf-idf-shaped ranking on the
+    * exact rational tf/df (ppm), so both engines agree bit-for-bit
+    * (see GraftOps.termSalience for why the idf log is dropped).
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame =
+    GraftOps.termSalience(Tables.documents(s, d), col("doc_id"), col("text"),
+      k = 5)
+
   /** x_sim_brute: exact cosine top-5 per probe. Probes are a bounded set
     * (vec_id < 8 — fixed cardinality at every SF), hence broadcast; the
     * corpus is scanned once map-side and the typed TopKByScore Aggregator
@@ -387,6 +395,7 @@ object LlmQueries extends QueryPack {
     "x_decontam" -> decontam,
     "x_chunk" -> chunk,
     "x_pack" -> pack,
+    "x_tfidf" -> tfidf,
     "x_pipeline" -> pipeline,
     "x_sim_brute" -> simBrute,
     "x_sim_lsh" -> simLsh,
@@ -539,6 +548,22 @@ object LlmQueries extends QueryPack {
         |  CAST(len(c) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(c, ' ')) AS chunk_md5
         |FROM ck""".stripMargin,
+    "x_tfidf" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |tall AS (SELECT doc_id, unnest(w) AS term FROM ws),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tall GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |j AS (
+        |  SELECT doc_id, tf.term, tf, df, tf * 1000000 // df AS salience_ppm
+        |  FROM tf JOIN dfreq USING (term)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY salience_ppm DESC, term) rnk
+        |  FROM j)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(salience_ppm AS BIGINT) AS salience_ppm, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "x_pack" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

@@ -201,6 +201,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("x_tfidf: salience ranking matches a brute per-doc recompute") {
+    import graft.api.GraftOps
+    val docs = Tables.documents(spark, sf)
+    val got = GraftOps.termSalience(docs, col("doc_id"), col("text"), k = 3)
+      .collect()
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val tf = toks.toSeq.flatMap { case (d, ws) =>
+      ws.groupBy(identity).map { case (t, g) => (d, t, g.size.toLong) }
+    }
+    val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = tf.groupBy(_._1).view.mapValues { rows =>
+      rows.map { case (_, t, c) => (t, c, dfreq(t), c * 1000000L / dfreq(t)) }
+        .sortBy { case (t, _, _, s) => (-s, t) }.take(3)
+    }.toMap
+    got.groupBy(_.getLong(0)).foreach { case (d, rows) =>
+      val exp = expected(d)
+      rows.sortBy(_.getLong(5)).zip(exp).foreach { case (r, (t, c, df_, s)) =>
+        assert(r.getString(1) === t && r.getLong(2) === c)
+        assert(r.getLong(3) === df_ && r.getLong(4) === s)
+      }
+    }
+    assert(got.groupBy(_.getLong(0)).keySet === expected.keySet)
+  }
+
   test("exact dedup is idempotent") {
     val once = ops.LlmQueries.dedupExact(spark, sf)
     assert(once.count() ===
