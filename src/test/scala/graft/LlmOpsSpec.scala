@@ -100,6 +100,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusterPairs equals union-find on seeded random graphs") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // ~60 nodes, ~80 random edges: several components of mixed size,
+      // cycles, and dangling chains in one graph
+      val es = Seq.fill(80)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = GraftOps.clusterPairs(es.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: ${es.size} edges")
+    }
+  }
+
   test("clusterPairs resolves a long chain (pointer jumping, not one-hop)") {
     import graft.api.GraftOps
     import spark.implicits._
