@@ -285,6 +285,39 @@ object LlmQueries extends QueryPack {
         sum(col("n_tokens") * col("w")).as("est_total_tokens"))
   }
 
+  /** x_pipeline_seq: docs → training sequences, end to end — exact dedup
+    * (keep canonical), LSH near-dup removal, quality gate, then the kept
+    * corpus chunked (64/48) and packed into 256-token sequences, reported
+    * per shard. The last mile x_pipeline_full stops short of: what
+    * actually ships to a trainer. mean_fill divides exact integer totals
+    * (sum/(budget·count)) rather than averaging per-pack ratios, so the
+    * float math is one division on both engines.
+    */
+  def pipelineSeq(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepExact = GraftOps.dedupExact(docs, col("text"), col("doc_id"))
+      .select(col("keep_id"))
+    val dropNear = GraftOps.dedupNear(docs, col("doc_id"), col("text"),
+      perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
+      .select(col("doc_b")).distinct()
+    val qualityKeep = GraftOps.qualityScore(docs, col("doc_id"), col("text"))
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val kept = docs
+      .join(keepExact, col("doc_id") === col("keep_id"), "left_semi")
+      .join(dropNear, col("doc_id") === col("doc_b"), "left_anti")
+      .join(qualityKeep, Seq("doc_id"), "left_semi")
+    GraftOps.packChunks(
+        GraftOps.chunkDocs(kept, col("doc_id"), col("text"),
+          chunkSize = 64, stride = 48),
+        budget = 256, shards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("shard"), col("n_packs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / (col("n_packs") * 256), 6)
+          .as("mean_fill"))
+  }
+
   /** x_text_stats: corpus quality profile per language — doc counts, size,
     * token stats, type-token ratio, stopword ratio. One scan + one agg.
     */
@@ -397,6 +430,7 @@ object LlmQueries extends QueryPack {
     "x_pack" -> pack,
     "x_tfidf" -> tfidf,
     "x_pipeline" -> pipeline,
+    "x_pipeline_seq" -> pipelineSeq,
     "x_sim_brute" -> simBrute,
     "x_sim_lsh" -> simLsh,
     "x_sim_ivf" -> simIvf,
@@ -908,6 +942,81 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
         |  CAST(sum(n_tokens * w) AS BIGINT) AS est_total_tokens
         |FROM kept GROUP BY lang""".stripMargin,
+    "x_pipeline_seq" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |dropnear AS (
+        |  SELECT DISTINCT doc_b FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a
+        |  JOIN sh y ON y.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8),
+        |keepexact AS (
+        |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY sha256(text)),
+        |qm AS (
+        |  SELECT d.doc_id, len(w) n_tokens,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') sum_len,
+        |    len([x for x in w if list_contains(['the','a','of','and','to','in','is'], x)]) stop_hits,
+        |    len(regexp_extract_all(lower(d.text), '[^a-z0-9\s]')) sym_hits,
+        |    length(regexp_replace(lower(d.text), '\s', '', 'g')) n_chars_nospace
+        |  FROM documents d JOIN ws ON ws.doc_id = d.doc_id WHERE len(w) > 0),
+        |qkeep AS (
+        |  SELECT doc_id FROM qm
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+        |    AND sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100
+        |    AND stop_hits * 100 >= n_tokens
+        |    AND sym_hits * 10 <= n_chars_nospace * 3),
+        |kept AS (
+        |  SELECT d.doc_id, ws.w
+        |  FROM documents d JOIN ws ON ws.doc_id = d.doc_id
+        |  WHERE d.doc_id IN (SELECT keep_id FROM keepexact)
+        |    AND d.doc_id NOT IN (SELECT doc_b FROM dropnear)
+        |    AND d.doc_id IN (SELECT doc_id FROM qkeep)),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest([i*48 for i in range(0, ((len(w)-1)//48)+1)]) AS start_tok,
+        |    unnest(range(0, ((len(w)-1)//48)+1)) AS chunk_idx
+        |  FROM kept WHERE len(w) > 0),
+        |ck AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS shard,
+        |    doc_id, CAST(chunk_idx AS BIGINT) chunk_idx,
+        |    CAST(len(list_slice(w, start_tok+1, start_tok+64)) AS BIGINT) n_chunk_tokens
+        |  FROM st),
+        |off AS (
+        |  SELECT shard, n_chunk_tokens,
+        |    coalesce(sum(n_chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM ck),
+        |packs AS (
+        |  SELECT CAST(shard AS BIGINT) AS shard,
+        |    CAST(start_off // 256 AS BIGINT) AS pack_idx,
+        |    count(*) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+        |  FROM off GROUP BY 1, 2)
+        |SELECT shard, count(*) AS n_packs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / (count(*) * 256), 6) AS mean_fill
+        |FROM packs GROUP BY shard""".stripMargin,
     "x_text_stats" ->
       """WITH perdoc AS (
         |  SELECT lang, n_chars,
