@@ -50,6 +50,25 @@ class QueryPackSpec extends SparkSpec {
     assert(ops.AggQueries.groupAgg(spark, sf).count() === expected)
   }
 
+  test("q_distinct_approx estimates within the declared rsd of exact") {
+    // the one rows-only gate: its accuracy claim still gets checked here —
+    // HLL at rsd=0.02 must land within 5*rsd of the exact distinct count
+    // (a generous band; typical error is ~1 rsd)
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val approx = SparkEntry.queries("q_distinct_approx")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val e = approx(k)
+      assert(math.abs(e - n) <= math.max(1L, math.round(n * 0.10)),
+        s"group $k: approx $e vs exact $n")
+    }
+  }
+
   test("q_count_rows matches DataFrame.count") {
     val n = SparkEntry.queries("q_count_rows")(spark, sf)
       .collect().head.getLong(0)
