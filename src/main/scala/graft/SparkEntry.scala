@@ -17,6 +17,7 @@ object SparkEntry {
     ops.SetQueries,
     ops.ScalarQueries,
     ops.LlmQueries,
+    ops.CurateQueries,
     ops.EtlQueries,
     ops.StreamQueries,
     ops.TpchQueries,

@@ -670,6 +670,131 @@ object GraftOps {
         round(col("n_tokens").cast("double") / budget, 6).as("fill_frac"))
   }
 
+  /** Paragraph-level boilerplate removal (CCNet/RefinedWeb-style): a
+    * paragraph whose normalized hash appears in >= `minDocs` DISTINCT
+    * documents is template boilerplate (site footers, navigation, license
+    * blurbs) and is dropped from every document carrying it. `paras` is a
+    * caller-supplied array<string> column — real pipelines split on blank
+    * lines; the fixture binding uses fixed token windows because the test
+    * corpus is single-line.
+    *
+    * Scale shape: explode -> one hash shuffle on the paragraph hash
+    * (countDistinct doc per hash) -> equi-join the boilerplate set back ->
+    * regroup per doc. The per-doc regroup collects only that doc's own
+    * kept paragraphs (bounded by doc size) to rebuild the cleaned-content
+    * md5 — the proof the two engines kept EXACTLY the same spans, not just
+    * the same counts.
+    */
+  def dedupParagraphs(df: DataFrame, key: Column, paras: Column,
+                      minDocs: Int): DataFrame = {
+    val tall = df
+      .select(key.as("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .withColumn("ph", md5(col("para")))
+    val boiler = tall.groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("ph"), lit(1L).as("boiler"))
+    tall.join(boiler, Seq("ph"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        coalesce(sum(col("boiler")), lit(0L)).as("n_boiler"),
+        coalesce(sum(when(col("boiler").isNull,
+          size(TextFns.tokens(col("para"))).cast("long"))), lit(0L))
+          .as("n_tokens_kept"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(when(col("boiler").isNull,
+            struct(col("para_idx"), col("para"))))),
+          s => s.getField("para")))).as("kept_md5"))
+  }
+
+  /** Token-budget domain mixing — the sampling-rate form used at corpus
+    * scale: per domain, total the tokens, derive an exact-integer keep
+    * rate rate_ppm = min(1e6, budget*1e6 div total), then hash-sample
+    * documents at that rate ([[sampleStratified]] discipline: md5-keyed,
+    * partition-independent, no RNG). `weight` = 1e6/rate_ppm is the
+    * Horvitz-Thompson reweight for downstream token accounting.
+    *
+    * Deliberately NOT the greedy take-docs-until-budget form: that needs a
+    * per-domain total-order running sum (one sort per domain, sequential
+    * within it), while rate-based mixing is one tiny per-domain aggregate
+    * (auto-broadcast back) plus an embarrassingly parallel filter — the
+    * shape that survives a 1000-executor corpus. The hash test compares
+    * exact integers (h32 * 1e6 < rate_ppm * 2^32, both < 2^53).
+    */
+  def mixDomains(df: DataFrame, key: Column, domain: Column,
+                 nTokens: Column, budgetTokens: Column): DataFrame = {
+    val tok = df.select(key.as("doc_id"), domain.as("domain"),
+      nTokens.cast("long").as("n_tokens"),
+      budgetTokens.cast("long").as("budget"))
+    val rate = tok.groupBy(col("domain"))
+      .agg(sum(col("n_tokens")).as("dt"), max(col("budget")).as("budget"))
+      .select(col("domain"),
+        least(lit(1000000L), expr("budget * 1000000 div dt")).as("rate_ppm"))
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    tok.join(rate, "domain")
+      .filter(h32 * 1000000L < col("rate_ppm") * (1L << 32))
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("rate_ppm"),
+        round(lit(1000000.0) / col("rate_ppm"), 6).as("weight"))
+  }
+
+  /** BM25 (Okapi, Lucene idf variant) top-k retrieval for a bounded term
+    * set. Shapes: one explode filtered to the query terms (the filter
+    * prunes the tall table to |terms| rows per doc BEFORE any shuffle),
+    * tf via hash aggregate, df over the tiny per-term table and the 1-row
+    * corpus stats both broadcast back, then TakeOrderedAndProject for the
+    * global top-k (never a full global sort). The final rank window runs
+    * on k rows. Ranking uses the ROUNDED score on both engines so order
+    * and rank agree wherever the hash gate can agree.
+    */
+  def bm25Rank(df: DataFrame, key: Column, text: Column, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val d = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val st = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfn = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(st))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * tfn), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
+  /** CDC / changelog merge (WALPlayer's batch analog): replay a stream of
+    * keyed change records to final state — last write wins by the
+    * (version, tiebreak) order, and a key whose LAST record is a delete
+    * vanishes from the output. One partial+final aggregate (max_by on a
+    * struct ordering key — Spark plans the struct buffer as SortAggregate,
+    * i.e. a LOCAL per-partition sort feeding the partial), not a window
+    * over the full changelog: the shuffle carries one row per key per
+    * partition instead of every change record.
+    */
+  def cdcMerge(changes: DataFrame, key: Column, version: Column,
+               tiebreak: Column, op: Column, value: Column,
+               deleteOp: String): DataFrame =
+    changes.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_changes"),
+        max_by(struct(version.as("v"), op.as("op"), value.as("value")),
+          struct(version, tiebreak)).as("m"))
+      .filter(col("m.op") =!= deleteOp)
+      .select(col("key"), col("n_changes"), col("m.v").as("last_version"),
+        col("m.op").as("last_op"), col("m.value").as("last_value"))
+
   // ----------------------------------------------------- similarity search
 
   /** Exact cosine top-k of every probe against the corpus. The probe set

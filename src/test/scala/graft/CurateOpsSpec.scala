@@ -1,0 +1,104 @@
+package graft
+
+import graft.api.GraftOps
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the second curation pack (CurateQueries) on small
+  * synthetic inputs with hand-computed expectations — the hash gate proves
+  * engine parity at sf0.01; these pin the operator semantics themselves.
+  */
+class CurateOpsSpec extends SparkSpec {
+
+  test("dedupParagraphs drops exactly the cross-doc paragraphs") {
+    import spark.implicits._
+    // "footer" appears in all 3 docs (boiler at minDocs=3); "shared"
+    // appears in 2 (kept); each doc has one unique para.
+    val docs = Seq(
+      (1L, Seq("alpha beta", "shared line", "footer")),
+      (2L, Seq("gamma delta", "shared line", "footer")),
+      (3L, Seq("epsilon zeta eta", "footer"))
+    ).toDF("doc_id", "paras")
+    val out = GraftOps.dedupParagraphs(docs, col("doc_id"), col("paras"),
+        minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_paras", "n_boiler", "n_tokens_kept", "kept_md5")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq((1L, 3L, 1L, 4L), (2L, 3L, 1L, 4L), (3L, 2L, 1L, 3L)))
+    // kept content is the doc minus the footer, in paragraph order
+    val md5Of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(out(0).getString(4) === md5Of("alpha beta shared line"))
+    assert(out(2).getString(4) === md5Of("epsilon zeta eta"))
+  }
+
+  test("dedupParagraphs keeps everything when nothing crosses minDocs") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq("a b", "c")), (2L, Seq("d", "e f g")))
+      .toDF("doc_id", "paras")
+    val out = GraftOps.dedupParagraphs(docs, col("doc_id"), col("paras"), 2)
+      .agg(sum("n_boiler"), sum("n_tokens_kept")).collect()(0)
+    assert(out.getLong(0) === 0L && out.getLong(1) === 7L)
+  }
+
+  test("mixDomains realizes the token budget as a ppm rate with HT weight") {
+    import spark.implicits._
+    // domain A: 4 docs x 50 tokens = 200 total, budget 100 -> rate 500000
+    // domain B: 2 docs x 10 tokens = 20 total, budget 100 -> rate capped 1e6
+    val docs = ((1 to 4).map(i => (i.toLong, "A", 50L, 100L)) ++
+      Seq((10L, "B", 10L, 100L), (11L, "B", 10L, 100L)))
+      .toDF("doc_id", "dom", "nt", "budget")
+    val out = GraftOps.mixDomains(docs, col("doc_id"), col("dom"), col("nt"),
+      col("budget"))
+    val rates = out.select("domain", "rate_ppm", "weight").distinct()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(rates("B") === ((1000000L, 1.0)))
+    if (rates.contains("A")) assert(rates("A") === ((500000L, 2.0)))
+    // rate-1e6 domains keep every doc
+    assert(out.filter(col("domain") === "B").count() === 2L)
+    // selection is partitioning-independent (md5-keyed, no RNG)
+    val re = GraftOps.mixDomains(docs.repartition(7), col("doc_id"),
+      col("dom"), col("nt"), col("budget"))
+    assert(out.except(re).isEmpty && re.except(out).isEmpty)
+  }
+
+  test("bm25Rank orders by term rarity and saturates with doc length") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common common common filler filler filler"),
+      (3L, "filler filler filler filler filler filler")
+    ).toDF("id", "txt")
+    val out = GraftOps.bm25Rank(docs, col("id"), col("txt"),
+      terms = Seq("rare", "common"), k = 10).orderBy("rank").collect()
+    // doc 3 matches nothing -> absent; doc 1 has the rare term -> rank 1
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L))
+    val s1 = out(0).getDouble(1)
+    val s2 = out(1).getDouble(1)
+    assert(s1 > s2 && s2 > 0.0)
+  }
+
+  test("cdcMerge: last write wins, trailing delete erases the key") {
+    import spark.implicits._
+    val changes = Seq(
+      // key 1: upsert then delete -> gone
+      (1L, 10L, 1L, "put", 1.0), (1L, 20L, 2L, "del", 0.0),
+      // key 2: delete then re-insert -> survives with the later value
+      (2L, 10L, 3L, "del", 0.0), (2L, 30L, 4L, "put", 7.5),
+      // key 3: same version, tiebreak decides
+      (3L, 10L, 5L, "put", 1.0), (3L, 10L, 6L, "put", 2.0)
+    ).toDF("k", "v", "id", "op", "value")
+    val out = GraftOps.cdcMerge(changes, col("k"), col("v"), col("id"),
+        col("op"), col("value"), deleteOp = "del")
+      .orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (2L, 2L, 30L, "put", 7.5),
+      (3L, 2L, 10L, "put", 2.0)))
+  }
+}
