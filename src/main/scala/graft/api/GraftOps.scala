@@ -75,14 +75,25 @@ object GraftOps {
   def dedupNear(df: DataFrame, key: Column, text: Column,
                 perms: Int = 16, bands: Int = 8,
                 threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(df, key, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(
+      bucketPairs(bandTable(sh, perms, bands),
+        Seq(col("band"), col("bkey"))),
+      sh, threshold)
+  }
+
+  /** (doc_id, band, bkey) LSH band table of a shingle table — the
+    * candidate-generation key shared by [[dedupNear]] (self-dedup) and
+    * [[dedupIncremental]] (delta-vs-corpus). Signature via the tall form:
+    * explode once, ONE md5 per row, then `perms` codegen'd min(BIGINT)
+    * aggregates (map-side combined) — no interpreted nested-lambda
+    * minhash, no string-buffer SortAggregate.
+    */
+  private def bandTable(sh: DataFrame, perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
     require(perms <= 20, "multiplier 2p+1 <= 39 keeps hv*(2p+1) under 2^54 (no BIGINT overflow)")
     val rowsPerBand = perms / bands
-    val sh = shingleTable(df, key, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Signature via the tall form: explode once, ONE md5 per row, then
-    // `perms` codegen'd min(BIGINT) aggregates (map-side combined) — no
-    // interpreted nested-lambda minhash, no string-buffer SortAggregate.
     val tall = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("hv"))
@@ -95,11 +106,83 @@ object GraftOps {
             col(s"s${b * rowsPerBand + r}").cast("string")): _*))
           .as("bkey"))
     }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    verifyJaccard(bucketPairs(banded, Seq(col("band"), col("bkey"))),
-      sh, threshold)
+  }
+
+  /** Incremental dedup — the continuous-ingestion shape: flag each DELTA
+    * document that duplicates the EXISTING corpus, exactly (fingerprint
+    * match) or nearly (MinHash/LSH + exact-Jaccard >= threshold). The
+    * candidate join is delta-bands × existing-bands only: delta-internal
+    * duplicates are deliberately NOT flagged (run [[dedupNear]] on the
+    * delta for that), and the existing corpus is never self-joined — at
+    * 100 TB the corpus side contributes one band scan + one equi-join
+    * probe, no quadratic term. Returns every delta doc with dup_exact /
+    * dup_near / keep flags.
+    */
+  def dedupIncremental(existing: DataFrame, delta: DataFrame, key: Column,
+                       text: Column, perms: Int = 16, bands: Int = 8,
+                       threshold: Double = 0.8): DataFrame = {
+    val exFp = existing.select(sha2(text, 256).as("fp")).distinct()
+    val dupExact = delta.select(key.as("doc_id"), sha2(text, 256).as("fp"))
+      .join(exFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("de"))
+    val shD = shingleTable(delta, key, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shE = shingleTable(existing, key, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandTable(shD, perms, bands)
+      .join(bandTable(shE, perms, bands)
+        .withColumnRenamed("doc_id", "exist_id"), Seq("band", "bkey"))
+      .select(col("doc_id").as("doc_a"), col("exist_id").as("doc_b"))
+      .distinct()
+    val dupNear = cand
+      .join(shD.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
+        "doc_a")
+      .join(shE.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        "doc_b")
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double")
+        / size(array_union(col("sa"), col("sb"))) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(1L).as("dn"))
+    delta.select(key.as("doc_id"))
+      .join(dupExact, Seq("doc_id"), "left")
+      .join(dupNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("de"), lit(0L)).as("dup_exact"),
+        coalesce(col("dn"), lit(0L)).as("dup_near"))
+      .withColumn("keep",
+        when(col("dup_exact") === 0 && col("dup_near") === 0, 1L)
+          .otherwise(0L))
+  }
+
+  /** Unigram-LM perplexity scoring (the CCNet-style quality filter): the
+    * corpus itself is the training set — add-one-smoothed unigram
+    * probabilities p(w) = (c(w)+1)/(total+|V|), each doc scored by its
+    * mean negative log-likelihood and perplexity exp(nll/n). Shapes: one
+    * (doc,term) tf aggregate, one term-count aggregate over it (both
+    * partial+final), the LM table equi-joined back on term (broadcast
+    * when the vocabulary is bounded), corpus totals a 1-row broadcast.
+    * High score = far from the corpus distribution = filter candidate.
+    */
+  def perplexity(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val d = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) > 0)
+    val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val st = tc.agg(sum(col("c")).as("total"), count(lit(1)).as("vocab"))
+    tf.join(tc, "term")
+      .crossJoin(broadcast(st))
+      .withColumn("nlp",
+        -log((col("c") + 1.0) / (col("total") + col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("nlp") * col("tf")).as("nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll") / col("n_tokens"), 6).as("avg_nll"),
+        round(exp(col("nll") / col("n_tokens")), 6).as("ppl"))
   }
 
   /** Candidate i<j pairs from a blocked/bucketed member table holding a

@@ -72,11 +72,46 @@ object CurateQueries extends QueryPack {
         col("last_version").as("last_ts"), col("last_op").as("last_type"),
         round(col("last_value"), 6).as("last_value"))
 
+  /** x_dedup_incr: incremental dedup — the delta batch (doc_id % 5 == 0
+    * stands in for "today's crawl") flagged against the existing corpus
+    * (the other 80%), exactly and nearly. Candidates are delta-bands ×
+    * existing-bands only — the existing corpus is never self-joined.
+    */
+  def dedupIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    GraftOps.dedupIncremental(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      col("doc_id"), col("text"))
+  }
+
+  /** x_perplexity: corpus-trained add-one unigram LM, per-doc mean NLL and
+    * perplexity — the CCNet-style quality-filter signal.
+    */
+  def perplexity(s: SparkSession, d: String): DataFrame =
+    GraftOps.perplexity(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  /** x_dedup_embed_cluster: semantic duplicate clusters — connected
+    * components over the embedding-cosine near-dup pairs; the semantic
+    * analog of x_dedup_cluster, composed from the same two operators.
+    */
+  def dedupEmbedCluster(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.clusterPairs(
+      GraftOps.dedupEmbed(emb, col("vec_id"), col("embedding"),
+          planes = GraftOps.planesFor(emb.count(), 64), dim = 64,
+          threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dedup_para" -> dedupPara,
     "x_mix_domain" -> mixDomain,
     "x_bm25" -> bm25,
-    "q_cdc_merge" -> cdcMerge
+    "q_cdc_merge" -> cdcMerge,
+    "x_dedup_incr" -> dedupIncr,
+    "x_perplexity" -> perplexity,
+    "x_dedup_embed_cluster" -> dedupEmbedCluster
   )
 
   val oracle = Map(
@@ -151,6 +186,100 @@ object CurateQueries extends QueryPack {
         |  FROM sc)
         |SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 10""".stripMargin,
+    "x_dedup_incr" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |exfp AS (
+        |  SELECT DISTINCT sha256(text) fp FROM documents WHERE doc_id % 5 <> 0),
+        |dex AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND sha256(text) IN (SELECT fp FROM exfp)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |dnear AS (
+        |  SELECT DISTINCT da AS doc_id FROM cand
+        |  JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
+        |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM dex)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS dup_exact,
+        |  CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM dnear)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS dup_near,
+        |  CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM dex)
+        |         OR d.doc_id IN (SELECT doc_id FROM dnear)
+        |       THEN 0 ELSE 1 END AS BIGINT) AS keep
+        |FROM documents d WHERE d.doc_id % 5 = 0""".stripMargin,
+    "x_perplexity" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w FROM ws WHERE len(w) > 0),
+        |tf AS (
+        |  SELECT doc_id, t.term, count(*) tf
+        |  FROM d, unnest(w) t(term) GROUP BY 1, 2),
+        |tc AS (SELECT term, CAST(sum(tf) AS BIGINT) c FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) total, count(*) vocab FROM tc),
+        |nll AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tokens,
+        |    sum(-ln((c + 1.0) / (total + vocab)) * tf) nll
+        |  FROM tf JOIN tc USING (term) CROSS JOIN st GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(nll / n_tokens, 6) AS avg_nll,
+        |  round(exp(nll / n_tokens), 6) AS ppl
+        |FROM nll""".stripMargin,
+    "x_dedup_embed_cluster" ->
+      """WITH RECURSIVE np AS (
+        |  SELECT coalesce(min(p), 30) p FROM range(2, 31) t(p)
+        |  WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT count(*) FROM embeddings)),
+        |planes AS (
+        |  SELECT j,
+        |    [CASE WHEN CAST(('0x' || substr(md5(concat(CAST(j AS VARCHAR), ',', CAST(d AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] h
+        |  FROM range(0, 31) t(j), np WHERE j < p),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |buck AS (
+        |  SELECT vec_id, v,
+        |    string_agg(CASE WHEN list_dot_product(v, h) >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) bucket
+        |  FROM emb CROSS JOIN planes GROUP BY vec_id, v),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (
+        |  SELECT va s, vb d2 FROM pairs UNION SELECT vb, va FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS doc FROM edges),
+        |reach(doc, lab) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.s, r.lab FROM reach r JOIN edges e ON e.d2 = r.doc),
+        |lbl AS (
+        |  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc)
+        |SELECT l.doc_id, l.cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
+        |  CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+        |FROM lbl l""".stripMargin,
     "q_cdc_merge" ->
       """WITH r AS (
         |  SELECT user_id, ts, event_id, event_type, value,

@@ -82,6 +82,41 @@ class CurateOpsSpec extends SparkSpec {
     assert(s1 > s2 && s2 > 0.0)
   }
 
+  test("dedupIncremental flags delta-vs-corpus dups, not delta-internal") {
+    import spark.implicits._
+    val mk = (n: Int) => (0 until 60).map(i => s"w${(i * n) % 7}x$i").mkString(" ")
+    val existing = Seq((1L, mk(1)), (2L, mk(2))).toDF("id", "txt")
+    val delta = Seq(
+      (10L, mk(1)),                       // exact copy of existing 1
+      (11L, mk(2) + " tailword"),         // near copy of existing 2
+      (12L, mk(5)),                       // fresh
+      (13L, mk(6)), (14L, mk(6))          // delta-internal dup pair: both kept
+    ).toDF("id", "txt")
+    val out = GraftOps.dedupIncremental(existing, delta, col("id"), col("txt"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (10L, 1L, 1L, 0L),   // exact dup is also a trivial near dup
+      (11L, 0L, 1L, 0L),
+      (12L, 0L, 0L, 1L),
+      (13L, 0L, 0L, 1L),
+      (14L, 0L, 0L, 1L)))
+  }
+
+  test("perplexity computes add-one unigram NLL exactly") {
+    import spark.implicits._
+    // corpus tokens: a a b -> p(a)=(2+1)/(3+2)=0.6, p(b)=(1+1)/5=0.4
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("id", "txt")
+    val out = GraftOps.perplexity(docs, col("id"), col("txt"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 1L))
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(out(0).getDouble(2) === r6(-math.log(0.6)))
+    assert(out(1).getDouble(2) === r6(-math.log(0.4)))
+    assert(out(0).getDouble(3) === r6(1.0 / 0.6))
+    assert(out(1).getDouble(3) === r6(2.5))
+  }
+
   test("cdcMerge: last write wins, trailing delete erases the key") {
     import spark.implicits._
     val changes = Seq(
