@@ -105,6 +105,39 @@ class PlanSpec extends SparkSpec {
       "x_pack must not funnel through one partition")
   }
 
+  test("x_dedup_incr contains no cartesian/nested-loop stage") {
+    val p = planOf(SparkEntry.queries("x_dedup_incr")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x_bm25 plans the global top-k as TakeOrderedAndProject") {
+    val p = planOf(SparkEntry.queries("x_bm25")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "bm25 top-k must not be a full global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_mix_domain never sorts; the rate join is broadcast") {
+    val p = planOf(SparkEntry.queries("x_mix_domain")(spark, sf))
+    assert(!p.contains("Sort "), "rate-based mixing must not sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-domain rate table should broadcast back")
+  }
+
+  test("q_cdc_merge does partial aggregation before the key exchange") {
+    val p = planOf(SparkEntry.queries("q_cdc_merge")(spark, sf))
+    assert(!p.contains("Window"), "cdc merge must not window the changelog")
+    // max_by(struct) plans as SortAggregate — partial (pre-Exchange) +
+    // final, so the shuffle carries one row per key per partition
+    assert("SortAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregate pair")
+  }
+
+  test("x_dedup_para: boilerplate set equi-joins back (no nested loop)") {
+    val p = planOf(SparkEntry.queries("x_dedup_para")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_group_agg does map-side partial aggregation (combiner)") {
     val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
     assert(p.contains("HashAggregate"), "expected hash aggregation")
