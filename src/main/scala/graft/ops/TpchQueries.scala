@@ -60,10 +60,55 @@ object TpchQueries extends QueryPack {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Q7 volume shipping: revenue between two nations per direction and
+    * ship year — the disjunctive nation-pair predicate stresses join
+    * planning (it cannot be pushed to either scan alone).
+    */
+  def q7(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("sn_key"))
+      .join(Tables.nation(s, d).select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation")), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  /** Q18 large-volume customers: orders whose total quantity clears a
+    * threshold — the group-having semi-join + top-N pattern.
+    */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+      .select(col("l_orderkey").as("big_okey"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_tpch_q3" -> q3,
     "q_tpch_q5" -> q5,
-    "q_tpch_q10" -> q10
+    "q_tpch_q7" -> q7,
+    "q_tpch_q10" -> q10,
+    "q_tpch_q18" -> q18
   )
 
   val oracle = Map(
@@ -91,6 +136,33 @@ object TpchQueries extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10')
+        |    OR (sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
