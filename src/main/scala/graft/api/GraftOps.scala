@@ -878,6 +878,34 @@ object GraftOps {
       .select(col("key"), col("n_changes"), col("m.v").as("last_version"),
         col("m.op").as("last_op"), col("m.value").as("last_value"))
 
+  /** Deterministic frame sampling over a multimodal media table: every
+    * `stride`-th frame index up to `maxFrames` samples per document, with
+    * the millisecond timestamp at a fixed 25 fps. Pure per-row array math
+    * (sequence → posexplode) — zero shuffles, the same shape as
+    * [[chunkDocs]] — so it runs at scan speed on any corpus size. The
+    * per-frame "decode" is the project's documented deterministic stub
+    * (md5 of payload-fingerprint + frame index — this container has no
+    * video libs); the Spark-side plumbing (metadata-driven index
+    * generation, explode shape, per-frame keying) is the real, tested
+    * part, exactly like [[MultimodalDecode]].
+    */
+  def sampleFrames(df: DataFrame, key: Column, fingerprint: Column,
+                   nFrames: Column, stride: Int, maxFrames: Int): DataFrame = {
+    require(stride > 0 && maxFrames > 0)
+    df.select(key.as("doc_id"), fingerprint.as("fp"),
+        nFrames.cast("long").as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("fp"),
+        posexplode(sequence(lit(0L),
+          least(col("nf") - 1, lit(((maxFrames - 1) * stride).toLong)),
+          lit(stride.toLong))))
+      .select(col("doc_id"), col("pos").cast("long").as("sample_ord"),
+        col("col").as("frame_idx"),
+        (col("col") * 40L).as("ts_ms"),
+        md5(concat(col("fp"), lit(":"), col("col").cast("string")))
+          .as("frame_md5"))
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** Exact cosine top-k of every probe against the corpus. The probe set

@@ -104,7 +104,22 @@ object CurateQueries extends QueryPack {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
   }
 
+  /** x_frame_sample: multimodal frame sampling — frame count derived from
+    * the payload (md5 window, 16..79 frames at a nominal 25 fps), every
+    * 8th frame sampled, at most 8 samples per doc. The decode is the
+    * documented deterministic stub; the metadata→index→explode plumbing
+    * is the real part.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    GraftOps.sampleFrames(
+      Tables.documents(s, d),
+      col("doc_id"),
+      sha2(col("text").cast("binary"), 256),
+      conv(substring(md5(col("text")), 9, 4), 16, 10).cast("long") % 64 + 16,
+      stride = 8, maxFrames = 8)
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_frame_sample" -> frameSample,
     "x_dedup_para" -> dedupPara,
     "x_mix_domain" -> mixDomain,
     "x_bm25" -> bm25,
@@ -186,6 +201,20 @@ object CurateQueries extends QueryPack {
         |  FROM sc)
         |SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 10""".stripMargin,
+    "x_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, sha256(text) fp,
+        |    CAST(('0x' || substr(md5(text), 9, 4)) AS BIGINT) % 64 + 16 nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, fp,
+        |    unnest(range(0, least(nf, 57), 8)) frame_idx
+        |  FROM m WHERE nf > 0)
+        |SELECT doc_id, CAST(frame_idx // 8 AS BIGINT) AS sample_ord,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+        |  md5(concat(fp, ':', CAST(frame_idx AS VARCHAR))) AS frame_md5
+        |FROM fr""".stripMargin,
     "x_dedup_incr" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

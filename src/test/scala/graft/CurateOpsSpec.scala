@@ -117,6 +117,23 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(1).getDouble(3) === r6(2.5))
   }
 
+  test("sampleFrames emits every stride-th index, capped at maxFrames") {
+    import spark.implicits._
+    val media = Seq((1L, "fpA", 3L), (2L, "fpB", 20L), (3L, "fpC", 100L))
+      .toDF("id", "fp", "nf")
+    val out = GraftOps.sampleFrames(media, col("id"), col("fp"), col("nf"),
+        stride = 8, maxFrames = 4)
+      .groupBy("doc_id")
+      .agg(collect_list(col("frame_idx")).as("idx"),
+        max(col("ts_ms")).as("maxts"))
+      .orderBy("doc_id").collect()
+    // nf=3 -> only frame 0; nf=20 -> 0,8,16; nf=100 -> capped at 4 samples
+    assert(out(0).getSeq[Long](1).sorted === Seq(0L))
+    assert(out(1).getSeq[Long](1).sorted === Seq(0L, 8L, 16L))
+    assert(out(2).getSeq[Long](1).sorted === Seq(0L, 8L, 16L, 24L))
+    assert(out(2).getLong(2) === 24L * 40L)
+  }
+
   test("cdcMerge: last write wins, trailing delete erases the key") {
     import spark.implicits._
     val changes = Seq(
