@@ -54,6 +54,18 @@ object PlanDump {
       "struct buffer sorts locally per partition before the partial); " +
       "the shuffle carries one row per key per partition, never the full " +
       "changelog through a window"),
+    "x_dedup_substr" -> ("Substring-level exact dedup — sliding-window " +
+      "hashes collapse to (doc, hash) counts map-side, one hash shuffle " +
+      "for corpus totals, dup set equi-joins back; no all-pairs stage"),
+    "x_bpe_stats" -> ("BPE pair statistics — pairs enumerated over the " +
+      "DISTINCT word table (bounded by vocabulary) weighted by word " +
+      "frequency; TakeOrderedAndProject top-k"),
+    "x_rank_fusion" -> ("Hybrid retrieval RRF — BM25 and dense cosine " +
+      "top-k lists (both TakeOrderedAndProject), exact-integer " +
+      "reciprocal-rank fusion over the bounded union"),
+    "x_knn_graph" -> ("Corpus k-NN graph — IVF cell assignment (bounded " +
+      "centroid BNLJ is intentional), cell equi-self-join, per-vector " +
+      "top-k window; O(n^1.5) candidates, never n^2"),
     "q_etl_bulkload" -> "Bulk load — RangePartitioner sample + per-partition sort write",
     "s_tumbling" -> "Tumbling event-time window (same plan batch or streaming)"
   )

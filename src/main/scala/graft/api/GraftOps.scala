@@ -383,6 +383,50 @@ object GraftOps {
     verifyJaccard(cand, sh, threshold).distinct()
   }
 
+  /** Exact duplicate-SPAN detection — the substring-level dedup signal
+    * (the "dedup at the span level, not the document level" move from the
+    * train-data-dedup literature): slide a `window`-token window over
+    * every document, hash each window, and flag the windows whose hash
+    * occurs at least twice corpus-wide (cross-doc boilerplate AND
+    * in-doc repetition both count — a span repeated inside one document
+    * is just as memorizable). Reports per doc: total windows, duplicated
+    * windows, the duplicated fraction, and a >= 20% `flagged` gate (exact
+    * integer compare). Docs shorter than `window` tokens have no window
+    * and are excluded — they cannot carry a duplicated span.
+    *
+    * Scale shape: windows never materialize as a corpus-wide string table
+    * — each doc's windows collapse to (doc, hash) counts in one map-side-
+    * combined aggregate, the corpus-wide occurrence total is a second agg
+    * on the hash, and the dup set equi-joins back. Window construction is
+    * per-row array math ([[graft.functions.TextFns.gramsN]]); total work
+    * is O(tokens x window) with no shuffle bigger than one row per
+    * distinct (doc, hash).
+    */
+  def dedupSubstrings(df: DataFrame, key: Column, text: Column,
+                      window: Int): DataFrame = {
+    val base = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= window)
+    val perDoc = base
+      .select(col("doc_id"),
+        explode(TextFns.gramsN(col("w"), window)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupTotals = perDoc.groupBy(col("h")).agg(sum(col("c")).as("tot"))
+      .filter(col("tot") >= 2)
+    val dupPerDoc = perDoc.join(dupTotals, "h")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup"))
+    base.select(col("doc_id"),
+        (size(col("w")) - window + 1).cast("long").as("n_windows"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / col("n_windows"), 6).as("dup_frac"),
+        (coalesce(col("n_dup"), lit(0L)) * 5 >= col("n_windows"))
+          .cast("int").as("flagged"))
+  }
+
   /** Hyperplane count for an LSH bucketing sized to the corpus: the
     * smallest p in [2, 30] with 2^p buckets of expected size <=
     * `targetBucket`. Exact integer math (no float log2), so any oracle can
@@ -858,6 +902,82 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Tokenizer-prep pair statistics — the corpus scan behind a BPE
+    * tokenizer's first merge decision: the frequency of every adjacent
+    * character pair, weighted by word occurrence. The classic BPE-training
+    * optimization is built in: pairs are enumerated over the DISTINCT word
+    * table (bounded by vocabulary, not corpus size) and weighted by the
+    * word's corpus frequency, so a 100-TB corpus costs one token shuffle
+    * to word counts plus pair work proportional to the vocabulary only.
+    * Top-k by weighted count with the pair string as the deterministic
+    * tiebreak; the rank window runs on k rows after TakeOrderedAndProject.
+    */
+  def bpePairStats(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k > 0)
+    val wf = df.select(explode(TextFns.tokens(text)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("wf"))
+    val top = wf.filter(length(col("term")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair").asc))
+        .cast("long"))
+  }
+
+  /** Dense retrieval: exact cosine top-k of the corpus against ONE probe
+    * vector (given by key). The probe row broadcasts; the corpus streams
+    * through one map-side cosine + TakeOrderedAndProject — no shuffle
+    * proportional to the corpus. Ranking uses the ROUNDED cosine with the
+    * key tiebreak (the x_sim_* discipline), so rank order is replayable
+    * wherever the similarity agrees to 6 decimals.
+    */
+  def denseTopK(emb: DataFrame, key: Column, vec: Column, probeKey: Long,
+                k: Int): DataFrame = {
+    val e = emb.select(key.as("vec_id"), VectorFns.toDoubles(vec).as("v"))
+    val probe = e.filter(col("vec_id") === probeKey).select(col("v").as("pv"))
+    val top = e.filter(col("vec_id") =!= probeKey)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), round(expr("cosine_sim(v, pv)"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id").asc))
+        .cast("long"))
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a dense ranking — the hybrid
+    * retrieval combiner. Each list contributes floor(10^12 / (kRrf +
+    * rank)) points per doc: the standard 1/(k+rank) RRF weight scaled to
+    * an exact integer, so scores (and therefore the fused order) are
+    * bit-identical across engines — no float reciprocal can diverge in
+    * the last ulp and flip a rank. Inputs are top-k lists (bounded), so
+    * every stage here is driver-safe at any corpus size; a doc missing
+    * from one list simply contributes nothing and reports rank 0.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+              kRrf: Int = 60): DataFrame = {
+    val contrib = lex.select(col("doc_id"), lit("lex").as("src"), col("rank"))
+      .unionByName(
+        dense.select(col("doc_id"), lit("dense").as("src"), col("rank")))
+      .withColumn("pts", expr(s"1000000000000 div ($kRrf + rank)"))
+    val fused = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("pts")).as("rrf_score"),
+        coalesce(max(when(col("src") === "lex", col("rank"))), lit(0L))
+          .as("lex_rank"),
+        coalesce(max(when(col("src") === "dense", col("rank"))), lit(0L))
+          .as("dense_rank"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+    fused.withColumn("fused_rank",
+      row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id").asc))
+        .cast("long"))
+  }
+
   /** CDC / changelog merge (WALPlayer's batch analog): replay a stream of
     * keyed change records to final state — last write wins by the
     * (version, tiebreak) order, and a key whose LAST record is a delete
@@ -1053,6 +1173,40 @@ object GraftOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("vec_id"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** k-NN GRAPH over the whole corpus — each vector's k nearest neighbors
+    * by exact cosine, candidates restricted to the vector's own IVF cell
+    * (the [[ivfTopK]] coarse quantizer, shared [[assignCells]] tie-break).
+    * The graph every embedding-space pipeline builds before clustering /
+    * graph-based dedup / diversity sampling. A brute-force k-NN graph is
+    * an n x n self-join — the canonical embedding-scale killer; cell
+    * restriction bounds the per-cell join at ~sqrt(n) rows (nlist ~
+    * sqrt(n)), so total candidate work is O(n^1.5), shuffled once on the
+    * cell id. Recall beyond the cell boundary is the standard IVF trade —
+    * raise nlist-vs-nprobe or re-rank across neighboring cells when the
+    * application needs it; the operator's contract (replayed exactly by
+    * the oracle) is "exact top-k WITHIN the cell".
+    */
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int): DataFrame = {
+    val emb = corpus.select(col("vec_id"),
+      VectorFns.toDoubles(col("embedding")).as("v"))
+    val cent = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // both legs of the self-join read the assignment — persist it, or the
+    // broadcast-argmax subtree (the expensive scan) executes twice.
+    val a = assignCells(emb, cent)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"),
+        round(expr("cosine_sim(x.v, y.v)"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cos_sim"),
         col("rank").cast("long").as("rank"))
   }
 

@@ -27,23 +27,31 @@ object TextFns {
       .otherwise(split(t, "\\s+"))
   }
 
-  /** All 2-word grams of a token array WITH duplicates preserved — the
-    * input to repetition statistics, where occurrence counts are the whole
-    * point (contrast [[shingles3]], which deduplicates for set-Jaccard).
-    * Same zip-with-shifted-self shape as shingles3 for the same codegen
-    * reason; the trailing null pair is filtered.
+  /** All n-word grams of a token array WITH duplicates preserved — the
+    * input to repetition statistics and duplicate-span detection, where
+    * occurrence counts are the whole point (contrast [[shingles3]], which
+    * deduplicates for set-Jaccard). Built by folding zip-with-shifted-self
+    * n-1 times: each step extends every gram by the next word, `words`
+    * only ever appears as a top-level array argument (evaluated once per
+    * row — the shingles3 codegen rationale), and a shorter-than-n tail
+    * pairs with null, whose concat propagates null into the gram that the
+    * final filter drops. <n tokens therefore yields [] with no
+    * special-casing.
     */
-  def grams2(words: Column): Column =
-    filter(zip_with(words, slice(words, lit(2), size(words)),
-      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
-
-  /** All 3-word grams with duplicates preserved — see [[grams2]]. */
-  def grams3(words: Column): Column = {
-    val w12 = zip_with(words, slice(words, lit(2), size(words)),
-      (a, b) => concat(a, lit(" "), b))
-    filter(zip_with(w12, slice(words, lit(3), size(words)),
-      (ab, c) => concat(ab, lit(" "), c)), x => x.isNotNull)
+  def gramsN(words: Column, n: Int): Column = {
+    require(n >= 2, "a 1-gram is the token array itself")
+    val g = (2 to n).foldLeft(words) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k), size(words)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(g, x => x.isNotNull)
   }
+
+  /** All 2-word grams with duplicates preserved — see [[gramsN]]. */
+  def grams2(words: Column): Column = gramsN(words, 2)
+
+  /** All 3-word grams with duplicates preserved — see [[gramsN]]. */
+  def grams3(words: Column): Column = gramsN(words, 3)
 
   /** Distinct 3-word shingles of a token array, built by zipping the array
     * with its own 1- and 2-shifted slices. Deliberately NOT the

@@ -118,6 +118,45 @@ object CurateQueries extends QueryPack {
       conv(substring(md5(col("text")), 9, 4), 16, 10).cast("long") % 64 + 16,
       stride = 8, maxFrames = 8)
 
+  /** x_dedup_substr: substring-level exact dedup — 16-token sliding
+    * windows hashed, spans occurring >= 2 times corpus-wide flagged,
+    * per-doc duplicated-window fraction + a 20% flag. The span-level
+    * memorization signal document-level dedup misses.
+    */
+  def dedupSubstr(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupSubstrings(Tables.documents(s, d), col("doc_id"),
+      col("text"), window = 16)
+
+  /** x_bpe_stats: tokenizer-prep corpus statistics — adjacent character
+    * pairs weighted by word frequency (the first BPE merge decision),
+    * enumerated over the distinct-word table so pair work is bounded by
+    * vocabulary, not corpus size.
+    */
+  def bpeStats(s: SparkSession, d: String): DataFrame =
+    GraftOps.bpePairStats(Tables.documents(s, d), col("text"), k = 50)
+
+  /** x_rank_fusion: hybrid retrieval — BM25 top-20 (lexical) fused with
+    * cosine top-20 against the vec_id-0 probe (dense, doc_id == vec_id in
+    * the fixtures) by exact-integer reciprocal-rank fusion.
+    */
+  def rankFusion(s: SparkSession, d: String): DataFrame = {
+    val lex = GraftOps.bm25Rank(Tables.documents(s, d), col("doc_id"),
+      col("text"), terms = Seq("spark", "table", "merge"), k = 20)
+    val dense = GraftOps.denseTopK(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), probeKey = 0L, k = 20)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    GraftOps.rrfFuse(lex, dense, k = 10)
+  }
+
+  /** x_knn_graph: the corpus-wide k-NN graph (k=5) over embeddings,
+    * candidates bounded to each vector's IVF cell — the pre-clustering /
+    * graph-dedup neighborhood structure at O(n^1.5), never n^2.
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.knnGraph(emb, k = 5, nlist = GraftOps.nlistFor(emb.count()))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_frame_sample" -> frameSample,
     "x_dedup_para" -> dedupPara,
@@ -126,10 +165,119 @@ object CurateQueries extends QueryPack {
     "q_cdc_merge" -> cdcMerge,
     "x_dedup_incr" -> dedupIncr,
     "x_perplexity" -> perplexity,
-    "x_dedup_embed_cluster" -> dedupEmbedCluster
+    "x_dedup_embed_cluster" -> dedupEmbedCluster,
+    "x_dedup_substr" -> dedupSubstr,
+    "x_bpe_stats" -> bpeStats,
+    "x_rank_fusion" -> rankFusion,
+    "x_knn_graph" -> knnGraph
   )
 
   val oracle = Map(
+    "x_dedup_substr" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) nw FROM ws WHERE len(w) >= 16),
+        |wins AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 15), ' ')) h
+        |  FROM d, unnest(generate_series(1, nw - 15)) t(i)),
+        |pd AS (SELECT doc_id, h, count(*) c FROM wins GROUP BY 1, 2),
+        |tot AS (SELECT h FROM pd GROUP BY h HAVING sum(c) >= 2),
+        |dup AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_dup
+        |  FROM pd JOIN tot USING (h) GROUP BY 1)
+        |SELECT d.doc_id, CAST(nw - 15 AS BIGINT) AS n_windows,
+        |  coalesce(n_dup, 0) AS n_dup_windows,
+        |  round(coalesce(n_dup, 0) / CAST(nw - 15 AS DOUBLE), 6) AS dup_frac,
+        |  CAST(coalesce(n_dup, 0) * 5 >= nw - 15 AS INT) AS flagged
+        |FROM d LEFT JOIN dup USING (doc_id)""".stripMargin,
+    "x_bpe_stats" ->
+      """WITH toks AS (
+        |  SELECT unnest(
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != '']) term
+        |  FROM documents),
+        |wf AS (SELECT term, count(*) wf FROM toks GROUP BY 1),
+        |pairs AS (
+        |  SELECT substr(term, i, 2) pair, wf
+        |  FROM wf, unnest(generate_series(1, length(term) - 1)) t(i)
+        |  WHERE length(term) >= 2),
+        |agg AS (SELECT pair, CAST(sum(wf) AS BIGINT) n_occurrences
+        |  FROM pairs GROUP BY 1),
+        |top AS (SELECT pair, n_occurrences FROM agg
+        |  ORDER BY n_occurrences DESC, pair LIMIT 50)
+        |SELECT pair, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT)
+        |    AS rank
+        |FROM top""".stripMargin,
+    "x_rank_fusion" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) dl FROM ws WHERE len(w) > 0),
+        |st AS (SELECT count(*) n, CAST(sum(dl) AS BIGINT) sdl FROM d),
+        |tf AS (SELECT doc_id, dl, t.term, count(*) tf
+        |  FROM d, unnest(w) t(term)
+        |  WHERE t.term IN ('spark', 'table', 'merge') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1)
+        |      / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sdl AS DOUBLE) / n)))) s
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN st GROUP BY doc_id),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) rank
+        |  FROM sc QUALIFY rank <= 20),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |pv AS (SELECT v pv FROM emb WHERE vec_id = 0),
+        |dcs AS (SELECT vec_id,
+        |    round(list_dot_product(v, pv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6)
+        |      cs
+        |  FROM emb, pv WHERE vec_id <> 0),
+        |dense AS (SELECT vec_id doc_id,
+        |    row_number() OVER (ORDER BY cs DESC, vec_id) rank
+        |  FROM dcs QUALIFY rank <= 20),
+        |contrib AS (
+        |  SELECT doc_id, 'lex' src, rank FROM lex
+        |  UNION ALL SELECT doc_id, 'dense', rank FROM dense),
+        |fused AS (
+        |  SELECT doc_id, CAST(sum(1000000000000 // (60 + rank)) AS BIGINT)
+        |      rrf_score,
+        |    CAST(coalesce(max(CASE WHEN src = 'lex' THEN rank END), 0) AS BIGINT)
+        |      lex_rank,
+        |    CAST(coalesce(max(CASE WHEN src = 'dense' THEN rank END), 0)
+        |      AS BIGINT) dense_rank
+        |  FROM contrib GROUP BY doc_id),
+        |top AS (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10)
+        |SELECT doc_id, rrf_score, lex_rank, dense_rank,
+        |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+        |    fused_rank
+        |FROM top""".stripMargin,
+    "x_knn_graph" ->
+      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (SELECT vec_id, v, cid AS cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cid DESC) rn
+        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |pr AS (SELECT x.vec_id src_id, y.vec_id nbr_id,
+        |    round(list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v))
+        |         * sqrt(list_dot_product(y.v, y.v))), 6) cos_sim
+        |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        |rk AS (SELECT src_id, nbr_id, cos_sim,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id)
+        |      rnk FROM pr)
+        |SELECT src_id, nbr_id, cos_sim, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 5""".stripMargin,
     "x_dedup_para" ->
       """WITH ws AS (
         |  SELECT doc_id, source,

@@ -103,12 +103,87 @@ object TpchQueries extends QueryPack {
       .limit(100)
   }
 
+  /** Q6 forecasting-revenue change: the one-table scan+agg whose entire
+    * cost is how much of the filter reaches the parquet reader — date
+    * range, discount band and quantity cap are all pushable.
+    */
+  def q6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** Q14 promotion effect: conditional aggregation over one month's
+    * lineitem x part join (the fixture's p_type is the plain 'PROMO'
+    * category, so the LIKE prefix of spec-TPC-H becomes an equality).
+    */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-08-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+        sum(rev), 4).as("promo_revenue"))
+  }
+
+  /** Q17 small-quantity-order revenue: the correlated per-part average
+    * as a self-aggregate join. The 20%-of-average test runs in exact
+    * BIGINT math (quantities are integral): qty*5*n < sum(qty) is
+    * qty < 0.2*avg with no float boundary for either engine to flake on.
+    */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val pa = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"),
+        count(lit(1)).as("nq"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_brand") === "Brand#5" &&
+        col("p_type") === "SMALL"), col("l_partkey") === col("p_partkey"))
+      .join(pa, "l_partkey")
+      .filter(col("l_quantity").cast("long") * 5 * col("nq") < col("sq"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q22 global-sales opportunity: above-average-balance customers with
+    * no RECENT orders (the fixture has no order-free customers, so the
+    * anti-join gets a date cutoff), grouped by nation. Balance math runs
+    * in exact integer cents — round(bal*100) is within 1e-9 of an integer
+    * for every fixture row, so both engines land on the same cent and the
+    * above-average test (bal_cents * n > sum_cents) never touches a float
+    * boundary.
+    */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val pos = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(pos))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("bal_cents")) / 100.0, 2).as("totacctbal"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_tpch_q3" -> q3,
     "q_tpch_q5" -> q5,
+    "q_tpch_q6" -> q6,
     "q_tpch_q7" -> q7,
     "q_tpch_q10" -> q10,
-    "q_tpch_q18" -> q18
+    "q_tpch_q14" -> q14,
+    "q_tpch_q17" -> q17,
+    "q_tpch_q18" -> q18,
+    "q_tpch_q22" -> q22
   )
 
   val oracle = Map(
@@ -163,6 +238,45 @@ object TpchQueries extends QueryPack {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-08-01'""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sq,
+        |    count(*) nq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa USING (l_partkey)
+        |WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+        |  AND CAST(l_quantity AS BIGINT) * 5 * nq < sq""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) bal_cents
+        |  FROM customer),
+        |pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) sum_cents, count(*) n_pos
+        |  FROM cust WHERE bal_cents > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(bal_cents) / 100.0, 2) AS totacctbal
+        |FROM cust CROSS JOIN pos
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -153,4 +153,78 @@ class CurateOpsSpec extends SparkSpec {
       (2L, 2L, 30L, "put", 7.5),
       (3L, 2L, 10L, "put", 2.0)))
   }
+
+  test("dedupSubstrings flags cross-doc and in-doc repeated spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // 3 windows; shares "a b c" with doc 2
+      (2L, "x a b c y"),       // 3 windows; shares "a b c" with doc 1
+      (3L, "p q r p q r p q"), // 6 windows, every hash occurs twice in-doc
+      (4L, "m n o q"),         // 2 windows, both unique
+      (5L, "s t")              // < window tokens -> no window, excluded
+    ).toDF("doc_id", "text")
+    val out = GraftOps.dedupSubstrings(docs, col("doc_id"), col("text"),
+        window = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getInt(4))).toSeq ===
+      Seq((1L, 3L, 1L, 1), (2L, 3L, 1L, 1), (3L, 6L, 6L, 1),
+        (4L, 2L, 0L, 0)))
+    assert(out(2).getDouble(3) === 1.0) // doc 3 is 100% duplicated spans
+  }
+
+  test("bpePairStats weights char pairs by corpus word frequency") {
+    import spark.implicits._
+    // wf: ab->3, cd->1, abc->1. pairs: 'ab' from both 'ab'(3) and
+    // 'abc'(1) -> 4; 'bc' from 'abc' -> 1; 'cd' -> 1.
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab abc")).toDF("doc_id", "text")
+    val out = GraftOps.bpePairStats(docs, col("text"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("ab", 4L, 1L), ("bc", 1L, 2L), ("cd", 1L, 3L)))
+  }
+
+  test("rrfFuse: exact-integer RRF points, absentees rank 0") {
+    import spark.implicits._
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val dense = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val out = GraftOps.rrfFuse(lex, dense, k = 10)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 10^12 div 61 = 16393442622, 10^12 div 62 = 16129032258
+    assert(out.toSeq === Seq(
+      (2L, 16393442622L + 16129032258L, 2L, 1L, 1L), // in both lists
+      (1L, 16393442622L, 1L, 0L, 2L),
+      (3L, 16129032258L, 0L, 2L, 3L)))
+  }
+
+  test("knnGraph with one cell equals the brute-force k-NN graph") {
+    import spark.implicits._
+    val raw = (0 until 8).map { i =>
+      val t = i * 0.37
+      (i.toLong, Seq(math.cos(t).toFloat, math.sin(t).toFloat,
+        (0.1 * i).toFloat))
+    }
+    val vecs = raw.toDF("vec_id", "embedding")
+    val got = GraftOps.knnGraph(vecs, k = 3, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // brute force with the operator's exact arithmetic: float->double cast,
+    // sequential dot, round HALF_UP at 6
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (da, db) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = da.zip(db).map { case (x, y) => x * y }.sum
+      val c = dot / (math.sqrt(da.map(x => x * x).sum) *
+        math.sqrt(db.map(x => x * x).sum))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = raw.flatMap { case (i, vi) =>
+      raw.filter(_._1 != i)
+        .map { case (j, vj) => (j, cos(vi, vj)) }
+        .sortBy { case (j, c) => (-c, j) }
+        .take(3).zipWithIndex
+        .map { case ((j, c), r) => (i, j, c, (r + 1).toLong) }
+    }.toSet
+    assert(got === want)
+  }
 }

@@ -138,6 +138,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x_dedup_substr contains no cartesian/nested-loop stage") {
+    val p = planOf(SparkEntry.queries("x_dedup_substr")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x_bpe_stats: top-k is TakeOrderedAndProject over the vocab aggregate") {
+    val p = planOf(SparkEntry.queries("x_bpe_stats")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "pair top-k must not be a full global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_rank_fusion: both source lists plan bounded top-k, no cartesian") {
+    val p = planOf(SparkEntry.queries("x_rank_fusion")(spark, sf))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both the lexical and dense lists must be bounded-heap top-k")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_knn_graph: only the bounded centroid set nested-loops; the neighbor join is an equi-join on cell") {
+    val p = planOf(SparkEntry.queries("x_knn_graph")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian in knn graph")
+    assert(p.contains("cell"), "expected the cell equi-join")
+  }
+
+  test("q_tpch_q6 pushes its filters into the parquet scan") {
+    val df = SparkEntry.queries("q_tpch_q6")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_discount") || pushed.contains("l_quantity"),
+      s"filters not pushed: $pushed")
+  }
+
+  test("q_tpch_q22: anti-join stays hash-based; only the 1-row global aggregate nested-loops") {
+    val p = planOf(SparkEntry.queries("q_tpch_q22")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // AQE's toString prints the final plan then repeats the initial plan —
+    // count only the final section, or the one intentional BNLJ doubles.
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+      "only the broadcast 1-row aggregate may nested-loop")
+    assert(finalPlan.contains("LeftAnti"), "expected a hash-based anti-join")
+  }
+
   test("q_group_agg does map-side partial aggregation (combiner)") {
     val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
     assert(p.contains("HashAggregate"), "expected hash aggregation")
