@@ -929,6 +929,87 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Adjacent-pair PMI — the collocation statistic an embedding/phrase
+    * pipeline computes before training (word2vec-style "new_york" phrase
+    * merging): for the top-k most frequent adjacent token pairs (above a
+    * noise floor), pointwise mutual information ln(p(ab) / (p(a)p(b)))
+    * with p(ab) over adjacent-pair slots and p(a) over tokens. Counts are
+    * exact integers; only the final reported pmi is float, rounded at 6
+    * with ranking on the exact pair count — so order never rests on a
+    * float. Shapes: one token shuffle (unigrams), one pair shuffle
+    * (bigrams), then the bounded top-k list joins the unigram table twice
+    * (k-row side broadcasts; the vocab-sized side streams) and the 1-row
+    * totals broadcast.
+    */
+  def pmiPairs(df: DataFrame, text: Column, k: Int,
+               minCount: Long = 5): DataFrame = {
+    val toks = df.select(TextFns.tokens(text).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("uc"))
+    val top = toks.select(explode(TextFns.grams2(col("w"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("pc"))
+      .filter(col("pc") >= minCount)
+      .orderBy(col("pc").desc, col("p").asc)
+      .limit(k)
+      .select(col("p"), col("pc"),
+        split(col("p"), " ").getItem(0).as("a"),
+        split(col("p"), " ").getItem(1).as("b"))
+    val totals = toks.agg(
+      sum(size(col("w"))).cast("long").as("nt"),
+      sum(greatest(size(col("w")) - 1, lit(0))).cast("long").as("np"))
+    top
+      .join(uni.select(col("t").as("a"), col("uc").as("ua")), "a")
+      .join(uni.select(col("t").as("b"), col("uc").as("ub")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("p").as("pair"), col("pc").as("n_pair"),
+        col("ua").as("n_a"), col("ub").as("n_b"),
+        round(log((col("pc").cast("double") / col("np")) /
+          ((col("ua").cast("double") / col("nt")) *
+            (col("ub").cast("double") / col("nt")))), 6).as("pmi"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_pair").desc, col("pair").asc))
+          .cast("long"))
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing statistic: the
+    * top-k terms by corpus frequency with each prefix's cumulative share
+    * of all token occurrences (exact ppm integer). One token shuffle to
+    * term counts, TakeOrderedAndProject for the top-k, and the running
+    * sum + rank windows operate on the bounded k-row list only.
+    */
+  def vocabCoverage(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val counts = df.select(explode(TextFns.tokens(text)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val ord = Window.orderBy(col("cnt").desc, col("term").asc)
+    counts.orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum",
+        sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("term"), col("cnt"), col("rank"),
+        expr("cum * 1000000 div total").as("coverage_ppm"))
+  }
+
+  /** Token-length histogram — the sequence-length distribution a training
+    * pipeline reports before choosing context length and packing strategy.
+    * Fixed-width buckets in exact integer math, per-bucket doc share in
+    * ppm. One scan, one bounded groupBy (bucket count is range/width, not
+    * corpus-sized), 1-row total broadcast back.
+    */
+  def lengthHistogram(df: DataFrame, text: Column, width: Int): DataFrame = {
+    require(width > 0)
+    val h = df.select(size(TextFns.tokens(text)).cast("long").as("n"))
+    val tot = h.agg(count(lit(1)).as("nd"))
+    h.groupBy(expr(s"(n div $width) * $width").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_lo"), col("n_docs"), col("min_tokens"),
+        col("max_tokens"), expr("n_docs * 1000000 div nd").as("frac_ppm"))
+  }
+
   /** Dense retrieval: exact cosine top-k of the corpus against ONE probe
     * vector (given by key). The probe row broadcasts; the corpus streams
     * through one map-side cosine + TakeOrderedAndProject — no shuffle

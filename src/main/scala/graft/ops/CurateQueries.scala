@@ -157,7 +157,29 @@ object CurateQueries extends QueryPack {
     GraftOps.knnGraph(emb, k = 5, nlist = GraftOps.nlistFor(emb.count()))
   }
 
+  /** x_pmi: adjacent-pair PMI over the corpus — top-50 collocations above
+    * a 5-occurrence noise floor, ranked on the exact pair count.
+    */
+  def pmi(s: SparkSession, d: String): DataFrame =
+    GraftOps.pmiPairs(Tables.documents(s, d), col("text"), k = 50,
+      minCount = 5)
+
+  /** x_vocab: vocabulary coverage curve — top-100 terms with cumulative
+    * ppm share of all token occurrences (tokenizer sizing).
+    */
+  def vocab(s: SparkSession, d: String): DataFrame =
+    GraftOps.vocabCoverage(Tables.documents(s, d), col("text"), k = 100)
+
+  /** x_len_hist: token-length histogram in 32-token buckets with per-
+    * bucket doc share (context-length / packing-strategy reporting).
+    */
+  def lenHist(s: SparkSession, d: String): DataFrame =
+    GraftOps.lengthHistogram(Tables.documents(s, d), col("text"), width = 32)
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_pmi" -> pmi,
+    "x_vocab" -> vocab,
+    "x_len_hist" -> lenHist,
     "x_frame_sample" -> frameSample,
     "x_dedup_para" -> dedupPara,
     "x_mix_domain" -> mixDomain,
@@ -173,6 +195,54 @@ object CurateQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "x_pmi" ->
+      """WITH ws AS (
+        |  SELECT [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |toks AS (SELECT unnest(w) t FROM ws),
+        |uni AS (SELECT t, count(*) uc FROM toks GROUP BY 1),
+        |prs AS (
+        |  SELECT concat(w[i], ' ', w[i + 1]) p
+        |  FROM ws, unnest(generate_series(1, len(w) - 1)) x(i)),
+        |pc AS (SELECT p, count(*) pc FROM prs GROUP BY 1 HAVING count(*) >= 5),
+        |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) nt,
+        |  CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) np FROM ws),
+        |top AS (SELECT p, pc FROM pc ORDER BY pc DESC, p LIMIT 50),
+        |j AS (SELECT p, pc, string_split(p, ' ')[1] a, string_split(p, ' ')[2] b
+        |  FROM top)
+        |SELECT p AS pair, CAST(pc AS BIGINT) n_pair, CAST(ua.uc AS BIGINT) n_a,
+        |  CAST(ub.uc AS BIGINT) n_b,
+        |  round(ln((CAST(pc AS DOUBLE) / np)
+        |    / ((CAST(ua.uc AS DOUBLE) / nt) * (CAST(ub.uc AS DOUBLE) / nt))), 6)
+        |    pmi,
+        |  CAST(row_number() OVER (ORDER BY pc DESC, p) AS BIGINT) rank
+        |FROM j JOIN uni ua ON j.a = ua.t JOIN uni ub ON j.b = ub.t
+        |CROSS JOIN tot""".stripMargin,
+    "x_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != '']) term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) total FROM c),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 100)
+        |SELECT term, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) rank,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING)
+        |    * 1000000 // total AS BIGINT) coverage_ppm
+        |FROM top CROSS JOIN tot""".stripMargin,
+    "x_len_hist" ->
+      """WITH h AS (
+        |  SELECT CAST(len(
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''])
+        |    AS BIGINT) n
+        |  FROM documents),
+        |tot AS (SELECT count(*) nd FROM h)
+        |SELECT (n // 32) * 32 AS bucket_lo, count(*) AS n_docs,
+        |  min(n) AS min_tokens, max(n) AS max_tokens,
+        |  CAST(count(*) * 1000000 // max(nd) AS BIGINT) AS frac_ppm
+        |FROM h CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     "x_dedup_substr" ->
       """WITH ws AS (
         |  SELECT doc_id,

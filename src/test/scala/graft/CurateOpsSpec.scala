@@ -198,6 +198,48 @@ class CurateOpsSpec extends SparkSpec {
       (3L, 16129032258L, 0L, 2L, 3L)))
   }
 
+  test("pmiPairs: exact counts and the textbook PMI value") {
+    import spark.implicits._
+    // pairs: "a b" x2, "b a" x1; uni a:3 b:3; nt=6 tokens, np=3 pair slots
+    val docs = Seq("a b", "a b", "b a").toDF("text")
+    val out = GraftOps.pmiPairs(docs, col("text"), k = 10, minCount = 1)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    def pmi(pc: Double, ua: Double, ub: Double) =
+      BigDecimal(math.log((pc / 3) / ((ua / 6) * (ub / 6))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      ("a b", 2L, 3L, 3L, pmi(2, 3, 3), 1L),
+      ("b a", 1L, 3L, 3L, pmi(1, 3, 3), 2L)))
+  }
+
+  test("vocabCoverage: cumulative ppm share reaches exactly 1e6") {
+    import spark.implicits._
+    val docs = Seq("a a b c").toDF("text")
+    val out = GraftOps.vocabCoverage(docs, col("text"), k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 1L, 500000L), ("b", 1L, 2L, 750000L),
+      ("c", 1L, 3L, 1000000L)))
+  }
+
+  test("lengthHistogram: exact integer buckets and ppm shares") {
+    import spark.implicits._
+    def doc(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val docs = Seq(doc(1), doc(31), doc(32), doc(100)).toDF("text")
+    val out = GraftOps.lengthHistogram(docs, col("text"), width = 32)
+      .orderBy("bucket_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 1L, 31L, 500000L),
+      (32L, 1L, 32L, 32L, 250000L),
+      (96L, 1L, 100L, 100L, 250000L)))
+  }
+
   test("knnGraph with one cell equals the brute-force k-NN graph") {
     import spark.implicits._
     val raw = (0 until 8).map { i =>

@@ -150,6 +150,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x_pmi: pair top-k is bounded; only the 1-row totals nested-loop") {
+    val p = planOf(SparkEntry.queries("x_pmi")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "pair top-k must not be a full global sort")
+    assert(!p.contains("CartesianProduct"))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+      "only the broadcast 1-row totals may nested-loop")
+  }
+
+  test("x_vocab plans the vocabulary top-k as TakeOrderedAndProject") {
+    val p = planOf(SparkEntry.queries("x_vocab")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x_rank_fusion: both source lists plan bounded top-k, no cartesian") {
     val p = planOf(SparkEntry.queries("x_rank_fusion")(spark, sf))
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
