@@ -404,9 +404,8 @@ object GraftOps {
     */
   def dedupSubstrings(df: DataFrame, key: Column, text: Column,
                       window: Int): DataFrame = {
-    val base = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+    val perDoc = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= window)
-    val perDoc = base
       .select(col("doc_id"),
         explode(TextFns.gramsN(col("w"), window)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
@@ -416,8 +415,11 @@ object GraftOps {
       .filter(col("tot") >= 2)
     val dupPerDoc = perDoc.join(dupTotals, "h")
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup"))
-    base.select(col("doc_id"),
-        (size(col("w")) - window + 1).cast("long").as("n_windows"))
+    // n_windows = sum of window counts, recovered from the cached (doc,
+    // hash) table — NOT a second tokenize+gram scan of the corpus (every
+    // doc that survives the length filter has >= 1 window, so no doc is
+    // lost to the aggregation).
+    perDoc.groupBy(col("doc_id")).agg(sum(col("c")).as("n_windows"))
       .join(dupPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
