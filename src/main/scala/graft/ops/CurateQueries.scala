@@ -176,7 +176,25 @@ object CurateQueries extends QueryPack {
   def lenHist(s: SparkSession, d: String): DataFrame =
     GraftOps.lengthHistogram(Tables.documents(s, d), col("text"), width = 32)
 
+  /** x_kmeans: one spherical-k-means refinement round over the IVF
+    * coarse quantizer (sampled init, nlist ~ sqrt(n)), exploded to
+    * (cid, pos, component) with the component rounded at 6 — the gate
+    * proves both engines assign identical cells AND agree on every
+    * centroid coordinate of the update.
+    */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val nlist = GraftOps.nlistFor(emb.count())
+    val cent = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorFns.toDoubles(col("embedding")).as("cv"))
+    GraftOps.kmeansRefine(emb, cent)
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "comp")))
+      .select(col("cid"), col("pos"), round(col("comp"), 6).as("cv"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_kmeans" -> kmeans,
     "x_pmi" -> pmi,
     "x_vocab" -> vocab,
     "x_len_hist" -> lenHist,
@@ -195,6 +213,25 @@ object CurateQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "x_kmeans" ->
+      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (SELECT vec_id, v, cid AS cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cid DESC) rn
+        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |nrm AS (SELECT cell cid, CAST(i - 1 AS INT) pos,
+        |    v[i] / sqrt(list_dot_product(v, v)) comp
+        |  FROM asg, unnest(generate_series(1, len(v))) t(i))
+        |SELECT cid, pos, round(sum(comp) / count(*), 6) AS cv
+        |FROM nrm GROUP BY 1, 2""".stripMargin,
     "x_pmi" ->
       """WITH ws AS (
         |  SELECT [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
