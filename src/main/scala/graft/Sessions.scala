@@ -27,6 +27,15 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table writes (q_join_bucket) go through the catalog's
+      // warehouse; a fresh temp dir per session keeps it out of the repo
+      // AND avoids LOCATION_ALREADY_EXISTS collisions with a previous
+      // session's orphaned files (the in-memory catalog forgets tables at
+      // session end, but their directories survive).
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
+          java.nio.file.Files.createTempDirectory("graft_warehouse")
+            .toString))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -86,7 +86,50 @@ object EtlQueries extends QueryPack {
     s.read.parquet(out)
   }
 
+  /** q_join_bucket: co-located join over bucketed tables — the
+    * zero-shuffle join strategy a 100-TB deployment pre-pays at write
+    * time (HBase's region-aligned layout re-expressed as Spark
+    * bucketing). Both sides are written bucketed+sorted on the join key
+    * with one file per bucket, so the merge join consumes the bucket
+    * layout directly: NO Exchange anywhere in the plan (pinned in
+    * PlanSpec), and the downstream per-key aggregate reuses the same
+    * partitioning. Tables are created once per session per fixture dir
+    * (the write is the pre-pay; the steady-state cost is the join alone);
+    * the merge hint only picks the strategy that can exploit the layout —
+    * it forces nothing that isn't already physically true.
+    */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val lt = s"bkt_lineitem_$tag"
+    val ot = s"bkt_orders_$tag"
+    if (!s.catalog.tableExists(lt)) {
+      Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
+        .write.format("parquet").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+    }
+    if (!s.catalog.tableExists(ot)) {
+      Tables.orders(s, d).repartition(8, col("o_orderkey"))
+        .write.format("parquet").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+    }
+    // revenue in exact integer math: price and discount are 2-decimal
+    // exact, so price_cents * (100 - disc_pct) is an exact BIGINT in
+    // 1e-4-dollar units; a float sum here flips ~0.1% of the per-order
+    // groups across the cent boundary between engines (groups are small,
+    // so one last-ulp difference survives into round(2)).
+    val units = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    s.table(lt).hint("merge")
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum(units).as("u"), count(lit(1)).as("n_items"))
+      .select(col("l_orderkey"), col("o_orderpriority"),
+        (expr("(u + 50) div 100") / 100.0).as("revenue"), col("n_items"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_join_bucket" -> joinBucketed,
     "q_etl_tsv" -> tsvRoundTrip,
     "q_etl_bulkload" -> bulkLoad,
     "q_etl_copytable" -> copyTable,
@@ -95,6 +138,14 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_join_bucket" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+        |    AS BIGINT) / 100.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_etl_tsv" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin,

@@ -198,6 +198,15 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("LeftAnti"), "expected a hash-based anti-join")
   }
 
+  test("q_join_bucket: bucketed co-located join + per-key agg run with ZERO exchanges") {
+    val p = planOf(SparkEntry.queries("q_join_bucket")(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("SortMergeJoin"),
+      "the co-located join must be the merge join that exploits bucketing")
+    assert(!finalPlan.contains("Exchange"),
+      s"bucketed join must not shuffle or broadcast:\n${finalPlan.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+  }
+
   test("q_group_agg does map-side partial aggregation (combiner)") {
     val p = planOf(SparkEntry.queries("q_group_agg")(spark, sf))
     assert(p.contains("HashAggregate"), "expected hash aggregation")
