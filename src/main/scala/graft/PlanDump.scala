@@ -66,6 +66,10 @@ object PlanDump {
     "x_knn_graph" -> ("Corpus k-NN graph — IVF cell assignment (bounded " +
       "centroid BNLJ is intentional), cell equi-self-join, per-vector " +
       "top-k window; O(n^1.5) candidates, never n^2"),
+    "q_join_bucket" -> ("Bucketed co-located join — both sides written " +
+      "bucketBy(key)+sortBy (one file per bucket); merge join + per-key " +
+      "agg with ZERO Exchange in the plan. The pre-paid layout strategy " +
+      "that eliminates the join shuffle at 100 TB"),
     "q_etl_bulkload" -> "Bulk load — RangePartitioner sample + per-partition sort write",
     "s_tumbling" -> "Tumbling event-time window (same plan batch or streaming)"
   )

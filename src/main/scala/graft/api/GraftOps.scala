@@ -527,7 +527,7 @@ object GraftOps {
     // coalesce: an empty pair table (nothing to cluster) must yield an
     // empty result, not a null-aggregate NPE
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var prevTotal = Long.MinValue
     var total = labelSum(labels)
     var rounds = 0
