@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
+import graft.api.GraftOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +36,13 @@ object AggQueries extends QueryPack {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_group_agg" -> groupAgg,
+
+    // Two-phase salted aggregation (hot-key mitigation): the gate proves
+    // the salt-and-merge decomposition is value-identical to the plain
+    // aggregate — quantities cast to BIGINT so both phases sum exactly.
+    "q_salted_agg" -> ((s, d) =>
+      GraftOps.saltedAgg(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_quantity").cast("long"), salts = 8)),
 
     // RowCounter: the most-used hbase-mapreduce tool. Column pruning gives
     // the FirstKeyOnlyFilter optimization (scan reads no data pages beyond
@@ -178,6 +186,10 @@ object AggQueries extends QueryPack {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag AS k, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_value
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_agg_coproc" ->
       """SELECT l_returnflag,
         |  round(sum(l_quantity), 2) AS sum_qty,

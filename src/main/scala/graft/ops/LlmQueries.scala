@@ -165,6 +165,18 @@ object LlmQueries extends QueryPack {
     GraftOps.dedupEmbed(Tables.embeddings(s, d), col("vec_id"),
       col("embedding"), planes = planesOf(s, d), dim = Dim, threshold = 0.4)
 
+  /** x_dedup_embed_multi: the multi-table recall path of embedding LSH —
+    * TWO independent md5-seeded plane families (offsets 0 and 1024)
+    * bucket the corpus separately and the pair sets are OR-ed; pairs
+    * found by both tables collapse in one distinct (bit-identical cosine).
+    * This is the standard production lever for recall at high plane
+    * counts, here gated so the oracle proves both families replay.
+    */
+  def dedupEmbedMulti(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupEmbed(Tables.embeddings(s, d), col("vec_id"),
+      col("embedding"), planes = planesOf(s, d), dim = Dim, threshold = 0.4,
+      tables = 2)
+
   /** x_pipeline: the end-to-end corpus-curation flow a training-data user
     * actually runs, composed from the library operators — exact dedup
     * (keep canonical doc), near-dup removal (drop the higher doc_id of
@@ -424,6 +436,7 @@ object LlmQueries extends QueryPack {
     "x_dedup_simhash" -> dedupSimhash,
     "x_dedup_ngram" -> dedupNgram,
     "x_dedup_embed" -> dedupEmbed,
+    "x_dedup_embed_multi" -> dedupEmbedMulti,
     "x_dedup_cluster" -> dedupCluster,
     "x_decontam" -> decontam,
     "x_chunk" -> chunk,
@@ -686,6 +699,29 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM kept GROUP BY lang""".stripMargin,
+    "x_dedup_embed_multi" ->
+      """WITH np AS (
+        |  SELECT coalesce(min(p), 30) p FROM range(2, 31) t(p)
+        |  WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT count(*) FROM embeddings)),
+        |planes AS (
+        |  SELECT tbl, j,
+        |    [CASE WHEN CAST(('0x' || substr(md5(concat(CAST(j + tbl * 1024 AS VARCHAR), ',', CAST(d AS VARCHAR))), 1, 1)) AS INT) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END for d in range(0, 64)] h
+        |  FROM range(0, 2) s(tbl), range(0, 31) t(j), np WHERE j < p),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |buck AS (
+        |  SELECT tbl, vec_id, v,
+        |    string_agg(CASE WHEN list_dot_product(v, h) >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) bucket
+        |  FROM emb CROSS JOIN planes GROUP BY tbl, vec_id, v)
+        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |FROM buck a JOIN buck b
+        |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
     "x_dedup_embed" ->
       """WITH np AS (
         |  SELECT coalesce(min(p), 30) p FROM range(2, 31) t(p)
