@@ -1271,6 +1271,14 @@ object GraftOps {
     * raise nlist-vs-nprobe or re-rank across neighboring cells when the
     * application needs it; the operator's contract (replayed exactly by
     * the oracle) is "exact top-k WITHIN the cell".
+    *
+    * Skew note: cell sizes are data-dependent. A corpus of near-PARALLEL
+    * vectors argmaxes into few cells and the hot cell's self-join goes
+    * quadratic — the sort-merge cell join lands on AQE's skew-join
+    * splitting for the shuffle, but the pair count itself is the honest
+    * cost (one giant neighborhood). k-means refinement ([[kmeansRefine]])
+    * re-spreads the centroids into the occupied directions and is the
+    * structural fix for such corpora.
     */
   def knnGraph(corpus: DataFrame, k: Int, nlist: Int): DataFrame = {
     val emb = corpus.select(col("vec_id"),

@@ -174,7 +174,51 @@ object TpchQueries extends QueryPack {
         round(sum(col("bal_cents")) / 100.0, 2).as("totacctbal"))
   }
 
+  /** Q4 order-priority checking: orders in a quarter with at least one
+    * late-shipped line (the fixture has no commit/receipt dates, so
+    * "late" becomes shipped more than 90 days after the order date) —
+    * the EXISTS pattern as a semi-join with an equi key plus a non-equi
+    * residual both engines evaluate identically on exact timestamps.
+    */
+  def q4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Q15 top supplier: the scalar-subquery-on-aggregate pattern —
+    * supplier(s) whose quarterly revenue equals the maximum. Revenue
+    * accumulates in exact integer 1e-4-dollar units (the q_join_bucket
+    * discipline): equality-to-max on a float sum would flake on the
+    * engines' different addition orders.
+    */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val units = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), units.as("u"))
+      .groupBy(col("l_suppkey"))
+      .agg(expr("(sum(u) + 50) div 100").as("rc"))
+    val best = rev.agg(max(col("rc")).as("max_rc"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(best))
+      .filter(col("rc") === col("max_rc"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rc") / 100.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_tpch_q4" -> q4,
+    "q_tpch_q15" -> q15,
     "q_tpch_q3" -> q3,
     "q_tpch_q5" -> q5,
     "q_tpch_q6" -> q6,
@@ -238,6 +282,28 @@ object TpchQueries extends QueryPack {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+        |      AS BIGINT) rc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rc / 100.0 AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rc = (SELECT max(rc) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem

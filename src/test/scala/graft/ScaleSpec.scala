@@ -96,4 +96,49 @@ class ScaleSpec extends SparkSpec {
     assert(deduped.count() ===
       big.select(concat_ws("|", col("qual"), col("payload"))).distinct().count())
   }
+
+  test("substring dedup at 2M docs: dup fraction exact on planted spans") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 2M 12-token docs; every 100th doc ends in the SAME 8-token footer,
+    // so exactly those docs carry duplicated 8-token windows. Counting is
+    // exact at this size only if the (doc, hash) aggregation holds the
+    // shape (no window-string table ever materializes corpus-wide).
+    val n = 2000000L
+    val docs = spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("u"), col("id")), concat(lit("v"), col("id")),
+          concat(lit("w"), col("id")), concat(lit("x"), col("id")),
+          when(col("id") % 100 === 0,
+            lit("the shared footer spans eight whole tokens exactly"))
+            .otherwise(concat_ws(" ", concat(lit("p"), col("id")),
+              concat(lit("q"), col("id")), concat(lit("r"), col("id")),
+              concat(lit("s"), col("id")), concat(lit("t"), col("id")),
+              concat(lit("y"), col("id")), concat(lit("z"), col("id")),
+              concat(lit("k"), col("id"))))).as("text"))
+    val out = GraftOps.dedupSubstrings(docs, col("doc_id"), col("text"),
+      window = 8)
+    assert(out.count() === n)
+    // planted docs: 5 windows each, exactly 1 duplicated (the footer)
+    assert(out.filter(col("n_dup_windows") > 0).count() === n / 100)
+  }
+
+  test("knn graph at 200k vectors stays cell-bounded") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 200k hash-spread 8-dim vectors (components uniform in [-1, 1] from
+    // xxhash64 — NOT a smooth curve: near-parallel vectors would all
+    // argmax into one cell and its self-join would become the quadratic
+    // hot partition this test exists to rule out). nlist = sqrt(n) ≈ 448
+    // keeps each cell's self-join ~450x450; a brute-force shape would be
+    // 4x10^10 pairs and would not finish.
+    val n = 200000L
+    val vecs = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          ((pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
+            .cast("float")): _*).as("embedding"))
+    val g = GraftOps.knnGraph(vecs, k = 3, nlist = GraftOps.nlistFor(n))
+    assert(g.groupBy(col("src_id")).count()
+      .agg(max(col("count"))).head().getLong(0) <= 3L)
+  }
 }
