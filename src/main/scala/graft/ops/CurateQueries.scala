@@ -193,7 +193,34 @@ object CurateQueries extends QueryPack {
       .select(col("cid"), col("pos"), round(col("comp"), 6).as("cv"))
   }
 
+  /** x_pipeline_clean: the round-4 cleaning composition — exact dedup
+    * (canonical survivor), substring-level boilerplate drop (docs >= 20%
+    * duplicated 16-token spans, computed over the ALREADY-deduped corpus
+    * — the realistic order: exact copies out first so span counts
+    * reflect distinct docs), C4/Gopher quality gate, then per-source doc
+    * and token accounting. Every stage keeps its standalone scale shape;
+    * the composition adds only doc_id equi/anti joins.
+    */
+  def pipelineClean(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val canon = GraftOps.dedupExact(docs, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val d1 = docs.join(canon, "doc_id")
+    val flagged = GraftOps.dedupSubstrings(d1, col("doc_id"), col("text"),
+        window = 16)
+      .filter(col("flagged") === 1).select(col("doc_id"))
+    val d2 = d1.join(flagged, Seq("doc_id"), "left_anti")
+    val kept = GraftOps.qualityScore(d2, col("doc_id"), col("text"))
+      .filter(col("keep") === 1)
+      .select(col("doc_id"), col("n_tokens"))
+    d2.join(kept, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_pipeline_clean" -> pipelineClean,
     "x_kmeans" -> kmeans,
     "x_pmi" -> pmi,
     "x_vocab" -> vocab,
@@ -213,6 +240,46 @@ object CurateQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "x_pipeline_clean" ->
+      """WITH canon AS (
+        |  SELECT min(doc_id) doc_id FROM documents GROUP BY sha256(text)),
+        |d1 AS (SELECT d.doc_id, d.source, d.text
+        |  FROM documents d JOIN canon USING (doc_id)),
+        |ws AS (
+        |  SELECT doc_id, source, text,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM d1),
+        |dd AS (SELECT doc_id, w, len(w) nw FROM ws WHERE len(w) >= 16),
+        |wins AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 15), ' ')) h
+        |  FROM dd, unnest(generate_series(1, nw - 15)) t(i)),
+        |pd AS (SELECT doc_id, h, count(*) c FROM wins GROUP BY 1, 2),
+        |tot AS (SELECT h FROM pd GROUP BY h HAVING sum(c) >= 2),
+        |dup AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_dup
+        |  FROM pd JOIN tot USING (h) GROUP BY 1),
+        |flagged AS (
+        |  SELECT dd.doc_id FROM dd LEFT JOIN dup USING (doc_id)
+        |  WHERE coalesce(n_dup, 0) * 5 >= nw - 15),
+        |d2 AS (SELECT * FROM ws
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |m AS (
+        |  SELECT doc_id, source, len(w) n_tokens,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') sum_len,
+        |    len([x for x in w
+        |         if list_contains(['the','a','of','and','to','in','is'], x)])
+        |      stop_hits,
+        |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) sym_hits,
+        |    length(regexp_replace(lower(text), '\s', '', 'g')) n_chars_nospace
+        |  FROM d2 WHERE len(w) > 0),
+        |k AS (
+        |  SELECT source, n_tokens FROM m
+        |  WHERE n_tokens >= 20 AND n_tokens <= 100000
+        |    AND sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100
+        |    AND stop_hits * 100 >= n_tokens
+        |    AND sym_hits * 10 <= n_chars_nospace * 3)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT)
+        |  AS n_tokens
+        |FROM k GROUP BY 1""".stripMargin,
     "x_kmeans" ->
       """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
         |  WHERE c*c >= (SELECT count(*) FROM embeddings)),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.api.GraftOps
+import graft.functions.TextFns
 import org.apache.spark.sql.functions._
 
 /** Semantic checks for the second curation pack (CurateQueries) on small
@@ -196,6 +197,29 @@ class CurateOpsSpec extends SparkSpec {
       (2L, 16393442622L + 16129032258L, 2L, 1L, 1L), // in both lists
       (1L, 16393442622L, 1L, 0L, 2L),
       (3L, 16129032258L, 0L, 2L, 3L)))
+  }
+
+  test("gramsN equals sliding windows for every n over seeded random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(s"t${rnd.nextInt(5)}")
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5, 8)) {
+      val got = df.select(col("doc_id"),
+          TextFns.gramsN(TextFns.tokens(col("text")), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).toSeq
+        val want =
+          if (toks.size < n) Seq.empty
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(got(id) === want, s"doc $id n=$n")
+      }
+    }
   }
 
   test("pmiPairs: exact counts and the textbook PMI value") {
