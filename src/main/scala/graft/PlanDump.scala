@@ -70,6 +70,9 @@ object PlanDump {
       "bucketBy(key)+sortBy (one file per bucket); merge join + per-key " +
       "agg with ZERO Exchange in the plan. The pre-paid layout strategy " +
       "that eliminates the join shuffle at 100 TB"),
+    "x_pipeline_clean" -> ("Cleaning composition — exact dedup, substring" +
+      "-span drop, quality gate, per-source accounting; each stage keeps " +
+      "its standalone shape, composition adds only doc_id equi/anti joins"),
     "q_etl_bulkload" -> "Bulk load — RangePartitioner sample + per-partition sort write",
     "s_tumbling" -> "Tumbling event-time window (same plan batch or streaming)"
   )
