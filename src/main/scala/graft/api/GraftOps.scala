@@ -185,6 +185,45 @@ object GraftOps {
         round(exp(col("nll") / col("n_tokens")), 6).as("ppl"))
   }
 
+  /** Bigram-LM perplexity — the higher-fidelity CCNet-style quality
+    * filter next to the unigram [[perplexity]]: textbook Laplace bigram
+    * p(b|a) = (C(ab)+1) / (C(a)+|V|) trained on the corpus itself, each
+    * doc scored by its mean pairwise negative log-likelihood and
+    * exp-perplexity. Unigram counts come from the SAME >= 2-token
+    * population the pairs do, so the model and its scoring corpus agree.
+    * Shapes: one pair shuffle to (doc,a,b) counts, a (a,b) aggregate over
+    * it, the unigram table equi-joined on the context token (zipf skew
+    * lands on AQE), corpus vocab a 1-row broadcast — work is O(total
+    * pairs) with map-side combine everywhere, no stage superlinear in
+    * corpus size.
+    */
+  def perplexityBigram(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val d = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = d.select(col("doc_id"),
+        explode(TextFns.grams2(col("w"))).as("p"))
+      .select(col("doc_id"), split(col("p"), " ").getItem(0).as("a"),
+        split(col("p"), " ").getItem(1).as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("pf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = pairs.groupBy(col("a"), col("b")).agg(sum(col("pf")).as("cab"))
+    val uni = d.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("ca"))
+    val v = uni.agg(count(lit(1)).as("vocab"))
+    pairs.join(bc, Seq("a", "b"))
+      .join(uni.withColumnRenamed("t", "a"), "a")
+      .crossJoin(broadcast(v))
+      .withColumn("nlp", -log((col("cab") + 1.0) / (col("ca") + col("vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pf")).as("n_pairs"),
+        sum(col("nlp") * col("pf")).as("nll"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(col("nll") / col("n_pairs"), 6).as("avg_nll"),
+        round(exp(col("nll") / col("n_pairs")), 6).as("ppl"))
+  }
+
   /** Candidate i<j pairs from a blocked/bucketed member table holding a
     * `doc_id` column: per-bucket member lists once (no self-join
     * re-execution), pairs expanded locally. Bucket lists must be small by

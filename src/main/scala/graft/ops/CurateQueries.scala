@@ -91,6 +91,14 @@ object CurateQueries extends QueryPack {
   def perplexity(s: SparkSession, d: String): DataFrame =
     GraftOps.perplexity(Tables.documents(s, d), col("doc_id"), col("text"))
 
+  /** x_perplexity_bi: corpus-trained Laplace BIGRAM LM, per-doc mean
+    * pairwise NLL and perplexity — the higher-fidelity companion to the
+    * unigram x_perplexity.
+    */
+  def perplexityBi(s: SparkSession, d: String): DataFrame =
+    GraftOps.perplexityBigram(Tables.documents(s, d), col("doc_id"),
+      col("text"))
+
   /** x_dedup_embed_cluster: semantic duplicate clusters — connected
     * components over the embedding-cosine near-dup pairs; the semantic
     * analog of x_dedup_cluster, composed from the same two operators.
@@ -232,6 +240,7 @@ object CurateQueries extends QueryPack {
     "q_cdc_merge" -> cdcMerge,
     "x_dedup_incr" -> dedupIncr,
     "x_perplexity" -> perplexity,
+    "x_perplexity_bi" -> perplexityBi,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
     "x_bpe_stats" -> bpeStats,
@@ -240,6 +249,27 @@ object CurateQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "x_perplexity_bi" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w FROM ws WHERE len(w) >= 2),
+        |tall AS (SELECT doc_id, w[i] a, w[i + 1] b
+        |  FROM d, unnest(generate_series(1, len(w) - 1)) t(i)),
+        |pairs AS (SELECT doc_id, a, b, count(*) pf FROM tall GROUP BY 1, 2, 3),
+        |bc AS (SELECT a, b, CAST(sum(pf) AS BIGINT) cab FROM pairs GROUP BY 1, 2),
+        |u AS (SELECT t, count(*) ca
+        |  FROM (SELECT unnest(w) t FROM d) GROUP BY 1),
+        |v AS (SELECT count(*) vocab FROM u),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(pf) AS BIGINT) n_pairs,
+        |    sum(-ln((cab + 1.0) / (ca + vocab)) * pf) nll
+        |  FROM pairs JOIN bc USING (a, b) JOIN u ON pairs.a = u.t CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT doc_id, n_pairs, round(nll / n_pairs, 6) avg_nll,
+        |  round(exp(nll / n_pairs), 6) ppl
+        |FROM sc""".stripMargin,
     "x_pipeline_clean" ->
       """WITH canon AS (
         |  SELECT min(doc_id) doc_id FROM documents GROUP BY sha256(text)),

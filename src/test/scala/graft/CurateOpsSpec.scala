@@ -264,6 +264,26 @@ class CurateOpsSpec extends SparkSpec {
       (96L, 1L, 100L, 100L, 250000L)))
   }
 
+  test("perplexityBigram: textbook Laplace bigram values") {
+    import spark.implicits._
+    // unigrams over the >=2-token population: a:3 b:3, vocab 2.
+    // bigram counts: (a,b):2, (b,a):2 -> p = (2+1)/(3+2) = 0.6 for every
+    // pair either doc contains, so both docs score avg_nll = -ln(0.6).
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = GraftOps.perplexityBigram(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nlp = -math.log((2 + 1.0) / (3 + 2))
+    // doc 3 has one token -> no pair -> excluded
+    assert(out.toSeq === Seq(
+      (1L, 3L, r6(nlp), r6(math.exp(nlp))),
+      (2L, 1L, r6(nlp), r6(math.exp(nlp)))))
+  }
+
   test("knnGraph with one cell equals the brute-force k-NN graph") {
     import spark.implicits._
     val raw = (0 until 8).map { i =>
