@@ -1298,6 +1298,38 @@ object GraftOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Semantic outlier detection — flag vectors pointing away from their
+    * group's mean direction (a curation pass that catches mislabeled or
+    * off-topic documents before training): per group, the spherical
+    * centroid (mean of normalized members — the [[kmeansRefine]] update,
+    * whose engine parity the x_kmeans gate already proves), then each
+    * member's cosine to its own centroid, flagged below `threshold` on
+    * the ROUNDED value so both engines flag identically. Shapes: one
+    * posexplode → (group, dim) partial-agg sums → per-group array rebuild
+    * (bounded by group count x dim), centroids equi-joined back on the
+    * group key — O(n·dim) total, no pairwise stage at all.
+    */
+  def embedOutliers(emb: DataFrame, key: Column, vec: Column, group: Column,
+                    threshold: Double): DataFrame = {
+    val e = emb.select(key.as("vec_id"), group.as("grp"),
+        VectorFns.toDoubles(vec).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = e.select(col("grp"),
+        posexplode(transform(col("v"),
+          x => x / sqrt(expr("dot_product(v, v)")))))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+        x => x.getField("m")).as("cv"))
+    e.join(cent, "grp")
+      .select(col("vec_id"), col("grp"),
+        round(expr("cosine_sim(v, cv)"), 6).as("cos_centroid"))
+      .withColumn("outlier",
+        (col("cos_centroid") < threshold).cast("int"))
+  }
+
   /** k-NN GRAPH over the whole corpus — each vector's k nearest neighbors
     * by exact cosine, candidates restricted to the vector's own IVF cell
     * (the [[ivfTopK]] coarse quantizer, shared [[assignCells]] tie-break).

@@ -99,6 +99,14 @@ object CurateQueries extends QueryPack {
     GraftOps.perplexityBigram(Tables.documents(s, d), col("doc_id"),
       col("text"))
 
+  /** x_outlier_embed: semantic outlier flags — each embedding's cosine
+    * to its label group's spherical centroid; vectors pointing away
+    * (rounded cosine < 0) flagged for curation review.
+    */
+  def outlierEmbed(s: SparkSession, d: String): DataFrame =
+    GraftOps.embedOutliers(Tables.embeddings(s, d), col("vec_id"),
+      col("embedding"), col("label"), threshold = 0.0)
+
   /** x_dedup_embed_cluster: semantic duplicate clusters — connected
     * components over the embedding-cosine near-dup pairs; the semantic
     * analog of x_dedup_cluster, composed from the same two operators.
@@ -241,6 +249,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_incr" -> dedupIncr,
     "x_perplexity" -> perplexity,
     "x_perplexity_bi" -> perplexityBi,
+    "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
     "x_bpe_stats" -> bpeStats,
@@ -249,6 +258,25 @@ object CurateQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "x_outlier_embed" ->
+      """WITH emb AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |nrm AS (SELECT label, vec_id, i pos,
+        |    v[i] / sqrt(list_dot_product(v, v)) comp
+        |  FROM emb, unnest(generate_series(1, len(v))) t(i)),
+        |cent AS (
+        |  SELECT label, list(m ORDER BY pos) cv FROM (
+        |    SELECT label, pos, sum(comp) / count(*) m FROM nrm GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT vec_id, e.label AS grp,
+        |  round(list_dot_product(v, cv)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+        |    AS cos_centroid,
+        |  CAST(round(list_dot_product(v, cv)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+        |    < 0.0 AS INT) AS outlier
+        |FROM emb e JOIN cent c ON e.label = c.label""".stripMargin,
     "x_perplexity_bi" ->
       """WITH ws AS (
         |  SELECT doc_id,
