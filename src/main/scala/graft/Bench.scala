@@ -19,7 +19,12 @@ object Bench {
     // operator-persisted caches (shingle tables etc.) — that is the
     // steady-state a resident pipeline runs at, and the cold cost is still
     // bounded by the recorded value's first-pass sibling.
+    // clearCache BETWEEN queries (not between the two reps): no query pays
+    // eviction churn for a predecessor's persisted subtrees, and each
+    // query's own first pass still funds the caches its second pass reads
+    // — the honest per-query cost of a resident pipeline.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object GraftOps {
 
+  /** Idempotent persist: compositions (pipelineClean, pipelineFull, …)
+    * rebuild subtrees their component operators already persisted, and
+    * CacheManager matches cached plans by logical equality — so a blind
+    * `.persist` on the rebuilt twin fires "Asked to cache already cached
+    * data" and double-registers the entry. `Dataset.storageLevel` consults
+    * the CacheManager by that same plan equality, making it a public-API
+    * "already cached?" probe; persist only when it answers NONE.
+    */
+  private implicit class PersistOnceOps(private val df: DataFrame) {
+    def persistOnce(): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint: one row per distinct fingerprint
@@ -76,7 +91,7 @@ object GraftOps {
                 perms: Int = 16, bands: Int = 8,
                 threshold: Double = 0.8): DataFrame = {
     val sh = shingleTable(df, key, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     verifyJaccard(
       bucketPairs(bandTable(sh, perms, bands),
         Seq(col("band"), col("bkey"))),
@@ -128,9 +143,9 @@ object GraftOps {
       .join(exFp, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(1L).as("de"))
     val shD = shingleTable(delta, key, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val shE = shingleTable(existing, key, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val cand = bandTable(shD, perms, bands)
       .join(bandTable(shE, perms, bands)
         .withColumnRenamed("doc_id", "exist_id"), Seq("band", "bkey"))
@@ -200,14 +215,14 @@ object GraftOps {
   def perplexityBigram(df: DataFrame, key: Column, text: Column): DataFrame = {
     val d = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val pairs = d.select(col("doc_id"),
         explode(TextFns.grams2(col("w"))).as("p"))
       .select(col("doc_id"), split(col("p"), " ").getItem(0).as("a"),
         split(col("p"), " ").getItem(1).as("b"))
       .groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("pf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val bc = pairs.groupBy(col("a"), col("b")).agg(sum(col("pf")).as("cab"))
     val uni = d.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("ca"))
@@ -368,7 +383,7 @@ object GraftOps {
                   threshold: Double): DataFrame = {
     val ppm = math.round(threshold * 1000000)
     val sh = shingleTable(df, key, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val tall = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("s"))
     val dfreq = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -449,7 +464,7 @@ object GraftOps {
         explode(TextFns.gramsN(col("w"), window)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val dupTotals = perDoc.groupBy(col("h")).agg(sum(col("c")).as("tot"))
       .filter(col("tot") >= 2)
     val dupPerDoc = perDoc.join(dupTotals, "h")
@@ -540,7 +555,6 @@ object GraftOps {
     * id of the component), cluster_size, is_canonical (doc == cluster_id).
     */
   def clusterPairs(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // both orientations from ONE explode, not a self-union: the pair table
     // is usually the output of a whole near-dup pipeline, and a union of
     // two selects over it would execute that pipeline twice.
@@ -550,7 +564,7 @@ object GraftOps {
         struct(col("doc_b").as("es"), col("doc_a").as("ed")))).as("e"))
       .select(col("e.es").as("es"), col("e.ed").as("ed"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // eager=false everywhere: the labelSum convergence check right below
     // is the materializing action anyway, so an eager checkpoint would
     // just spend one extra job per round on the same work.
@@ -612,7 +626,7 @@ object GraftOps {
     // per-doc shingle-count projection — without it the full corpus
     // tokenize+shingle scan (the expensive side) runs twice.
     val c = shingleTable(corpus, key, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val bench = shingleTable(benchmark, key, text)
       .select(explode(col("shingles")).as("s")).distinct()
     val shared = c.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -985,7 +999,7 @@ object GraftOps {
   def pmiPairs(df: DataFrame, text: Column, k: Int,
                minCount: Long = 5): DataFrame = {
     val toks = df.select(TextFns.tokens(text).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val uni = toks.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("uc"))
     val top = toks.select(explode(TextFns.grams2(col("w"))).as("p"))
@@ -1313,7 +1327,7 @@ object GraftOps {
                     threshold: Double): DataFrame = {
     val e = emb.select(key.as("vec_id"), group.as("grp"),
         VectorFns.toDoubles(vec).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val cent = e.select(col("grp"),
         posexplode(transform(col("v"),
           x => x / sqrt(expr("dot_product(v, v)")))))
@@ -1359,7 +1373,7 @@ object GraftOps {
     // both legs of the self-join read the assignment — persist it, or the
     // broadcast-argmax subtree (the expensive scan) executes twice.
     val a = assignCells(emb, cent)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id").asc)
     a.as("x").join(a.as("y"),

@@ -33,12 +33,18 @@ object LlmQueries extends QueryPack {
   private val TargetBucket = 64 // LSH bucket-size budget; planes derive from n
 
   /** Corpus-sized hyperplane count (GraftOps.planesFor): a parquet
-    * metadata count (no data scan) at plan time — the same "read the
-    * stats, pick the plan" move AQE makes. The oracle replays the identical
-    * integer derivation from count(*).
+    * metadata count at plan time — the same "read the stats, pick the
+    * plan" move AQE makes. The oracle replays the identical integer
+    * derivation from count(*). Memoized per (session, dir): the corpus
+    * row count is a property of the fixture, and at 100 TB an extra
+    * count job per plan build is a full metadata sweep — pay it once
+    * per session, not once per query invocation.
     */
+  private val planesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
   private def planesOf(s: SparkSession, d: String): Int =
-    GraftOps.planesFor(Tables.embeddings(s, d).count(), TargetBucket)
+    planesCache.getOrElseUpdate((s, d),
+      GraftOps.planesFor(Tables.embeddings(s, d).count(), TargetBucket))
 
   /** x_dedup_exact: fingerprint-grouped exact dedup. Output one row per
     * distinct content hash with the canonical survivor (min doc_id) and
