@@ -11,8 +11,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SURVEY.md §1.2, §2.1).
   */
 object Tables {
+  /** Memoized per (session, path): `spark.read.parquet` fires a
+    * footer-read Spark job at relation-build time, so an unmemoized
+    * loader costs every query build one job per table it touches. The
+    * fixtures are read-only (TESTDATA.md), so the resolved relation
+    * never goes stale; at 100 TB this is the difference between "plan
+    * build is metadata-free" and "every plan build lists the lake".
+    */
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loaded.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; every session in this project enables

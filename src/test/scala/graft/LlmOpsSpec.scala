@@ -455,6 +455,32 @@ class LlmOpsSpec extends SparkSpec {
       "empty side must coalesce to 0")
   }
 
+  test("x_dedup_embed plan build launches no job once planes are memoized") {
+    // planesOf memoizes the corpus count per (session, dir): building the
+    // LSH plan must not fire a count job per invocation — at 100 TB that
+    // is a full metadata sweep per query.
+    SparkEntry.queries("x_dedup_embed")(spark, sf) // warm the memo
+    @volatile var jobs = 0
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        descs.add(Option(js.properties)
+          .map(_.getProperty("spark.job.description", "?")).getOrElse("?") +
+          " / " + js.stageInfos.map(_.name).mkString(";"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("x_dedup_embed")(spark, sf) // build only, no action
+      // listener events post asynchronously; give the bus time to drain
+      Thread.sleep(1000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs === 0,
+      s"plan build launched $jobs Spark jobs: ${descs.toArray.mkString(" | ")}")
+  }
+
   test("topk(3) per group is a subset of topk(5) per group") {
     def topk(n: Int) = {
       val w = org.apache.spark.sql.expressions.Window

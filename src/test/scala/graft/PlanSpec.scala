@@ -198,6 +198,28 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("LeftAnti"), "expected a hash-based anti-join")
   }
 
+  test("q_tpch_q21: both correlations stay hash-based (semi + anti, no nested loop)") {
+    val p = planOf(SparkEntry.queries("q_tpch_q21")(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"))
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"),
+      "the supplier-inequality + lateness residuals must ride inside the " +
+        "hash semi/anti joins, not a nested loop")
+    assert(finalPlan.contains("LeftSemi"), "expected hash-based EXISTS")
+    assert(finalPlan.contains("LeftAnti"), "expected hash-based NOT EXISTS")
+  }
+
+  test("q_tpch_q20: nested semi-join chain stays hash-based") {
+    val p = planOf(SparkEntry.queries("q_tpch_q20")(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"))
+    // the broadcast 1-row (S, n) threshold aggregate is the only
+    // permitted nested loop — the q22 discipline
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+      "only the broadcast 1-row aggregate may nested-loop")
+    assert(finalPlan.contains("LeftSemi"), "expected hash-based semi-joins")
+  }
+
   test("q_join_bucket: bucketed co-located join + per-key agg run with ZERO exchanges") {
     val p = planOf(SparkEntry.queries("q_join_bucket")(spark, sf))
     val finalPlan = p.split("== Initial Plan ==").head
