@@ -1355,7 +1355,16 @@ object GraftOps {
     * cell id. Recall beyond the cell boundary is the standard IVF trade —
     * raise nlist-vs-nprobe or re-rank across neighboring cells when the
     * application needs it; the operator's contract (replayed exactly by
-    * the oracle) is "exact top-k WITHIN the cell".
+    * the oracle) is "exact top-k WITHIN the probed cells".
+    *
+    * `nprobe` is the recall lever: each vector searches its `nprobe`
+    * nearest cells (the [[ivfTopK]] probe move, here applied to every
+    * corpus vector) while neighbors are still found in their OWNER cell —
+    * so candidates grow linearly in nprobe (O(nprobe·n^1.5) total, never
+    * quadratic) and the pair set at nprobe+1 is a superset of the set at
+    * nprobe (recall is monotone; pinned in LlmOpsSpec). nprobe=1
+    * degenerates to exactly the owner-cell graph and keeps sharing the
+    * persisted assignment on both join legs.
     *
     * Skew note: cell sizes are data-dependent. A corpus of near-PARALLEL
     * vectors argmaxes into few cells and the hot cell's self-join goes
@@ -1365,7 +1374,8 @@ object GraftOps {
     * re-spreads the centroids into the occupied directions and is the
     * structural fix for such corpora.
     */
-  def knnGraph(corpus: DataFrame, k: Int, nlist: Int): DataFrame = {
+  def knnGraph(corpus: DataFrame, k: Int, nlist: Int,
+               nprobe: Int = 1): DataFrame = {
     val emb = corpus.select(col("vec_id"),
       VectorFns.toDoubles(col("embedding")).as("v"))
     val cent = emb.filter(col("vec_id") < nlist)
@@ -1374,9 +1384,25 @@ object GraftOps {
     // broadcast-argmax subtree (the expensive scan) executes twice.
     val a = assignCells(emb, cent)
       .persistOnce()
+    // search side: owner cell at nprobe=1 (shares the persisted subtree);
+    // otherwise the nprobe nearest cells, ranked with the same
+    // (cosine desc, cid desc) tiebreak assignCells' argmax uses, so
+    // rank 1 IS the owner cell and the pair set only ever grows.
+    val xs =
+      if (nprobe <= 1) a
+      else {
+        val pw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("pcs").desc, col("cid").desc)
+        emb.join(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("cid"),
+            expr("cosine_sim(v, cv)").as("pcs"))
+          .withColumn("prnk", row_number().over(pw))
+          .filter(col("prnk") <= nprobe)
+          .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      }
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    a.as("x").join(a.as("y"),
+    xs.as("x").join(a.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"),
         round(expr("cosine_sim(x.v, y.v)"), 6).as("cos_sim"))

@@ -173,6 +173,17 @@ object CurateQueries extends QueryPack {
     GraftOps.knnGraph(emb, k = 5, nlist = GraftOps.nlistFor(emb.count()))
   }
 
+  /** x_knn_graph_probe: the same graph with nprobe=2 — every vector also
+    * searches its second-nearest cell, the standard recall lever when the
+    * owner-cell bound misses boundary neighbors. Candidates stay
+    * O(nprobe·n^1.5); the oracle replays the probe ranking exactly.
+    */
+  def knnGraphProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.knnGraph(emb, k = 5, nlist = GraftOps.nlistFor(emb.count()),
+      nprobe = 2)
+  }
+
   /** x_pmi: adjacent-pair PMI over the corpus — top-50 collocations above
     * a 5-occurrence noise floor, ranked on the exact pair count.
     */
@@ -254,7 +265,8 @@ object CurateQueries extends QueryPack {
     "x_dedup_substr" -> dedupSubstr,
     "x_bpe_stats" -> bpeStats,
     "x_rank_fusion" -> rankFusion,
-    "x_knn_graph" -> knnGraph
+    "x_knn_graph" -> knnGraph,
+    "x_knn_graph_probe" -> knnGraphProbe
   )
 
   val oracle = Map(
@@ -505,6 +517,32 @@ object CurateQueries extends QueryPack {
         |      / (sqrt(list_dot_product(x.v, x.v))
         |         * sqrt(list_dot_product(y.v, y.v))), 6) cos_sim
         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        |rk AS (SELECT src_id, nbr_id, cos_sim,
+        |    row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id)
+        |      rnk FROM pr)
+        |SELECT src_id, nbr_id, cos_sim, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+    "x_knn_graph_probe" ->
+      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |rkc AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cid DESC) rn
+        |  FROM emb e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id, v, cid AS cell FROM rkc WHERE rn = 1),
+        |srch AS (SELECT vec_id, v, cid AS cell FROM rkc WHERE rn <= 2),
+        |pr AS (SELECT x.vec_id src_id, y.vec_id nbr_id,
+        |    round(list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v))
+        |         * sqrt(list_dot_product(y.v, y.v))), 6) cos_sim
+        |  FROM srch x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
         |rk AS (SELECT src_id, nbr_id, cos_sim,
         |    row_number() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, nbr_id)
         |      rnk FROM pr)

@@ -481,6 +481,25 @@ class LlmOpsSpec extends SparkSpec {
       s"plan build launched $jobs Spark jobs: ${descs.toArray.mkString(" | ")}")
   }
 
+  test("knnGraph recall is monotone in nprobe") {
+    import graft.api.GraftOps
+    val emb = Tables.embeddings(spark, sf)
+    val nlist = GraftOps.nlistFor(emb.count())
+    def bestPerSrc(nprobe: Int) =
+      GraftOps.knnGraph(emb, k = 5, nlist = nlist, nprobe = nprobe)
+        .groupBy(col("src_id")).agg(max(col("cos_sim")).as("best"))
+    val b1 = bestPerSrc(1).withColumnRenamed("best", "b1")
+    val b2 = bestPerSrc(2).withColumnRenamed("best", "b2")
+    // nprobe=2's candidate set is a superset of nprobe=1's, so the best
+    // neighbor per source can only improve (or appear for a previously
+    // neighborless source) — never degrade.
+    val degraded = b1.join(b2, "src_id")
+      .filter(col("b2") < col("b1")).count()
+    assert(degraded === 0L, s"$degraded sources lost recall at nprobe=2")
+    assert(b2.count() >= b1.count(),
+      "nprobe=2 must cover at least every source nprobe=1 covers")
+  }
+
   test("topk(3) per group is a subset of topk(5) per group") {
     def topk(n: Int) = {
       val w = org.apache.spark.sql.expressions.Window
