@@ -311,7 +311,96 @@ object TpchQueries extends QueryPack {
       .limit(100)
   }
 
+  /** Q8 national market share: one nation's share of a part-type's
+    * revenue inside a region, per order year — the CASE-sum/sum two-level
+    * rollup over a 7-table join (the widest classic star). Revenue in
+    * exact 1e-4-dollar BIGINT units; the share division is the same IEEE
+    * op on the same two int64 sums in both engines.
+    */
+  def q8(s: SparkSession, d: String): DataFrame = {
+    val units = round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d).select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cr_key")), col("c_nationkey") === col("cn_key"))
+      .join(Tables.region(s, d), col("cr_key") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("sn_key"))
+      .select(year(col("o_orderdate")).as("o_year"), units.as("u"),
+        when(col("supp_nation") === "NATION_12", units).otherwise(lit(0L))
+          .as("nu"))
+      .groupBy(col("o_year"))
+      .agg(round(sum(col("nu")) / sum(col("u")), 6).as("mkt_share"))
+  }
+
+  /** Q12 shipping-priority audit: conditional counts of critical vs
+    * ordinary order priorities among late-shipped lines (the fixture has
+    * no shipmode/receiptdate, so the mode split becomes the returnflag
+    * and "late" the q4 90-day rule) — the join + CASE-count rollup.
+    */
+  def q12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+
+  /** Q13 customer order-count distribution: how many customers placed N
+    * orders — the left-outer join with a predicate ON THE JOIN (excluded
+    * priority class still yields the customer with count 0) followed by a
+    * second-level aggregation over the first's result.
+    */
+  def q13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "5-LOW", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q19 discounted revenue: the three-bracket disjunction over the
+    * lineitem x part join — each bracket pairs a brand with its own size
+    * and quantity bands, so no single conjunct can be pushed to either
+    * scan alone, but the p_partkey equi-join must stay a hash join with
+    * the disjunction as a post-join filter.
+    */
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_tpch_q8" -> q8,
+    "q_tpch_q12" -> q12,
+    "q_tpch_q13" -> q13,
+    "q_tpch_q19" -> q19,
     "q_tpch_q9" -> q9,
     "q_tpch_q20" -> q20,
     "q_tpch_q21" -> q21,
@@ -329,6 +418,56 @@ object TpchQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_tpch_q8" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) o_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) u,
+        |    sn.n_name supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN u
+        |                      ELSE 0 END) AS BIGINT)
+        |    / CAST(sum(u) AS BIGINT), 6) AS mkt_share
+        |FROM rows_ GROUP BY 1""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q_tpch_q9" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
