@@ -74,7 +74,29 @@ object PlanDump {
       "-span drop, quality gate, per-source accounting; each stage keeps " +
       "its standalone shape, composition adds only doc_id equi/anti joins"),
     "q_etl_bulkload" -> "Bulk load — RangePartitioner sample + per-partition sort write",
-    "s_tumbling" -> "Tumbling event-time window (same plan batch or streaming)"
+    "s_tumbling" -> "Tumbling event-time window (same plan batch or streaming)",
+    "q_tpch_q21" -> ("TPC-H Q21 waiting suppliers — EXISTS + NOT-EXISTS " +
+      "double correlation on lineitem self-joins; both correlations are " +
+      "hash semi/anti joins on the order key with the supplier-inequality " +
+      "and lateness conditions as residuals inside the join, never a " +
+      "post-cartesian filter"),
+    "q_tpch_q20" -> ("TPC-H Q20 part promotion — nested semi-join chain " +
+      "(part -> lineitem agg -> supplier -> nation); scale-relative " +
+      "exact-BIGINT threshold via a broadcast 1-row aggregate (the only " +
+      "permitted nested loop)"),
+    "q_tpch_q9" -> ("TPC-H Q9 product-type profit — LIKE-filtered " +
+      "5-table star, exact 1e-4-dollar BIGINT profit units, partial+final " +
+      "aggregation on (nation, year)"),
+    "q_tpch_q13" -> ("TPC-H Q13 order-count distribution — predicate on " +
+      "the OUTER join itself (zero-order customers survive) feeding a " +
+      "second-level aggregation"),
+    "q_tpch_q19" -> ("TPC-H Q19 bracketed disjunction — three brand/size/" +
+      "quantity OR-brackets evaluated as a residual over the p_partkey " +
+      "hash equi-join; the join never degenerates to a nested loop"),
+    "x_knn_graph_probe" -> ("k-NN graph at nprobe=2 — every vector also " +
+      "searches its second-nearest IVF cell (probe ranking over the " +
+      "bounded broadcast centroid set); neighbors stay in their owner " +
+      "cell, so candidates grow linearly in nprobe")
   )
 
   def main(args: Array[String]): Unit = {
