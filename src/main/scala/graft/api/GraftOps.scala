@@ -1412,6 +1412,35 @@ object GraftOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Diversity sampling (coreset selection): keep the `perCell` most
+    * central vectors of every IVF cell — one representative per occupied
+    * direction of embedding space instead of a uniform draw that
+    * oversamples dense regions. The downsampling move a training-data
+    * pipeline runs after dedup: coverage of the space at a fraction of
+    * the tokens. Shapes: centroids broadcast (bounded), cell assignment
+    * is the shared [[assignCells]] argmax, centrality is each member's
+    * cosine to its OWN centroid (broadcast equi-join on the cell id), and
+    * the per-cell rank window is partitioned by cell — O(n·dim) work, one
+    * shuffle on the cell id, no pairwise stage.
+    */
+  def diverseSample(corpus: DataFrame, nlist: Int,
+                    perCell: Int): DataFrame = {
+    val emb = corpus.select(col("vec_id"),
+      VectorFns.toDoubles(col("embedding")).as("v"))
+    val cent = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("cos_centroid").desc, col("vec_id").asc)
+    assignCells(emb, cent)
+      .join(broadcast(cent), col("cell") === col("cid"))
+      .select(col("cell"), col("vec_id"),
+        round(expr("cosine_sim(v, cv)"), 6).as("cos_centroid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCell)
+      .select(col("cell"), col("vec_id"), col("cos_centroid"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // ------------------------------------------------------ HBase-semantics
 
   /** V1 latest-version-per-cell (Scan#setMaxVersions(1) analog): keep the

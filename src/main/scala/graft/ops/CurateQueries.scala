@@ -184,6 +184,17 @@ object CurateQueries extends QueryPack {
       nprobe = 2)
   }
 
+  /** x_sample_diverse: coreset selection — the 2 most central vectors of
+    * every occupied IVF cell, covering each direction of embedding space
+    * instead of oversampling dense regions. The post-dedup downsampling
+    * pass of a training-data pipeline.
+    */
+  def sampleDiverse(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.diverseSample(emb, nlist = GraftOps.nlistFor(emb.count()),
+      perCell = 2)
+  }
+
   /** x_pmi: adjacent-pair PMI over the corpus — top-50 collocations above
     * a 5-occurrence noise floor, ranked on the exact pair count.
     */
@@ -266,7 +277,8 @@ object CurateQueries extends QueryPack {
     "x_bpe_stats" -> bpeStats,
     "x_rank_fusion" -> rankFusion,
     "x_knn_graph" -> knnGraph,
-    "x_knn_graph_probe" -> knnGraphProbe
+    "x_knn_graph_probe" -> knnGraphProbe,
+    "x_sample_diverse" -> sampleDiverse
   )
 
   val oracle = Map(
@@ -522,6 +534,31 @@ object CurateQueries extends QueryPack {
         |      rnk FROM pr)
         |SELECT src_id, nbr_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 5""".stripMargin,
+    "x_sample_diverse" ->
+      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (SELECT vec_id, v, cid AS cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cid DESC) rn
+        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |scored AS (SELECT a.cell, a.vec_id,
+        |    round(list_dot_product(a.v, c.cv)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(c.cv, c.cv))), 6) cos_centroid
+        |  FROM asg a JOIN cent c ON a.cell = c.cid),
+        |rk AS (SELECT cell, vec_id, cos_centroid,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY cos_centroid DESC, vec_id) rnk
+        |  FROM scored)
+        |SELECT cell, vec_id, cos_centroid, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 2""".stripMargin,
     "x_knn_graph_probe" ->
       """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
         |  WHERE c*c >= (SELECT count(*) FROM embeddings)),

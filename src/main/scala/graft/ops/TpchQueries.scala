@@ -396,7 +396,57 @@ object TpchQueries extends QueryPack {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
 
+  /** Q2 minimum-cost supplier: for each part in a size/type slice, the
+    * supplier(s) achieving the minimum observed unit price — the
+    * correlated-scalar-min + join-back shape (the fixture has no
+    * partsupp, so "supply cost" is the shipped unit price from lineitem).
+    * Unit price compares in exact integer milli-cents (ep_cents*1000 div
+    * qty — floor division of positives, identical in both engines), so
+    * equality-to-min never touches a float boundary. Deterministic LIMIT:
+    * the sort key ends with the unique (p_partkey, s_suppkey) pair.
+    */
+  def q2(s: SparkSession, d: String): DataFrame = {
+    val unitMc = expr(
+      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 1000) div CAST(l_quantity AS BIGINT)")
+    val offers = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "STANDARD" &&
+        col("p_size") <= 25), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+        unitMc.as("unit_mc"))
+    val best = offers.groupBy(col("p_partkey").as("bp_key"))
+      .agg(min(col("unit_mc")).as("min_mc"))
+    offers
+      .join(best, col("p_partkey") === col("bp_key") &&
+        col("unit_mc") === col("min_mc"))
+      .select(col("p_partkey"), col("p_brand"), col("l_suppkey"),
+        col("min_mc")).distinct()
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("s_acctbal"), col("p_partkey"),
+        col("p_brand"), (col("min_mc") / 100000.0).as("min_unit_price"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** Q16 supplier-part relationship counts: distinct suppliers who
+    * shipped each (brand, size) slice, excluding a NOT-IN supplier set —
+    * the anti-join + count-distinct rollup (partsupp's offer relation is
+    * the fixture's shipped relation).
+    */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_name").like("%7%")).select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 10, 20, 30, 40)),
+        col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_tpch_q2" -> q2,
+    "q_tpch_q16" -> q16,
     "q_tpch_q8" -> q8,
     "q_tpch_q12" -> q12,
     "q_tpch_q13" -> q13,
@@ -418,6 +468,30 @@ object TpchQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_brand, l_suppkey,
+        |    (CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+        |      // CAST(l_quantity AS BIGINT) unit_mc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'STANDARD' AND p_size <= 25),
+        |best AS (
+        |  SELECT p_partkey bp_key, CAST(min(unit_mc) AS BIGINT) min_mc
+        |  FROM offers GROUP BY 1)
+        |SELECT DISTINCT s_name, s_acctbal, p_partkey, p_brand,
+        |  min_mc / 100000.0 AS min_unit_price
+        |FROM offers
+        |JOIN best ON p_partkey = bp_key AND unit_mc = min_mc
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, p_partkey, s_name
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 10, 20, 30, 40)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_name LIKE '%7%')
+        |GROUP BY 1, 2""".stripMargin,
     "q_tpch_q8" ->
       """WITH rows_ AS (
         |  SELECT CAST(year(o_orderdate) AS INT) o_year,
