@@ -96,7 +96,16 @@ object PlanDump {
     "x_knn_graph_probe" -> ("k-NN graph at nprobe=2 — every vector also " +
       "searches its second-nearest IVF cell (probe ranking over the " +
       "bounded broadcast centroid set); neighbors stay in their owner " +
-      "cell, so candidates grow linearly in nprobe")
+      "cell, so candidates grow linearly in nprobe"),
+    "q_tpch_q2" -> ("TPC-H Q2 min-cost supplier — correlated scalar min " +
+      "per part (partial+final agg) joined back on the exact-integer " +
+      "(partkey, unit_mc) pair; deterministic LIMIT via a unique " +
+      "sort-key tail"),
+    "q_tpch_q16" -> ("TPC-H Q16 supplier-part counts — NOT-IN exclusion " +
+      "as a hash anti-join feeding a count-distinct rollup"),
+    "x_sample_diverse" -> ("Coreset diversity sampling — per-IVF-cell " +
+      "most-central representatives; broadcast-argmax assignment + one " +
+      "cell-partitioned window, O(n·dim), no pairwise stage")
   )
 
   def main(args: Array[String]): Unit = {

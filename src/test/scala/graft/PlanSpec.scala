@@ -220,6 +220,33 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("LeftSemi"), "expected hash-based semi-joins")
   }
 
+  test("q_tpch_q16: NOT-IN exclusion stays a hash anti-join") {
+    val p = planOf(SparkEntry.queries("q_tpch_q16")(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"))
+    assert(finalPlan.contains("LeftAnti"), "expected hash-based NOT IN")
+  }
+
+  test("q_tpch_q2: correlated argmin join-back stays hash-based") {
+    val p = planOf(SparkEntry.queries("q_tpch_q2")(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      "the min-price join-back must be the (partkey, unit_mc) equi-join")
+  }
+
+  test("x_sample_diverse: only the bounded centroid set nested-loops") {
+    val p = planOf(SparkEntry.queries("x_sample_diverse")(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"))
+    // assignCells' broadcast against the bounded sqrt(n) centroid set is
+    // the one intentional nested loop; the centrality join is an
+    // equi-join on the cell id
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size <= 1,
+      "only the bounded centroid broadcast may nested-loop")
+  }
+
   test("q_join_bucket: bucketed co-located join + per-key agg run with ZERO exchanges") {
     val p = planOf(SparkEntry.queries("q_join_bucket")(spark, sf))
     val finalPlan = p.split("== Initial Plan ==").head

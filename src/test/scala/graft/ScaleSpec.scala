@@ -141,4 +141,22 @@ class ScaleSpec extends SparkSpec {
     assert(g.groupBy(col("src_id")).count()
       .agg(max(col("count"))).head().getLong(0) <= 3L)
   }
+
+  test("diversity sampling at 200k vectors returns <= perCell rows per cell") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // same hash-spread corpus as the knn stress; the coreset pass must
+    // stay O(n·dim) — one broadcast-argmax assignment + one cell-
+    // partitioned window, never a pairwise stage.
+    val n = 200000L
+    val vecs = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          ((pmod(xxhash64(col("id"), lit(j)), lit(2001L)) - 1000L) / 1000.0)
+            .cast("float")): _*).as("embedding"))
+    val nlist = GraftOps.nlistFor(n)
+    val s = GraftOps.diverseSample(vecs, nlist = nlist, perCell = 2)
+    val perCell = s.groupBy(col("cell")).count()
+    assert(perCell.agg(max(col("count"))).head().getLong(0) <= 2L)
+    assert(perCell.count() <= nlist.toLong, "more cells than centroids")
+  }
 }
