@@ -444,7 +444,32 @@ object TpchQueries extends QueryPack {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** Q11 important stock: per-part shipped value for one nation's
+    * suppliers, keeping parts whose value clears a global-scalar
+    * threshold — the HAVING-against-a-scalar-subquery shape. The fixture
+    * has no partsupp, so "stock value" is shipped extended price; the
+    * threshold is 1.5x the mean part value (scale-relative, exact BIGINT
+    * cents: v*2n > 3T) rather than the spec's fixed fraction, which no
+    * single constant satisfies at every scale factor. The (T, n) global
+    * aggregate broadcasts — one row against the part-value table.
+    */
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_19")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("val_cents"))
+    val tot = v.agg(sum(col("val_cents")).as("t"), count(lit(1)).as("n"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val_cents") * col("n") * 2 > col("t") * 3)
+      .select(col("l_partkey"), (col("val_cents") / 100.0).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_tpch_q11" -> q11,
     "q_tpch_q2" -> q2,
     "q_tpch_q16" -> q16,
     "q_tpch_q8" -> q8,
@@ -468,6 +493,21 @@ object TpchQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) val_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_19'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(val_cents) AS BIGINT) t, count(*) n FROM v)
+        |SELECT l_partkey, val_cents / 100.0 AS part_value
+        |FROM v, tot
+        |WHERE val_cents * n * 2 > t * 3
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
     "q_tpch_q2" ->
       """WITH offers AS (
         |  SELECT p_partkey, p_brand, l_suppkey,
