@@ -105,7 +105,10 @@ object PlanDump {
       "as a hash anti-join feeding a count-distinct rollup"),
     "x_sample_diverse" -> ("Coreset diversity sampling — per-IVF-cell " +
       "most-central representatives; broadcast-argmax assignment + one " +
-      "cell-partitioned window, O(n·dim), no pairwise stage")
+      "cell-partitioned window, O(n·dim), no pairwise stage"),
+    "q_tpch_q11" -> ("TPC-H Q11 important stock — per-part value rollup " +
+      "filtered against a broadcast 1-row global (total, count) scalar " +
+      "in exact BIGINT cents")
   )
 
   def main(args: Array[String]): Unit = {
