@@ -16,10 +16,16 @@ object StreamQueries extends QueryPack {
     "s_tumbling" -> ((s, d) => StreamOps.tumbling(Tables.events(s, d))),
     "s_sliding" -> ((s, d) => StreamOps.sliding(Tables.events(s, d))),
     "s_session" -> ((s, d) => StreamOps.sessionize(Tables.events(s, d))),
-    "s_join" -> ((s, d) => StreamOps.clickAttribution(Tables.events(s, d)))
+    "s_join" -> ((s, d) => StreamOps.clickAttribution(Tables.events(s, d))),
+    "s_enrich" -> ((s, d) =>
+      StreamOps.enrich(Tables.events(s, d), Tables.customer(s, d)))
   )
 
   val oracle = Map(
+    "s_enrich" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  c_mktsegment, c_nationkey
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     // Spark's window() origin is the epoch; 5-minute buckets are therefore
     // identical to DuckDB's 2000-01-01-origin time_bucket (both origins
     // are midnight-aligned).

@@ -100,4 +100,19 @@ object StreamOps {
       .select(col("user_id"), col("click_id"), col("buy_id"),
         col("click_ts"), col("buy_ts"))
   }
+
+  /** s_enrich: stream-static dimension enrichment — every event joined to
+    * its customer row. The production shape behind most streaming ETL:
+    * the dimension is broadcast (stateless join, no streaming state at
+    * all), so the stream side never shuffles and the plan is identical in
+    * batch and streaming. At 100 TB/day of events the dimension refresh
+    * cadence, not join state, is the only operational concern.
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"), col("c_nationkey"))
 }

@@ -72,6 +72,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("s_enrich: stream-static broadcast enrichment equals the batch join") {
+    val q = StreamOps.enrich(StreamOps.readEventStream(spark, eventsDir),
+        Tables.customer(spark, sf))
+      .writeStream.format("memory").queryName("enrich_tbl")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich_tbl")
+    val batch = StreamOps.enrich(Tables.events(spark, sf),
+      Tables.customer(spark, sf))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("s_watermark: late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
