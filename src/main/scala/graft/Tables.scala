@@ -21,9 +21,13 @@ object Tables {
   private val loaded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // evict entries whose session has stopped — a long-lived JVM cycling
+    // sessions must not pin dead sessions (and their resolved plans)
+    loaded.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     loaded.getOrElseUpdate((spark, s"$dir/$name.parquet"),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; every session in this project enables

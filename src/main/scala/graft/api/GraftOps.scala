@@ -1380,25 +1380,30 @@ object GraftOps {
       VectorFns.toDoubles(col("embedding")).as("v"))
     val cent = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // both legs of the self-join read the assignment — persist it, or the
-    // broadcast-argmax subtree (the expensive scan) executes twice.
-    val a = assignCells(emb, cent)
-      .persistOnce()
-    // search side: owner cell at nprobe=1 (shares the persisted subtree);
-    // otherwise the nprobe nearest cells, ranked with the same
-    // (cosine desc, cid desc) tiebreak assignCells' argmax uses, so
-    // rank 1 IS the owner cell and the pair set only ever grows.
-    val xs =
-      if (nprobe <= 1) a
-      else {
+    // Both the neighbor side (owner cell = rank 1) and the search side
+    // (rank <= nprobe) come from ONE persisted subtree, so the dominant
+    // O(n·nlist) cosine scan against the centroid set runs exactly once
+    // regardless of nprobe. At nprobe=1 that subtree is the shared
+    // assignCells argmax; above it, a rank window with the SAME
+    // (cosine desc, cid desc) tiebreak assignCells uses — rank 1 IS the
+    // owner cell, so the pair set only ever grows with nprobe.
+    val (a, xs) =
+      if (nprobe <= 1) {
+        val owner = assignCells(emb, cent).persistOnce()
+        (owner, owner)
+      } else {
         val pw = Window.partitionBy(col("vec_id"))
           .orderBy(col("pcs").desc, col("cid").desc)
-        emb.join(broadcast(cent))
+        val ranked = emb.join(broadcast(cent))
           .select(col("vec_id"), col("v"), col("cid"),
             expr("cosine_sim(v, cv)").as("pcs"))
           .withColumn("prnk", row_number().over(pw))
           .filter(col("prnk") <= nprobe)
-          .select(col("vec_id"), col("v"), col("cid").as("cell"))
+          .select(col("vec_id"), col("v"), col("cid").as("cell"),
+            col("prnk"))
+          .persistOnce()
+        (ranked.filter(col("prnk") === 1).drop("prnk"),
+          ranked.drop("prnk"))
       }
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id").asc)

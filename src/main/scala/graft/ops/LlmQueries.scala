@@ -42,9 +42,12 @@ object LlmQueries extends QueryPack {
     */
   private val planesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
-  private def planesOf(s: SparkSession, d: String): Int =
+  private def planesOf(s: SparkSession, d: String): Int = {
+    // drop entries of stopped sessions (same hygiene as Tables.loaded)
+    planesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     planesCache.getOrElseUpdate((s, d),
       GraftOps.planesFor(Tables.embeddings(s, d).count(), TargetBucket))
+  }
 
   /** x_dedup_exact: fingerprint-grouped exact dedup. Output one row per
     * distinct content hash with the canonical survivor (min doc_id) and

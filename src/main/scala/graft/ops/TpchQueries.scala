@@ -421,9 +421,10 @@ object TpchQueries extends QueryPack {
       .select(col("p_partkey"), col("p_brand"), col("l_suppkey"),
         col("min_mc")).distinct()
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_name"), col("s_acctbal"), col("p_partkey"),
-        col("p_brand"), (col("min_mc") / 100000.0).as("min_unit_price"))
-      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("p_partkey"), col("p_brand"),
+        (col("min_mc") / 100000.0).as("min_unit_price"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
       .limit(100)
   }
 
@@ -518,12 +519,12 @@ object TpchQueries extends QueryPack {
         |best AS (
         |  SELECT p_partkey bp_key, CAST(min(unit_mc) AS BIGINT) min_mc
         |  FROM offers GROUP BY 1)
-        |SELECT DISTINCT s_name, s_acctbal, p_partkey, p_brand,
+        |SELECT DISTINCT s_suppkey, s_name, s_acctbal, p_partkey, p_brand,
         |  min_mc / 100000.0 AS min_unit_price
         |FROM offers
         |JOIN best ON p_partkey = bp_key AND unit_mc = min_mc
         |JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY s_acctbal DESC, p_partkey, s_name
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
     "q_tpch_q16" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

@@ -466,19 +466,23 @@ class LlmOpsSpec extends SparkSpec {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs += 1
-        descs.add(Option(js.properties)
-          .map(_.getProperty("spark.job.description", "?")).getOrElse("?") +
-          " / " + js.stageInfos.map(_.name).mkString(";"))
+        descs.add(js.stageInfos.map(_.name).mkString(";"))
       }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       SparkEntry.queries("x_dedup_embed")(spark, sf) // build only, no action
-      // listener events post asynchronously; give the bus time to drain
-      Thread.sleep(1000)
+      // the listener bus is FIFO per listener: once the marker action's
+      // own job event has arrived, any job the plan build launched would
+      // have arrived before it — no sleep-and-hope drain. RDD count is
+      // exactly one job (an SQL count can be several under AQE).
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(20)
     } finally spark.sparkContext.removeSparkListener(listener)
-    assert(jobs === 0,
-      s"plan build launched $jobs Spark jobs: ${descs.toArray.mkString(" | ")}")
+    assert(jobs === 1, // exactly the marker job, nothing from the build
+      s"plan build launched ${jobs - 1} Spark jobs: " +
+        descs.toArray.mkString(" | "))
   }
 
   test("knnGraph recall is monotone in nprobe") {

@@ -53,21 +53,40 @@ def load_queries(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    threshold = 2.0
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, threshold = [], 2.0
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1]) if "=" in a else float(
-                sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                threshold = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     new_path = args[0] if len(args) > 0 else "bench_last.json"
     if len(args) > 1:
         old_path = args[1]
     else:
+        # tools/bench_ref.txt names the canonical clean reference — the
+        # newest BENCH_r*.json is NOT a safe default (round 4's file
+        # recorded a contention-contaminated run; diffing against it
+        # would mask real regressions behind 3-30x inflated baselines).
         old_path = None
-        for cand in sorted(glob.glob("BENCH_r*.json"), reverse=True):
-            if load_queries(cand):
-                old_path = cand
-                break
+        try:
+            ref = open("tools/bench_ref.txt").read().strip()
+            if ref and load_queries(ref):
+                old_path = ref
+        except OSError:
+            pass
+        if old_path is None:
+            for cand in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+                if load_queries(cand):
+                    old_path = cand
+                    break
         if old_path is None:
             print("bench_diff: no reference BENCH_r*.json with per-query "
                   "numbers found; nothing to compare")
@@ -84,10 +103,13 @@ def main():
               f"{old_path}")
         return 1
 
-    rows = []
+    rows, broke = [], []
     for q in shared:
         o, n = old[q], new[q]
-        if o <= 0 or n <= 0:  # negative = recorded failure; skip ratio
+        if n <= 0 < o:  # passed before, FAILED now — worst regression
+            broke.append(q)
+            continue
+        if o <= 0 or n <= 0:  # failed in the reference too; no ratio
             continue
         rows.append((n / o, q, o, n))
     rows.sort(reverse=True)
@@ -95,9 +117,18 @@ def main():
     regressed = [r for r in rows if r[0] > threshold]
     new_total = sum(n for _, _, _, n in rows)
     old_total = sum(o for _, _, o, _ in rows)
+    if not rows:
+        print(f"bench_diff: FAIL — no comparable query times between "
+              f"{new_path} and {old_path} "
+              f"({len(broke)} queries newly failing)")
+        return 1
     print(f"bench_diff: {new_path} vs {old_path} — {len(rows)} shared "
           f"queries, total {old_total:.1f}s -> {new_total:.1f}s "
           f"({new_total / old_total:.2f}x)")
+    if broke:
+        print(f"bench_diff: FAIL — newly FAILING queries (passed in "
+              f"{old_path}): {', '.join(broke)}")
+        return 1
     for ratio, q, o, n in rows[:8]:
         tag = " <-- REGRESSED" if ratio > threshold else ""
         print(f"  {q:24s} {o:7.3f}s -> {n:7.3f}s  {ratio:5.2f}x{tag}")
