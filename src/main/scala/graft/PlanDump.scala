@@ -108,7 +108,16 @@ object PlanDump {
       "cell-partitioned window, O(n·dim), no pairwise stage"),
     "q_tpch_q11" -> ("TPC-H Q11 important stock — per-part value rollup " +
       "filtered against a broadcast 1-row global (total, count) scalar " +
-      "in exact BIGINT cents")
+      "in exact BIGINT cents"),
+    "x_decontam_embed" -> ("Embedding-space decontamination — bounded " +
+      "benchmark broadcast, map-side cosine + partial max-agg; the only " +
+      "shuffle is one max-cos row per corpus vector"),
+    "x_shuffle_epochs" -> ("Deterministic multi-epoch training shuffle — " +
+      "exact-BIGINT multiplicative hash positions, epoch explode + ONE " +
+      "balanced range sort; no global row_number bottleneck"),
+    "q_window_range" -> ("Time-range window frame — trailing 5-minute " +
+      "per-user aggregate on an exact-integer microsecond frame key, " +
+      "riding the user_id hash partitioning")
   )
 
   def main(args: Array[String]): Unit = {

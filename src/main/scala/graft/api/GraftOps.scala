@@ -642,6 +642,72 @@ object GraftOps {
           .cast("int").as("contaminated"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic complement
+    * of [[decontaminate]]'s shingle overlap: a corpus vector is
+    * contaminated when its cosine against ANY benchmark vector reaches
+    * the threshold, which catches paraphrase contamination that shares no
+    * n-grams with the eval set. Shape: the benchmark side is bounded by
+    * definition (eval suites are thousands of items, not billions), so it
+    * BROADCASTS; the per-pair cosine is computed map-side and max-reduced
+    * with a partial aggregate, so the only shuffle is one row per corpus
+    * vector and the corpus embedding column itself never moves twice.
+    * Reports every corpus vector with its max benchmark cosine, so the
+    * cut can be re-tuned without rescanning the corpus. The threshold
+    * compares the UNROUNDED cosine (the codegen'd expression is
+    * bit-identical to the oracle's dot-product form — proven by the
+    * dedupEmbed gates); rounding happens only in the reported column.
+    */
+  def decontaminateEmbed(corpus: DataFrame, benchmark: DataFrame,
+                         threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+    val b = benchmark.select(col("vec_id").as("bench_id"),
+      VectorFns.toDoubles(col("embedding")).as("bv"))
+    c.join(broadcast(b))
+      .select(col("vec_id"), expr("cosine_sim(v, bv)").as("cs"))
+      .groupBy(col("vec_id")).agg(max(col("cs")).as("mx"))
+      .select(col("vec_id"), round(col("mx"), 6).as("max_bench_cos"),
+        (col("mx") >= threshold).cast("int").as("contaminated"))
+  }
+
+  /** Deterministic multi-epoch training-order shuffle — every document
+    * gets a pseudo-random position per epoch from a Knuth multiplicative
+    * hash over (doc_id, epoch), in exact BIGINT math: the order is
+    * (a) uniform, (b) independent across epochs, and (c) bit-replayable
+    * on any engine, cluster size, or retry — the property a training run
+    * needs for resumability. Shape: an E-way epoch explode (output is
+    * linear in E·n, the honest size of E epoch orders), then ONE global
+    * range sort on (epoch, ord); uniform hash keys give the range
+    * partitioner balanced splits at any corpus size, and there is no
+    * global row_number (a single-partition bottleneck) — the total order
+    * IS the position, the same TotalOrderPartitioner contract as
+    * q_sort_global. The multiplicative form keeps the oracle replay
+    * exact; key spaces wider than ~2^31 should swap in xxhash64 (same
+    * shape, no overflow) at the cost of oracle replayability.
+    */
+  def epochShuffle(df: DataFrame, key: Column, epochs: Int): DataFrame =
+    df.select(key.as("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("ord",
+        pmod((col("doc_id") + col("epoch") * lit(1000003L)) * lit(2654435761L),
+          lit(4294967296L)))
+      .orderBy(col("epoch"), col("ord"), col("doc_id"))
+      .select(col("epoch"), col("doc_id"), col("ord"))
+
+  /** Curriculum ordering — the easy-to-hard training schedule: documents
+    * are binned by quality score (descending, cleanest first) and
+    * shuffled within each bin by the same multiplicative hash as
+    * [[epochShuffle]], so the schedule is deterministic end-to-end.
+    * Shape: [[qualityScore]]'s single codegen'd scan plus one global
+    * range sort on (score, hash) — scores have few distinct values, but
+    * the uniform hash key inside each bin keeps the range partitioner's
+    * splits balanced, so the sort never sees a skewed partition.
+    */
+  def curriculumOrder(df: DataFrame, key: Column, text: Column): DataFrame =
+    qualityScore(df, key, text)
+      .select(col("doc_id"), col("quality_score"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("ord"))
+      .orderBy(col("quality_score").desc, col("ord"), col("doc_id"))
+
   /** Per-document salient-term profile — tf-idf-shaped keyword extraction
     * with the idf log replaced by an exact integer rational: salience =
     * floor(tf·10^6 / df). The log is monotone in 1/df, so for a FIXED tf

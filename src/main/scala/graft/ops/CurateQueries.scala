@@ -195,6 +195,22 @@ object CurateQueries extends QueryPack {
       perCell = 2)
   }
 
+  /** x_shuffle_epochs: deterministic 2-epoch training-order shuffle —
+    * every doc gets a pseudo-random position per epoch from a
+    * multiplicative hash in exact BIGINT math, so the training order is
+    * uniform, epoch-independent, and bit-replayable (resumable runs).
+    * One explode + one balanced range sort; no global row_number.
+    */
+  def shuffleEpochs(s: SparkSession, d: String): DataFrame =
+    GraftOps.epochShuffle(Tables.documents(s, d), col("doc_id"), epochs = 2)
+
+  /** x_curriculum: easy-to-hard training schedule — quality-score bins
+    * (cleanest first) with a deterministic intra-bin shuffle; the
+    * schedule every doc lands in is exact-integer replayable.
+    */
+  def curriculum(s: SparkSession, d: String): DataFrame =
+    GraftOps.curriculumOrder(Tables.documents(s, d), col("doc_id"), col("text"))
+
   /** x_pmi: adjacent-pair PMI over the corpus — top-50 collocations above
     * a 5-occurrence noise floor, ranked on the exact pair count.
     */
@@ -278,7 +294,9 @@ object CurateQueries extends QueryPack {
     "x_rank_fusion" -> rankFusion,
     "x_knn_graph" -> knnGraph,
     "x_knn_graph_probe" -> knnGraphProbe,
-    "x_sample_diverse" -> sampleDiverse
+    "x_sample_diverse" -> sampleDiverse,
+    "x_shuffle_epochs" -> shuffleEpochs,
+    "x_curriculum" -> curriculum
   )
 
   val oracle = Map(
@@ -773,6 +791,36 @@ object CurateQueries extends QueryPack {
         |  FROM events)
         |SELECT user_id, CAST(nc AS BIGINT) AS n_changes, ts AS last_ts,
         |  event_type AS last_type, round(value, 6) AS last_value
-        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "x_shuffle_epochs" ->
+      """SELECT CAST(e AS BIGINT) AS epoch, doc_id,
+        |  ((doc_id + e * 1000003) * 2654435761) % 4294967296 AS ord
+        |FROM documents CROSS JOIN range(0, 2) t(e)
+        |ORDER BY epoch, ord, doc_id""".stripMargin,
+    "x_curriculum" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(w) n_tokens,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') sum_len,
+        |    len([x for x in w if list_contains(['the','a','of','and','to','in','is'], x)]) stop_hits
+        |  FROM base WHERE len(w) > 0),
+        |sy AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) sym_hits,
+        |    length(regexp_replace(lower(text), '\s', '', 'g')) n_chars_nospace
+        |  FROM documents),
+        |g AS (
+        |  SELECT m.doc_id,
+        |    CAST(n_tokens >= 20 AND n_tokens <= 100000 AS INT)
+        |      + CAST(sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100 AS INT)
+        |      + CAST(stop_hits * 100 >= n_tokens AS INT)
+        |      + CAST(sym_hits * 10 <= n_chars_nospace * 3 AS INT) AS n_pass
+        |  FROM m JOIN sy ON m.doc_id = sy.doc_id)
+        |SELECT doc_id, CAST(n_pass AS DOUBLE) / 4 AS quality_score,
+        |  (doc_id * 2654435761) % 4294967296 AS ord
+        |FROM g ORDER BY quality_score DESC, ord, doc_id""".stripMargin
   )
 }

@@ -111,6 +111,34 @@ object LlmQueries extends QueryPack {
       col("doc_id"), col("text"))
   }
 
+  /** x_decontam_embed: embedding-space decontamination — the semantic
+    * sibling of x_decontam: corpus vectors (vec_id >= 8) are flagged when
+    * their cosine against any benchmark vector (vec_id < 8, the same
+    * bounded probe set the similarity gates use) reaches 0.4. Catches
+    * paraphrase contamination the shingle test cannot see. Benchmark
+    * broadcasts; shuffle is one max-cosine row per corpus vector.
+    */
+  def decontamEmbed(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.decontaminateEmbed(
+      emb.filter(col("vec_id") >= 8),
+      emb.filter(col("vec_id") < 8),
+      threshold = 0.4)
+  }
+
+  /** x_dup_stats: the duplication report a curation run ends with — how
+    * many near-dup clusters of each size exist and how many docs they
+    * hold. Composition over the x_dedup_cluster connected components;
+    * adds only a cluster_size groupBy (output is bounded by the largest
+    * cluster, a handful of rows at any corpus size).
+    */
+  def dupStats(s: SparkSession, d: String): DataFrame =
+    dedupCluster(s, d)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** x_chunk: fixed-size token chunking with overlap — 64-token windows
     * every 48 tokens (16-token overlap), the training-sequence prep step.
     * Pure per-row array math; chunk md5s feed a downstream chunk-level
@@ -448,6 +476,8 @@ object LlmQueries extends QueryPack {
     "x_dedup_embed_multi" -> dedupEmbedMulti,
     "x_dedup_cluster" -> dedupCluster,
     "x_decontam" -> decontam,
+    "x_decontam_embed" -> decontamEmbed,
+    "x_dup_stats" -> dupStats,
     "x_chunk" -> chunk,
     "x_pack" -> pack,
     "x_tfidf" -> tfidf,
@@ -586,6 +616,51 @@ object LlmQueries extends QueryPack {
         |  CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size,
         |  CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
         |FROM lbl l""".stripMargin,
+    "x_dup_stats" ->
+      """WITH RECURSIVE ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a
+        |  JOIN sh y ON y.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT s AS doc FROM edges),
+        |reach(doc, lab) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.s, r.lab FROM reach r JOIN edges e ON e.d = r.doc),
+        |lbl AS (
+        |  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc),
+        |sz AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM lbl GROUP BY cluster_id)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "x_chunk" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
@@ -666,6 +741,20 @@ object LlmQueries extends QueryPack {
         |  round(CAST(coalesce(shared_cnt, 0) AS DOUBLE) / a.n_shingles, 6) AS shared_frac,
         |  CAST(coalesce(shared_cnt, 0) * 2 >= a.n_shingles AS INT) AS contaminated
         |FROM alldocs a LEFT JOIN shared USING (doc_id)""".stripMargin,
+    "x_decontam_embed" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |b AS (SELECT v AS bv FROM emb WHERE vec_id < 8),
+        |c AS (SELECT vec_id, v FROM emb WHERE vec_id >= 8),
+        |mx AS (
+        |  SELECT c.vec_id,
+        |    max(list_dot_product(v, bv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv)))) AS m
+        |  FROM c CROSS JOIN b GROUP BY c.vec_id)
+        |SELECT vec_id, round(m, 6) AS max_bench_cos,
+        |  CAST(m >= 0.4 AS INT) AS contaminated
+        |FROM mx""".stripMargin,
     "x_pipeline" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

@@ -90,6 +90,22 @@ object WindowQueries extends QueryPack {
           row_number().over(w).as("order_seq"))
     }),
 
+    // RANGE-frame window: trailing 5-minute per-user aggregate keyed on
+    // event TIME, not row count — the other half of the frame spec next
+    // to q_window_analytic's ROWS frames. unix_micros keeps the frame
+    // key exact-integer in both engines (the ns fixtures truncate to µs
+    // identically); floor(value) keeps the windowed sum integer so no
+    // float accumulation order can flip a digit.
+    "q_window_range" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(us)
+        .rangeBetween(-300L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), us.as("ts_us"),
+          count(lit(1)).over(w).as("n_5min"),
+          sum(floor(col("value"))).over(w).as("val_5min"))
+    }),
+
     "q_v1_latest" -> v1Latest
   )
 
@@ -127,6 +143,13 @@ object WindowQueries extends QueryPack {
         |  CAST(row_number() OVER w AS INT) AS order_seq
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  count(*) OVER w AS n_5min,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS val_5min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_v1_latest" ->
       """SELECT user_id, event_type, ts, value, event_id FROM (
         |  SELECT user_id, event_type, ts, value, event_id,

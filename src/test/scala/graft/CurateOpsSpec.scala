@@ -313,4 +313,44 @@ class CurateOpsSpec extends SparkSpec {
     }.toSet
     assert(got === want)
   }
+
+  test("epochShuffle: each epoch is a full permutation, epochs differ, replay is bit-identical") {
+    import spark.implicits._
+    val docs = (0L until 100L).toSeq.toDF("doc_id")
+    val out = GraftOps.epochShuffle(docs, col("doc_id"), epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 200)
+    val byEpoch = out.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byEpoch(0L).toSet === (0L until 100L).toSet, "epoch 0 must cover every doc")
+    assert(byEpoch(1L).toSet === (0L until 100L).toSet, "epoch 1 must cover every doc")
+    assert(byEpoch(0L) !== byEpoch(1L), "epochs must order independently")
+    assert(byEpoch(0L) !== (0L until 100L).toSeq, "order must not be the identity")
+    val replay = GraftOps.epochShuffle(docs, col("doc_id"), epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === replay.toSeq, "the shuffle must be deterministic")
+  }
+
+  test("decontaminateEmbed flags exactly the planted benchmark copy") {
+    import spark.implicits._
+    val bench = Seq((0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0f, 0f, 0f)), // exact copy of bench 0 → cos 1
+      (11L, Array(0f, 0f, 1f, 0f)))   // orthogonal to both → cos 0
+      .toDF("vec_id", "embedding")
+    val out = GraftOps.decontaminateEmbed(corpus, bench, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(2))).toSeq ===
+      Seq((10L, 1), (11L, 0)))
+    assert(out.head.getDouble(1) === 1.0)
+  }
+
+  test("curriculumOrder: quality scores never increase down the schedule") {
+    val out = GraftOps.curriculumOrder(Tables.documents(spark, sf),
+      col("doc_id"), col("text")).collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "schedule must be easy-to-hard")
+  }
 }

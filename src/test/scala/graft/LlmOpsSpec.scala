@@ -515,4 +515,15 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(topk(3).except(topk(5)).isEmpty)
   }
+
+  test("x_dup_stats accounts for every clustered doc exactly once") {
+    val stats = ops.LlmQueries.dupStats(spark, sf).collect()
+    val clustered = ops.LlmQueries.dedupCluster(spark, sf).count()
+    assert(stats.map(_.getLong(2)).sum === clustered,
+      "histogram doc totals must sum to the clustered-doc count")
+    assert(stats.forall(r => r.getLong(0) * r.getLong(1) === r.getLong(2)),
+      "n_docs must equal cluster_size * n_clusters in every bucket")
+    assert(stats.forall(_.getLong(0) >= 2),
+      "a near-dup cluster has at least 2 members by construction")
+  }
 }

@@ -275,6 +275,49 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("route"), s"route filter not pruned: $pf")
   }
 
+  test("x_decontam_embed: benchmark broadcasts; corpus never cartesians") {
+    val p = planOf(SparkEntry.queries("x_decontam_embed")(spark, sf))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // the bounded benchmark side rides a broadcast (the intentional NLJ —
+    // same contract as x_sim_brute); an unbroadcast cartesian would be the
+    // O(n·m) shuffle that dies at corpus scale
+    assert(finalPlan.contains("BroadcastNestedLoopJoin")
+      || finalPlan.contains("BroadcastHashJoin"), finalPlan.linesIterator.take(8).mkString("\n"))
+    assert(!finalPlan.contains("CartesianProduct"))
+    // per-vector max reduces map-side: partial+final aggregate pair
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 2,
+      "expected partial+final max aggregation")
+  }
+
+  test("x_shuffle_epochs: one balanced range sort, no single-partition stage") {
+    val finalPlan = planOf(SparkEntry.queries("x_shuffle_epochs")(spark, sf))
+      .split("== Initial Plan ==").head
+    // position = total order (TotalOrderPartitioner contract); a global
+    // row_number would show as Exchange SinglePartition and serialize
+    assert(!finalPlan.contains("SinglePartition"),
+      finalPlan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    val ex = finalPlan.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("rangepartitioning")),
+      s"only the range sort may shuffle:\n${ex.mkString("\n")}")
+  }
+
+  test("x_curriculum: quality scan + one range sort, nothing else shuffles") {
+    val finalPlan = planOf(SparkEntry.queries("x_curriculum")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!finalPlan.contains("SinglePartition"))
+    val ex = finalPlan.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("rangepartitioning")),
+      s"only the schedule sort may shuffle:\n${ex.mkString("\n")}")
+  }
+
+  test("q_window_range: range frame rides the user_id partitioning") {
+    val finalPlan = planOf(SparkEntry.queries("q_window_range")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("Window"), "expected a Window operator")
+    assert(!finalPlan.contains("SinglePartition"),
+      "per-user frames must not serialize to one partition")
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF

@@ -159,4 +159,21 @@ class ScaleSpec extends SparkSpec {
     assert(perCell.agg(max(col("count"))).head().getLong(0) <= 2L)
     assert(perCell.count() <= nlist.toLong, "more cells than centroids")
   }
+
+  test("epoch shuffle at 20M docs: balanced range sort, full permutation") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // The scale property of the multiplicative-hash order: the sort key is
+    // uniform, so the range partitioner's sampled splits stay balanced —
+    // no partition may carry a skewed share of a 20M-row epoch.
+    val n = 20000000L
+    val docs = spark.range(0, n, 1, 32).select(col("id").as("doc_id"))
+    val out = GraftOps.epochShuffle(docs, col("doc_id"), epochs = 1)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val parts = out.select(spark_partition_id().as("p"))
+      .groupBy(col("p")).count().collect()
+    assert(parts.map(_.getLong(1)).sum === n, "every doc exactly once")
+    val mx = parts.map(_.getLong(1)).max
+    assert(mx < (n / parts.length) * 3,
+      s"range partitions skewed: max=$mx over ${parts.length} partitions")
+  }
 }
