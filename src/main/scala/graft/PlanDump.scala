@@ -117,7 +117,10 @@ object PlanDump {
       "balanced range sort; no global row_number bottleneck"),
     "q_window_range" -> ("Time-range window frame — trailing 5-minute " +
       "per-user aggregate on an exact-integer microsecond frame key, " +
-      "riding the user_id hash partitioning")
+      "riding the user_id hash partitioning"),
+    "q_funnel" -> ("Strict sequential funnel — three stage windows and " +
+      "the per-user rollup all reuse ONE user_id Exchange; events cross " +
+      "the wire once at any scale")
   )
 
   def main(args: Array[String]): Unit = {

@@ -142,12 +142,44 @@ object AggQueries extends QueryPack {
           round(max(col("l_quantity")), 2).as("max_qty"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // Cohort retention: users grouped by first-activity week, activity
+    // counted per week offset — the classic event-analytics rollup. ISO
+    // Monday week truncation is identical in both engines; offsets are
+    // exact-integer day diffs of week-aligned dates div 7. Shapes: one
+    // user_id groupBy for the cohort, an equi-join back (same
+    // partitioning), one (cohort, offset) count-distinct — every stage
+    // hash-partitioned, nothing global.
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(cohort, "user_id")
+        .select(col("cohort"),
+          expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("week_offset"),
+          col("user_id"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort"), col("week_offset"))
+    })
   )
 
   val oracle = Map(
     "q_count_rows" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) cohort FROM ev GROUP BY 1)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM ev e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

@@ -106,6 +106,34 @@ object WindowQueries extends QueryPack {
           sum(floor(col("value"))).over(w).as("val_5min"))
     }),
 
+    // Strict sequential funnel (view → click-after-view →
+    // purchase-after-click): three per-user window passes that all ride
+    // the SAME user_id hash partitioning — Catalyst plans one Exchange,
+    // then reuses it for every stage and for the per-user rollup, so the
+    // whole funnel costs a single shuffle of events at any scale. Stage
+    // timestamps are exact-integer µs; counts of non-null stages give
+    // the funnel report.
+    "q_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      ev.withColumn("t1",
+          min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("us") > col("t1"),
+            col("us"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("us") > col("t2"),
+            col("us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_funnel_complete"))
+    }),
+
     "q_v1_latest" -> v1Latest
   )
 
@@ -143,6 +171,25 @@ object WindowQueries extends QueryPack {
         |  CAST(row_number() OVER w AS INT) AS order_seq
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us
+        |  FROM events),
+        |u1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) t1
+        |  FROM ev GROUP BY 1),
+        |u2 AS (
+        |  SELECT e.user_id, t1,
+        |    min(CASE WHEN event_type = 'click' AND us > t1 THEN us END) t2
+        |  FROM ev e JOIN u1 USING (user_id) GROUP BY 1, 2),
+        |u3 AS (
+        |  SELECT e.user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END) t3
+        |  FROM ev e JOIN u2 USING (user_id) GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_users, count(t1) AS n_view,
+        |  count(t2) AS n_click, count(t3) AS n_funnel_complete
+        |FROM u3""".stripMargin,
     "q_window_range" ->
       """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |  count(*) OVER w AS n_5min,

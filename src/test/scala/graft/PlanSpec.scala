@@ -318,6 +318,18 @@ class PlanSpec extends SparkSpec {
       "per-user frames must not serialize to one partition")
   }
 
+  test("q_funnel: all three stage windows ride ONE user_id shuffle") {
+    val finalPlan = planOf(SparkEntry.queries("q_funnel")(spark, sf))
+      .split("== Initial Plan ==").head
+    // events must cross the wire once: the three window passes and the
+    // per-user rollup share the user_id hash partitioning; only the
+    // 1-row global report may add its tiny SinglePartition exchange
+    val hashEx = finalPlan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 1,
+      s"funnel re-shuffled events:\n${hashEx.mkString("\n")}")
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF
