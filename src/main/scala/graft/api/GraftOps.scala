@@ -987,6 +987,46 @@ object GraftOps {
         round(lit(1000000.0) / col("rate_ppm"), 6).as("weight"))
   }
 
+  /** Temperature-scaled domain mixing — the multilingual/domain-balance
+    * sampler (α = 0.5, the XLM-style exponent): a domain's share of the
+    * token budget is proportional to sqrt(its token count), which
+    * up-samples tail domains without letting the head dominate. The
+    * budget is scale-relative — a quarter of the corpus's total tokens —
+    * so the operator is meaningful at every SF without retuning. All the
+    * math an oracle must replay is exact: the per-domain weight is the
+    * integer milliweight floor(sqrt(dt)·1000) (IEEE sqrt and one multiply
+    * are correctly rounded in both engines, so the double is
+    * bit-identical before the floor), and the keep rate is the exact
+    * rational (Σdt div 4)·w·10^6 div (Σw·dt), capped at 10^6 ppm.
+    * Shapes: one bounded domain rollup, a 1-row (Σw, Σdt) broadcast, the
+    * rate equi-joined back, one md5-keep-test scan — the corpus never
+    * sorts or self-joins (same scale contract as [[mixDomains]]).
+    * BIGINT bounds: (Σdt/4)·w·10^6 stays under 2^63 to ~10^9-token
+    * corpora; beyond that move the rate math to decimal(38,0).
+    */
+  def mixTemperature(df: DataFrame, key: Column, domain: Column,
+                     nTokens: Column): DataFrame = {
+    val tok = df.select(key.as("doc_id"), domain.as("domain"),
+      nTokens.cast("long").as("n_tokens"))
+    val dom = tok.groupBy(col("domain")).agg(sum(col("n_tokens")).as("dt"))
+      .select(col("domain"), col("dt"),
+        floor(sqrt(col("dt").cast("double")) * 1000).cast("long")
+          .as("w_milli"))
+    val tot = dom.agg(sum(col("w_milli")).as("w_tot"),
+      sum(col("dt")).as("t_tot"))
+    val rate = dom.crossJoin(broadcast(tot))
+      .select(col("domain"),
+        least(lit(1000000L),
+          expr("(t_tot div 4) * w_milli * 1000000 div (w_tot * dt)"))
+          .as("rate_ppm"))
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    tok.join(rate, "domain")
+      .filter(h32 * 1000000L < col("rate_ppm") * (1L << 32))
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("rate_ppm"),
+        round(lit(1000000.0) / col("rate_ppm"), 6).as("weight"))
+  }
+
   /** BM25 (Okapi, Lucene idf variant) top-k retrieval for a bounded term
     * set. Shapes: one explode filtered to the query terms (the filter
     * prunes the tall table to |terms| rows per doc BEFORE any shuffle),

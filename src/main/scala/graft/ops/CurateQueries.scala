@@ -211,6 +211,18 @@ object CurateQueries extends QueryPack {
   def curriculum(s: SparkSession, d: String): DataFrame =
     GraftOps.curriculumOrder(Tables.documents(s, d), col("doc_id"), col("text"))
 
+  /** x_mix_temp: temperature-scaled domain mixing (α = 0.5) — each
+    * source's share of a quarter-corpus token budget is proportional to
+    * sqrt(its token total); exact milliweight + rational-ppm math makes
+    * the sampled set oracle-replayable.
+    */
+  def mixTemp(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).as("nt"))
+    GraftOps.mixTemperature(docs, col("doc_id"), col("source"), col("nt"))
+  }
+
   /** x_pmi: adjacent-pair PMI over the corpus — top-50 collocations above
     * a 5-occurrence noise floor, ranked on the exact pair count.
     */
@@ -296,7 +308,8 @@ object CurateQueries extends QueryPack {
     "x_knn_graph_probe" -> knnGraphProbe,
     "x_sample_diverse" -> sampleDiverse,
     "x_shuffle_epochs" -> shuffleEpochs,
-    "x_curriculum" -> curriculum
+    "x_curriculum" -> curriculum,
+    "x_mix_temp" -> mixTemp
   )
 
   val oracle = Map(
@@ -821,6 +834,30 @@ object CurateQueries extends QueryPack {
         |  FROM m JOIN sy ON m.doc_id = sy.doc_id)
         |SELECT doc_id, CAST(n_pass AS DOUBLE) / 4 AS quality_score,
         |  (doc_id * 2654435761) % 4294967296 AS ord
-        |FROM g ORDER BY quality_score DESC, ord, doc_id""".stripMargin
+        |FROM g ORDER BY quality_score DESC, ord, doc_id""".stripMargin,
+    "x_mix_temp" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source AS domain,
+        |    len([w for w in string_split_regex(lower(text), '\s+') if w != '']) nt
+        |  FROM documents),
+        |dom AS (
+        |  SELECT domain, CAST(sum(nt) AS BIGINT) dt FROM ws GROUP BY 1),
+        |w AS (
+        |  SELECT domain, dt,
+        |    CAST(floor(sqrt(CAST(dt AS DOUBLE)) * 1000) AS BIGINT) w_milli
+        |  FROM dom),
+        |tot AS (
+        |  SELECT CAST(sum(w_milli) AS BIGINT) w_tot,
+        |    CAST(sum(dt) AS BIGINT) t_tot FROM w),
+        |rt AS (
+        |  SELECT domain,
+        |    least(1000000, (t_tot // 4) * w_milli * 1000000 // (w_tot * dt))
+        |      AS rate_ppm
+        |  FROM w CROSS JOIN tot)
+        |SELECT doc_id, domain, CAST(nt AS BIGINT) AS n_tokens, rate_ppm,
+        |  round(1000000.0 / rate_ppm, 6) AS weight
+        |FROM ws JOIN rt USING (domain)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      * 1000000 < rate_ppm * (CAST(1 AS BIGINT) << 32)""".stripMargin
   )
 }
