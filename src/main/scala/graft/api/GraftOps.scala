@@ -979,6 +979,16 @@ object GraftOps {
       .agg(sum(col("n_tokens")).as("dt"), max(col("budget")).as("budget"))
       .select(col("domain"),
         least(lit(1000000L), expr("budget * 1000000 div dt")).as("rate_ppm"))
+    htKeep(tok, rate)
+  }
+
+  /** The shared rate-based sampling tail of [[mixDomains]] and
+    * [[mixTemperature]]: md5-keyed exact-integer keep test
+    * (h32·10^6 < rate_ppm·2^32, both sides < 2^53) + the
+    * Horvitz-Thompson weight. One place, so the two mixing ops can never
+    * diverge on the sampling discipline.
+    */
+  private def htKeep(tok: DataFrame, rate: DataFrame): DataFrame = {
     val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long")
     tok.join(rate, "domain")
@@ -996,13 +1006,16 @@ object GraftOps {
     * math an oracle must replay is exact: the per-domain weight is the
     * integer milliweight floor(sqrt(dt)·1000) (IEEE sqrt and one multiply
     * are correctly rounded in both engines, so the double is
-    * bit-identical before the floor), and the keep rate is the exact
-    * rational (Σdt div 4)·w·10^6 div (Σw·dt), capped at 10^6 ppm.
-    * Shapes: one bounded domain rollup, a 1-row (Σw, Σdt) broadcast, the
-    * rate equi-joined back, one md5-keep-test scan — the corpus never
-    * sorts or self-joins (same scale contract as [[mixDomains]]).
-    * BIGINT bounds: (Σdt/4)·w·10^6 stays under 2^63 to ~10^9-token
-    * corpora; beyond that move the rate math to decimal(38,0).
+    * bit-identical before the floor), and the keep rate is the
+    * deterministic rational q·w div dt with q = (Σdt div 4)·10^6 div Σw
+    * (the per-milliweight ppm quota), capped at 10^6 ppm. Dividing by Σw
+    * BEFORE multiplying by w keeps every intermediate ≤ (Σdt/4)·10^6 —
+    * under 2^63 to ~10^12-token (trillion-token) corpora, enforced by a
+    * require tripwire; the quota floor loses < 1 ulp of rate at any
+    * realistic Σw. Shapes: one bounded domain rollup, a 1-row (Σw, Σdt)
+    * broadcast, the rate equi-joined back, one md5-keep-test scan — the
+    * corpus never sorts or self-joins (same scale contract as
+    * [[mixDomains]], whose sampling tail it shares via htKeep).
     */
   def mixTemperature(df: DataFrame, key: Column, domain: Column,
                      nTokens: Column): DataFrame = {
@@ -1014,17 +1027,20 @@ object GraftOps {
           .as("w_milli"))
     val tot = dom.agg(sum(col("w_milli")).as("w_tot"),
       sum(col("dt")).as("t_tot"))
+    // Overflow tripwire IN the plan (no driver-side action — a head()
+    // here would cost an extra job per invocation, the planesOf lesson):
+    // (t_tot div 4)·10^6 is the largest intermediate; past ~3e12 tokens
+    // it nears 2^63, where Spark would silently wrap while the oracle
+    // errors — fail loudly instead and point at decimal(38,0).
     val rate = dom.crossJoin(broadcast(tot))
       .select(col("domain"),
         least(lit(1000000L),
-          expr("(t_tot div 4) * w_milli * 1000000 div (w_tot * dt)"))
+          expr("CASE WHEN t_tot > 3000000000000 THEN raise_error(" +
+            "'mixTemperature: corpus exceeds the BIGINT-exact bound " +
+            "(~3e12 tokens); move the quota math to decimal(38,0)') " +
+            "ELSE ((t_tot div 4) * 1000000 div w_tot) * w_milli div dt END"))
           .as("rate_ppm"))
-    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    tok.join(rate, "domain")
-      .filter(h32 * 1000000L < col("rate_ppm") * (1L << 32))
-      .select(col("doc_id"), col("domain"), col("n_tokens"), col("rate_ppm"),
-        round(lit(1000000.0) / col("rate_ppm"), 6).as("weight"))
+    htKeep(tok, rate)
   }
 
   /** BM25 (Okapi, Lucene idf variant) top-k retrieval for a bounded term

@@ -851,7 +851,7 @@ object CurateQueries extends QueryPack {
         |    CAST(sum(dt) AS BIGINT) t_tot FROM w),
         |rt AS (
         |  SELECT domain,
-        |    least(1000000, (t_tot // 4) * w_milli * 1000000 // (w_tot * dt))
+        |    least(1000000, ((t_tot // 4) * 1000000 // w_tot) * w_milli // dt)
         |      AS rate_ppm
         |  FROM w CROSS JOIN tot)
         |SELECT doc_id, domain, CAST(nt AS BIGINT) AS n_tokens, rate_ppm,

@@ -115,7 +115,11 @@ object WindowQueries extends QueryPack {
     // the funnel report.
     "q_funnel" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
+      // NULL-key parity: partitionBy keeps a NULL-user group but the
+      // oracle's equi-join drops it — exclude NULL keys on both sides so
+      // the two can never diverge if the fixture gains NULL user_ids.
       val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       ev.withColumn("t1",
           min(when(col("event_type") === "view", col("us"))).over(w))
@@ -174,7 +178,7 @@ object WindowQueries extends QueryPack {
     "q_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |u1 AS (
         |  SELECT user_id,
         |    min(CASE WHEN event_type = 'view' THEN us END) t1

@@ -349,8 +349,9 @@ class CurateOpsSpec extends SparkSpec {
     import spark.implicits._
     // head: 10000 tokens over 100 docs; tail: 100 tokens over 10 docs.
     // Exact expectations: B = (10100 div 4) = 2525; w_head = 100000,
-    // w_tail = 10000 milli; rate_head = 2525*100000*10^6 div
-    // (110000*10000) = 229545 ppm; rate_tail caps at 10^6 (full keep).
+    // w_tail = 10000 milli; quota q = 2525*10^6 div 110000 = 22954
+    // ppm/milliweight; rate_head = 22954*100000 div 10000 = 229540 ppm;
+    // rate_tail = 22954*10000 div 100 = 2295400 -> caps at 10^6.
     val docs = ((1 to 100).map(i => (i.toLong, "head", 100)) ++
       (101 to 110).map(i => (i.toLong, "tail", 10)))
       .toDF("doc_id", "dom", "nt")
@@ -359,7 +360,7 @@ class CurateOpsSpec extends SparkSpec {
     val rates = out.select(col("domain"), col("rate_ppm")).distinct()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rates("tail") === 1000000L, "tail domain must be fully kept")
-    assert(rates("head") === 229545L, "head rate must be the exact rational")
+    assert(rates("head") === 229540L, "head rate must be the exact rational")
     assert(out.filter(col("domain") === "tail").count() === 10L,
       "full-keep rate means every tail doc survives")
     out.unpersist()
