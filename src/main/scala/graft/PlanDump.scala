@@ -120,7 +120,25 @@ object PlanDump {
       "riding the user_id hash partitioning"),
     "q_funnel" -> ("Strict sequential funnel — three stage windows and " +
       "the per-user rollup all reuse ONE user_id Exchange; events cross " +
-      "the wire once at any scale")
+      "the wire once at any scale"),
+    "q_sessionize" -> ("Gap-based sessionization — lag, running-sum " +
+      "session ids and the per-session rollup all ride ONE user_id " +
+      "Exchange (groupBy(user, session) satisfied by the window's " +
+      "clustering)"),
+    "q_pagerank" -> ("Integer-mass PageRank — each iteration one " +
+      "edges⋈mass equi-join + dst hash agg; degree-annotated edges " +
+      "persisted once; no driver-side state"),
+    "x_embed_quantize" -> ("Int8-quantized retrieval — map-side " +
+      "quantization, bounded probe broadcast (intentional BNLJ, the " +
+      "x_sim_brute contract), exact-integer scores through the typed " +
+      "partial+final top-k Aggregator"),
+    "x_outlier_mad" -> ("Robust median/MAD outlier screen — exact " +
+      "interpolated medians from (group, value) distribution tables " +
+      "(cum-count windows), never a per-group value buffer; med/MAD " +
+      "join back broadcast-sized"),
+    "q_gapfill" -> ("LOCF gap fill — max(struct) per-hour partial agg, " +
+      "sequence-explode spine, left join, one last(ignoreNulls) window " +
+      "on the user partitioning")
   )
 
   def main(args: Array[String]): Unit = {

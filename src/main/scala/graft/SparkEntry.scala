@@ -21,7 +21,8 @@ object SparkEntry {
     ops.EtlQueries,
     ops.StreamQueries,
     ops.TpchQueries,
-    ops.SqlQueries
+    ops.SqlQueries,
+    ops.GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

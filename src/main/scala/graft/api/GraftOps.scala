@@ -40,6 +40,27 @@ object GraftOps {
     df.groupBy(sha2(content, 256).as("fp"))
       .agg(min(key).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text form for "fuzzy-exact" dedup (the C4/CCNet trick):
+    * lowercase, collapse every non-alphanumeric run to one space, trim.
+    * One regex pass, fully codegen'd, and byte-replayable in DuckDB
+    * (`lower` + RE2 `regexp_replace(..., 'g')` agree with Java regex on
+    * this pattern because the class is pure ASCII).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Normalized ("fuzzy-exact") dedup: documents that differ only in
+    * case, punctuation or whitespace share a fingerprint. Same single
+    * hash-shuffle shape as [[dedupExact]] — the normalization runs
+    * map-side inside the scan projection — plus `n_raw_variants`
+    * (distinct raw texts per group), the signal that separates true
+    * byte-copies from near-copies the normalizer folded together.
+    */
+  def dedupNormalized(df: DataFrame, text: Column, key: Column): DataFrame =
+    df.groupBy(sha2(normalizeText(text), 256).as("fp"))
+      .agg(min(key).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(text).as("n_raw_variants"))
+
   /** The 3-word-shingle table a near-dup pipeline is built on: one row per
     * doc with its distinct shingle set. Exposed so composed pipelines can
     * share (or materialize) this subtree instead of re-deriving it.
@@ -1309,6 +1330,63 @@ object GraftOps {
       .toDF("probe_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Symmetric per-vector int8 quantization — the memory lever that turns
+    * a 100-TB float32 embedding store into ~25 TB of codes: scale each
+    * vector by its own max |component| so every code lands in [-127, 127],
+    * stored as longs for exact integer scoring downstream. Map-side only
+    * (the max-abs reduce is per-row over the array, not an aggregation
+    * across rows), so quantization adds zero shuffle to any plan it feeds.
+    * All math runs in double (`float → double` once at the edge) and the
+    * per-component `floor` is order-independent, so a DuckDB oracle
+    * replays the codes bit-for-bit. A zero vector quantizes to all-zero
+    * codes (scale guard).
+    */
+  def quantizeInt8(emb: DataFrame, key: Column, vec: Column): DataFrame = {
+    val v = VectorFns.toDoubles(vec)
+    val maxabs = aggregate(transform(v, x => abs(x)), lit(0.0),
+      (a, x) => greatest(a, x))
+    emb.select(key.as("vec_id"), v.as("v"), maxabs.as("maxabs"))
+      .select(col("vec_id"),
+        when(col("maxabs") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x * lit(127.0) / col("maxabs"))))
+          .as("qvec"),
+        col("maxabs"))
+  }
+
+  /** Top-k retrieval over int8-quantized vectors ([[quantizeInt8]]):
+    * score = integer dot product of the code arrays — exact int64 math
+    * (|q| <= 127, so a 2^38-dimension vector would be needed to overflow),
+    * which makes the ranking deterministic and oracle-replayable where
+    * float cosine needs rounding discipline. Same 100-TB shape as
+    * [[similarityTopK]]: bounded probe set broadcast, corpus streams
+    * map-side, typed partial+final top-k Aggregator keeps the shuffle at
+    * k rows per probe per partition.
+    */
+  def quantizedTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdot = aggregate(
+      zip_with(col("qvec"), col("pq"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    corpus.join(
+        broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("qvec").as("pq"))),
+        col("vec_id") =!= col("probe_id"))
+      // qdot <= dim * 127^2 (~1e6 at dim 64) — exact as a Double, so the
+      // ScoredVec/TopKByScore machinery is reused loss-free.
+      .select(col("probe_id"), col("vec_id"), qdot.cast("double").as("cos_sim"))
+      .as[ScoredVec]
+      .groupByKey(_.probe_id)
+      .agg(new TopKByScore(k).toColumn.name("top"))
+      .flatMap { case (pid, top) =>
+        top.zipWithIndex.map { case (t, i) =>
+          (pid, t.vec_id, t.cos_sim.toLong, i + 1L)
+        }
+      }
+      .toDF("probe_id", "vec_id", "qdot", "rank")
+  }
+
   /** Coarse-quantizer cell count for an IVF index sized to the corpus:
     * the smallest c with c*c >= n (≈ ceil(sqrt(n)), the standard nlist
     * heuristic), in exact integer math so an oracle replays it.
@@ -1566,6 +1644,122 @@ object GraftOps {
       .filter(col("rank") <= perCell)
       .select(col("cell"), col("vec_id"), col("cos_centroid"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Exact interpolated per-group median (percentile_cont(0.5) semantics)
+    * computed from the (group, value) distribution table — the 100-TB
+    * exact-median shape. Spark's `percentile` aggregate buffers every
+    * distinct value per group inside ONE aggregation buffer; fine at
+    * fixture scale, an OOM risk for a billion-row group. Here the buffer
+    * never exists: groupBy (grp, x) counts (partial-agg friendly,
+    * distribution-sized output), a cumulative-count window locates the
+    * two 0-based positions (n-1) div 2 and n div 2, and their values
+    * average. Exact-integer positions; the value midpoint is the only
+    * float op, so a quantile_cont oracle replays it bit-for-bit.
+    */
+  def groupMedian(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val dist = df.select(group.as("grp"), value.cast("double").as("x"))
+      .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val allW = Window.partitionBy(col("grp"))
+    dist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(allW))
+      // first row whose cumulative count exceeds position p covers p
+      .groupBy(col("grp"))
+      .agg(((min(when(col("cum") > expr("(n - 1) div 2"), col("x")))
+        + min(when(col("cum") > expr("n div 2"), col("x")))) / 2.0).as("med"))
+  }
+
+  /** Robust per-group outlier flags: |x - median| > k · MAD (median
+    * absolute deviation) — the length/quality anomaly screen a curation
+    * pipeline runs where mean/stddev would let one 2-GB document drag the
+    * threshold. Two [[groupMedian]] passes (value, then deviation), each
+    * distribution-sized; the per-group median/MAD tables are
+    * groups-bounded and broadcast back, so the doc-sized side never
+    * shuffles after its first pass. All comparisons happen on exact
+    * integer-or-half values (midpoint is the only division), so the flag
+    * is deterministic and oracle-replayable.
+    */
+  def outlierMad(df: DataFrame, group: Column, key: Column, value: Column,
+                 k: Double): DataFrame = {
+    val base = df.select(group.as("grp"), key.as("doc_id"),
+      value.cast("double").as("x"))
+    val dev = base.join(groupMedian(base, col("grp"), col("x")), "grp")
+      .withColumn("adev", abs(col("x") - col("med")))
+    dev.join(groupMedian(dev, col("grp"), col("adev"))
+        .withColumnRenamed("med", "mad"), "grp")
+      .select(col("doc_id"), col("grp"), col("x"), col("med"), col("mad"),
+        (col("adev") > lit(k) * col("mad")).cast("int").as("is_outlier"))
+  }
+
+  /** Per-group simple OLS fit (slope / intercept / R²) via the moment
+    * aggregates — the distributed closed form: one partial+final
+    * aggregation computes covar/var/avg per group, so a 100-TB regression
+    * costs exactly one shuffle of 5 doubles per group (the "train a
+    * linear probe over the whole corpus" shape). Degenerate groups
+    * (zero variance in x or y) yield NULL coefficients on BOTH engines —
+    * an explicit CASE, not engine-specific NaN behavior. Outputs round to
+    * 6 (moment sums are order-sensitive in the last bits; inputs must be
+    * elementwise-deterministic columns, not transcendentals).
+    */
+  def linearFit(df: DataFrame, group: Column, x: Column, y: Column): DataFrame =
+    df.select(group.as("grp"), x.cast("double").as("x"),
+        y.cast("double").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        covar_pop(col("y"), col("x")).as("cov"),
+        var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"))
+      .select(col("grp"), col("n"),
+        round(when(col("vx") > 0, col("cov") / col("vx")), 6).as("slope"),
+        round(when(col("vx") > 0,
+          col("my") - col("cov") / col("vx") * col("mx")), 6).as("intercept"),
+        round(when(col("vx") > 0 && col("vy") > 0,
+          col("cov") * col("cov") / (col("vx") * col("vy"))), 6).as("r2"))
+
+  // ------------------------------------------------------ graph analytics
+
+  /** Damped PageRank in exact integer mass units — link analysis over an
+    * edge table (cols `src`, `dst`), the companion to [[clusterPairs]]'
+    * connected components. Every node starts with `initMass` units; each
+    * iteration a node keeps nothing, ships `floor(85% · mass / outdeg)`
+    * along every out-edge, and receives a constant `floor(15% · initMass)`
+    * teleport. Integer floors make the fixpoint deterministic and
+    * bit-replayable in a SQL oracle (float PageRank diverges across
+    * summation orders); the ranking it induces is the standard one.
+    *
+    * Scale shape: each iteration is one edge-sized equi-join (edges ⋈
+    * mass on src) plus one hash aggregation on dst — the textbook
+    * distributed PageRank round, no driver-side state, plan depth grows
+    * linearly in `iters` (callers wanting >~10 rounds should checkpoint,
+    * as [[clusterPairs]] does). The degree-annotated edge table is
+    * persisted once and reused by every round. Overflow bound: a node's
+    * mass is < total mass = n·initMass, and the hottest intermediate is
+    * mass·85 — keep initMass below Long.Max/(100·n) (at initMass = 1e12
+    * that allows ~10^5 nodes; scale initMass down for bigger graphs).
+    *
+    * Callers must ensure every node has at least one out-edge (symmetric
+    * edge tables satisfy this by construction); a dangling node would
+    * silently leak its mass, so degree-join misses drop it from the
+    * result rather than mis-rank it.
+    */
+  def pageRank(edges: DataFrame, iters: Int, initMass: Long): DataFrame = {
+    require(iters >= 1 && initMass > 0)
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src").persistOnce()
+    val teleport = initMass * 15L / 100L
+    var mass = deg.select(col("src").as("node"), lit(initMass).as("mass"))
+    for (_ <- 1 to iters) {
+      mass = withDeg.join(mass, col("src") === col("node"))
+        .select(col("dst"), expr("mass * 85 div (outdeg * 100)").as("c"))
+        .groupBy(col("dst"))
+        .agg((sum(col("c")) + lit(teleport)).as("mass"))
+        .select(col("dst").as("node"), col("mass"))
+    }
+    mass
   }
 
   // ------------------------------------------------------ HBase-semantics

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import graft.api.GraftOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship tables (SURVEY.md §2 extension
+  * surface, alongside the connected-components path x_dedup_cluster).
+  *
+  * The fixture graph is the customer↔supplier trade network: an
+  * undirected edge wherever a customer's order contains a supplier's
+  * lineitem. PageRank over it answers "which entities sit at the center
+  * of the trade flow" — same iterate-join-aggregate shape a 100-TB web
+  * or citation graph needs, with exact integer mass so the DuckDB
+  * oracle (three unrolled iteration CTEs) replays every floor
+  * bit-for-bit.
+  */
+object GraphQueries extends QueryPack {
+
+  private val Iters = 3
+  private val InitMass = 1000000000000L // 1e12: safe to ~1e5 nodes (doc'd bound)
+
+  /** Distinct bidirectional trade edges; node ids are prefixed so the
+    * customer and supplier key spaces cannot collide.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_pagerank" -> ((s, d) =>
+      GraftOps.pageRank(tradeEdges(s, d), Iters, InitMass))
+  )
+
+  val oracle = Map(
+    // The oracle unrolls the 3 iterations as chained CTEs with the same
+    // integer floors ((x*85)//(outdeg*100), constant teleport), so any
+    // divergence in edge derivation, degree, or a single floor fails the
+    // hash. sum(BIGINT) is HUGEINT in DuckDB — cast back to BIGINT to
+    // match Spark's long (the round-2 HUGEINT lesson).
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT cust AS src, supp AS dst FROM e0
+        |  UNION ALL
+        |  SELECT supp AS src, cust AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |m0 AS (
+        |  SELECT src AS node, CAST(1000000000000 AS BIGINT) AS mass
+        |  FROM deg),
+        |m1 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000000000 + sum((m.mass * 85) // (d.outdeg * 100)) AS BIGINT) AS mass
+        |  FROM edges e JOIN m0 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |  GROUP BY 1),
+        |m2 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000000000 + sum((m.mass * 85) // (d.outdeg * 100)) AS BIGINT) AS mass
+        |  FROM edges e JOIN m1 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |  GROUP BY 1),
+        |m3 AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000000000 + sum((m.mass * 85) // (d.outdeg * 100)) AS BIGINT) AS mass
+        |  FROM edges e JOIN m2 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |  GROUP BY 1)
+        |SELECT node, mass FROM m3""".stripMargin
+  )
+}

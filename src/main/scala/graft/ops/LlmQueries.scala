@@ -56,6 +56,43 @@ object LlmQueries extends QueryPack {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     GraftOps.dedupExact(Tables.documents(s, d), col("text"), col("doc_id"))
 
+  /** x_dedup_norm: "fuzzy-exact" dedup on the C4-normalized text form
+    * (lowercase, punctuation/whitespace runs collapsed) — catches the
+    * reformatted copies byte-exact dedup misses, at the identical one-
+    * hash-shuffle cost. n_raw_variants > 1 marks the groups where the
+    * normalizer (not byte equality) did the folding.
+    */
+  def dedupNorm(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupNormalized(Tables.documents(s, d), col("text"), col("doc_id"))
+
+  /** x_quality_lr: per-source linear probe — OLS fit of the heuristic
+    * quality score against mean word length, via the one-shuffle moment
+    * aggregates ([[GraftOps.linearFit]]). Both regressors are
+    * elementwise-deterministic (exact quarters / rounded ratio), so the
+    * only float drift is the moment summation order, absorbed by the
+    * round-6 output discipline; DuckDB replays with regr_* aggregates.
+    */
+  def qualityLr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val q = GraftOps.qualityScore(docs, col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("source"))
+      .join(q.select(col("doc_id"), col("mean_word_len"),
+        col("quality_score")), "doc_id")
+      .transform(j => GraftOps.linearFit(j, col("source"),
+        col("mean_word_len"), col("quality_score")))
+      .withColumnRenamed("grp", "source")
+  }
+
+  /** x_outlier_mad: robust length-anomaly screen per source — exact
+    * median/MAD from distribution tables (never a per-group value
+    * buffer), flag at 3 MADs. The quantile_cont oracle proves the
+    * distribution-walk median IS the textbook interpolated median.
+    */
+  def outlierMad(s: SparkSession, d: String): DataFrame =
+    GraftOps.outlierMad(Tables.documents(s, d), col("source"),
+      col("doc_id"), col("n_chars"), k = 3.0)
+      .withColumnRenamed("grp", "source").withColumnRenamed("x", "n_chars")
+
   /** x_dedup_near: MinHash + LSH-banded near-duplicate pairs, verified by
     * exact Jaccard over 3-word shingles. Candidates come ONLY from shared
     * LSH bands (groupBy-joinable at any scale); the quadratic all-pairs
@@ -175,6 +212,19 @@ object LlmQueries extends QueryPack {
   def simBrute(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     GraftOps.similarityTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+  }
+
+  /** x_embed_quantize: int8-quantized retrieval — quantize every vector
+    * to per-vector-scaled integer codes (map-side, no shuffle added),
+    * then rank by EXACT integer dot product with the x_sim_brute probe/
+    * corpus split and top-k shape. The integer scores make this the one
+    * similarity gate with no float-rounding discipline at all.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val q = GraftOps.quantizeInt8(Tables.embeddings(s, d),
+      col("vec_id"), col("embedding"))
+    GraftOps.quantizedTopK(q.filter(col("vec_id") >= 8),
+      q.filter(col("vec_id") < 8), k = 5)
   }
 
   /** x_sim_lsh: ANN — deterministic random-hyperplane bucket (md5-seeded
@@ -469,6 +519,9 @@ object LlmQueries extends QueryPack {
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dedup_exact" -> dedupExact,
+    "x_dedup_norm" -> dedupNorm,
+    "x_outlier_mad" -> outlierMad,
+    "x_quality_lr" -> qualityLr,
     "x_dedup_near" -> dedupNear,
     "x_dedup_simhash" -> dedupSimhash,
     "x_dedup_ngram" -> dedupNgram,
@@ -484,6 +537,7 @@ object LlmQueries extends QueryPack {
     "x_pipeline" -> pipeline,
     "x_pipeline_seq" -> pipelineSeq,
     "x_sim_brute" -> simBrute,
+    "x_embed_quantize" -> embedQuantize,
     "x_sim_lsh" -> simLsh,
     "x_sim_ivf" -> simIvf,
     "x_quality" -> quality,
@@ -502,6 +556,56 @@ object LlmQueries extends QueryPack {
     "x_dedup_exact" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "x_dedup_norm" ->
+      """SELECT sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  count(DISTINCT text) AS n_raw_variants
+        |FROM documents GROUP BY 1""".stripMargin,
+    // Replays the quality CTE, then the OLS closed form in the same
+    // CASE-guarded covar/var formulation (NOT regr_* — identical NULL
+    // semantics for degenerate groups on both engines).
+    "x_quality_lr" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w,
+        |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) sym_hits,
+        |    length(regexp_replace(lower(text), '\s', '', 'g')) n_chars_nospace
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(w) n_tokens,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') sum_len,
+        |    len([x for x in w if list_contains(['the','a','of','and','to','in','is'], x)]) stop_hits,
+        |    sym_hits, n_chars_nospace
+        |  FROM base WHERE len(w) > 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS x,
+        |    CAST(CAST(n_tokens >= 20 AND n_tokens <= 100000 AS INT)
+        |      + CAST(sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100 AS INT)
+        |      + CAST(stop_hits * 100 >= n_tokens AS INT)
+        |      + CAST(sym_hits * 10 <= n_chars_nospace * 3 AS INT) AS DOUBLE) / 4 AS y
+        |  FROM m),
+        |q AS (SELECT d.source, g.x, g.y FROM g JOIN documents d USING (doc_id))
+        |SELECT source, count(*) AS n,
+        |  round(CASE WHEN var_pop(x) > 0
+        |    THEN covar_pop(y, x) / var_pop(x) END, 6) AS slope,
+        |  round(CASE WHEN var_pop(x) > 0
+        |    THEN avg(y) - covar_pop(y, x) / var_pop(x) * avg(x) END, 6) AS intercept,
+        |  round(CASE WHEN var_pop(x) > 0 AND var_pop(y) > 0
+        |    THEN covar_pop(y, x) * covar_pop(y, x) / (var_pop(x) * var_pop(y)) END, 6) AS r2
+        |FROM q GROUP BY 1""".stripMargin,
+    "x_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents GROUP BY 1),
+        |dev AS (
+        |  SELECT doc_id, d.source, CAST(n_chars AS DOUBLE) AS n_chars, med,
+        |    abs(CAST(n_chars AS DOUBLE) - med) AS adev
+        |  FROM documents d JOIN med USING (source)),
+        |mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT doc_id, source, n_chars, med, mad,
+        |  CAST(adev > 3 * mad AS INT) AS is_outlier
+        |FROM dev JOIN mad USING (source)""".stripMargin,
     "x_dedup_near" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
@@ -857,6 +961,34 @@ object LlmQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) rnk
         |  FROM pr)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 5""".stripMargin,
+    // Replays the quantizer exactly: per-vector max|x| scale, floor to
+    // int codes, integer dot product (list_dot_product over doubles is
+    // exact here — |qdot| <= 64*127^2 ~ 1e6 << 2^53).
+    "x_embed_quantize" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |mx AS (
+        |  SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') m
+        |  FROM emb),
+        |qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |         ELSE list_transform(v, x -> floor(x * 127 / m)) END q
+        |  FROM mx),
+        |p AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < 8),
+        |c AS (SELECT vec_id, q FROM qv WHERE vec_id >= 8),
+        |sc AS (
+        |  SELECT probe_id, vec_id,
+        |    CAST(list_dot_product(q, pq) AS BIGINT) AS qdot
+        |  FROM c JOIN p ON vec_id <> probe_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, qdot,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY qdot DESC, vec_id) rnk
+        |  FROM sc)
+        |SELECT probe_id, vec_id, qdot, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 5""".stripMargin,
     "x_sim_lsh" ->
       """WITH np AS (

@@ -23,8 +23,32 @@ object SqlQueries extends QueryPack {
         |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's UnionLoop execution): walk every customer
+    * key up its decimal-digit hierarchy (parent = key div 10) to the
+    * root — the org-chart / BOM-explosion query shape. Depth is bounded
+    * by the key width (~log10 n), so the loop runs O(log n) rounds each
+    * an equi-computation over the frontier — the same iterate-til-fixed
+    * shape as q_pagerank, but driven by the SQL surface instead of a
+    * hand-rolled loop. Exact BIGINT depth/path arithmetic.
+    */
+  def digitHierarchy(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS start_key, c_custkey AS cur,
+        |    CAST(0 AS BIGINT) AS depth
+        |  FROM graft_customer_v
+        |  UNION ALL
+        |  SELECT start_key, cur div 10, depth + 1 FROM chain WHERE cur > 0
+        |)
+        |SELECT start_key, max(depth) AS depth_to_root,
+        |  sum(cur) AS path_sum
+        |FROM chain GROUP BY start_key""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
-    "q_sql_subquery" -> aboveCustomerAvg
+    "q_sql_subquery" -> aboveCustomerAvg,
+    "q_sql_recursive" -> digitHierarchy
   )
 
   val oracle = Map(
@@ -33,6 +57,19 @@ object SqlQueries extends QueryPack {
         |FROM orders o
         |WHERE o_totalprice > 1.5 * (
         |  SELECT avg(o2.o_totalprice) FROM orders o2
-        |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+        |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    // DuckDB's WITH RECURSIVE with `//` floor division (same as Spark's
+    // `div` on non-negative keys); sum(BIGINT) is HUGEINT — cast back.
+    "q_sql_recursive" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS start_key, c_custkey AS cur,
+        |    CAST(0 AS BIGINT) AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT start_key, cur // 10, depth + 1 FROM chain WHERE cur > 0
+        |)
+        |SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root,
+        |  CAST(sum(cur) AS BIGINT) AS path_sum
+        |FROM chain GROUP BY start_key""".stripMargin
   )
 }

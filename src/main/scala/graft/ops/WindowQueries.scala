@@ -138,6 +138,83 @@ object WindowQueries extends QueryPack {
           count(col("t3")).as("n_funnel_complete"))
     }),
 
+    // Gap-based sessionization — the batch analog of s_session's
+    // event-time session windows: a session breaks after 30 min of user
+    // inactivity. lag + running sum + the per-session rollup all ride ONE
+    // user_id hash partitioning (groupBy(user_id, session_idx) is
+    // satisfied by the window's user_id clustering — subset rule — so
+    // Catalyst plans a single Exchange for the whole query at any scale).
+    // Timestamps are exact-integer µs; NULL user_ids excluded on both
+    // sides (the q_funnel parity discipline).
+    "q_sessionize" -> ((s, d) => {
+      val gapUs = 30L * 60L * 1000000L
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      ev.withColumn("new_s",
+          when(lag(col("us"), 1).over(ord).isNull ||
+            col("us") - lag(col("us"), 1).over(ord) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_s")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+    }),
+
+    // SCD type-2 dimension build: treat each user's event_type as a
+    // changing state and emit one validity interval per state change
+    // (valid_from / valid_to, NULL = current, version = change ordinal).
+    // Change detection (lag) and interval stitching (lead / row_number
+    // over the change rows) share the same user_id partitioning — one
+    // shuffle; the change filter between them runs partition-local.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      ev.withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_state").isNull ||
+          col("prev_state") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("us").as("valid_from_us"),
+          lead(col("us"), 1).over(w).as("valid_to_us"),
+          row_number().over(w).cast("long").as("version"),
+          lead(col("us"), 1).over(w).isNull.cast("int").as("is_current"))
+    }),
+
+    // Time-series gap fill (LOCF): per-user hourly series over the full
+    // [first, last] hour spine, missing hours carry the last observed
+    // value forward. Per-hour "latest observation" is a max(struct) —
+    // partial-agg friendly, no per-hour sort; the spine explodes from a
+    // 2-value-per-user aggregate (never a driver-side range); the fill is
+    // one last(ignoreNulls) window on the user partitioning. Hour keys
+    // are exact integer µs-div; observed values pass through untouched,
+    // so there is zero float drift for the oracle to chase.
+    "q_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("hr", expr("us div 3600000000"))
+      val hourly = ev.groupBy(col("user_id"), col("hr"))
+        .agg(max(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("v_obs"))
+      val spine = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      spine.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          last(col("v_obs"), ignoreNulls = true).over(
+            Window.partitionBy(col("user_id")).orderBy(col("hr"))
+              .rowsBetween(Window.unboundedPreceding, 0)).as("value"),
+          col("v_obs").isNull.cast("int").as("is_gap"))
+    }),
+
     "q_v1_latest" -> v1Latest
   )
 
@@ -201,6 +278,65 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |fl AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM fl)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(us) AS start_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ch AS (
+        |  SELECT user_id, event_type, event_id, us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_state
+        |  FROM ev),
+        |st AS (
+        |  SELECT user_id, event_type, event_id, us FROM ch
+        |  WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_type AS state, us AS valid_from_us,
+        |  lead(us) OVER w2 AS valid_to_us,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  CAST(lead(us) OVER w2 IS NULL AS INT) AS is_current
+        |FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+    "q_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+        |  FROM events WHERE user_id IS NOT NULL),
+        |hourly AS (
+        |  SELECT user_id, hr,
+        |    max(struct_pack(us := us, eid := event_id, v := value)).v AS v_obs
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+        |  FROM hourly GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.hr, h.v_obs FROM spine s
+        |  LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr)
+        |SELECT user_id, hr,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value,
+        |  CAST(v_obs IS NULL AS INT) AS is_gap
+        |FROM j""".stripMargin,
     "q_v1_latest" ->
       """SELECT user_id, event_type, ts, value, event_id FROM (
         |  SELECT user_id, event_type, ts, value, event_id,

@@ -1,0 +1,191 @@
+package graft
+
+import graft.api.GraftOps
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the graph / event-analytics / quantization operators
+  * that the hash gate proves only point-wise: PageRank's integer-mass
+  * fixpoint and ranking behavior, session/interval tiling invariants, and
+  * quantizer faithfulness.
+  */
+class GraphEventOpsSpec extends SparkSpec {
+
+  private val M0 = 1000000000000L
+
+  test("pageRank: a regular symmetric graph is an exact integer fixpoint") {
+    import spark.implicits._
+    // triangle — every node has degree 2, so each round a node ships
+    // 2·floor(85%·m/2) and receives the same back plus the teleport:
+    // 2·425e9 + 150e9 = 1e12 = initMass, exactly, every iteration.
+    val edges = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "a" -> "c", "c" -> "a").toDF("src", "dst")
+    val m = GraftOps.pageRank(edges, 3, M0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("a", "b", "c"))
+    assert(m.values.forall(_ == M0), s"regular graph drifted: $m")
+  }
+
+  test("pageRank: star center out-ranks leaves; floors only shrink mass") {
+    import spark.implicits._
+    val leaves = (1 to 4).map(i => s"l$i")
+    val edges = leaves.flatMap(l => Seq("x" -> l, l -> "x")).toDF("src", "dst")
+    val m = GraftOps.pageRank(edges, 3, M0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val leafMasses = leaves.map(m)
+    assert(leafMasses.distinct.size === 1, "symmetric leaves must tie")
+    assert(m("x") > leafMasses.head, "hub must out-rank leaves")
+    // teleport floor is a hard lower bound; total mass never grows
+    assert(m.values.forall(_ >= M0 * 15L / 100L))
+    assert(m.values.sum <= 5 * M0)
+  }
+
+  test("q_sessionize: sessions partition each user's events at >30min gaps") {
+    val gapUs = 30L * 60L * 1000000L
+    val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byUser = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // expected session count per user = 1 + number of over-gap steps
+    val expected = byUser.view.mapValues { ts =>
+      1L + ts.sliding(2).count(p => p.size == 2 && p(1) - p(0) > gapUs)
+    }.toMap
+    val got = sessions.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got === expected)
+    // events are partitioned: per-user session sizes sum to the event count
+    val sizes = sessions.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(sizes === byUser.view.mapValues(_.size.toLong).toMap)
+    // a session never contains an internal over-gap step (duration bound:
+    // n_events-1 steps of <= gap each)
+    sessions.foreach { case (_, _, n, _, dur) =>
+      assert(dur <= (n - 1) * gapUs, "session spans an over-gap step")
+    }
+  }
+
+  test("q_scd2: intervals tile, states alternate, one current row per user") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        r.getInt(5)))
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val hist = rs.sortBy(_._5)
+      assert(hist.map(_._5).toSeq === (1L to hist.length).toSeq,
+        s"user $u versions not dense")
+      assert(hist.count(_._6 == 1) === 1, s"user $u: != 1 current row")
+      assert(hist.last._6 === 1 && hist.last._4.isEmpty,
+        s"user $u: current row must be the open-ended last version")
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: intervals do not tile")
+          assert(a._2 != b._2, s"user $u: consecutive versions share state")
+        case _ => ()
+      }
+    }
+  }
+
+  test("quantizeInt8: codes bounded, max component hits ±127, zero guard") {
+    import spark.implicits._
+    val q = GraftOps.quantizeInt8(Tables.embeddings(spark, sf),
+      col("vec_id"), col("embedding"))
+    val bad = q.filter(exists(col("qvec"),
+      c => abs(c) > 127 || c.isNull)).count()
+    assert(bad === 0, "code outside int8 range")
+    // scale-faithful: the max-|x| component must quantize to exactly ±127
+    val nofull = q.filter(col("maxabs") > 0.0)
+      .filter(!exists(col("qvec"), c => abs(c) === 127)).count()
+    assert(nofull === 0, "some vector never reaches ±127 (wrong scale)")
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zq = GraftOps.quantizeInt8(z, col("vec_id"), col("embedding"))
+      .select(col("qvec")).as[Seq[Long]].head()
+    assert(zq === Seq(0L, 0L, 0L))
+  }
+
+  test("quantizedTopK equals the all-rows window top-k on the same codes") {
+    import org.apache.spark.sql.expressions.Window
+    val q = GraftOps.quantizeInt8(Tables.embeddings(spark, sf),
+      col("vec_id"), col("embedding"))
+    val got = GraftOps.quantizedTopK(q.filter(col("vec_id") >= 8),
+      q.filter(col("vec_id") < 8), k = 5)
+    val qdot = aggregate(zip_with(col("qvec"), col("pq"), _ * _),
+      lit(0L), _ + _)
+    val brute = q.filter(col("vec_id") >= 8)
+      .crossJoin(q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("qvec").as("pq")))
+      .select(col("probe_id"), col("vec_id"), qdot.as("qdot"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("qdot").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("qdot"), col("rank"))
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty)
+  }
+
+  test("groupMedian (distribution walk) equals Spark's buffered percentile") {
+    val docs = Tables.documents(spark, sf)
+    val got = GraftOps.groupMedian(docs, col("source"), col("n_chars"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = docs.groupBy(col("source"))
+      .agg(expr("percentile(cast(n_chars as double), 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === exp)
+  }
+
+  test("outlierMad flags exactly |x - med| > 3*MAD") {
+    val out = SparkEntry.queries("x_outlier_mad")(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (x, med, mad, flag) =>
+      assert((math.abs(x - med) > 3 * mad) === (flag == 1))
+    }
+  }
+
+  test("q_sql_recursive: depth_to_root is the key's decimal digit count") {
+    val rows = SparkEntry.queries("q_sql_recursive")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, depth, pathSum) =>
+      // key 0 fails the recursion guard immediately: depth stays 0
+      val expDepth = if (k == 0) 0L else k.toString.length.toLong
+      assert(depth === expDepth, s"key $k")
+      // path_sum = k + k/10 + k/100 + ... + 0 (exact integer walk)
+      val expSum = Iterator.iterate(k)(_ / 10).takeWhile(_ > 0).sum
+      assert(pathSum === expSum, s"key $k")
+    }
+  }
+
+  test("q_gapfill: contiguous spine, LOCF values, gaps flagged exactly") {
+    val rows = SparkEntry.queries("q_gapfill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, v, _) => !v.isNaN })
+    val obs = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (u, series) =>
+      val hrs = series.map(_._2).sorted
+      assert((hrs.head to hrs.last).toIndexedSeq === hrs.toIndexedSeq,
+        s"user $u spine has holes")
+      val evs = obs.filter(_._1 == u)
+      series.foreach { case (_, hr, v, gap) =>
+        // LOCF: the value must be the latest observation at or before hr
+        val upTo = evs.filter(_._4 / 3600000000L <= hr)
+        val expected = upTo.maxBy(e => (e._4, e._2))._3
+        assert(v === expected, s"user $u hr $hr")
+        val inHour = evs.exists(_._4 / 3600000000L == hr)
+        assert((gap == 0) === inHour, s"user $u hr $hr gap flag")
+      }
+    }
+  }
+
+  test("dedupNormalized folds case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "HELLO  world…"), (4L, "different text")).toDF("doc_id", "text")
+    val out = GraftOps.dedupNormalized(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 3L, 3L), (4L, 1L, 1L)))
+  }
+}

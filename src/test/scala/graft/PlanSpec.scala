@@ -330,6 +330,64 @@ class PlanSpec extends SparkSpec {
       s"funnel re-shuffled events:\n${hashEx.mkString("\n")}")
   }
 
+  test("q_sessionize: window + per-session rollup ride ONE user_id shuffle") {
+    val finalPlan = planOf(SparkEntry.queries("q_sessionize")(spark, sf))
+      .split("== Initial Plan ==").head
+    // groupBy(user_id, session_idx) must be satisfied by the window's
+    // user_id hash clustering (subset rule) — a second Exchange here
+    // would double the wire cost of sessionizing a 100-TB event log
+    val hashEx = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 1,
+      s"sessionize re-shuffled events:\n${hashEx.mkString("\n")}")
+    assert(!finalPlan.contains("SinglePartition"),
+      "per-user sessions must not serialize to one partition")
+  }
+
+  test("q_scd2: change detection and interval stitch share one shuffle") {
+    val finalPlan = planOf(SparkEntry.queries("q_scd2")(spark, sf))
+      .split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size <= 1,
+      s"scd2 re-shuffled events:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q_pagerank: every iteration is equi-join + hash agg, no cartesian") {
+    val finalPlan = planOf(SparkEntry.queries("q_pagerank")(spark, sf))
+    assert(!finalPlan.contains("CartesianProduct")
+      && !finalPlan.contains("BroadcastNestedLoopJoin"), "non-equi stage")
+  }
+
+  test("x_embed_quantize: bounded-probe broadcast + partial top-k agg") {
+    val finalPlan = planOf(SparkEntry.queries("x_embed_quantize")(spark, sf))
+      .split("== Initial Plan ==").head
+    // the probe side must broadcast (the =!= residual makes this the same
+    // intentional bounded BNLJ contract as x_sim_brute); the corpus must
+    // never shuffle pre-aggregation — ObjectHashAggregate partial+final
+    // is the TopKByScore pair
+    assert(finalPlan.contains("BroadcastNestedLoopJoin")
+      || finalPlan.contains("BroadcastHashJoin"),
+      finalPlan.linesIterator.take(8).mkString("\n"))
+    assert(!finalPlan.contains("CartesianProduct"))
+    assert("ObjectHashAggregate".r.findAllIn(finalPlan).size >= 2,
+      "expected partial+final typed top-k aggregation")
+  }
+
+  test("x_outlier_mad: no per-group value buffer (distribution walk only)") {
+    val finalPlan = planOf(SparkEntry.queries("x_outlier_mad")(spark, sf))
+    // the medians must come from the (grp, x) count table + windows —
+    // a Percentile aggregate would be the buffer that OOMs at 100 TB
+    assert(!finalPlan.contains("percentile"), "buffered percentile in plan")
+    assert(!finalPlan.contains("CartesianProduct"))
+  }
+
+  test("q_sql_recursive executes as a bounded loop, not a cartesian") {
+    val finalPlan = planOf(SparkEntry.queries("q_sql_recursive")(spark, sf))
+    assert(!finalPlan.contains("CartesianProduct")
+      && !finalPlan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF

@@ -176,4 +176,31 @@ class ScaleSpec extends SparkSpec {
     assert(mx < (n / parts.length) * 3,
       s"range partitions skewed: max=$mx over ${parts.length} partitions")
   }
+
+  test("pageRank over a 1M-edge hub graph: bounded mass, hub out-ranks") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 500k spokes all bi-linked to 8 hubs (~1M directed edges, max
+    // in-degree 500k): each iteration must stay one equi-join + one hash
+    // agg with partial aggregation absorbing the hub's in-edge skew —
+    // the shape that survives a 100-TB web graph. initMass is scaled to
+    // the documented Long.Max/(100·n) overflow bound.
+    import spark.implicits._
+    val n = 500000L
+    val m0 = 100000000L // 1e8: n·m0·85 ~ 4e15 << Long.Max
+    val spokes = spark.range(0, n, 1, 32)
+      .select(concat(lit("v"), col("id").cast("string")).as("spoke"),
+        concat(lit("h"), pmod(col("id"), lit(8L)).cast("string")).as("hub"))
+    val edges = spokes.select(col("spoke").as("src"), col("hub").as("dst"))
+      .unionAll(spokes.select(col("hub").as("src"), col("spoke").as("dst")))
+    val mass = GraftOps.pageRank(edges, iters = 3, initMass = m0)
+    val rows = mass.collect()
+    assert(rows.length === n + 8, "every node ranked exactly once")
+    val (hubs, leaves) = rows.partition(_.getString(0).startsWith("h"))
+    val minHub = hubs.map(_.getLong(1)).min
+    val maxLeaf = leaves.map(_.getLong(1)).max
+    assert(minHub > maxLeaf, "hubs must out-rank all spokes")
+    // floors only shrink mass; teleport is the floor lower bound
+    assert(rows.map(_.getLong(1)).sum <= (n + 8) * m0)
+    assert(rows.forall(_.getLong(1) >= m0 * 15L / 100L))
+  }
 }
