@@ -1734,8 +1734,16 @@ object GraftOps {
     * mass on src) plus one hash aggregation on dst — the textbook
     * distributed PageRank round, no driver-side state, plan depth grows
     * linearly in `iters` (callers wanting >~10 rounds should checkpoint,
-    * as [[clusterPairs]] does). The degree-annotated edge table is
-    * persisted once and reused by every round. Overflow bound: a node's
+    * as [[clusterPairs]] does). The edge table (often an expensive
+    * derivation — a join + distinct for the fixture trade graph) is
+    * persisted FIRST so degree counting, the degree-annotated join, and
+    * the initial mass table all read one materialization instead of
+    * re-deriving it three times; the degree-annotated table is then
+    * persisted too, since it alone feeds every iteration. The per-round
+    * mass table is node-sized — orders of magnitude below the edges —
+    * so AQE broadcast-joins it against the cached edges and each round
+    * costs exactly one edge-sized shuffle (the dst aggregation).
+    * Overflow bound: a node's
     * mass is < total mass = n·initMass, and the hottest intermediate is
     * mass·85 — keep initMass below Long.Max/(100·n) (at initMass = 1e12
     * that allows ~10^5 nodes; scale initMass down for bigger graphs).
@@ -1747,8 +1755,9 @@ object GraftOps {
     */
   def pageRank(edges: DataFrame, iters: Int, initMass: Long): DataFrame = {
     require(iters >= 1 && initMass > 0)
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).persistOnce()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persistOnce()
     val withDeg = e.join(deg, "src").persistOnce()
     val teleport = initMass * 15L / 100L
     var mass = deg.select(col("src").as("node"), lit(initMass).as("mass"))
