@@ -138,7 +138,15 @@ object PlanDump {
       "join back broadcast-sized"),
     "q_gapfill" -> ("LOCF gap fill — max(struct) per-hour partial agg, " +
       "sequence-explode spine, left join, one last(ignoreNulls) window " +
-      "on the user partitioning")
+      "on the user partitioning"),
+    "q_rfm" -> ("RFM segmentation — distribution-walk quartiles (nation-" +
+      "partitioned windows, no per-group value buffer), 25-row quartile " +
+      "tables broadcast back onto one customer aggregation"),
+    "q_basket" -> ("Market-basket lift — basket-key equi-self-join " +
+      "bounds pair candidates by order size; brand-domain side tables " +
+      "broadcast"),
+    "q_sql_lateral" -> ("Correlated LIMIT lateral — decorrelated to a " +
+      "window rank over one customer shuffle, no per-outer-row rescan")
   )
 
   def main(args: Array[String]): Unit = {

@@ -22,7 +22,8 @@ object SparkEntry {
     ops.StreamQueries,
     ops.TpchQueries,
     ops.SqlQueries,
-    ops.GraphQueries
+    ops.GraphQueries,
+    ops.AnalyticsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1672,6 +1672,82 @@ object GraftOps {
         + min(when(col("cum") > expr("n div 2"), col("x")))) / 2.0).as("med"))
   }
 
+  /** Exact interpolated per-group quantiles (percentile_cont semantics)
+    * from the (group, value) distribution table — [[groupMedian]]
+    * generalized to any rational quantile num/den. Same 100-TB shape: no
+    * per-group value buffer ever exists; the distribution table is
+    * (group, distinct-value)-sized, the cum-count window locates each
+    * quantile's bracketing positions, and one final agg emits a single
+    * row per group. For quantile q = num/den the 0-based position is
+    * p = (n-1)·num/den: lo = floor(p) and the fractional part rem/den
+    * interpolate value[lo] + (value[lo+1] - value[lo])·rem/den — with
+    * quarters/halves the fraction is binary-exact, so a quantile_cont
+    * oracle replays bit-for-bit on integer-valued columns. Output: one
+    * row per group with a column per requested (name, num, den).
+    */
+  def groupQuantiles(df: DataFrame, group: Column, value: Column,
+                     quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (_, num, den) => num >= 0 && num <= den && den > 0 })
+    val dist = df.select(group.as("grp"), value.cast("double").as("x"))
+      .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val allW = Window.partitionBy(col("grp"))
+    val withCum = dist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(allW))
+    // value[i] = min x whose cumulative count exceeds 0-based position i
+    // CAST wrapper: a bare trailing `... div 4` inside expr() parses `div`
+    // as a column ALIAS (singleExpression permits one) and errors on the
+    // divisor; inside CAST the operator reading is the only valid one.
+    val aggCols = quantiles.zipWithIndex.flatMap { case ((_, num, den), i) =>
+      val lo = expr(s"CAST(((n - 1) * $num) div $den AS BIGINT)")
+      Seq(min(when(col("cum") > lo, col("x"))).as(s"_vlo_$i"),
+        min(when(col("cum") > lo + 1, col("x"))).as(s"_vhi_$i"))
+    } :+ max(col("n")).as("_n")
+    val outCols = quantiles.zipWithIndex.map { case ((name, num, den), i) =>
+      val rem = expr(s"pmod((_n - 1) * $num, $den)")
+      when(rem === 0, col(s"_vlo_$i"))
+        .otherwise(col(s"_vlo_$i") +
+          (col(s"_vhi_$i") - col(s"_vlo_$i")) * rem.cast("double") / lit(den))
+        .as(name)
+    }
+    withCum.groupBy(col("grp")).agg(aggCols.head, aggCols.tail: _*)
+      .select(col("grp") +: outCols: _*)
+  }
+
+  /** Market-basket co-occurrence with lift — which items sell together
+    * (cols `basket`, `item`; the fixture binds order → part brand). The
+    * classic association-rule support/lift statistic, shaped for scale:
+    * the distinct (basket, item) table is persisted once; the pair stage
+    * is a SELF-EQUI-JOIN on the basket key with an `item_a < item_b`
+    * residual, so candidates are bounded by Σ(basket_size²) — per-basket
+    * work, never a corpus cross product; per-item basket counts and the
+    * 1-row basket total are bounded side tables joined back. Counts are
+    * exact integers; lift = support·n_baskets / (n_a·n_b) is the only
+    * float, rounded at 6.
+    */
+  def basketPairs(baskets: DataFrame): DataFrame = {
+    val b = baskets.select(col("basket"), col("item")).distinct()
+      .persistOnce()
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val tot = b.agg(countDistinct(col("basket")).as("n_baskets"))
+    b.as("l").join(b.as("r"),
+        col("l.basket") === col("r.basket") && col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(itemN.select(col("item").as("item_a"), col("n_item").as("n_a")),
+        "item_a")
+      .join(itemN.select(col("item").as("item_b"), col("n_item").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(tot))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"),
+        round(col("support").cast("double") * col("n_baskets") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
   /** Robust per-group outlier flags: |x - median| > k · MAD (median
     * absolute deviation) — the length/quality anomaly screen a curation
     * pipeline runs where mean/stddev would let one 2-GB document drag the

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import graft.api.GraftOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Customer/merchandising analytics over the order tables — the classic
+  * BI surface next to the TPC-H adaptations: RFM segmentation (built on
+  * the exact distributed quantiles of [[GraftOps.groupQuantiles]]) and
+  * market-basket co-occurrence ([[GraftOps.basketPairs]]).
+  */
+object AnalyticsQueries extends QueryPack {
+
+  /** q_rfm: recency / frequency / monetary segmentation, scored 1–4 per
+    * metric against per-nation quartiles. Every input is exact-integer
+    * (days via datediff, order counts, floor-dollar totals from cents
+    * sums), the quartiles come from the distribution-walk (never a
+    * per-group value buffer), and interpolation lands on binary-exact
+    * .25 fractions — so the DuckDB quantile_cont replay scores every
+    * customer identically, boundary ties included. Shapes: one orders
+    * aggregation, a customer equi-join, three 25-row quartile tables
+    * broadcast back.
+    */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("od"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val maxd = o.agg(max(col("od")).as("maxd"))
+    val base = o.groupBy(col("o_custkey")).agg(
+        max(col("od")).as("last_od"),
+        count(lit(1)).as("frequency"),
+        expr("sum(cents) div 100").as("monetary_dollars"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("recency_days",
+        datediff(col("maxd"), col("last_od")).cast("long"))
+    val wn = base.join(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    def quart(metric: String) = GraftOps.groupQuantiles(
+      wn, col("c_nationkey"), col(metric),
+      Seq((s"${metric}_q1", 1, 4), (s"${metric}_q2", 2, 4),
+        (s"${metric}_q3", 3, 4)))
+      .withColumnRenamed("grp", "c_nationkey")
+    // ascending 1-4 score: count of quartile boundaries at-or-below v
+    def asc(v: Column, q: String) =
+      (lit(1) + (v > col(s"${q}_q1")).cast("int")
+        + (v > col(s"${q}_q2")).cast("int")
+        + (v > col(s"${q}_q3")).cast("int"))
+    // recency inverts: small (recent) is best
+    def desc4(v: Column, q: String) =
+      (lit(4) - (v > col(s"${q}_q1")).cast("int")
+        - (v > col(s"${q}_q2")).cast("int")
+        - (v > col(s"${q}_q3")).cast("int"))
+    wn.join(broadcast(quart("recency_days")), "c_nationkey")
+      .join(broadcast(quart("frequency")), "c_nationkey")
+      .join(broadcast(quart("monetary_dollars")), "c_nationkey")
+      .select(col("o_custkey").as("custkey"),
+        col("c_nationkey").as("nation"),
+        col("recency_days"), col("frequency"), col("monetary_dollars"),
+        desc4(col("recency_days").cast("double"), "recency_days")
+          .as("r_score"),
+        asc(col("frequency").cast("double"), "frequency").as("f_score"),
+        asc(col("monetary_dollars").cast("double"), "monetary_dollars")
+          .as("m_score"))
+      .withColumn("rfm_segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
+  /** q_basket: which part brands are ordered together — support and lift
+    * over distinct (order, brand) baskets. The pair stage self-equi-joins
+    * on the order key (per-order bounded, ~7 lineitems), so candidate
+    * volume is Σ(order_size²) at any corpus scale, never a cross product;
+    * the brand-domain side tables (≤25 rows) broadcast back.
+    */
+  def basket(s: SparkSession, d: String): DataFrame =
+    GraftOps.basketPairs(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item")))
+
+  val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_rfm" -> rfm,
+    "q_basket" -> basket
+  )
+
+  val oracle = Map(
+    // sum(cents) is HUGEINT in DuckDB — the // 100 floor stays HUGEINT,
+    // cast back to BIGINT (the round-2 lesson). quantile_cont replays the
+    // distribution-walk interpolation exactly on these integer metrics.
+    "q_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(od) AS maxd FROM o),
+        |base AS (
+        |  SELECT o_custkey, max(od) AS last_od, count(*) AS frequency,
+        |    CAST(sum(cents) // 100 AS BIGINT) AS monetary_dollars
+        |  FROM o GROUP BY 1),
+        |b2 AS (
+        |  SELECT o_custkey, frequency, monetary_dollars,
+        |    CAST(date_diff('day', last_od, maxd) AS BIGINT) AS recency_days
+        |  FROM base, mx),
+        |wn AS (
+        |  SELECT b2.*, c_nationkey FROM b2
+        |  JOIN customer ON o_custkey = c_custkey),
+        |qq AS (
+        |  SELECT c_nationkey,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r1,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.50) AS r2,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r3,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.50) AS f2,
+        |    quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+        |    quantile_cont(CAST(monetary_dollars AS DOUBLE), 0.25) AS m1,
+        |    quantile_cont(CAST(monetary_dollars AS DOUBLE), 0.50) AS m2,
+        |    quantile_cont(CAST(monetary_dollars AS DOUBLE), 0.75) AS m3
+        |  FROM wn GROUP BY 1),
+        |sc AS (
+        |  SELECT o_custkey AS custkey, wn.c_nationkey AS nation,
+        |    recency_days, frequency, monetary_dollars,
+        |    4 - CAST(recency_days > r1 AS INT) - CAST(recency_days > r2 AS INT)
+        |      - CAST(recency_days > r3 AS INT) AS r_score,
+        |    1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+        |      + CAST(frequency > f3 AS INT) AS f_score,
+        |    1 + CAST(monetary_dollars > m1 AS INT)
+        |      + CAST(monetary_dollars > m2 AS INT)
+        |      + CAST(monetary_dollars > m3 AS INT) AS m_score
+        |  FROM wn JOIN qq ON wn.c_nationkey = qq.c_nationkey)
+        |SELECT custkey, nation, recency_days, frequency, monetary_dollars,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS rfm_segment
+        |FROM sc""".stripMargin,
+    "q_basket" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+        |p AS (
+        |  SELECT l.item AS item_a, r.item AS item_b, count(*) AS support
+        |  FROM b l JOIN b r ON l.basket = r.basket AND l.item < r.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, support,
+        |  na.n_item AS n_a, nb.n_item AS n_b,
+        |  round(CAST(support AS DOUBLE) * n_baskets
+        |    / (na.n_item * nb.n_item), 6) AS lift
+        |FROM p
+        |JOIN n na ON p.item_a = na.item
+        |JOIN n nb ON p.item_b = nb.item, tot""".stripMargin
+  )
+}

@@ -46,9 +46,31 @@ object SqlQueries extends QueryPack {
         |FROM chain GROUP BY start_key""".stripMargin)
   }
 
+  /** Lateral join (correlated derived table): each nation's top-2
+    * customers by account balance — the SQL-surface shape for per-row
+    * parameterized subqueries. Catalyst decorrelates the correlated
+    * ORDER BY + LIMIT into a window rank over ONE customer shuffle (no
+    * per-nation re-scan, no nested loop — pinned in PlanSpec), so the
+    * plan is the q_topk_group shape even though the query text is an
+    * iterate-per-outer-row construct.
+    */
+  def lateralTopPerNation(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_lv")
+    s.sql(
+      """SELECT n_name, t.c_custkey AS custkey,
+        |  CAST(round(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM graft_nation_v,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM graft_customer_lv
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_sql_subquery" -> aboveCustomerAvg,
-    "q_sql_recursive" -> digitHierarchy
+    "q_sql_recursive" -> digitHierarchy,
+    "q_sql_lateral" -> lateralTopPerNation
   )
 
   val oracle = Map(
@@ -70,6 +92,14 @@ object SqlQueries extends QueryPack {
         |)
         |SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root,
         |  CAST(sum(cur) AS BIGINT) AS path_sum
-        |FROM chain GROUP BY start_key""".stripMargin
+        |FROM chain GROUP BY start_key""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT n_name, t.c_custkey AS custkey,
+        |  CAST(round(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM nation,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
   )
 }

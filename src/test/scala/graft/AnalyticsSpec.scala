@@ -1,0 +1,84 @@
+package graft
+
+import graft.api.GraftOps
+import org.apache.spark.sql.functions._
+
+/** Semantic laws for the BI-analytics operators the hash gate proves only
+  * point-wise: the distribution-walk quantiles against hand-computed
+  * percentile_cont values (interpolated and exact-hit positions, multiple
+  * groups), basket pair symmetry/bounds, and RFM score sanity.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("groupQuantiles: interpolated quartiles match percentile_cont by hand") {
+    import spark.implicits._
+    // group g1: values 1..5 (n=5): q1 -> pos 1.0 -> 2.0 (exact hit),
+    // median -> 3.0, q3 -> pos 3.0 -> 4.0
+    // group g2: values 10,20,30,40 (n=4): q1 -> pos 0.75 -> 17.5,
+    // median -> pos 1.5 -> 25.0, q3 -> pos 2.25 -> 32.5
+    val df = (1 to 5).map(v => ("g1", v.toDouble))
+      .++(Seq(10.0, 20.0, 30.0, 40.0).map("g2" -> _))
+      .toDF("g", "v")
+    val q = GraftOps.groupQuantiles(df, col("g"), col("v"),
+        Seq(("q1", 1, 4), ("med", 2, 4), ("q3", 3, 4)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(q("g1") === ((2.0, 3.0, 4.0)))
+    assert(q("g2") === ((17.5, 25.0, 32.5)))
+  }
+
+  test("groupQuantiles: duplicate values weight positions correctly") {
+    import spark.implicits._
+    // 1,1,1,9 (n=4): median at pos 1.5 interpolates two 1s -> 1.0;
+    // q3 at pos 2.25 interpolates 1 and 9 -> 1 + 0.25*8 = 3.0
+    val df = Seq(1.0, 1.0, 1.0, 9.0).map("g" -> _).toDF("g", "v")
+    val q = GraftOps.groupQuantiles(df, col("g"), col("v"),
+        Seq(("med", 1, 2), ("q3", 3, 4)))
+      .collect().head
+    assert(q.getDouble(1) === 1.0)
+    assert(q.getDouble(2) === 3.0)
+  }
+
+  test("groupQuantiles: q=0 and q=1 are exact min and max") {
+    import spark.implicits._
+    val df = Seq(3.0, 7.0, 42.0).map("g" -> _).toDF("g", "v")
+    val q = GraftOps.groupQuantiles(df, col("g"), col("v"),
+        Seq(("lo", 0, 4), ("hi", 4, 4))).collect().head
+    assert(q.getDouble(1) === 3.0)
+    assert(q.getDouble(2) === 42.0)
+  }
+
+  test("basketPairs: counts, ordering, and lift on a hand basket set") {
+    import spark.implicits._
+    // baskets: {A,B,C}, {A,B}, {A}: AB support 2, AC 1, BC 1;
+    // n_A=3, n_B=2, n_C=1, n_baskets=3
+    val b = Seq((1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "A"),
+      (2, "A")) // duplicate (2,A) must not inflate support
+      .toDF("basket", "item")
+    val out = GraftOps.basketPairs(b).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet === Set("A" -> "B", "A" -> "C", "B" -> "C"),
+      "pairs must be emitted once, lexicographically ordered")
+    assert(out("A" -> "B") === ((2L, 3L, 2L, 1.0)))   // 2*3/(3*2)
+    assert(out("A" -> "C") === ((1L, 3L, 1L, 1.0)))   // 1*3/(3*1)
+    assert(out("B" -> "C") === ((1L, 2L, 1L, 1.5)))   // 1*3/(2*1)
+  }
+
+  test("q_rfm: scores are 1..4 and quartile-monotone within a nation") {
+    val out = SparkEntry.queries("q_rfm")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (ri, fi, mi) = (5, 6, 7)
+    assert(out.forall(r => Seq(ri, fi, mi).forall { i =>
+      val s = r.getInt(i); s >= 1 && s <= 4
+    }))
+    // within one nation: monetary score must be monotone in the metric
+    val byNation = out.groupBy(_.get(1).toString).maxBy(_._2.length)._2
+    val sorted = byNation.sortBy(_.getLong(4)) // monetary_dollars
+    val scores = sorted.map(_.getInt(mi))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b },
+      "m_score not monotone in monetary within a nation")
+    // roughly balanced quartiles: every score 1..4 appears
+    assert(scores.toSet === Set(1, 2, 3, 4))
+  }
+}

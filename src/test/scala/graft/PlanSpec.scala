@@ -382,6 +382,41 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"))
   }
 
+  test("q_basket: pair stage is an equi-self-join on the basket key") {
+    val p = planOf(SparkEntry.queries("q_basket")(spark, sf))
+    // candidates must come from basket-key equality (per-basket bounded),
+    // never an item×item or basket×basket cross product
+    assert(!p.contains("CartesianProduct"), "cross-product pair stage")
+  }
+
+  test("q_rfm: quantile windows stay nation-partitioned (no global window)") {
+    val finalPlan = planOf(SparkEntry.queries("q_rfm")(spark, sf))
+      .split("== Initial Plan ==").head
+    // an unpartitioned quantile/score stage would single-partition the
+    // customer table — the shape that dies on a 100-TB ledger. The 1-row
+    // scalar aggregates (max orderdate) legitimately finalize on a
+    // SinglePartition exchange AFTER partial agg; what must not exist is
+    // a Window whose input collapses to one partition.
+    val lines = finalPlan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val above = lines.slice(math.max(0, i - 4), i).mkString("\n")
+        assert(!above.contains("Window"),
+          s"single-partition Window stage at plan line $i:\n$above")
+      }
+    assert(!finalPlan.contains("CartesianProduct"))
+  }
+
+  test("q_sql_lateral decorrelates to a ranked join, not a per-row rescan") {
+    val p = planOf(SparkEntry.queries("q_sql_lateral")(spark, sf))
+    // Catalyst must rewrite the correlated LIMIT subquery into a window
+    // rank over one shuffle of customer — a nested-loop per nation row
+    // (or a cartesian) is the scale failure this pin guards against
+    assert(!p.contains("CartesianProduct"), "lateral fell back to cartesian")
+    assert(p.contains("row_number") || p.contains("Window"),
+      s"expected decorrelated rank plan:\n${p.linesIterator.take(12).mkString("\n")}")
+  }
+
   test("q_sql_recursive executes as a bounded loop, not a cartesian") {
     val finalPlan = planOf(SparkEntry.queries("q_sql_recursive")(spark, sf))
     assert(!finalPlan.contains("CartesianProduct")
