@@ -10,6 +10,12 @@ object Verify {
     // The driver always uses the 2-arg full form.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    // fail fast on a typo'd subset name — a silently-empty run would let
+    // the dev loop read "nothing compared" as a pass
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = Sessions.build()
     new java.io.File(outDir).mkdirs()

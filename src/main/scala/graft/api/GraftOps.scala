@@ -31,6 +31,15 @@ object GraftOps {
       else df
   }
 
+  /** Public form of the cache-idempotent persist, for query packs that
+    * share an expensive subtree across several library calls (e.g. the
+    * RFM base aggregate feeding three quantile passes + the scoring
+    * join). Same guard as the internal one: a logically-equal plan that
+    * is already cached is returned untouched, so repeated invocations in
+    * a resident session never double-register CacheManager entries.
+    */
+  def cacheOnce(df: DataFrame): DataFrame = df.persistOnce()
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint: one row per distinct fingerprint
@@ -1349,7 +1358,12 @@ object GraftOps {
       .select(col("vec_id"),
         when(col("maxabs") === 0.0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
-            x => floor(x * lit(127.0) / col("maxabs"))))
+            // clamp: for float32-widened inputs the quotient is exact and
+            // the clamp never fires, but a full-double component whose
+            // 127·x/maxabs rounds past ±127 by one ulp would floor to
+            // -128/126 without it — the [-127,127] contract is explicit
+            x => greatest(least(floor(x * lit(127.0) / col("maxabs")),
+              lit(127L)), lit(-127L))))
           .as("qvec"),
         col("maxabs"))
   }
@@ -1658,7 +1672,10 @@ object GraftOps {
     * float op, so a quantile_cont oracle replays it bit-for-bit.
     */
   def groupMedian(df: DataFrame, group: Column, value: Column): DataFrame = {
+    // NULLs are excluded like percentile_cont/quantile_cont exclude them —
+    // an unfiltered NULL would sort first and shift every position.
     val dist = df.select(group.as("grp"), value.cast("double").as("x"))
+      .filter(col("x").isNotNull)
       .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1689,7 +1706,10 @@ object GraftOps {
                      quantiles: Seq[(String, Int, Int)]): DataFrame = {
     require(quantiles.nonEmpty &&
       quantiles.forall { case (_, num, den) => num >= 0 && num <= den && den > 0 })
+    // NULL values are excluded, matching percentile_cont semantics (a
+    // NULL would otherwise sort first and shift every located position)
     val dist = df.select(group.as("grp"), value.cast("double").as("x"))
+      .filter(col("x").isNotNull)
       .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -34,9 +34,12 @@ object AnalyticsQueries extends QueryPack {
       .crossJoin(broadcast(maxd))
       .withColumn("recency_days",
         datediff(col("maxd"), col("last_od")).cast("long"))
-    val wn = base.join(
+    // persisted once: three quantile passes + the scoring join all read
+    // this aggregate — without the cache each would re-run the orders
+    // aggregation and customer join from the scan
+    val wn = GraftOps.cacheOnce(base.join(
       Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
-      col("o_custkey") === col("c_custkey"))
+      col("o_custkey") === col("c_custkey")))
     def quart(metric: String) = GraftOps.groupQuantiles(
       wn, col("c_nationkey"), col(metric),
       Seq((s"${metric}_q1", 1, 4), (s"${metric}_q2", 2, 4),

@@ -976,7 +976,8 @@ object LlmQueries extends QueryPack {
         |qv AS (
         |  SELECT vec_id,
         |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
-        |         ELSE list_transform(v, x -> floor(x * 127 / m)) END q
+        |         ELSE list_transform(v,
+        |           x -> greatest(least(floor(x * 127 / m), 127), -127)) END q
         |  FROM mx),
         |p AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < 8),
         |c AS (SELECT vec_id, q FROM qv WHERE vec_id >= 8),

@@ -194,12 +194,18 @@ object WindowQueries extends QueryPack {
     // 2-value-per-user aggregate (never a driver-side range); the fill is
     // one last(ignoreNulls) window on the user partitioning. Hour keys
     // are exact integer µs-div; observed values pass through untouched,
-    // so there is zero float drift for the oracle to chase.
+    // so there is zero float drift for the oracle to chase. Pre-epoch
+    // events are excluded BY CONTRACT on both engines: hour bucketing is
+    // defined on non-negative epoch-µs only, because Spark's `div`
+    // truncates toward zero while floor-division engines would bucket a
+    // negative microsecond into the previous hour — the guard makes the
+    // pair agree by construction instead of by div-semantics luck.
     "q_gapfill" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
         .select(col("user_id"), col("event_id"), col("value"),
           unix_micros(col("ts")).as("us"))
+        .filter(col("us") >= 0)
         .withColumn("hr", expr("us div 3600000000"))
       val hourly = ev.groupBy(col("user_id"), col("hr"))
         .agg(max(struct(col("us"), col("event_id"), col("value")))
@@ -320,7 +326,9 @@ object WindowQueries extends QueryPack {
         |  SELECT user_id, event_id, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
-        |  FROM events WHERE user_id IS NOT NULL),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) >= 0),
         |hourly AS (
         |  SELECT user_id, hr,
         |    max(struct_pack(us := us, eid := event_id, v := value)).v AS v_obs

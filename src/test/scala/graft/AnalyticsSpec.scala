@@ -39,6 +39,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.getDouble(2) === 3.0)
   }
 
+  test("groupQuantiles: NULL values are excluded like percentile_cont") {
+    import spark.implicits._
+    // [1,2,3,NULL]: a counted NULL would sort first, make n=4 and shift
+    // the median to 1.5; percentile_cont semantics drop it -> 2.0
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), None)
+      .map("g" -> _).toDF("g", "v")
+    val q = GraftOps.groupQuantiles(df, col("g"), col("v"),
+      Seq(("med", 1, 2))).collect().head
+    assert(q.getDouble(1) === 2.0)
+    val m = GraftOps.groupMedian(df, col("g"), col("v")).collect().head
+    assert(m.getDouble(1) === 2.0)
+  }
+
   test("groupQuantiles: q=0 and q=1 are exact min and max") {
     import spark.implicits._
     val df = Seq(3.0, 7.0, 42.0).map("g" -> _).toDF("g", "v")
