@@ -61,6 +61,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.getDouble(2) === 42.0)
   }
 
+  test("groupQuantiles equals Spark's exact percentile on random data") {
+    import spark.implicits._
+    // 600 seeded random values across 5 uneven groups, duplicates
+    // included: the distribution walk must agree with the buffering
+    // Percentile aggregate bit-for-bit (same interpolation formula) —
+    // the law that lets callers swap the OOM-prone buffer for the walk
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 600).map { i =>
+      (s"g${i % 5}", math.floor(rnd.nextDouble() * 1000) / 8.0)
+    }.toDF("g", "v")
+    val walk = GraftOps.groupQuantiles(df, col("g"), col("v"),
+        Seq(("q1", 1, 4), ("med", 2, 4), ("q3", 3, 4)))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val buf = df.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .collect().map { r =>
+        val s = r.getSeq[Double](1); r.getString(0) -> ((s(0), s(1), s(2)))
+      }.toMap
+    assert(walk === buf)
+  }
+
   test("basketPairs: counts, ordering, and lift on a hand basket set") {
     import spark.implicits._
     // baskets: {A,B,C}, {A,B}, {A}: AB support 2, AC 1, BC 1;
