@@ -177,6 +177,26 @@ class ScaleSpec extends SparkSpec {
       s"range partitions skewed: max=$mx over ${parts.length} partitions")
   }
 
+  test("groupQuantiles on one 20M-row group: no value buffer, exact result") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // the shape Spark's Percentile aggregate cannot survive: ALL 20M rows
+    // in a single group. The distribution walk reduces them to 1000
+    // distinct (grp, x) rows before any window; a per-group value buffer
+    // would hold 20M doubles in one aggregation buffer. payload is
+    // id % 1000 over a multiple of 1000 rows — each value appears exactly
+    // 20000 times, so the quartiles are knowable in closed form: q1 sits
+    // at 0-based pos (n-1)/4 = 4999999.75, bracketed by positions 4999999
+    // (value 249) and 5000000 (value 250) -> 249.75; likewise 499.5 and
+    // 749.25 for the median and q3.
+    val q = GraftOps.groupQuantiles(big.select(lit(1).as("g"),
+        col("payload")), col("g"), col("payload"),
+        Seq(("q1", 1, 4), ("med", 2, 4), ("q3", 3, 4)))
+      .collect().head
+    assert(q.getDouble(1) === 249.75)
+    assert(q.getDouble(2) === 499.5)
+    assert(q.getDouble(3) === 749.25)
+  }
+
   test("pageRank over a 1M-edge hub graph: bounded mass, hub out-ranks") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // 500k spokes all bi-linked to 8 hubs (~1M directed edges, max
