@@ -83,6 +83,40 @@ object LlmQueries extends QueryPack {
       .withColumnRenamed("grp", "source")
   }
 
+  /** x_quality_apply: the train-then-apply half of [[qualityLr]] — fit
+    * the per-source probe, broadcast the group-bounded model table back,
+    * and score EVERY document with predicted quality and residual. The
+    * residual is the per-doc "does this look like its source" signal a
+    * curation pass ranks on. Precision discipline: `round(z, 6)` is NOT
+    * engine-portable at half boundaries (Spark rounds the exact binary
+    * value via BigDecimal, DuckDB multiplies by 10^6 first — observed
+    * divergence: 0.923218 vs 0.923219), so the prediction is computed in
+    * EXACT 1e-12 integer units — model and feature values are round-6,
+    * hence exact in 1e-6 units; their products/sums are exact longs
+    * (bound: |slope·x| < 9.2e6) — and converted to double by ONE
+    * division, which IEEE evaluates identically on identical integers.
+    * Shapes: the feature table is built once (cacheOnce) and feeds both
+    * the fit and the scoring join; the model is one row per source.
+    */
+  def qualityApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val q = GraftOps.qualityScore(docs, col("doc_id"), col("text"))
+    val feats = GraftOps.cacheOnce(docs.select(col("doc_id"), col("source"))
+      .join(q.select(col("doc_id"), col("mean_word_len"),
+        col("quality_score")), "doc_id"))
+    val model = GraftOps.linearFit(feats, col("source"),
+      col("mean_word_len"), col("quality_score"))
+    val predP12 = round(col("intercept") * 1e6).cast("long") * lit(1000000L) +
+      round(col("slope") * 1e6).cast("long") *
+        round(col("mean_word_len") * 1e6).cast("long")
+    feats.join(broadcast(model), col("source") === col("grp"))
+      .select(col("doc_id"), col("source"), col("mean_word_len"),
+        col("quality_score"),
+        (predP12.cast("double") / 1e12).as("predicted"),
+        ((round(col("quality_score") * 1e12).cast("long") - predP12)
+          .cast("double") / 1e12).as("residual"))
+  }
+
   /** x_outlier_mad: robust length-anomaly screen per source — exact
     * median/MAD from distribution tables (never a per-group value
     * buffer), flag at 3 MADs. The quantile_cont oracle proves the
@@ -522,6 +556,7 @@ object LlmQueries extends QueryPack {
     "x_dedup_norm" -> dedupNorm,
     "x_outlier_mad" -> outlierMad,
     "x_quality_lr" -> qualityLr,
+    "x_quality_apply" -> qualityApply,
     "x_dedup_near" -> dedupNear,
     "x_dedup_simhash" -> dedupSimhash,
     "x_dedup_ngram" -> dedupNgram,
@@ -594,6 +629,51 @@ object LlmQueries extends QueryPack {
         |  round(CASE WHEN var_pop(x) > 0 AND var_pop(y) > 0
         |    THEN covar_pop(y, x) * covar_pop(y, x) / (var_pop(x) * var_pop(y)) END, 6) AS r2
         |FROM q GROUP BY 1""".stripMargin,
+    // Same feature CTEs as x_quality_lr, then the model joins back and
+    // every doc scores in exact 1e-12 integer units (round(z,6) is not
+    // engine-portable at half boundaries); one final division to double.
+    "x_quality_apply" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w,
+        |    len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) sym_hits,
+        |    length(regexp_replace(lower(text), '\s', '', 'g')) n_chars_nospace
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(w) n_tokens,
+        |    list_aggregate(list_transform(w, x -> length(x)), 'sum') sum_len,
+        |    len([x for x in w if list_contains(['the','a','of','and','to','in','is'], x)]) stop_hits,
+        |    sym_hits, n_chars_nospace
+        |  FROM base WHERE len(w) > 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS x,
+        |    CAST(CAST(n_tokens >= 20 AND n_tokens <= 100000 AS INT)
+        |      + CAST(sum_len * 10 >= n_tokens * 30 AND sum_len * 10 <= n_tokens * 100 AS INT)
+        |      + CAST(stop_hits * 100 >= n_tokens AS INT)
+        |      + CAST(sym_hits * 10 <= n_chars_nospace * 3 AS INT) AS DOUBLE) / 4 AS y
+        |  FROM m),
+        |f AS (SELECT d.source, g.doc_id, g.x, g.y
+        |  FROM g JOIN documents d USING (doc_id)),
+        |mdl AS (
+        |  SELECT source,
+        |    CASE WHEN var_pop(x) > 0
+        |      THEN round(covar_pop(y, x) / var_pop(x), 6) END AS slope,
+        |    CASE WHEN var_pop(x) > 0
+        |      THEN round(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 6)
+        |      END AS intercept
+        |  FROM f GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, f.source, x, y,
+        |    CAST(round(intercept * 1000000) AS BIGINT) * 1000000
+        |      + CAST(round(slope * 1000000) AS BIGINT)
+        |        * CAST(round(x * 1000000) AS BIGINT) AS pred_p12
+        |  FROM f JOIN mdl ON f.source = mdl.source)
+        |SELECT doc_id, source, x AS mean_word_len, y AS quality_score,
+        |  CAST(pred_p12 AS DOUBLE) / 1e12 AS predicted,
+        |  CAST(CAST(round(y * 1e12) AS BIGINT) - pred_p12 AS DOUBLE) / 1e12
+        |    AS residual
+        |FROM p""".stripMargin,
     "x_outlier_mad" ->
       """WITH med AS (
         |  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
