@@ -1815,6 +1815,72 @@ object GraftOps {
         round(when(col("vx") > 0 && col("vy") > 0,
           col("cov") * col("cov") / (col("vx") * col("vy"))), 6).as("r2"))
 
+  /** Fuzzy (edit-distance) self-join with provably lossless q-gram
+    * blocking — the entity-resolution / master-data shape ("find the
+    * records whose names differ by a typo"). Returns every unordered pair
+    * with levenshtein(a, b) <= k, never comparing all pairs:
+    *
+    *  1. Indexed multiset q-grams per string (an occurrence counter makes
+    *     repeated grams distinct, so set-joins count multiset overlap).
+    *  2. Count filter (q-gram edit-distance bound, standard in the
+    *     approximate-string-join literature): one edit operation destroys
+    *     at most q grams, so ed(a,b) <= k implies the multiset overlap is
+    *     >= max(G_a, G_b) - k·q (G = gram count).
+    *  3. Prefix filter: order grams rare-globally-first; since
+    *     G_s - T_pair + 1 <= k·q + 1 for both sides, two strings meeting
+    *     the count bound MUST share a gram among their k·q + 1 rarest —
+    *     so only those prefix grams are indexed, keeping inverted-index
+    *     buckets rare-by-construction.
+    *  4. Candidates equi-join on (gram, occ) within a ±k length band;
+    *     exact levenshtein verifies.
+    *
+    * The losslessness contract requires length >= (k+1)·q — shorter
+    * strings can sit within k edits yet share zero q-grams, so they are
+    * excluded (documented; pick a smaller q for short-string corpora).
+    * Scale: every stage is a bounded groupBy/equi-join on the gram
+    * inverted index (the x_dedup_ngram discipline); a corpus of byte-
+    * identical strings degenerates the prefix bucket to the true
+    * duplicate class itself, the same worst case as any blocking scheme.
+    * The brute-force oracle gate doubles as a losslessness proof at
+    * fixture scale: a single pair missed by the blocking fails the hash.
+    */
+  def fuzzyJoin(df: DataFrame, key: Column, text: Column, k: Int,
+                q: Int = 3): DataFrame = {
+    require(k >= 1 && q >= 2)
+    val names = df.select(key.as("id"), text.as("s"))
+      .filter(length(col("s")) >= (k + 1) * q)
+      .persistOnce()
+    val grams = names.select(col("id"), length(col("s")).as("len"),
+        explode(expr(s"transform(sequence(1, length(s) - $q + 1), " +
+          s"i -> substring(s, i, $q))")).as("gram"))
+      // occurrence index over IDENTICAL (id, gram) rows — any order works.
+      // Deliberately NOT persisted although read twice (frequency table +
+      // prefix join): measured at sf0.1, caching the 900k-row window
+      // output costs more than the codegen'd recompute (21.6s vs 12.3s
+      // cold, 5.6s vs 4.1s warm).
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("id"), col("gram")).orderBy(col("gram"))))
+    val freq = grams.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("gf"))
+    val pref = grams.join(freq, Seq("gram", "occ"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("gf"), col("gram"), col("occ"))))
+      .filter(col("rk") <= k * q + 1)
+      .select(col("id"), col("len"), col("gram"), col("occ"))
+    val cand = pref.as("fa").join(pref.as("fb"),
+        col("fa.gram") === col("fb.gram") && col("fa.occ") === col("fb.occ")
+          && col("fa.id") < col("fb.id")
+          && abs(col("fa.len") - col("fb.len")) <= k)
+      .select(col("fa.id").as("id_a"), col("fb.id").as("id_b"))
+      .distinct()
+    cand
+      .join(names.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .filter(levenshtein(col("s_a"), col("s_b")) <= k)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("edit_dist"))
+  }
+
   // ------------------------------------------------------ graph analytics
 
   /** Damped PageRank in exact integer mass units — link analysis over an

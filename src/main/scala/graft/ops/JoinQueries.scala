@@ -56,9 +56,40 @@ object JoinQueries extends QueryPack {
       key = "user_id", ts = "ts", tradeId = "event_id")
   }
 
+  /** q_join_fuzzy: edit-distance self-join ([[GraftOps.fuzzyJoin]], k=2)
+    * — entity resolution for the "same record, typo'd name" class. Raw
+    * TPC-H part names are built from a tiny color vocabulary and sit
+    * pathologically dense in edit space (3.8M true pairs at sf0.1 — a
+    * 150s all-real-matches answer, measured), so the fixture entity name
+    * is `p_name + md5(partkey)[0:12]` — a name + serial-number corpus
+    * where random 12-hex suffixes keep distinct entities > 2 edits
+    * apart AND supply nine rare hex 4-grams, so every prefix (k·q+1 = 9
+    * rarest grams at q=4) is pure serial: candidate buckets stay ~3
+    * names wide (an 8-hex suffix left one ~650-frequency WORD gram in
+    * each prefix — measured 6.9M candidates vs 207k with 12).
+    * Every 10th part plants a one-char-deleted copy at id +10M (the
+    * piiScrub discipline: both engines synthesize the identical corpus),
+    * so the join must find ~n/10 true needles among n haystack names.
+    * The DuckDB oracle verifies by BRUTE FORCE over all length-banded
+    * pairs — one pair missed by the q-gram blocking fails the hash, so
+    * the gate is also the blocking-losslessness proof at fixture scale.
+    */
+  def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"),
+      concat(col("p_name"), lit(" "),
+        substring(md5(col("p_partkey").cast("string")), 1, 12)).as("p_name"))
+    val planted = p.filter(col("p_partkey") % 10 === 0)
+      .select((col("p_partkey") + 10000000L).as("p_partkey"),
+        expr("concat(substring(p_name, 1, CAST(p_partkey % 10 AS INT)), " +
+          "substring(p_name, CAST(p_partkey % 10 AS INT) + 2))").as("p_name"))
+    GraftOps.fuzzyJoin(p.unionAll(planted), col("p_partkey"), col("p_name"),
+      k = 2, q = 4)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_join_bcast" -> joinBcast,
     "q_join_shuffle" -> joinShuffle,
+    "q_join_fuzzy" -> joinFuzzy,
 
     // Existence probe (mapper Get hit) = left-semi join.
     "q_join_semi" -> ((s, d) =>
@@ -120,6 +151,28 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle = Map(
+    // Brute force on purpose: every length-banded pair gets a real
+    // levenshtein, so any pair the Spark-side q-gram blocking loses
+    // fails the hash (the losslessness proof). The planted copies use
+    // the identical substring surgery on both engines.
+    "q_join_fuzzy" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id,
+        |    p_name || ' ' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 12)
+        |      AS s
+        |  FROM part),
+        |pl AS (
+        |  SELECT id + 10000000 AS id,
+        |    substr(s, 1, CAST(id % 10 AS INT))
+        |      || substr(s, CAST(id % 10 AS INT) + 2) AS s
+        |  FROM base WHERE id % 10 = 0),
+        |n AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        |f AS (SELECT * FROM n WHERE length(s) >= 12)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+        |FROM f a JOIN f b
+        |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin,
     "q_join_bcast" ->
       """SELECT p_brand,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -382,6 +382,15 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"))
   }
 
+  test("q_join_fuzzy: candidates from the gram index, never all pairs") {
+    val p = planOf(SparkEntry.queries("q_join_fuzzy")(spark, sf))
+    // the entire point of the blocking: no cross product anywhere — the
+    // pair stage must be an equi-join on (gram, occ)
+    assert(!p.contains("CartesianProduct"), "fuzzy join fell back to cross")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join planned a nested loop")
+  }
+
   test("q_basket: pair stage is an equi-self-join on the basket key") {
     val p = planOf(SparkEntry.queries("q_basket")(spark, sf))
     // candidates must come from basket-key equality (per-basket bounded),
