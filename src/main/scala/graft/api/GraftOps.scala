@@ -1740,22 +1740,30 @@ object GraftOps {
   /** Market-basket co-occurrence with lift — which items sell together
     * (cols `basket`, `item`; the fixture binds order → part brand). The
     * classic association-rule support/lift statistic, shaped for scale:
-    * the distinct (basket, item) table is persisted once; the pair stage
-    * is a SELF-EQUI-JOIN on the basket key with an `item_a < item_b`
-    * residual, so candidates are bounded by Σ(basket_size²) — per-basket
-    * work, never a corpus cross product; per-item basket counts and the
-    * 1-row basket total are bounded side tables joined back. Counts are
-    * exact integers; lift = support·n_baskets / (n_a·n_b) is the only
-    * float, rounded at 6.
+    * ONE shuffle builds the per-basket sorted item set (collect_set
+    * dedups inside the aggregation buffer — baskets are small by the
+    * domain's nature, so the array buffer is bounded), and pairs expand
+    * MAP-SIDE from each array (Σ basket_size² work per row, never a
+    * corpus self-join — an earlier self-equi-join formulation recomputed
+    * the expensive input subtree once per plan reference on the cold
+    * path, measured 9.0s vs 1.5s warm). Per-item basket counts and the
+    * 1-row total derive from the same persisted basket-array table.
+    * Counts are exact integers; lift = support·n_baskets / (n_a·n_b) is
+    * the only float, rounded at 6.
     */
   def basketPairs(baskets: DataFrame): DataFrame = {
-    val b = baskets.select(col("basket"), col("item")).distinct()
+    val items = baskets.select(col("basket"), col("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
       .persistOnce()
-    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val tot = b.agg(countDistinct(col("basket")).as("n_baskets"))
-    b.as("l").join(b.as("r"),
-        col("l.basket") === col("r.basket") && col("l.item") < col("r.item"))
-      .groupBy(col("l.item").as("item_a"), col("r.item").as("item_b"))
+    val itemN = items.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val tot = items.agg(count(lit(1)).as("n_baskets"))
+    items.select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
       .agg(count(lit(1)).as("support"))
       .join(itemN.select(col("item").as("item_a"), col("n_item").as("n_a")),
         "item_a")
