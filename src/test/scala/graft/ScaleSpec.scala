@@ -197,6 +197,33 @@ class ScaleSpec extends SparkSpec {
     assert(q.getDouble(3) === 749.25)
   }
 
+  test("fuzzyJoin at 220k serial names: blocking finds every planted twin") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 200k 16-hex serials + 20k one-char-deleted twins — the ER shape at
+    // the scale where an all-pairs plan (24G comparisons) is impossible.
+    // q=5 keeps the rare-first prefix inside the 16^5 gram space
+    // (~2.4 names/bucket), so candidates stay ~linear in n.
+    import spark.implicits._
+    val n = 200000L
+    val serials = spark.range(0, n, 1, 32)
+      .select(col("id"), substring(md5(col("id").cast("string")), 1, 16).as("s"))
+    val planted = serials.filter(col("id") % 10 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        expr("concat(substring(s, 1, CAST(id % 13 AS INT) + 1), " +
+          "substring(s, CAST(id % 13 AS INT) + 3))").as("s"))
+    val out = GraftOps.fuzzyJoin(serials.unionAll(planted),
+        col("id"), col("s"), k = 2, q = 5)
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until n by 10L).map(i => (i, i + 10000000L)).toSet
+    assert((expected -- pairs).isEmpty,
+      s"blocking lost ${(expected -- pairs).size} planted twins")
+    // random 16-hex serials sit far apart in edit space: beyond the
+    // planted twins only hash-collision accidents may appear, and barely
+    assert(out.length - expected.size <= 20,
+      s"unexpectedly dense corpus: ${out.length} pairs")
+  }
+
   test("pageRank over a 1M-edge hub graph: bounded mass, hub out-ranks") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // 500k spokes all bi-linked to 8 hubs (~1M directed edges, max
