@@ -1361,9 +1361,13 @@ object GraftOps {
             // clamp: for float32-widened inputs the quotient is exact and
             // the clamp never fires, but a full-double component whose
             // 127·x/maxabs rounds past ±127 by one ulp would floor to
-            // -128/126 without it — the [-127,127] contract is explicit
-            x => greatest(least(floor(x * lit(127.0) / col("maxabs")),
-              lit(127L)), lit(-127L))))
+            // -128/126 without it — the [-127,127] contract is explicit.
+            // NULL/NaN components stay NULL: least/greatest SKIP null
+            // operands (they would silently clamp a missing value to
+            // +127), so the guard must run before the clamp
+            x => when(x.isNull || isnan(x), lit(null))
+              .otherwise(greatest(least(floor(x * lit(127.0) / col("maxabs")),
+                lit(127L)), lit(-127L)))))
           .as("qvec"),
         col("maxabs"))
   }
@@ -1673,20 +1677,24 @@ object GraftOps {
     */
   def groupMedian(df: DataFrame, group: Column, value: Column): DataFrame = {
     // NULLs are excluded like percentile_cont/quantile_cont exclude them —
-    // an unfiltered NULL would sort first and shift every position.
-    val dist = df.select(group.as("grp"), value.cast("double").as("x"))
-      .filter(col("x").isNotNull)
+    // an unfiltered NULL would sort first and shift every position. A
+    // group with ONLY nulls must still emit its (grp, NULL) row (that is
+    // percentile_cont's shape too), so the walk's output left-joins onto
+    // the distinct group set rather than silently dropping such groups.
+    val src = df.select(group.as("grp"), value.cast("double").as("x"))
+    val dist = src.filter(col("x").isNotNull)
       .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val allW = Window.partitionBy(col("grp"))
-    dist
+    val walked = dist
       .withColumn("cum", sum(col("c")).over(cumW))
       .withColumn("n", sum(col("c")).over(allW))
       // first row whose cumulative count exceeds position p covers p
       .groupBy(col("grp"))
       .agg(((min(when(col("cum") > expr("(n - 1) div 2"), col("x")))
         + min(when(col("cum") > expr("n div 2"), col("x")))) / 2.0).as("med"))
+    src.select(col("grp")).distinct().join(walked, Seq("grp"), "left")
   }
 
   /** Exact interpolated per-group quantiles (percentile_cont semantics)
@@ -1707,9 +1715,11 @@ object GraftOps {
     require(quantiles.nonEmpty &&
       quantiles.forall { case (_, num, den) => num >= 0 && num <= den && den > 0 })
     // NULL values are excluded, matching percentile_cont semantics (a
-    // NULL would otherwise sort first and shift every located position)
-    val dist = df.select(group.as("grp"), value.cast("double").as("x"))
-      .filter(col("x").isNotNull)
+    // NULL would otherwise sort first and shift every located position);
+    // all-NULL groups still emit their (grp, NULL...) row via the final
+    // left join below, exactly as percentile_cont would
+    val src = df.select(group.as("grp"), value.cast("double").as("x"))
+    val dist = src.filter(col("x").isNotNull)
       .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
     val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1733,8 +1743,9 @@ object GraftOps {
           (col(s"_vhi_$i") - col(s"_vlo_$i")) * rem.cast("double") / lit(den))
         .as(name)
     }
-    withCum.groupBy(col("grp")).agg(aggCols.head, aggCols.tail: _*)
+    val walked = withCum.groupBy(col("grp")).agg(aggCols.head, aggCols.tail: _*)
       .select(col("grp") +: outCols: _*)
+    src.select(col("grp")).distinct().join(walked, Seq("grp"), "left")
   }
 
   /** Market-basket co-occurrence with lift — which items sell together
@@ -1752,18 +1763,24 @@ object GraftOps {
     * the only float, rounded at 6.
     */
   def basketPairs(baskets: DataFrame): DataFrame = {
+    // NULL basket keys are unknown baskets, not one shared basket —
+    // excluded (the semantics an equi-join on the key would give)
     val items = baskets.select(col("basket"), col("item"))
+      .filter(col("basket").isNotNull)
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .persistOnce()
     val itemN = items.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val tot = items.agg(count(lit(1)).as("n_baskets"))
-    items.select(explode(expr(
-        "flatten(transform(items, (x, i) -> " +
-          "transform(slice(items, i + 2, size(items) - i - 1), " +
-          "y -> named_struct('a', x, 'b', y))))")).as("p"))
-      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+    // two-step expansion (the bucketPairs discipline): posexplode the
+    // anchor, then explode its suffix slice — a degenerate hot basket
+    // produces many candidate ROWS, which stream, instead of one
+    // O(basket²) flattened array value, which OOMs
+    items.select(col("items"), posexplode(col("items")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(items, i + 2, size(items) - i - 1)")).as("b"))
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
       .agg(count(lit(1)).as("support"))
       .join(itemN.select(col("item").as("item_a"), col("n_item").as("n_a")),
         "item_a")
@@ -1884,9 +1901,12 @@ object GraftOps {
     cand
       .join(names.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(names.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .filter(levenshtein(col("s_a"), col("s_b")) <= k)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("edit_dist"))
+      // computed ONCE then filtered: Filter and Project are separate
+      // physical operators, so a filter-side levenshtein would re-run
+      // the O(|a|·|b|) DP for every surviving pair
+      .withColumn("edit_dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("edit_dist") <= k)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
   // ------------------------------------------------------ graph analytics

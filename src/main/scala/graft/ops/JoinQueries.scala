@@ -78,10 +78,14 @@ object JoinQueries extends QueryPack {
     val p = Tables.part(s, d).select(col("p_partkey"),
       concat(col("p_name"), lit(" "),
         substring(md5(col("p_partkey").cast("string")), 1, 12)).as("p_name"))
+    // deletion position varies over 1..7 via (key div 10) mod 7 — a bare
+    // `key mod 10` would be constant 0 after the `% 10 === 0` filter,
+    // and every needle would exercise the same gram neighborhood
     val planted = p.filter(col("p_partkey") % 10 === 0)
       .select((col("p_partkey") + 10000000L).as("p_partkey"),
-        expr("concat(substring(p_name, 1, CAST(p_partkey % 10 AS INT)), " +
-          "substring(p_name, CAST(p_partkey % 10 AS INT) + 2))").as("p_name"))
+        expr("concat(substring(p_name, 1, CAST((p_partkey div 10) % 7 AS INT)), " +
+          "substring(p_name, CAST((p_partkey div 10) % 7 AS INT) + 2))")
+          .as("p_name"))
     GraftOps.fuzzyJoin(p.unionAll(planted), col("p_partkey"), col("p_name"),
       k = 2, q = 4)
   }
@@ -163,8 +167,8 @@ object JoinQueries extends QueryPack {
         |  FROM part),
         |pl AS (
         |  SELECT id + 10000000 AS id,
-        |    substr(s, 1, CAST(id % 10 AS INT))
-        |      || substr(s, CAST(id % 10 AS INT) + 2) AS s
+        |    substr(s, 1, CAST((id // 10) % 7 AS INT))
+        |      || substr(s, CAST((id // 10) % 7 AS INT) + 2) AS s
         |  FROM base WHERE id % 10 = 0),
         |n AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
         |f AS (SELECT * FROM n WHERE length(s) >= 12)

@@ -106,9 +106,15 @@ object LlmQueries extends QueryPack {
         col("quality_score")), "doc_id"))
     val model = GraftOps.linearFit(feats, col("source"),
       col("mean_word_len"), col("quality_score"))
-    val predP12 = round(col("intercept") * 1e6).cast("long") * lit(1000000L) +
+    // overflow guard: the p12 path is exact only while |slope·x| stays
+    // under Long.Max/1e12 ≈ 9.2e6 (a near-zero-variance group can fit an
+    // absurd slope); outside it Spark would wrap silently while DuckDB
+    // errors — both engines NULL such predictions explicitly instead
+    val rawP12 = round(col("intercept") * 1e6).cast("long") * lit(1000000L) +
       round(col("slope") * 1e6).cast("long") *
         round(col("mean_word_len") * 1e6).cast("long")
+    val predP12 = when(abs(col("slope") * col("mean_word_len")) < 9e6 &&
+      abs(col("intercept")) < 9e6, rawP12)
     feats.join(broadcast(model), col("source") === col("grp"))
       .select(col("doc_id"), col("source"), col("mean_word_len"),
         col("quality_score"),
@@ -665,9 +671,10 @@ object LlmQueries extends QueryPack {
         |  FROM f GROUP BY 1),
         |p AS (
         |  SELECT doc_id, f.source, x, y,
-        |    CAST(round(intercept * 1000000) AS BIGINT) * 1000000
-        |      + CAST(round(slope * 1000000) AS BIGINT)
-        |        * CAST(round(x * 1000000) AS BIGINT) AS pred_p12
+        |    CASE WHEN abs(slope * x) < 9e6 AND abs(intercept) < 9e6
+        |      THEN CAST(round(intercept * 1000000) AS BIGINT) * 1000000
+        |        + CAST(round(slope * 1000000) AS BIGINT)
+        |          * CAST(round(x * 1000000) AS BIGINT) END AS pred_p12
         |  FROM f JOIN mdl ON f.source = mdl.source)
         |SELECT doc_id, source, x AS mean_word_len, y AS quality_score,
         |  CAST(pred_p12 AS DOUBLE) / 1e12 AS predicted,
@@ -1057,7 +1064,9 @@ object LlmQueries extends QueryPack {
         |  SELECT vec_id,
         |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
         |         ELSE list_transform(v,
-        |           x -> greatest(least(floor(x * 127 / m), 127), -127)) END q
+        |           x -> CASE WHEN x IS NULL OR isnan(x) THEN NULL
+        |                ELSE greatest(least(floor(x * 127 / m), 127), -127)
+        |                END) END q
         |  FROM mx),
         |p AS (SELECT vec_id AS probe_id, q AS pq FROM qv WHERE vec_id < 8),
         |c AS (SELECT vec_id, q FROM qv WHERE vec_id >= 8),

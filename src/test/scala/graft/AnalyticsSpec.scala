@@ -52,6 +52,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(m.getDouble(1) === 2.0)
   }
 
+  test("groupQuantiles/groupMedian: all-NULL groups keep their NULL row") {
+    import spark.implicits._
+    // percentile_cont drops NULL VALUES but still emits the group row;
+    // silently losing g2 would break every join-quantiles-back caller
+    val df = Seq(("g1", Some(1.0)), ("g1", Some(3.0)),
+      ("g2", None), ("g2", None)).toDF("g", "v")
+    val q = GraftOps.groupQuantiles(df, col("g"), col("v"),
+        Seq(("med", 1, 2))).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(q === Map("g1" -> Some(2.0), "g2" -> None))
+    val m = GraftOps.groupMedian(df, col("g"), col("v")).collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(m === Map("g1" -> false, "g2" -> true))
+  }
+
+  test("basketPairs: NULL basket keys are unknown baskets, not one basket") {
+    import spark.implicits._
+    val b = Seq((Some(1), "A"), (Some(1), "B"), (None, "A"), (None, "B"))
+      .toDF("basket", "item")
+    val out = GraftOps.basketPairs(b).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // only basket 1's pair; n_baskets must count 1 (the NULL rows gone)
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("A", "B", 1L)))
+    assert(r.getDouble(5) === 1.0, "lift must use n_baskets = 1")
+  }
+
   test("groupQuantiles: q=0 and q=1 are exact min and max") {
     import spark.implicits._
     val df = Seq(3.0, 7.0, 42.0).map("g" -> _).toDF("g", "v")

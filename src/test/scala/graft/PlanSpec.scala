@@ -391,11 +391,13 @@ class PlanSpec extends SparkSpec {
       "fuzzy join planned a nested loop")
   }
 
-  test("q_basket: pair stage is an equi-self-join on the basket key") {
+  test("q_basket: pairs expand from per-basket arrays, no cross product") {
     val p = planOf(SparkEntry.queries("q_basket")(spark, sf))
-    // candidates must come from basket-key equality (per-basket bounded),
-    // never an item×item or basket×basket cross product
+    // candidates expand map-side from each basket's sorted item set
+    // (posexplode + suffix-slice explode) — never an item×item or
+    // basket×basket cross product
     assert(!p.contains("CartesianProduct"), "cross-product pair stage")
+    assert(p.contains("Generate"), "expected array pair expansion")
   }
 
   test("q_rfm: quantile windows stay nation-partitioned (no global window)") {
