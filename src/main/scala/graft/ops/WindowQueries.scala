@@ -221,6 +221,25 @@ object WindowQueries extends QueryPack {
           col("v_obs").isNull.cast("int").as("is_gap"))
     }),
 
+    // Distribution window functions — the rank-statistics family
+    // (percent_rank, cume_dist, ntile quartiles) per user. One user_id
+    // shuffle serves all three. NULL values are filtered on BOTH engines
+    // up front: Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST, so
+    // an unfiltered NULL would shift every rank. The (value, event_id)
+    // order is total, so ties cannot make any of the three functions
+    // nondeterministic; the rational outputs divide identical integers —
+    // bit-identical across engines.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     "q_v1_latest" -> v1Latest
   )
 
@@ -345,6 +364,14 @@ object WindowQueries extends QueryPack {
         |    AS value,
         |  CAST(v_obs IS NULL AS INT) AS is_gap
         |FROM j""".stripMargin,
+    "q_window_dist" ->
+      """SELECT user_id, event_id, value,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
     "q_v1_latest" ->
       """SELECT user_id, event_type, ts, value, event_id FROM (
         |  SELECT user_id, event_type, ts, value, event_id,
