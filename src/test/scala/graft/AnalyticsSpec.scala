@@ -89,6 +89,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.getDouble(2) === 42.0)
   }
 
+  test("groupQuantiles: negative and mixed-sign values interpolate exactly") {
+    import spark.implicits._
+    // [-10, -2, 0, 4]: q1 at pos 0.75 -> -10 + 0.75*8 = -4; med -> -1;
+    // q3 at pos 2.25 -> 0 + 0.25*4 = 1 — the integer position math must
+    // not assume non-negative values
+    val df = Seq(-10.0, -2.0, 0.0, 4.0).map("g" -> _).toDF("g", "v")
+    val q = GraftOps.groupQuantiles(df, col("g"), col("v"),
+      Seq(("q1", 1, 4), ("med", 2, 4), ("q3", 3, 4))).collect().head
+    assert((q.getDouble(1), q.getDouble(2), q.getDouble(3)) ===
+      ((-4.0, -1.0, 1.0)))
+  }
+
   test("groupQuantiles equals Spark's exact percentile on random data") {
     import spark.implicits._
     // 600 seeded random values across 5 uneven groups, duplicates

@@ -47,6 +47,26 @@ class FuzzyJoinSpec extends SparkSpec {
       s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
   }
 
+  test("fuzzyJoin: k=1 still finds single-edit twins, rejects two-edit") {
+    import spark.implicits._
+    val df = Seq((1L, "abcabcabcabc"), (2L, "abcabcabcabX"),   // ed 1
+      (3L, "abcabcabcaYX")).toDF("id", "s")                    // ed 2 from 1
+    val out = GraftOps.fuzzyJoin(df, col("id"), col("s"), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("fuzzyJoin: strings below the (k+1)*q length floor are excluded") {
+    import spark.implicits._
+    // documented contract: len >= (k+1)*q = 9 at k=2,q=3 — a short pair
+    // within k edits can share ZERO grams, so it is excluded, not missed
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefgX"),   // len 8: excluded
+      (3L, "abcdefghi"), (4L, "abcdefghX")).toDF("id", "s") // len 9: kept
+    val out = GraftOps.fuzzyJoin(df, col("id"), col("s"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((3L, 4L)))
+  }
+
   test("fuzzyJoin: repeated-gram strings need the occurrence index") {
     import spark.implicits._
     // 'aaaaaaaaaaaa' vs 'aaaaaaaaaaab': every distinct gram of the first
