@@ -1489,6 +1489,18 @@ object GraftOps {
     * Corpus schema: (vec_id, embedding) like ivfTopK; centroid schema
     * in/out: (cid, cv) with cv Array[Double].
     */
+  /** Nearest-centroid cluster assignment, public form: one (vec_id,
+    * cell) row per corpus vector against a bounded broadcast centroid
+    * set — the labeling half of [[kmeansRefine]] (identical tie-break:
+    * max cosine, then higher centroid id), exposed so compositions like
+    * cluster-topic reports can join cluster labels onto other tables.
+    * Corpus schema (vec_id, embedding); centroids (cid, cv).
+    */
+  def clusterAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(corpus.select(col("vec_id"),
+        VectorFns.toDoubles(col("embedding")).as("v")), centroids)
+      .select(col("vec_id"), col("cell"))
+
   def kmeansRefine(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val emb = corpus.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
     val refined = assignCells(emb, centroids)

@@ -4,6 +4,7 @@ import graft.{QueryPack, Tables}
 import graft.api.GraftOps
 import graft.functions.TextFns
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second curation pack (SURVEY.md §2.9 extensions): paragraph-level
@@ -285,8 +286,38 @@ object CurateQueries extends QueryPack {
         sum(col("n_tokens")).cast("long").as("n_tokens"))
   }
 
+  /** x_cluster_topics: corpus topic discovery — label every document
+    * with its IVF cluster ([[GraftOps.clusterAssign]], sampled-init
+    * coarse quantizer, same tie-break the x_kmeans gate proves), then
+    * report each cluster's top-5 terms by frequency (stopwords out, the
+    * qualityScore stoplist). The "what is IN my corpus" report a
+    * curation run ends with. Shapes: bounded centroid broadcast +
+    * map-side argmax (one row per vector shuffles), doc equi-join, one
+    * (cell, term) count shuffle, per-cell top-k window on the
+    * vocab-bounded count table.
+    */
+  def clusterTopics(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val nlist = GraftOps.nlistFor(emb.count())
+    val cent = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorFns.toDoubles(col("embedding")).as("cv"))
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val labeled = GraftOps.clusterAssign(emb, cent)
+      .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+      .select(col("cell"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(stops: _*))
+      .groupBy(col("cell"), col("term")).agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+    labeled.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_pipeline_clean" -> pipelineClean,
+    "x_cluster_topics" -> clusterTopics,
     "x_kmeans" -> kmeans,
     "x_pmi" -> pmi,
     "x_vocab" -> vocab,
@@ -393,6 +424,38 @@ object CurateQueries extends QueryPack {
         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT)
         |  AS n_tokens
         |FROM k GROUP BY 1""".stripMargin,
+    // Assignment CTEs identical to x_kmeans (whose gate proves the cell
+    // labeling is engine-exact), then per-cell term counting and top-5.
+    "x_cluster_topics" ->
+      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT e.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cid DESC) rn
+        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |dw AS (
+        |  SELECT a.cell,
+        |    [w for w in string_split_regex(lower(d.text), '\s+') if w != ''] w
+        |  FROM asg a JOIN documents d ON a.vec_id = d.doc_id),
+        |toks AS (SELECT cell, unnest(w) term FROM dw),
+        |tc AS (
+        |  SELECT cell, term, count(*) n FROM toks
+        |  WHERE term NOT IN ('the','a','of','and','to','in','is')
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT cell, term, n,
+        |    row_number() OVER (PARTITION BY cell ORDER BY n DESC, term) rnk
+        |  FROM tc)
+        |SELECT cell, term, CAST(n AS BIGINT) AS n_occurrences,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 5""".stripMargin,
     "x_kmeans" ->
       """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
         |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
