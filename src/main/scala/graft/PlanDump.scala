@@ -146,7 +146,13 @@ object PlanDump {
       "bounds pair candidates by order size; brand-domain side tables " +
       "broadcast"),
     "q_sql_lateral" -> ("Correlated LIMIT lateral — decorrelated to a " +
-      "window rank over one customer shuffle, no per-outer-row rescan")
+      "window rank over one customer shuffle, no per-outer-row rescan"),
+    "q_join_fuzzy" -> ("Edit-distance join — occurrence-indexed gram " +
+      "inverted index, rare-first prefix equi-join candidates, exact " +
+      "levenshtein verify; lossless blocking, no cross product"),
+    "x_cluster_topics" -> ("Corpus topic report — bounded centroid " +
+      "broadcast + map-side argmax labels, one (cell, term) count " +
+      "shuffle, per-cell top-5 window on the vocab-bounded table")
   )
 
   def main(args: Array[String]): Unit = {
