@@ -1352,11 +1352,23 @@ object GraftOps {
     */
   def quantizeInt8(emb: DataFrame, key: Column, vec: Column): DataFrame = {
     val v = VectorFns.toDoubles(vec)
-    val maxabs = aggregate(transform(v, x => abs(x)), lit(0.0),
-      (a, x) => greatest(a, x))
+    // NaN/NULL components are stripped BEFORE the max-abs reduce: greatest
+    // treats NaN as the largest double, so one NaN component would poison
+    // maxabs and every OTHER component would compute floor(NaN) — which
+    // Spark's long-typed floor folds to a garbage code while a
+    // double-typed oracle keeps NaN (cross-engine divergence). With the
+    // strip, maxabs reflects only the valid components and the per-
+    // component NULL guard below stays the single NaN/NULL story.
+    val maxabs = aggregate(transform(v,
+        x => when(x.isNull || isnan(x), lit(0.0)).otherwise(abs(x))),
+      lit(0.0), (a, x) => greatest(a, x))
     emb.select(key.as("vec_id"), v.as("v"), maxabs.as("maxabs"))
       .select(col("vec_id"),
-        when(col("maxabs") === 0.0, transform(col("v"), _ => lit(0L)))
+        // the all-invalid/zero vector still preserves per-component NULLs
+        // so both branches agree on the NULL story
+        when(col("maxabs") === 0.0, transform(col("v"),
+          x => when(x.isNull || isnan(x), lit(null).cast("long"))
+            .otherwise(lit(0L))))
           .otherwise(transform(col("v"),
             // clamp: for float32-widened inputs the quotient is exact and
             // the clamp never fires, but a full-double component whose
@@ -1384,8 +1396,13 @@ object GraftOps {
   def quantizedTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // NULL-code semantics when composed with [[quantizeInt8]]: a NULL
+    // component (a NaN in the source vector) contributes 0 to the dot
+    // product — "missing dimension scores nothing". Without the coalesce
+    // one NULL product nulls the whole aggregate and the .as[ScoredVec]
+    // encoder (primitive Double field) throws at runtime.
     val qdot = aggregate(
-      zip_with(col("qvec"), col("pq"), (x, y) => x * y),
+      zip_with(col("qvec"), col("pq"), (x, y) => coalesce(x * y, lit(0L))),
       lit(0L), (a, x) => a + x)
     corpus.join(
         broadcast(probes.select(col("vec_id").as("probe_id"),
@@ -1706,7 +1723,21 @@ object GraftOps {
       .groupBy(col("grp"))
       .agg(((min(when(col("cum") > expr("(n - 1) div 2"), col("x")))
         + min(when(col("cum") > expr("n div 2"), col("x")))) / 2.0).as("med"))
-    src.select(col("grp")).distinct().join(walked, Seq("grp"), "left")
+    joinOnGroupKey(src, walked)
+  }
+
+  /** Re-attach a per-group computed table to the full distinct group set,
+    * NULL-SAFELY: `Seq("grp")` equi-join semantics would drop the NULL
+    * group's computed row (NULL never equals NULL), silently replacing a
+    * NULL-keyed group's true median/quantiles with NULL — percentile_cont
+    * (and the DuckDB oracle) keep the NULL group with its real values.
+    * `<=>` matches NULL keys, preserving them.
+    */
+  private def joinOnGroupKey(src: DataFrame, walked: DataFrame): DataFrame = {
+    val grps = src.select(col("grp")).distinct()
+    grps.join(walked.withColumnRenamed("grp", "_wgrp"),
+        grps("grp") <=> col("_wgrp"), "left")
+      .drop("_wgrp")
   }
 
   /** Exact interpolated per-group quantiles (percentile_cont semantics)
@@ -1757,7 +1788,7 @@ object GraftOps {
     }
     val walked = withCum.groupBy(col("grp")).agg(aggCols.head, aggCols.tail: _*)
       .select(col("grp") +: outCols: _*)
-    src.select(col("grp")).distinct().join(walked, Seq("grp"), "left")
+    joinOnGroupKey(src, walked)
   }
 
   /** Market-basket co-occurrence with lift — which items sell together
@@ -1934,9 +1965,11 @@ object GraftOps {
     *
     * Scale shape: each iteration is one edge-sized equi-join (edges ⋈
     * mass on src) plus one hash aggregation on dst — the textbook
-    * distributed PageRank round, no driver-side state, plan depth grows
-    * linearly in `iters` (callers wanting >~10 rounds should checkpoint,
-    * as [[clusterPairs]] does). The edge table (often an expensive
+    * distributed PageRank round, no driver-side state, and plan depth is
+    * BOUNDED: every 8 rounds the mass table is localCheckpoint-ed (the
+    * [[clusterPairs]] discipline), so a 20- or 50-iteration run keeps an
+    * O(1)-deep Catalyst plan instead of an O(iters) nest the optimizer
+    * re-traverses each round. The edge table (often an expensive
     * derivation — a join + distinct for the fixture trade graph) is
     * persisted FIRST so degree counting, the degree-annotated join, and
     * the initial mass table all read one materialization instead of
@@ -1950,10 +1983,14 @@ object GraftOps {
     * mass·85 — keep initMass below Long.Max/(100·n) (at initMass = 1e12
     * that allows ~10^5 nodes; scale initMass down for bigger graphs).
     *
-    * Callers must ensure every node has at least one out-edge (symmetric
-    * edge tables satisfy this by construction); a dangling node would
-    * silently leak its mass, so degree-join misses drop it from the
-    * result rather than mis-rank it.
+    * Node-set semantics: the result carries EVERY node appearing as a
+    * src or dst. Each round the in-mass aggregation is left-joined back
+    * onto that node set with a teleport-only default, so a source-only
+    * node (out-edges but zero in-degree) keeps ranking instead of
+    * vanishing after round 1, and a sink-only node (in-edges but no
+    * out-edge) keeps receiving. Dangling mass is still NOT redistributed
+    * — a sink node's mass leaks by design (standard simplification;
+    * symmetric edge tables have no sinks and lose nothing).
     */
   def pageRank(edges: DataFrame, iters: Int, initMass: Long): DataFrame = {
     require(iters >= 1 && initMass > 0)
@@ -1961,14 +1998,25 @@ object GraftOps {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persistOnce()
     val withDeg = e.join(deg, "src").persistOnce()
+    // src ∪ dst — node-sized, feeds every round's left join, so persist
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().persistOnce()
     val teleport = initMass * 15L / 100L
-    var mass = deg.select(col("src").as("node"), lit(initMass).as("mass"))
-    for (_ <- 1 to iters) {
-      mass = withDeg.join(mass, col("src") === col("node"))
+    var mass = nodes.select(col("node"), lit(initMass).as("mass"))
+    for (i <- 1 to iters) {
+      val inMass = withDeg.join(mass, col("src") === col("node"))
         .select(col("dst"), expr("mass * 85 div (outdeg * 100)").as("c"))
         .groupBy(col("dst"))
-        .agg((sum(col("c")) + lit(teleport)).as("mass"))
-        .select(col("dst").as("node"), col("mass"))
+        .agg(sum(col("c")).as("inmass"))
+        .select(col("dst").as("cnode"), col("inmass"))
+      mass = nodes.join(inMass, col("node") === col("cnode"), "left")
+        .select(col("node"),
+          (coalesce(col("inmass"), lit(0L)) + lit(teleport)).as("mass"))
+      // lineage cut (clusterPairs discipline): lazy is enough — the plan
+      // is truncated to a LogicalRDD immediately; the RDD materializes
+      // with the caller's first action
+      if (i % 8 == 0 && i < iters) mass = mass.localCheckpoint(false)
     }
     mass
   }
