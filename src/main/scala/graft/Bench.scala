@@ -9,7 +9,7 @@ object Bench {
     // Untimed JVM/codegen warm-up so the alphabetically-first query doesn't
     // absorb ~5s of JIT + classloading into its measurement.
     SparkEntry.entry(spark).count()
-    // A throwing query is reported with a NEGATIVE elapsed time and listed
+    // A throwing query is reported as JSON null in "queries" and listed
     // in "errors", so downstream parsing can tell a failed query from a
     // fast one; total covers successful queries only.
     // Each query is timed TWICE and the MIN recorded: single-pass numbers
@@ -35,8 +35,9 @@ object Bench {
       val good = times.filter(_ >= 0)
       (name, if (good.nonEmpty) good.min else times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "null" else v.toString)
+    }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

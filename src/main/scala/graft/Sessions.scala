@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   *   budget.
   * - AQE on: runtime re-planning (broadcast switch, skew-join splitting,
   *   partition coalescing) is the 100-TB safety net for every join here.
-  * - nanosAsLong: events.parquet is TIMESTAMP(NANOS) which Spark 4 rejects
-  *   by default; set once here (never mutated mid-session — see
-  *   Tables.events).
+  * - nanosAsLong: kept as a guard for fixtures that encode events.ts as
+  *   TIMESTAMP(NANOS), which Spark 4 rejects by default (delivered as a
+  *   long of nanos instead); a no-op for µs-encoded fixtures. Ingest
+  *   dispatches on the resolved dtype either way — see Tables.normalizeTs.
   */
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -29,19 +29,37 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; every session in this project enables
-    * `spark.sql.legacy.parquet.nanosAsLong` at build time (build.sbt
-    * javaOptions + the entry-point builders), so the column arrives as a
-    * long of nanos. Convert to a proper TimestampType at ingest — integer
-    * `div` (not `/`, which goes through double and loses precision at 1e18
-    * nanos). All fixture timestamps are µs-aligned so the ns→µs truncation
-    * is lossless, matching DuckDB's native µs TIMESTAMP read of the file.
+  /** Normalize the events `ts` column to TimestampType regardless of how
+    * the fixture encoded it — the generator has shipped both
+    * TIMESTAMP(NANOS) (which `nanosAsLong` delivers as a long of nanos)
+    * and plain timestamp[us] (which Spark reads as TIMESTAMP_NTZ under
+    * `parquet.inferTimestampNTZ`). Dispatch on the RESOLVED dtype so an
+    * ingest never breaks when the fixture schema shifts again:
+    *  - LongType: nanos → µs via integer `div` (not `/`, which goes
+    *    through double and loses precision at 1e18 nanos); fixture
+    *    timestamps are µs-aligned so the truncation is lossless.
+    *  - TIMESTAMP_NTZ: cast to TimestampType — the session timezone is
+    *    pinned to UTC (Sessions.scala / build.sbt), so the cast is
+    *    value-identical and matches DuckDB's native µs TIMESTAMP read.
+    *  - TimestampType: already what downstream expects; pass through.
     */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — extend Tables.normalizeTs")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    normalizeTs(t(spark, dir, "events"))
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

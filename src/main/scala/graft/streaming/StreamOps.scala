@@ -18,21 +18,21 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamOps {
 
-  /** Parquet schema of the events table AFTER ingest normalization
-    * (ts: nanos long → TimestampType µs, see Tables.events).
-    */
-  val eventSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING")
-
   /** File-source incremental ingest — the WALPlayer analog: replay a
     * landing DIRECTORY of event files as an unbounded stream (the file
     * source tails the directory; new files = new WAL segments).
+    *
+    * The streaming file source requires an explicit schema; discover it
+    * with a one-time batch footer read of the directory (driver-side
+    * metadata only, no data scan) so the stream tracks whatever physical
+    * encoding the fixture uses, then apply the same `ts` normalization as
+    * the batch path (graft.Tables.normalizeTs).
     */
-  def readEventStream(s: SparkSession, eventsDir: String): DataFrame =
-    s.readStream.schema(eventSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def readEventStream(s: SparkSession, eventsDir: String): DataFrame = {
+    val rawSchema: StructType = s.read.parquet(eventsDir).schema
+    graft.Tables.normalizeTs(
+      s.readStream.schema(rawSchema).parquet(eventsDir))
+  }
 
   /** s_tumbling: 5-minute tumbling window counts per event type. */
   def tumbling(events: DataFrame): DataFrame =

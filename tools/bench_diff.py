@@ -40,7 +40,11 @@ def load_queries(path):
         except json.JSONDecodeError:
             continue
         if isinstance(obj, dict) and isinstance(obj.get("queries"), dict):
-            return {k: float(v) for k, v in obj["queries"].items()}
+            # Errored queries are recorded as JSON null (older runs used a
+            # negative elapsed time); normalize both to the same failed
+            # sentinel so the newly-FAILING check keeps working.
+            return {k: (-1.0 if v is None else float(v))
+                    for k, v in obj["queries"].items()}
         if isinstance(obj, dict) and isinstance(obj.get("tail"), str):
             text = obj["tail"]  # driver wrapper: fall through to regex
             break
