@@ -152,7 +152,20 @@ object PlanDump {
       "levenshtein verify; lossless blocking, no cross product"),
     "x_cluster_topics" -> ("Corpus topic report — bounded centroid " +
       "broadcast + map-side argmax labels, one (cell, term) count " +
-      "shuffle, per-cell top-5 window on the vocab-bounded table")
+      "shuffle, per-cell top-5 window on the vocab-bounded table"),
+    "x_hard_neg" -> ("Contrastive hard-negative mining — IVF owner-cell " +
+      "blocking (bounded centroid broadcast + argmax), cell equi-self-" +
+      "join with the label-inequality residual, per-anchor top-k " +
+      "window; O(n^2/nlist) candidates, never n^2"),
+    "x_dsir" -> ("DSIR importance weighting — the whole model is one " +
+      "1024-bin hashed-token table (one hash agg), broadcast back onto " +
+      "a second codegen'd scan; no pairwise stage, no driver state"),
+    "x_winnow" -> ("Winnowing fingerprints — explode + ONE doc-" +
+      "partitioned window pass (packed rightmost-min frames) + per-doc " +
+      "hash agg; no shuffle beyond doc_id, no pairwise stage"),
+    "q_hits" -> ("Integer-mass HITS — per half-step one edge equi-join " +
+      "+ hash agg, max-rescale via 1-row broadcast (never a collect); " +
+      "edges persisted once, bipartite-native directed form")
   )
 
   def main(args: Array[String]): Unit = {

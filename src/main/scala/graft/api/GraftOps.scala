@@ -2122,4 +2122,198 @@ object GraftOps {
       .agg(count(lit(1)).as("pc"), sum(value).as("ps"))
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("n"), sum(col("ps")).as("sum_value"))
+
+  // ------------------------------------------ contrastive-training mining
+
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the `k` most-cosine-similar vectors carrying a DIFFERENT
+    * label — the pairs a bi-encoder must learn to push apart, mined from
+    * the corpus rather than sampled at random (random negatives are
+    * trivially easy; the informative ones are the near-misses).
+    *
+    * Scale shape is the [[knnGraph]] discipline: candidates come from the
+    * anchor's IVF owner cell (centroids broadcast, one cell equi-self-join
+    * with a label-inequality predicate — O(n²/nlist) expected candidates,
+    * never n²), and the per-anchor rank window is partitioned by anchor.
+    * The label rides through the assignment argmax as a group key, so no
+    * second join re-attaches it. Within-cell mining is approximate in the
+    * same sense as [[knnGraph]]: a hard negative sitting in a different
+    * cell is missed; raise recall by raising nlist's probe count upstream
+    * if needed. The oracle replays assignment + mining exactly.
+    */
+  def hardNegatives(corpus: DataFrame, k: Int, nlist: Int): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("label"),
+      VectorFns.toDoubles(col("embedding")).as("v"))
+    val cent = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val a = emb.join(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("v"),
+        struct(expr("cosine_sim(v, cv)").as("cs"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("label"), col("v"))
+      .agg(max(col("sc")).getField("cid").as("cell"))
+      .persistOnce()
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id").asc)
+    a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.label") =!= col("y.label"))
+      .select(col("x.vec_id").as("anchor_id"),
+        col("x.label").as("anchor_label"),
+        col("y.vec_id").as("neg_id"), col("y.label").as("neg_label"),
+        round(expr("cosine_sim(x.v, y.v)"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("cos_sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  // --------------------------------------------------- data selection
+
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023, public paper): score every raw document
+    * by how target-like its hashed-token distribution is. Features are
+    * md5-hashed tokens folded into `buckets` bins; with add-1 smoothing,
+    * a doc's score is the mean over its token instances of
+    * ln p_target(f) − ln p_raw(f). Positive = looks more like the target
+    * slice than the raw corpus; `selected` marks those docs.
+    *
+    * 100-TB shape: the entire "model" is one `buckets`-row table (the
+    * per-bin target/raw counts and their log-ratio), built by one hash
+    * aggregation over the exploded tokens and broadcast back for the
+    * per-doc scoring pass — no pairwise stage, no driver state. The
+    * bounded bin table is persisted (pennies); the token explosion is
+    * deliberately NOT cached — two codegen'd scans of the corpus beat
+    * materializing tokens×docs at scale. ln is elementwise on rationals
+    * and the per-doc mean rounds to 6, the perplexity queries' determinism
+    * discipline the oracle replays.
+    */
+  def dsirWeights(docs: DataFrame, key: Column, text: Column,
+                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2)
+    val feats = docs.select(key.as("doc_id"), isTarget.as("tgt"),
+        explode(TextFns.tokens(text)).as("tok"))
+      .select(col("doc_id"), col("tgt"),
+        (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+          % buckets).as("f"))
+    val counts = feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("ca"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+      .persistOnce()
+    val logRatio = counts
+      .crossJoin(broadcast(counts.agg(sum(col("ca")).as("ta"),
+        sum(col("ct")).as("tt"))))
+      .select(col("f"),
+        (log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("ca") + 1).cast("double") / (col("ta") + buckets)))
+          .as("lr"))
+    feats.join(broadcast(logRatio), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(avg(col("lr")), 6).as("dsir_score"))
+      .withColumn("selected", (col("dsir_score") > 0).cast("int"))
+  }
+
+  // ----------------------------------------------- winnowing fingerprints
+
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003, public paper): hash every `gramN`-token gram, slide a
+    * `window`-gram window, and in each window select the minimal hash
+    * (rightmost on ties). The selected (hash, position) set is the doc's
+    * fingerprint — guaranteed to share an entry with any doc containing a
+    * sufficiently long common substring, at ~2/(window+1) the density of
+    * the full gram set. This is the robust alternative to a whole-doc
+    * content hash: local edits only perturb nearby fingerprints.
+    *
+    * The rightmost-min selection packs (hash, pos) into one long —
+    * hash·2²⁰ + (2²⁰−1−pos) — so a single `min` window frame implements
+    * "min hash, ties to the largest position" with no struct ordering
+    * (portable to the SQL oracle bit-for-bit). Docs are capped at 2²⁰
+    * grams by the packing (far beyond any real document; chunk upstream
+    * if exceeded). Ragged tail windows (the last `window`−1 positions
+    * start shrinking frames) are included — deterministic in both
+    * engines, a superset of the paper's fixed windows. Scale shape: one
+    * explode + one doc-partitioned window pass + one hash aggregation;
+    * no shuffle beyond the doc_id partitioning, no pairwise stage.
+    */
+  def winnowFingerprints(docs: DataFrame, key: Column, text: Column,
+                         gramN: Int = 3, window: Int = 4): DataFrame = {
+    require(gramN >= 2 && window >= 1)
+    val posCap = 1L << 20
+    val tall = docs.select(key.as("doc_id"),
+        posexplode(TextFns.gramsN(TextFns.tokens(text), gramN))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          * posCap + (lit(posCap - 1) - col("pos"))).as("key"))
+    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    tall.select(col("doc_id"),
+        min(col("key")).over(wSel).as("sel"),
+        count(lit(1)).over(wDoc).as("n_grams"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count_distinct(col("sel")).as("n_fp"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_set(col("sel"))),
+            x => x.cast("string")))).as("fp_sig"))
+      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+        round(col("n_fp").cast("double") / col("n_grams"), 6)
+          .as("fp_density"),
+        col("fp_sig"))
+  }
+
+  // --------------------------------------------------------------- HITS
+
+  /** HITS hubs & authorities (Kleinberg 1999) in integer mass — the link-
+    * analysis companion to [[pageRank]], natural on bipartite graphs
+    * where PageRank's random walk just bounces (here: customers are hubs,
+    * suppliers authorities). Each iteration: auth(v) = Σ hub over
+    * in-edges, hub(u) = Σ auth over out-edges, each half-step rescaled to
+    * `scale` by integer floor division by the current max — the
+    * normalization that keeps values bounded forever (so iteration count
+    * never overflows) while staying bit-replayable in a SQL oracle
+    * (float L2 normalization diverges across summation orders).
+    *
+    * Scale shape: per half-step one edge-sized equi-join + one hash
+    * aggregation (the [[pageRank]] round shape); the max is a 1-row
+    * broadcast, not a collect. Every half-step's node-sized raw table is
+    * `localCheckpoint`ed — lineage TRUNCATION, not just caching: the
+    * rescale references `raw` twice (max subtree + main) and the next
+    * half-step chains on the result, so with intact lineage the logical
+    * plan doubles per half-step (measured at iters=2: 39k scan nodes in
+    * the executed plan, ~13s of pure Catalyst work vs 0.9s flat —
+    * persist alone does NOT help, execution was already cache-hitting).
+    * The same discipline pageRank applies every 8 rounds, needed every
+    * half-step here because the max doubles references. Overflow bound:
+    * raw ≤ maxdeg·scale and the rescale multiplies by scale, so keep
+    * maxdeg·scale² < Long.Max (scale 10⁶ allows maxdeg ≤ ~9·10⁶ —
+    * rescale down for denser graphs). Nodes with no out-edge get no hub
+    * score and sinks no auth update — the standard formulation on a
+    * directed edge list.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
+    require(iters >= 1 && scale > 0)
+    val e = edges.select(col("src"), col("dst")).persistOnce()
+    def rescaled(rawDf: DataFrame, key: String, out: String): DataFrame = {
+      val raw = rawDf.localCheckpoint()
+      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
+        .select(col(key), expr(s"(raw * $scale) div mx").as(out))
+    }
+    var hub = e.select(col("src")).distinct()
+      .select(col("src"), lit(scale).as("hub"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = rescaled(
+        e.join(hub, "src").groupBy(col("dst")).agg(sum(col("hub")).as("raw")),
+        "dst", "auth")
+      hub = rescaled(
+        e.join(auth, "dst").groupBy(col("src")).agg(sum(col("auth")).as("raw")),
+        "src", "hub")
+    }
+    hub.select(col("src").as("node"), lit("hub").as("kind"),
+        col("hub").as("score"))
+      .unionAll(auth.select(col("dst").as("node"), lit("auth").as("kind"),
+        col("auth").as("score")))
+  }
 }

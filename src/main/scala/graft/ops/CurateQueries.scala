@@ -185,6 +185,17 @@ object CurateQueries extends QueryPack {
       nprobe = 2)
   }
 
+  /** x_hard_neg: hard-negative mining for contrastive training — each
+    * vector's 3 most-similar DIFFERENT-label neighbors, candidates
+    * bounded to the IVF owner cell like x_knn_graph. The pairs a
+    * bi-encoder trains against; random negatives are too easy to teach
+    * the boundary.
+    */
+  def hardNeg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.hardNegatives(emb, k = 3, nlist = GraftOps.nlistFor(emb.count()))
+  }
+
   /** x_sample_diverse: coreset selection — the 2 most central vectors of
     * every occupied IVF cell, covering each direction of embedding space
     * instead of oversampling dense regions. The post-dedup downsampling
@@ -337,6 +348,7 @@ object CurateQueries extends QueryPack {
     "x_rank_fusion" -> rankFusion,
     "x_knn_graph" -> knnGraph,
     "x_knn_graph_probe" -> knnGraphProbe,
+    "x_hard_neg" -> hardNeg,
     "x_sample_diverse" -> sampleDiverse,
     "x_shuffle_epochs" -> shuffleEpochs,
     "x_curriculum" -> curriculum,
@@ -628,6 +640,36 @@ object CurateQueries extends QueryPack {
         |      rnk FROM pr)
         |SELECT src_id, nbr_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 5""".stripMargin,
+    // x_knn_graph's assignment replay with the label riding through the
+    // argmax, then within-cell pairs restricted to label inequality.
+    "x_hard_neg" ->
+      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (SELECT vec_id, label, v, cid AS cell FROM (
+        |  SELECT e.vec_id, e.label, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cid DESC) rn
+        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |pr AS (SELECT x.vec_id anchor_id, x.label anchor_label,
+        |    y.vec_id neg_id, y.label neg_label,
+        |    round(list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v))
+        |         * sqrt(list_dot_product(y.v, y.v))), 6) cos_sim
+        |  FROM asg x JOIN asg y
+        |    ON x.cell = y.cell AND x.label <> y.label),
+        |rk AS (SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cos_sim DESC, neg_id) rnk FROM pr)
+        |SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 3""".stripMargin,
     "x_sample_diverse" ->
       """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
         |  WHERE c*c >= (SELECT count(*) FROM embeddings)),

@@ -21,23 +21,36 @@ object GraphQueries extends QueryPack {
   private val Iters = 3
   private val InitMass = 1000000000000L // 1e12: safe to ~1e5 nodes (doc'd bound)
 
-  /** Distinct bidirectional trade edges; node ids are prefixed so the
-    * customer and supplier key spaces cannot collide.
+  /** Distinct directed customer→supplier trade pairs; node ids are
+    * prefixed so the customer and supplier key spaces cannot collide.
     */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d)
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
       .distinct()
+
+  /** Symmetrized (bidirectional) form of [[tradePairs]] for PageRank. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = tradePairs(s, d)
     pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_pagerank" -> ((s, d) =>
-      GraftOps.pageRank(tradeEdges(s, d), Iters, InitMass))
+      GraftOps.pageRank(tradeEdges(s, d), Iters, InitMass)),
+
+    // HITS keeps the trade graph DIRECTED (cust→supp): hubs are the
+    // customers whose baskets touch the most central suppliers,
+    // authorities the suppliers those hubs concentrate on — the natural
+    // reading of a bipartite graph that PageRank had to symmetrize away.
+    "q_hits" -> ((s, d) =>
+      GraftOps.hits(tradePairs(s, d)
+        .select(col("cust").as("src"), col("supp").as("dst")),
+        iters = 2, scale = 1000000L))
   )
 
   val oracle = Map(
@@ -74,6 +87,36 @@ object GraphQueries extends QueryPack {
         |    CAST(150000000000 + sum((m.mass * 85) // (d.outdeg * 100)) AS BIGINT) AS mass
         |  FROM edges e JOIN m2 m ON e.src = m.node JOIN deg d ON e.src = d.src
         |  GROUP BY 1)
-        |SELECT node, mass FROM m3""".stripMargin
+        |SELECT node, mass FROM m3""".stripMargin,
+
+    // Two unrolled HITS iterations, each half-step rescaled to 1e6 by
+    // integer floor division by the step's max — the same exact-integer
+    // replay discipline as q_pagerank. sum(BIGINT) is HUGEINT in DuckDB,
+    // cast back before the floor arithmetic.
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS hub FROM e),
+        |a1r AS (SELECT dst, CAST(sum(hub) AS BIGINT) AS raw
+        |  FROM e JOIN h0 USING (src) GROUP BY dst),
+        |a1 AS (SELECT dst, CAST((raw * 1000000)
+        |    // (SELECT max(raw) FROM a1r) AS BIGINT) AS auth FROM a1r),
+        |h1r AS (SELECT src, CAST(sum(auth) AS BIGINT) AS raw
+        |  FROM e JOIN a1 USING (dst) GROUP BY src),
+        |h1 AS (SELECT src, CAST((raw * 1000000)
+        |    // (SELECT max(raw) FROM h1r) AS BIGINT) AS hub FROM h1r),
+        |a2r AS (SELECT dst, CAST(sum(hub) AS BIGINT) AS raw
+        |  FROM e JOIN h1 USING (src) GROUP BY dst),
+        |a2 AS (SELECT dst, CAST((raw * 1000000)
+        |    // (SELECT max(raw) FROM a2r) AS BIGINT) AS auth FROM a2r),
+        |h2r AS (SELECT src, CAST(sum(auth) AS BIGINT) AS raw
+        |  FROM e JOIN a2 USING (dst) GROUP BY src),
+        |h2 AS (SELECT src, CAST((raw * 1000000)
+        |    // (SELECT max(raw) FROM h2r) AS BIGINT) AS hub FROM h2r)
+        |SELECT src AS node, 'hub' AS kind, hub AS score FROM h2
+        |UNION ALL
+        |SELECT dst AS node, 'auth' AS kind, auth AS score FROM a2""".stripMargin
   )
 }

@@ -557,7 +557,25 @@ object LlmQueries extends QueryPack {
       col("media.width").as("width"),
       col("media.height").as("height"))
 
+  /** x_dsir: DSIR importance weights over the documents table — target
+    * slice = English docs, features = md5-hashed tokens in 1024 bins.
+    * The data-selection pass that upsamples target-like raw documents.
+    */
+  def dsir(s: SparkSession, d: String): DataFrame =
+    GraftOps.dsirWeights(Tables.documents(s, d), col("doc_id"),
+      col("text"), col("lang") === "en", buckets = 1024)
+
+  /** x_winnow: MOSS winnowing fingerprints (3-token grams, window 4) —
+    * the locally-robust dedup/plagiarism fingerprint set per document,
+    * gated on count, density and the md5 of the sorted selection.
+    */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    GraftOps.winnowFingerprints(Tables.documents(s, d), col("doc_id"),
+      col("text"), gramN = 3, window = 4)
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_dsir" -> dsir,
+    "x_winnow" -> winnow,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_norm" -> dedupNorm,
     "x_outlier_mad" -> outlierMad,
@@ -594,6 +612,58 @@ object LlmQueries extends QueryPack {
   )
 
   val oracle = Map(
+    // Hashed-token DSIR replay: same md5 12-hex-digit fold into 1024
+    // bins, add-1 smoothing, ln ratio averaged per doc, round(6) — the
+    // perplexity queries' ln-parity discipline. sum(CASE) is HUGEINT in
+    // DuckDB; the +1 / CAST AS DOUBLE sequence keeps the arithmetic
+    // identical to Spark's long+int double division.
+    "x_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+        |    unnest([w for w in string_split_regex(trim(lower(text)), '\s+')
+        |            if w != '']) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, tgt,
+        |    CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024 AS f
+        |  FROM toks),
+        |c AS (SELECT f, count(*) AS ca,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM f GROUP BY f),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |    CAST(sum(ct) AS BIGINT) AS tt FROM c),
+        |lr AS (SELECT f,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (tt + 1024))
+        |      - ln(CAST(ca + 1 AS DOUBLE) / (ta + 1024)) AS lr
+        |  FROM c, t)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  round(avg(lr), 6) AS dsir_score,
+        |  CAST(round(avg(lr), 6) > 0 AS INT) AS selected
+        |FROM f JOIN lr USING (f) GROUP BY doc_id""".stripMargin,
+    // Winnowing replay: same (hash·2^20 + (2^20-1-pos)) packing, same
+    // ragged-tail window frames, fingerprints = distinct window minima;
+    // the signature orders numerically (string_agg ORDER BY sel).
+    "x_winnow" ->
+      """WITH toks AS (SELECT doc_id,
+        |    [w for w in string_split_regex(trim(lower(text)), '\s+')
+        |     if w != ''] AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+        |  FROM toks, unnest(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE len(w) >= 3),
+        |k AS (SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 1048576
+        |      + (1048575 - pos) AS key
+        |  FROM g),
+        |s AS (SELECT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+        |  FROM k),
+        |d AS (SELECT DISTINCT doc_id, n_grams, sel FROM s)
+        |SELECT doc_id, n_grams, count(*) AS n_fp,
+        |  round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS fp_density,
+        |  md5(string_agg(CAST(sel AS VARCHAR), ' ' ORDER BY sel)) AS fp_sig
+        |FROM d GROUP BY doc_id, n_grams""".stripMargin,
     "x_dedup_exact" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

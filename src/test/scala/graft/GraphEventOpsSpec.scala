@@ -180,6 +180,26 @@ class GraphEventOpsSpec extends SparkSpec {
     }
   }
 
+  test("hits: rescale pins each kind's max to scale; sides stay disjoint") {
+    import spark.implicits._
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"),
+      ("c3", "s1"), ("c3", "s3")).toDF("src", "dst")
+    val out = GraftOps.hits(edges, iters = 2, scale = 1000000L).collect()
+    val hubs = out.filter(_.getString(1) == "hub")
+    val auths = out.filter(_.getString(1) == "auth")
+    // integer rescale: (mx * scale) div mx == scale exactly
+    assert(hubs.map(_.getLong(2)).max === 1000000L)
+    assert(auths.map(_.getLong(2)).max === 1000000L)
+    assert(hubs.map(_.getString(0)).toSet === Set("c1", "c2", "c3"))
+    assert(auths.map(_.getString(0)).toSet === Set("s1", "s2", "s3"))
+    // s1 has the highest in-degree from the strongest hubs -> top auth
+    assert(auths.maxBy(_.getLong(2)).getString(0) === "s1")
+    // c1 and c3 both touch two suppliers incl. s1; c2 touches one ->
+    // c2 must rank strictly below both
+    val h = hubs.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(h("c2") < h("c1") && h("c2") < h("c3"))
+  }
+
   test("dedupNormalized folds case/punctuation/whitespace variants") {
     import spark.implicits._
     val docs = Seq((1L, "Hello, World!"), (2L, "hello world"),

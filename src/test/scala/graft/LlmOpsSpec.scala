@@ -516,6 +516,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(topk(3).except(topk(5)).isEmpty)
   }
 
+  test("hardNegatives: pairs cross labels, ranks dense, k respected") {
+    import graft.api.GraftOps
+    val emb = Tables.embeddings(spark, sf)
+    val out = GraftOps.hardNegatives(emb, k = 3,
+      nlist = GraftOps.nlistFor(emb.count())).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(1) != r.getInt(3)),
+      "a hard negative must carry a different label than its anchor")
+    val byAnchor = out.groupBy(_.getLong(0))
+    byAnchor.foreach { case (a, rs) =>
+      val ranks = rs.map(_.getLong(5)).sorted
+      assert(ranks.sameElements(1L to ranks.length),
+        s"anchor $a ranks not dense: ${ranks.mkString(",")}")
+      assert(ranks.length <= 3, s"anchor $a got ${ranks.length} > k")
+    }
+  }
+
+  test("dsirWeights ranks target-slice docs above the raw corpus") {
+    import graft.api.GraftOps
+    val docs = Tables.documents(spark, sf)
+    val scored = GraftOps.dsirWeights(docs, col("doc_id"), col("text"),
+        col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val Array(en, rest) = scored
+      .groupBy((col("lang") === "en").as("t"))
+      .agg(avg(col("dsir_score")).as("m"))
+      .orderBy(col("t").desc).collect().map(_.getDouble(1))
+    // the estimator's one job: English docs must average a higher
+    // target-likeness than the rest of the corpus
+    assert(en > rest, s"en avg $en <= non-en avg $rest")
+    assert(scored.filter(col("dsir_score").isNull).count() === 0L)
+  }
+
+  test("winnowing guarantee: docs sharing a long run share a fingerprint") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    // common run of 6 tokens = window + gramN - 1 -> at least one shared
+    // (hash, ...) selection between the two docs, per the SIGMOD'03 bound
+    val common = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, s"one two three $common x y z"),
+      (2L, s"$common nine ten eleven twelve")).toDF("doc_id", "text")
+    val fp = GraftOps.winnowFingerprints(docs, col("doc_id"), col("text"))
+    // re-derive the selected hash sets from the packing to compare
+    val tall = docs.select(col("doc_id"),
+        posexplode(TextFns.gramsN(TextFns.tokens(col("text")), 3))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          * 1048576L + (lit(1048575L) - col("pos"))).as("key"))
+    val hashes = tall.select(col("doc_id"),
+        expr("min(key) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) div 1048576")
+          .as("h")).distinct()
+      .collect().groupBy(_.getLong(0)).map { case (k, v) =>
+        k -> v.map(_.getLong(1)).toSet }
+    assert((hashes(1L) & hashes(2L)).nonEmpty,
+      "6-token common run must share at least one fingerprint hash")
+    assert(fp.filter(col("fp_density") > 1.0).count() === 0L)
+  }
+
   test("x_dup_stats accounts for every clustered doc exactly once") {
     val stats = ops.LlmQueries.dupStats(spark, sf).collect()
     val clustered = ops.LlmQueries.dedupCluster(spark, sf).count()
