@@ -165,7 +165,13 @@ object PlanDump {
       "hash agg; no shuffle beyond doc_id, no pairwise stage"),
     "q_hits" -> ("Integer-mass HITS — per half-step one edge equi-join " +
       "+ hash agg, max-rescale via 1-row broadcast (never a collect); " +
-      "edges persisted once, bipartite-native directed form")
+      "edges persisted once, bipartite-native directed form"),
+    "x_ccnet" -> ("CCNet perplexity split — unigram-LM scoring, per-" +
+      "language quartile boundaries from the distribution walk (no " +
+      "per-group value buffer), language-sized boundary broadcast"),
+    "q_kcore" -> ("Bounded k-core peeling — per round one degree agg + " +
+      "two node-set semi-joins (AQE broadcasts the survivor set); edge " +
+      "table localCheckpoint-ed per round to keep the plan flat")
   )
 
   def main(args: Array[String]): Unit = {

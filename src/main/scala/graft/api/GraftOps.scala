@@ -269,6 +269,35 @@ object GraftOps {
         round(exp(col("nll") / col("n_pairs")), 6).as("ppl"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    * paper): per-language head/middle/tail split over LM perplexity —
+    * the curation gate that routes each language's cleanest slice to
+    * training, the middle to review, the tail to the bin. Scoring is the
+    * unigram [[perplexity]]; boundaries are exact interpolated QUARTILES
+    * (head ≤ p25, middle ≤ p75) per language from
+    * [[groupQuantileTable]]'s distribution walk (no per-group value
+    * buffer), joined back as a language-sized broadcast. Quartiles
+    * rather than the paper's tertiles deliberately: 0.25/0.75 positions
+    * and fractions are binary-exact, so a quantile_cont oracle lands on
+    * bit-identical boundaries — a tertile's (n−1)/3 position rounds in
+    * float and can sit one ulp below a data point the walk hits exactly,
+    * flipping the bucket of a doc AT the boundary. (The tertile variant
+    * is a (num, den) change if oracle parity is not required.)
+    */
+  def ccnetBuckets(docs: DataFrame, key: Column, text: Column,
+                   lang: Column): DataFrame = {
+    val scored = perplexity(docs, key, text)
+      .join(docs.select(key.as("doc_id"), lang.as("lang")), "doc_id")
+      .persistOnce()
+    val bounds = groupQuantileTable(scored, col("lang"), col("ppl"),
+      Seq(("q1", 1, 4), ("q2", 3, 4)))
+    scored.join(broadcast(bounds.withColumnRenamed("grp", "lang")), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("ppl"),
+        when(col("ppl") <= col("q1"), lit("head"))
+          .when(col("ppl") <= col("q2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Candidate i<j pairs from a blocked/bucketed member table holding a
     * `doc_id` column: per-bucket member lists once (no self-join
     * re-execution), pairs expanded locally. Bucket lists must be small by
@@ -1751,16 +1780,19 @@ object GraftOps {
     * interpolate value[lo] + (value[lo+1] - value[lo])·rem/den — with
     * quarters/halves the fraction is binary-exact, so a quantile_cont
     * oracle replays bit-for-bit on integer-valued columns. Output: one
-    * row per group with a column per requested (name, num, den).
+    * row per group with a column per requested (name, num, den) —
+    * exposed so operators can join boundaries back on their own keys
+    * (e.g. [[ccnetBuckets]]); [[groupQuantiles]] joins them onto the
+    * (group, value) rows NULL-safely.
     */
-  def groupQuantiles(df: DataFrame, group: Column, value: Column,
-                     quantiles: Seq[(String, Int, Int)]): DataFrame = {
+  def groupQuantileTable(df: DataFrame, group: Column, value: Column,
+                         quantiles: Seq[(String, Int, Int)]): DataFrame = {
     require(quantiles.nonEmpty &&
       quantiles.forall { case (_, num, den) => num >= 0 && num <= den && den > 0 })
     // NULL values are excluded, matching percentile_cont semantics (a
     // NULL would otherwise sort first and shift every located position);
-    // all-NULL groups still emit their (grp, NULL...) row via the final
-    // left join below, exactly as percentile_cont would
+    // all-NULL groups drop from THIS table but groupQuantiles' NULL-safe
+    // left join re-emits their (grp, NULL...) row, as percentile_cont would
     val src = df.select(group.as("grp"), value.cast("double").as("x"))
     val dist = src.filter(col("x").isNotNull)
       .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
@@ -1786,9 +1818,14 @@ object GraftOps {
           (col(s"_vhi_$i") - col(s"_vlo_$i")) * rem.cast("double") / lit(den))
         .as(name)
     }
-    val walked = withCum.groupBy(col("grp")).agg(aggCols.head, aggCols.tail: _*)
+    withCum.groupBy(col("grp")).agg(aggCols.head, aggCols.tail: _*)
       .select(col("grp") +: outCols: _*)
-    joinOnGroupKey(src, walked)
+  }
+
+  def groupQuantiles(df: DataFrame, group: Column, value: Column,
+                     quantiles: Seq[(String, Int, Int)]): DataFrame = {
+    val src = df.select(group.as("grp"), value.cast("double").as("x"))
+    joinOnGroupKey(src, groupQuantileTable(df, group, value, quantiles))
   }
 
   /** Market-basket co-occurrence with lift — which items sell together
@@ -2315,5 +2352,37 @@ object GraftOps {
         col("hub").as("score"))
       .unionAll(auth.select(col("dst").as("node"), lit("auth").as("kind"),
         col("auth").as("score")))
+  }
+
+  /** Bounded k-core peeling: `rounds` iterations of "drop every node
+    * with degree < k, then re-derive degrees" over a SYMMETRIZED edge
+    * table (both directions present, so src-degree = full degree). The
+    * classic core-decomposition step that strips hangers-on from a graph
+    * before community work; the true k-core is this peel's fixpoint, and
+    * a bounded round count keeps the result exactly replayable in an
+    * unrolled SQL oracle (the [[pageRank]] iteration discipline — at
+    * fixture scale 3 rounds converge; production fixpoints loop until a
+    * round removes nothing).
+    *
+    * Scale shape per round: one degree aggregation + two node-set
+    * semi-joins (the surviving-node table is node-sized; AQE broadcasts
+    * it against the edges). The edge table is `localCheckpoint`ed per
+    * round — it is referenced by both semi-joins AND the next round, so
+    * intact lineage would double the plan per round (the [[hits]]
+    * lesson). Output: every surviving node with its final within-core
+    * degree.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      e = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 }

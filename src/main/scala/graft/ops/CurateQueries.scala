@@ -100,6 +100,14 @@ object CurateQueries extends QueryPack {
     GraftOps.perplexityBigram(Tables.documents(s, d), col("doc_id"),
       col("text"))
 
+  /** x_ccnet: CCNet-style per-language perplexity split — head (≤ p25),
+    * middle (≤ p75), tail; the curation gate that routes each language's
+    * cleanest slice to training.
+    */
+  def ccnet(s: SparkSession, d: String): DataFrame =
+    GraftOps.ccnetBuckets(Tables.documents(s, d), col("doc_id"),
+      col("text"), col("lang"))
+
   /** x_outlier_embed: semantic outlier flags — each embedding's cosine
     * to its label group's spherical centroid; vectors pointing away
     * (rounded cosine < 0) flagged for curation review.
@@ -341,6 +349,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_incr" -> dedupIncr,
     "x_perplexity" -> perplexity,
     "x_perplexity_bi" -> perplexityBi,
+    "x_ccnet" -> ccnet,
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
@@ -849,6 +858,34 @@ object CurateQueries extends QueryPack {
         |         OR d.doc_id IN (SELECT doc_id FROM dnear)
         |       THEN 0 ELSE 1 END AS BIGINT) AS keep
         |FROM documents d WHERE d.doc_id % 5 = 0""".stripMargin,
+    // The x_perplexity pipeline joined to lang, quartile boundaries via
+    // quantile_cont at binary-exact 0.25/0.75 (see GraftOps.ccnetBuckets
+    // for why quartiles and not the paper's tertiles).
+    "x_ccnet" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w FROM ws WHERE len(w) > 0),
+        |tf AS (
+        |  SELECT doc_id, t.term, count(*) tf
+        |  FROM d, unnest(w) t(term) GROUP BY 1, 2),
+        |tc AS (SELECT term, CAST(sum(tf) AS BIGINT) c FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) total, count(*) vocab FROM tc),
+        |nll AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tokens,
+        |    sum(-ln((c + 1.0) / (total + vocab)) * tf) nll
+        |  FROM tf JOIN tc USING (term) CROSS JOIN st GROUP BY doc_id),
+        |p AS (SELECT doc_id, n_tokens,
+        |  round(exp(nll / n_tokens), 6) AS ppl FROM nll),
+        |j AS (SELECT p.doc_id, dd.lang, p.n_tokens, p.ppl
+        |  FROM p JOIN documents dd USING (doc_id)),
+        |q AS (SELECT lang,
+        |    quantile_cont(ppl, 0.25) AS q1, quantile_cont(ppl, 0.75) AS q2
+        |  FROM j GROUP BY lang)
+        |SELECT doc_id, j.lang, n_tokens, ppl,
+        |  CASE WHEN ppl <= q1 THEN 'head'
+        |       WHEN ppl <= q2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j JOIN q USING (lang)""".stripMargin,
     "x_perplexity" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

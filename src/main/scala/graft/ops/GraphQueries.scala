@@ -50,7 +50,13 @@ object GraphQueries extends QueryPack {
     "q_hits" -> ((s, d) =>
       GraftOps.hits(tradePairs(s, d)
         .select(col("cust").as("src"), col("supp").as("dst")),
-        iters = 2, scale = 1000000L))
+        iters = 2, scale = 1000000L)),
+
+    // k-core peeling on the symmetrized graph (src-degree = full degree):
+    // 3 rounds, k=5 — strips thin traders; survivors keep their
+    // within-core degree.
+    "q_kcore" -> ((s, d) =>
+      GraftOps.kcorePeel(tradeEdges(s, d), k = 5, rounds = 3))
   )
 
   val oracle = Map(
@@ -117,6 +123,31 @@ object GraphQueries extends QueryPack {
         |    // (SELECT max(raw) FROM h2r) AS BIGINT) AS hub FROM h2r)
         |SELECT src AS node, 'hub' AS kind, hub AS score FROM h2
         |UNION ALL
-        |SELECT dst AS node, 'auth' AS kind, auth AS score FROM a2""".stripMargin
+        |SELECT dst AS node, 'auth' AS kind, auth AS score FROM a2""".stripMargin,
+
+    // Three unrolled peel rounds: degree >= 5 survivor set, edges
+    // restricted to survivor×survivor, re-derive.
+    "q_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT cust AS src, supp AS dst FROM e0
+        |  UNION ALL
+        |  SELECT supp AS src, cust AS dst FROM e0),
+        |k1 AS (SELECT src FROM (
+        |  SELECT src, count(*) AS deg FROM edges GROUP BY 1) WHERE deg >= 5),
+        |e1 AS (SELECT e.src, e.dst FROM edges e
+        |  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+        |k2 AS (SELECT src FROM (
+        |  SELECT src, count(*) AS deg FROM e1 GROUP BY 1) WHERE deg >= 5),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+        |k3 AS (SELECT src FROM (
+        |  SELECT src, count(*) AS deg FROM e2 GROUP BY 1) WHERE deg >= 5),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+        |SELECT src AS node, count(*) AS core_deg FROM e3 GROUP BY 1""".stripMargin
   )
 }

@@ -374,4 +374,27 @@ class CurateOpsSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
       "schedule must be easy-to-hard")
   }
+
+  test("ccnetBuckets: buckets are ppl-ordered and quartile-sized per lang") {
+    val out = GraftOps.ccnetBuckets(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), col("lang")).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_.getString(4))
+        .view.mapValues(_.map(_.getDouble(3))).toMap
+      // ordering: every head ppl <= every middle ppl <= every tail ppl
+      for {h <- byBucket.get("head"); m <- byBucket.get("middle")}
+        assert(h.max <= m.min, s"$lang: head above middle")
+      for {m <- byBucket.get("middle"); t <- byBucket.get("tail")}
+        assert(m.max <= t.min, s"$lang: middle above tail")
+      // sizing: head <= 25% + ties, tail <= 75% complement + ties — with
+      // distinct ppls the head is at most ceil(n/4) + 1 and the middle
+      // about half; assert the coarse shape, exact parity is the gate's job
+      val n = rows.length
+      byBucket.get("head").foreach(h =>
+        assert(h.length <= n / 2 + 1, s"$lang: head oversized"))
+      byBucket.get("tail").foreach(t =>
+        assert(t.length <= n / 2 + 1, s"$lang: tail oversized"))
+    }
+  }
 }

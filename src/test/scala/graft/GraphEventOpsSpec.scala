@@ -200,6 +200,25 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(h("c2") < h("c1") && h("c2") < h("c3"))
   }
 
+  test("kcorePeel: survivors shrink with k and with rounds") {
+    import spark.implicits._
+    // triangle a-b-c (2-core) plus a pendant chain d-e hanging off a
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"))
+    val edges = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val core2 = GraftOps.kcorePeel(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // e (deg 1) peels in round 1, then d (deg 2 -> 1) in round 2;
+    // the triangle is the fixpoint and every member keeps degree 2
+    assert(core2 === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    val core3 = GraftOps.kcorePeel(edges, k = 3, rounds = 3).count()
+    assert(core3 === 0L, "no 3-core in a triangle plus a chain")
+    // fewer rounds can only keep MORE nodes (peeling is monotone)
+    val r1 = GraftOps.kcorePeel(edges, k = 2, rounds = 1)
+      .select(col("node")).collect().map(_.getString(0)).toSet
+    assert(Set("a", "b", "c").subsetOf(r1))
+  }
+
   test("dedupNormalized folds case/punctuation/whitespace variants") {
     import spark.implicits._
     val docs = Seq((1L, "Hello, World!"), (2L, "hello world"),
