@@ -2365,24 +2365,29 @@ object GraftOps {
     * round removes nothing).
     *
     * Scale shape per round: one degree aggregation + two node-set
-    * semi-joins (the surviving-node table is node-sized; AQE broadcasts
-    * it against the edges). The edge table is `localCheckpoint`ed per
-    * round — it is referenced by both semi-joins AND the next round, so
-    * intact lineage would double the plan per round (the [[hits]]
-    * lesson). Output: every surviving node with its final within-core
-    * degree.
+    * semi-joins. Survivor sets shrink monotonically, so round r's edge
+    * set equals the ORIGINAL edges restricted to round r's survivors —
+    * the edge table therefore materializes exactly once (persisted) and
+    * each round filters it with the latest survivor set (node-sized; AQE
+    * broadcasts it). Only the tiny survivor set is `localCheckpoint`ed
+    * per round: it is referenced by both endpoint joins AND the next
+    * round's degree count, so intact lineage would double the plan per
+    * round (the [[hits]] lesson) — truncating the node set costs
+    * node-sized jobs, not edge rewrites. Output: every surviving node
+    * with its final within-core degree.
     */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst")).persistOnce()
+    var cur = e0
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      e = e.join(keep, "src")
+        .localCheckpoint()
+      cur = e0.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
     }
-    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 }
