@@ -250,4 +250,85 @@ class ScaleSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum <= (n + 8) * m0)
     assert(rows.forall(_.getLong(1) >= m0 * 15L / 100L))
   }
+
+  test("hits over the 1M-edge hub graph: flat plan, hubs dominate") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // same 500k-spoke / 8-hub bipartite shape, DIRECTED spoke->hub: the
+    // per-half-step localCheckpoint must keep the plan flat at any iters
+    // (the exponential-plan regression this operator shipped with), and
+    // the hub side's 62.5k in-degree skew lands on partial aggregation.
+    import spark.implicits._
+    val n = 500000L
+    val edges = spark.range(0, n, 1, 32)
+      .select(concat(lit("v"), col("id").cast("string")).as("src"),
+        concat(lit("h"), pmod(col("id"), lit(8L)).cast("string")).as("dst"))
+    val out = GraftOps.hits(edges, iters = 3, scale = 1000000L).collect()
+    val (auths, hubs) = out.partition(_.getString(1) == "auth")
+    assert(hubs.length === n && auths.length === 8)
+    // uniform spokes -> every authority rescales to ~scale, every hub
+    // equal; max pinned exactly at scale by the integer rescale
+    assert(auths.map(_.getLong(2)).max === 1000000L)
+    assert(hubs.map(_.getLong(2)).max === 1000000L)
+  }
+
+  test("kcore at 1M edges peels spokes, keeps the clique core") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 500k degree-1 spokes hanging off a 16-node clique (deg 15 + spokes):
+    // k=8 must peel every spoke in round 1 and keep exactly the clique
+    // with its internal degree 15 — the survivor-set re-filter must not
+    // resurrect or drop anyone at skewed degree (~31k spokes per node).
+    import spark.implicits._
+    val n = 500000L
+    val clique = (0 until 16).flatMap(i => (0 until 16).collect {
+      case j if i != j => (s"c$i", s"c$j") }).toDF("src", "dst")
+    val spokes = spark.range(0, n, 1, 32)
+      .select(concat(lit("v"), col("id").cast("string")).as("spoke"),
+        concat(lit("c"), pmod(col("id"), lit(16L)).cast("string")).as("core"))
+    val edges = clique
+      .unionAll(spokes.select(col("spoke").as("src"), col("core").as("dst")))
+      .unionAll(spokes.select(col("core").as("src"), col("spoke").as("dst")))
+    val out = GraftOps.kcorePeel(edges, k = 8, rounds = 2).collect()
+    assert(out.length === 16, s"expected the clique, got ${out.length}")
+    assert(out.forall(_.getLong(1) === 15L), "within-core degree = 15")
+  }
+
+  test("winnow at 2M docs: one window pass, density ~ 2/(w+1)") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 2M ~40-gram docs with distinct token streams: fingerprints per doc
+    // must land near the winnowing expectation (2/(w+1) of grams for
+    // random hashes, here w=4 -> ~0.4) and never exceed 1.0 — a blowup
+    // would mean the ragged-tail frames multiplied selections.
+    val docs = spark.range(0, 2000000L, 1, 32)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 42).map(i =>
+          concat(lit(s"w$i"), pmod(col("id") * (i + 1), lit(9973L)))): _*)
+          .as("text"))
+    val fp = GraftOps.winnowFingerprints(docs, col("doc_id"), col("text"))
+    val stats = fp.agg(count(lit(1)).as("n"), avg(col("fp_density")).as("d"),
+      max(col("fp_density")).as("mx")).head()
+    assert(stats.getLong(0) === 2000000L)
+    assert(stats.getDouble(2) <= 1.0)
+    val d = stats.getDouble(1)
+    assert(d > 0.25 && d < 0.6, s"mean density $d outside winnowing range")
+  }
+
+  test("dsir at 2M docs: bounded bin table, selection separates slices") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // target docs draw from one vocabulary, raw from a disjoint one ->
+    // every target doc must score positive. The model stays 1024 rows no
+    // matter the corpus size; scoring is a broadcast join per scan.
+    val docs = spark.range(0, 2000000L, 1, 32)
+      .select(col("id").as("doc_id"), (col("id") % 4 === 0).as("tgt"),
+        when(col("id") % 4 === 0,
+          concat_ws(" ", lit("clean prose sentence"),
+            pmod(col("id"), lit(997L)).cast("string")))
+          .otherwise(concat_ws(" ", lit("spam junk noise"),
+            pmod(col("id"), lit(991L)).cast("string"))).as("text"))
+    val scored = GraftOps.dsirWeights(docs, col("doc_id"), col("text"),
+      col("tgt"))
+    val wrong = scored.join(docs.select(col("doc_id"), col("tgt")), "doc_id")
+      .filter(col("tgt") =!= (col("selected") === 1)).count()
+    assert(wrong === 0L,
+      s"$wrong docs mis-selected despite disjoint vocabularies")
+  }
 }
