@@ -1782,8 +1782,9 @@ object GraftOps {
     * oracle replays bit-for-bit on integer-valued columns. Output: one
     * row per group with a column per requested (name, num, den) —
     * exposed so operators can join boundaries back on their own keys
-    * (e.g. [[ccnetBuckets]]); [[groupQuantiles]] joins them onto the
-    * (group, value) rows NULL-safely.
+    * (e.g. [[ccnetBuckets]]); [[groupQuantiles]] re-attaches them to the
+    * DISTINCT group keys NULL-safely (still one row per group — the
+    * left join exists to re-emit all-NULL groups, not to fan out).
     */
   def groupQuantileTable(df: DataFrame, group: Column, value: Column,
                          quantiles: Seq[(String, Int, Int)]): DataFrame = {
@@ -2294,7 +2295,18 @@ object GraftOps {
         md5(concat_ws(" ",
           transform(array_sort(collect_set(col("sel"))),
             x => x.cast("string")))).as("fp_sig"))
-      .select(col("doc_id"), col("n_grams"), col("n_fp"),
+      // packing-cap tripwire (the Tables.normalizeTs fail-loud
+      // discipline): max pos = n_grams - 1, so a doc over the cap is
+      // exactly n_grams > posCap — its fingerprints would be corrupt
+      // (pos bleeds negative into the hash field). Checked HERE on the
+      // per-DOC aggregate, not per gram: raise_error in the per-gram
+      // projection knocks the hot path out of whole-stage codegen
+      // (measured 1.2s -> 3.3s at sf0.1 for a guard that never fires).
+      .select(col("doc_id"),
+        when(col("n_grams") > posCap, raise_error(concat(
+          lit("winnowFingerprints: doc "), col("doc_id").cast("string"),
+          lit(s" exceeds $posCap grams — chunk upstream"))))
+          .otherwise(col("n_grams")).as("n_grams"), col("n_fp"),
         round(col("n_fp").cast("double") / col("n_grams"), 6)
           .as("fp_density"),
         col("fp_sig"))
@@ -2332,10 +2344,20 @@ object GraftOps {
   def hits(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
     require(iters >= 1 && scale > 0)
     val e = edges.select(col("src"), col("dst")).persistOnce()
+    // Overflow tripwire on the node-sized OUTPUT, not the 1-row max: a
+    // raw*scale wrap lands the floored score negative (raw, mx, scale
+    // all positive), so "score >= 0" is the observable contract. Guarding
+    // the broadcast max itself measured 3.3s -> 13s at sf0.1 — raise_error
+    // inside the broadcast subtree degrades the whole plan; here the
+    // check rides the final node-sized projection.
     def rescaled(rawDf: DataFrame, key: String, out: String): DataFrame = {
       val raw = rawDf.localCheckpoint()
       raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
-        .select(col(key), expr(s"(raw * $scale) div mx").as(out))
+        .select(col(key),
+          when(expr(s"(raw * $scale) div mx") < 0, raise_error(lit(
+            s"hits: score overflow at scale=$scale (maxdeg·scale² " +
+              "exceeds Long.Max) — lower scale")))
+            .otherwise(expr(s"(raw * $scale) div mx")).as(out))
     }
     var hub = e.select(col("src")).distinct()
       .select(col("src"), lit(scale).as("hub"))
@@ -2355,8 +2377,13 @@ object GraftOps {
   }
 
   /** Bounded k-core peeling: `rounds` iterations of "drop every node
-    * with degree < k, then re-derive degrees" over a SYMMETRIZED edge
-    * table (both directions present, so src-degree = full degree). The
+    * with degree < k, then re-derive degrees" over a SYMMETRIZED,
+    * DISTINCT edge table (both directions present, so src-degree = full
+    * degree; no parallel edges — a multigraph input would inflate
+    * degrees by multiplicity and keep nodes below k in the simple-graph
+    * core. Dedup upstream: callers usually derive edges via a distinct
+    * already, so an unconditional re-distinct here would waste a full
+    * edge shuffle). The
     * classic core-decomposition step that strips hangers-on from a graph
     * before community work; the true k-core is this peel's fixpoint, and
     * a bounded round count keeps the result exactly replayable in an

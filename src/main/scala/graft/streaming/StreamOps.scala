@@ -26,10 +26,18 @@ object StreamOps {
     * with a one-time batch footer read of the directory (driver-side
     * metadata only, no data scan) so the stream tracks whatever physical
     * encoding the fixture uses, then apply the same `ts` normalization as
-    * the batch path (graft.Tables.normalizeTs).
+    * the batch path (graft.Tables.normalizeTs). An EMPTY landing
+    * directory (stream started before the first file lands — the normal
+    * WAL-tailing deployment order) has nothing to infer from, so fall
+    * back to the current fixture schema with ts already a timestamp.
     */
   def readEventStream(s: SparkSession, eventsDir: String): DataFrame = {
-    val rawSchema: StructType = s.read.parquet(eventsDir).schema
+    val fallback = StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val rawSchema: StructType =
+      try s.read.parquet(eventsDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => fallback }
     graft.Tables.normalizeTs(
       s.readStream.schema(rawSchema).parquet(eventsDir))
   }

@@ -200,6 +200,18 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(h("c2") < h("c1") && h("c2") < h("c3"))
   }
 
+  test("hits fails loud when maxdeg·scale² overflows Long") {
+    import spark.implicits._
+    // deg(x)=2, scale=3e9: raw = 2·scale = 6e9, raw·scale ≈ 1.8e19 wraps
+    val edges = Seq(("a", "x"), ("b", "x")).toDF("src", "dst")
+    val ex = intercept[Throwable](
+      GraftOps.hits(edges, iters = 1, scale = 3000000000L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("overflow")),
+      s"expected the overflow tripwire, got: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("kcorePeel: survivors shrink with k and with rounds") {
     import spark.implicits._
     // triangle a-b-c (2-core) plus a pendant chain d-e hanging off a

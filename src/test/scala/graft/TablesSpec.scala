@@ -69,6 +69,15 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("normalizeTs"))
   }
 
+  test("streaming reader starts on an EMPTY landing directory") {
+    // the WAL-tailing deployment order: stream first, files later —
+    // schema discovery must fall back, not throw UNABLE_TO_INFER_SCHEMA
+    val dir = Files.createTempDirectory("graft_tablesspec_empty")
+    val streamed = streaming.StreamOps.readEventStream(spark, dir.toString)
+    assert(streamed.isStreaming)
+    assert(streamed.schema("ts").dataType === TimestampType)
+  }
+
   test("streaming reader agrees with the batch path on schema + rows") {
     // readEventStream discovers the raw schema from the directory and
     // must normalize identically to Tables.events; a one-batch drain
@@ -80,13 +89,25 @@ class TablesSpec extends SparkSpec {
       dir.resolve("events-00000.parquet"))
     val streamed = streaming.StreamOps.readEventStream(spark, dir.toString)
     assert(streamed.schema("ts").dataType === TimestampType)
+    val ckpt = Files.createTempDirectory("graft_tablesspec_ckpt")
     val q = streamed.writeStream.format("memory")
       .queryName("tables_spec_stream")
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_tablesspec_ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
-    assert(spark.table("tables_spec_stream").count() ===
-      Tables.events(spark, sf).count())
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tables_spec_stream").count() ===
+        Tables.events(spark, sf).count())
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("tables_spec_stream")
+      // clean the staged copy + checkpoint out of /tmp (fixture-sized,
+      // would otherwise accumulate per test run)
+      for (root <- Seq(dir, ckpt)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
   }
 }

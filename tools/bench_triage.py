@@ -15,6 +15,7 @@ bench_last.json, adjudicating the recorded per-query time to the min:
                           keep the raw pair under a "triage" key, and
                           recompute the headline total
 """
+import glob
 import json
 import re
 import sys
@@ -34,6 +35,12 @@ def reference(args):
             return ref
     except OSError:
         pass
+    # same fallback chain as bench_diff: newest BENCH_r*.json with a
+    # recoverable per-query map — triage must resolve a reference
+    # whenever the diff did, or outliers never get re-measured
+    for cand in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+        if load_queries(cand):
+            return cand
     return None
 
 
