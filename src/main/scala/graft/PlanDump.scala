@@ -171,7 +171,10 @@ object PlanDump {
       "per-group value buffer), language-sized boundary broadcast"),
     "q_kcore" -> ("Bounded k-core peeling — per round one degree agg + " +
       "two node-set semi-joins (AQE broadcasts the survivor set); edge " +
-      "table localCheckpoint-ed per round to keep the plan flat")
+      "table localCheckpoint-ed per round to keep the plan flat"),
+    "x_cms" -> ("Count-Min heavy hitters — one token explode, (j, cell) " +
+      "hash agg bounded at d×w rows broadcast back, exact top-k via " +
+      "TakeOrderedAndProject; sketch state is O(d·w) at any corpus size")
   )
 
   def main(args: Array[String]): Unit = {

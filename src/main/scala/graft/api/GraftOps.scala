@@ -2252,6 +2252,55 @@ object GraftOps {
       .withColumn("selected", (col("dsir_score") > 0).cast("int"))
   }
 
+  /** Count-Min Sketch heavy-hitter estimation (Cormode & Muthukrishnan
+    * 2005, public paper): estimate term frequencies from a `depth`×`width`
+    * counter matrix — O(d·w) state TOTAL regardless of corpus size, the
+    * bounded-memory lever when the exact term table itself is too big to
+    * shuffle. Hashes are md5-seeded per row (j || '#' || term), so the
+    * sketch is bit-deterministic and an oracle replays every cell.
+    * Output: the exact top-`topK` terms with their exact counts, CMS
+    * estimates, and the overestimate in ppm — CMS never underestimates
+    * (est = min over rows of the term's cell, each cell ≥ the true
+    * count), an invariant the gate checks on every row.
+    *
+    * Scale shape: one token explode → (j, cell) hash aggregation whose
+    * result is ≤ d·w rows (broadcast back); the exact top-k is a
+    * TakeOrderedAndProject (bounded heap, no full sort). The exact side
+    * exists here to gate the estimate; a pure-sketch deployment drops it
+    * and keeps only the bounded matrix.
+    */
+  def cmsHeavyHitters(docs: DataFrame, text: Column, depth: Int = 4,
+                      width: Int = 1024, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1)
+    def cellsOf(term: Column): Column =
+      transform(sequence(lit(0), lit(depth - 1)), j =>
+        pmod(conv(substring(md5(concat(j.cast("string"), lit("#"), term)),
+          1, 12), 16, 10).cast("long"), lit(width.toLong)))
+    val toks = docs.select(explode(TextFns.tokens(text)).as("term"))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      .persistOnce()
+    // cell counts are additive, so hash the DISTINCT term table weighted
+    // by its counts instead of re-exploding every token instance d times
+    // — vocabulary ≪ token stream (measured 2.1s -> sub-second at
+    // sf0.1). A pure-sketch deployment with no exact table hashes the
+    // token stream directly; here the exact side exists for the gate.
+    val sketch = exact
+      .select(col("exact_count"),
+        posexplode(cellsOf(col("term"))).as(Seq("j", "cell")))
+      .groupBy(col("j"), col("cell"))
+      .agg(sum(col("exact_count")).as("cms_cell"))
+    val top = exact
+      .orderBy(col("exact_count").desc, col("term").asc).limit(topK)
+    top.select(col("term"), col("exact_count"),
+        posexplode(cellsOf(col("term"))).as(Seq("j", "cell")))
+      .join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("term"), col("exact_count"))
+      .agg(min(col("cms_cell")).as("cms_est"))
+      .select(col("term"), col("exact_count"), col("cms_est"),
+        expr("(cms_est - exact_count) * 1000000 div exact_count")
+          .as("over_ppm"))
+  }
+
   // ----------------------------------------------- winnowing fingerprints
 
   /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,

@@ -573,9 +573,17 @@ object LlmQueries extends QueryPack {
     GraftOps.winnowFingerprints(Tables.documents(s, d), col("doc_id"),
       col("text"), gramN = 3, window = 4)
 
+  /** x_cms: Count-Min Sketch heavy hitters — the exact top-20 terms with
+    * their 4×1024 sketch estimates and overestimate ppm; bounded-memory
+    * frequency estimation, never-underestimates gated per row.
+    */
+  def cms(s: SparkSession, d: String): DataFrame =
+    GraftOps.cmsHeavyHitters(Tables.documents(s, d), col("text"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dsir" -> dsir,
     "x_winnow" -> winnow,
+    "x_cms" -> cms,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_norm" -> dedupNorm,
     "x_outlier_mad" -> outlierMad,
@@ -638,6 +646,30 @@ object LlmQueries extends QueryPack {
         |  round(avg(lr), 6) AS dsir_score,
         |  CAST(round(avg(lr), 6) > 0 AS INT) AS selected
         |FROM f JOIN lr USING (f) GROUP BY doc_id""".stripMargin,
+    // CMS replay: same md5(j # term) % 1024 cells, 4 rows, min over
+    // rows; top-20 by (count DESC, term) exactly as the Spark
+    // TakeOrderedAndProject orders. over_ppm in exact integer math.
+    "x_cms" ->
+      """WITH toks AS (SELECT unnest([w for w in
+        |    string_split_regex(trim(lower(text)), '\s+') if w != '']) AS term
+        |  FROM documents),
+        |exact AS (SELECT term, count(*) AS exact_count FROM toks GROUP BY 1),
+        |cells AS (SELECT term, j,
+        |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || term), 1, 12))
+        |      AS BIGINT) % 1024 AS cell
+        |  FROM (SELECT DISTINCT term FROM toks), range(0, 4) t(j)),
+        |sketch AS (SELECT c.j, c.cell, CAST(sum(e.exact_count) AS BIGINT) AS cms_cell
+        |  FROM cells c JOIN exact e USING (term) GROUP BY 1, 2),
+        |top AS (SELECT term, exact_count FROM exact
+        |  ORDER BY exact_count DESC, term LIMIT 20),
+        |est AS (SELECT t.term, t.exact_count, min(s.cms_cell) AS cms_est
+        |  FROM top t JOIN cells c USING (term)
+        |  JOIN sketch s ON s.j = c.j AND s.cell = c.cell
+        |  GROUP BY 1, 2)
+        |SELECT term, exact_count, cms_est,
+        |  CAST((cms_est - exact_count) * 1000000 // exact_count AS BIGINT)
+        |    AS over_ppm
+        |FROM est""".stripMargin,
     // Winnowing replay: same (hash·2^20 + (2^20-1-pos)) packing, same
     // ragged-tail window frames, fingerprints = distinct window minima;
     // the signature orders numerically (string_agg ORDER BY sel).

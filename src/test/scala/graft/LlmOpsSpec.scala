@@ -576,6 +576,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp.filter(col("fp_density") > 1.0).count() === 0L)
   }
 
+  test("CMS never underestimates: est >= exact for EVERY term") {
+    import graft.api.GraftOps
+    // gate checks the top-20; the sketch property holds corpus-wide —
+    // rebuild the sketch and probe every distinct term
+    val toks = Tables.documents(spark, sf)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+    def cells(term: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(3)), j =>
+        pmod(conv(substring(md5(concat(j.cast("string"), lit("#"), term)),
+          1, 12), 16, 10).cast("long"), lit(1024L)))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+    val sketch = toks
+      .select(posexplode(cells(col("term"))).as(Seq("j", "cell")))
+      .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("c"))
+    val under = exact
+      .select(col("term"), col("exact"),
+        posexplode(cells(col("term"))).as(Seq("j", "cell")))
+      .join(sketch, Seq("j", "cell"))
+      .groupBy(col("term"), col("exact")).agg(min(col("c")).as("est"))
+      .filter(col("est") < col("exact")).count()
+    assert(under === 0L, s"$under terms underestimated — CMS broken")
+    // and the registered query agrees with its own invariant column
+    val out = ops.LlmQueries.cms(spark, sf).collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getLong(3) >= 0L), "over_ppm must be >= 0")
+  }
+
   test("x_dup_stats accounts for every clustered doc exactly once") {
     val stats = ops.LlmQueries.dupStats(spark, sf).collect()
     val clustered = ops.LlmQueries.dedupCluster(spark, sf).count()
