@@ -200,6 +200,66 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(h("c2") < h("c1") && h("c2") < h("c3"))
   }
 
+  test("kcorePeel matches a plain-Scala peel on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 20 + rnd.nextInt(30)
+      val und = (for (_ <- 1 to n * 2) yield {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a < b) Some((s"n$a", s"n$b")) else if (b < a) Some((s"n$b", s"n$a"))
+        else None
+      }).flatten.distinct
+      val k = 2 + rnd.nextInt(2)
+      val rounds = 3
+      // reference: identical bounded peel over an adjacency map
+      var adj = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      for (_ <- 1 to rounds) {
+        val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        adj = adj.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      val expected = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .toDF("src", "dst")
+      val got = GraftOps.kcorePeel(edges, k, rounds).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, k=$k)")
+    }
+  }
+
+  test("hits matches a plain-Scala computation on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val scale = 1000000L
+    for (trial <- 1 to 4) {
+      val nc = 3 + rnd.nextInt(5); val ns = 2 + rnd.nextInt(4)
+      val es = (for (_ <- 1 to nc * ns) yield
+        (s"c${rnd.nextInt(nc)}", s"s${rnd.nextInt(ns)}")).distinct
+      // reference: same integer half-steps over Maps
+      var hub = es.map(_._1).distinct.map(_ -> scale).toMap
+      var auth = Map.empty[String, Long]
+      for (_ <- 1 to 2) {
+        val araw = es.groupBy(_._2).view
+          .mapValues(_.map(e => hub.getOrElse(e._1, 0L)).sum).toMap
+          .filter(_._2 > 0)
+        val amx = araw.values.max
+        auth = araw.view.mapValues(v => v * scale / amx).toMap
+        val hraw = es.groupBy(_._1).view
+          .mapValues(_.map(e => auth.getOrElse(e._2, 0L)).sum).toMap
+          .filter(_._2 > 0)
+        val hmx = hraw.values.max
+        hub = hraw.view.mapValues(v => v * scale / hmx).toMap
+      }
+      val expected = hub.map { case (k, v) => (k, "hub", v) }.toSet ++
+        auth.map { case (k, v) => (k, "auth", v) }
+      val got = GraftOps.hits(es.toDF("src", "dst"), iters = 2, scale)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got === expected, s"trial $trial (nc=$nc, ns=$ns)")
+    }
+  }
+
   test("hits fails loud when maxdeg·scale² overflows Long") {
     import spark.implicits._
     // deg(x)=2, scale=3e9: raw = 2·scale = 6e9, raw·scale ≈ 1.8e19 wraps
