@@ -2252,6 +2252,31 @@ object GraftOps {
       .withColumn("selected", (col("dsir_score") > 0).cast("int"))
   }
 
+  /** Per-doc token Shannon entropy (nats) + Pielou evenness — the
+    * information-theoretic quality signal next to [[qualityScore]]'s
+    * rule gates and [[repetitionStats]]' n-gram fractions: near-zero
+    * entropy flags degenerate repetition, evenness ≈ 1 flags
+    * suspiciously uniform token salad. H = ln(n) − (Σ tf·ln tf)/n from
+    * the per-doc term-frequency table — one (doc, term) shuffle and one
+    * per-doc aggregation, both map-side combined; ln is elementwise and
+    * outputs round at 6 (the perplexity determinism discipline).
+    * Evenness = H / ln(n_distinct), NULL for single-term docs (division
+    * by ln(1) — both engines emit the explicit CASE, not a NaN).
+    */
+  def tokenEntropy(docs: DataFrame, key: Column, text: Column): DataFrame =
+    docs.select(key.as("doc_id"), explode(TextFns.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * log(col("tf"))).as("slt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) - col("slt") / col("n_tokens"), 6)
+          .as("token_entropy"),
+        when(col("n_distinct") > 1,
+          round((log(col("n_tokens")) - col("slt") / col("n_tokens"))
+            / log(col("n_distinct")), 6)).as("evenness"))
+
   /** Count-Min Sketch heavy-hitter estimation (Cormode & Muthukrishnan
     * 2005, public paper): estimate term frequencies from a `depth`×`width`
     * counter matrix — O(d·w) state TOTAL regardless of corpus size, the

@@ -580,10 +580,18 @@ object LlmQueries extends QueryPack {
   def cms(s: SparkSession, d: String): DataFrame =
     GraftOps.cmsHeavyHitters(Tables.documents(s, d), col("text"))
 
+  /** x_entropy: per-doc token Shannon entropy + Pielou evenness — the
+    * information-theoretic degenerate-text signal.
+    */
+  def entropy(s: SparkSession, d: String): DataFrame =
+    GraftOps.tokenEntropy(Tables.documents(s, d), col("doc_id"),
+      col("text"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dsir" -> dsir,
     "x_winnow" -> winnow,
     "x_cms" -> cms,
+    "x_entropy" -> entropy,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_norm" -> dedupNorm,
     "x_outlier_mad" -> outlierMad,
@@ -646,6 +654,20 @@ object LlmQueries extends QueryPack {
         |  round(avg(lr), 6) AS dsir_score,
         |  CAST(round(avg(lr), 6) > 0 AS INT) AS selected
         |FROM f JOIN lr USING (f) GROUP BY doc_id""".stripMargin,
+    "x_entropy" ->
+      """WITH toks AS (SELECT doc_id, unnest([w for w in
+        |    string_split_regex(trim(lower(text)), '\s+') if w != '']) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct, sum(tf * ln(tf)) AS slt
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(ln(n_tokens) - slt / n_tokens, 6) AS token_entropy,
+        |  CASE WHEN n_distinct > 1
+        |    THEN round((ln(n_tokens) - slt / n_tokens) / ln(n_distinct), 6)
+        |  END AS evenness
+        |FROM a""".stripMargin,
     // CMS replay: same md5(j # term) % 1024 cells, 4 rows, min over
     // rows; top-20 by (count DESC, term) exactly as the Spark
     // TakeOrderedAndProject orders. over_ppm in exact integer math.

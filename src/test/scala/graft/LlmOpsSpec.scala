@@ -576,6 +576,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp.filter(col("fp_density") > 1.0).count() === 0L)
   }
 
+  test("tokenEntropy: textbook values and [0, ln n_distinct] bounds") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d"),
+      (3L, "a a b b")).toDF("doc_id", "text")
+    val out = GraftOps.tokenEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(out(1L) === ((0.0, None)), "constant doc: H=0, evenness NULL")
+    assert(math.abs(out(2L)._1 - math.log(4)) < 1e-6)
+    assert(out(2L)._2.get === 1.0, "uniform distinct doc: evenness 1")
+    assert(math.abs(out(3L)._1 - math.log(2)) < 1e-6)
+    // fixture-wide bounds
+    val bad = GraftOps.tokenEntropy(Tables.documents(spark, sf),
+        col("doc_id"), col("text"))
+      .filter(col("token_entropy") < -1e-9 ||
+        (col("n_distinct") > 1 &&
+          (col("evenness") < -1e-9 || col("evenness") > 1 + 1e-9)))
+      .count()
+    assert(bad === 0L, s"$bad docs violate entropy/evenness bounds")
+  }
+
   test("CMS never underestimates: est >= exact for EVERY term") {
     import graft.api.GraftOps
     // gate checks the top-20; the sketch property holds corpus-wide —
