@@ -174,7 +174,11 @@ object PlanDump {
       "table localCheckpoint-ed per round to keep the plan flat"),
     "x_cms" -> ("Count-Min heavy hitters — one token explode, (j, cell) " +
       "hash agg bounded at d×w rows broadcast back, exact top-k via " +
-      "TakeOrderedAndProject; sketch state is O(d·w) at any corpus size")
+      "TakeOrderedAndProject; sketch state is O(d·w) at any corpus size"),
+    "q_etl_zorder" -> ("Z-order layout key — 1-row min/max stats " +
+      "broadcast, normalized Morton interleave as one codegen'd " +
+      "projection, zero shuffle (the consuming range sort is the " +
+      "writer's)")
   )
 
   def main(args: Array[String]): Unit = {

@@ -128,7 +128,34 @@ object EtlQueries extends QueryPack {
         (expr("(u + 50) div 100") / 100.0).as("revenue"), col("n_items"))
   }
 
+  /** q_etl_zorder: the Morton layout key over (l_orderkey, l_partkey) —
+    * the multi-column data-skipping sort key (gate replays every
+    * interleaved bit; the physical min/max-locality assertion lives in
+    * EtlSpec where file layout belongs). Both keys are min/max
+    * normalized to [0, 2^16) in exact integer math first — without it
+    * the wider key's high bits dominate the interleave and the curve
+    * degenerates to a plain sort (see GraftOps.zorder2). The 1-row
+    * stats aggregate broadcasts; at scale that is one metadata-cheap
+    * pre-pass, the standard OPTIMIZE ZORDER shape.
+    */
+  def zorderKeys(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val st = li.agg(min(col("l_orderkey")).as("mina"),
+      max(col("l_orderkey")).as("maxa"),
+      min(col("l_partkey")).as("minb"), max(col("l_partkey")).as("maxb"))
+    li.crossJoin(broadcast(st))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        expr("(l_orderkey - mina) * 65535 div greatest(1, maxa - mina)")
+          .as("na"),
+        expr("(l_partkey - minb) * 65535 div greatest(1, maxb - minb)")
+          .as("nb"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        GraftOps.zorder2(col("na"), col("nb"), 16).as("zval"))
+      .withColumn("zbucket", expr("zval div 1048576"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_etl_zorder" -> zorderKeys,
     "q_join_bucket" -> joinBucketed,
     "q_etl_tsv" -> tsvRoundTrip,
     "q_etl_bulkload" -> bulkLoad,
@@ -138,6 +165,28 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle = Map(
+    // bit-for-bit Morton replay: correlated sum over the 21 bit
+    // positions; sum() is HUGEINT in DuckDB, cast back.
+    "q_etl_zorder" ->
+      """WITH st AS (
+        |  SELECT min(l_orderkey) mina, max(l_orderkey) maxa,
+        |    min(l_partkey) minb, max(l_partkey) maxb FROM lineitem),
+        |n AS (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |    CAST((l_orderkey - mina) * 65535
+        |      // greatest(1, maxa - mina) AS BIGINT) AS na,
+        |    CAST((l_partkey - minb) * 65535
+        |      // greatest(1, maxb - minb) AS BIGINT) AS nb
+        |  FROM lineitem, st),
+        |z AS (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |    (SELECT CAST(sum((((na >> i) & 1) << (2*i))
+        |       + (((nb >> i) & 1) << (2*i + 1))) AS BIGINT)
+        |     FROM range(0, 16) t(i)) AS zval
+        |  FROM n)
+        |SELECT l_orderkey, l_partkey, l_linenumber, zval,
+        |  CAST(zval // 1048576 AS BIGINT) AS zbucket
+        |FROM z""".stripMargin,
     "q_join_bucket" ->
       """SELECT l_orderkey, o_orderpriority,
         |  CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -40,6 +40,36 @@ class EtlSpec extends SparkSpec {
       Tables.part(spark, sf).count())
   }
 
+  test("z-order layout localizes BOTH key dimensions per file") {
+    val keyed = ops.EtlQueries.zorderKeys(spark, sf)
+      .select(col("l_orderkey").as("a"), col("l_partkey").as("b"),
+        col("zval"))
+    def spans(sortCol: String): (Double, Double) = {
+      val out = Files.createTempDirectory(s"graft_zorder_$sortCol").toString
+      keyed.repartitionByRange(8, col(sortCol))
+        .sortWithinPartitions(sortCol).write.mode("overwrite").parquet(out)
+      val per = spark.read.parquet(out)
+        .select(col("a"), col("b"), input_file_name().as("f"))
+        .groupBy(col("f"))
+        .agg((max(col("a")) - min(col("a"))).as("sa"),
+          (max(col("b")) - min(col("b"))).as("sb"))
+        .agg(avg(col("sa")).as("ma"), avg(col("sb")).as("mb")).head()
+      val g = keyed.agg(max(col("a")) - min(col("a")),
+        max(col("b")) - min(col("b"))).head()
+      (per.getDouble(0) / g.getLong(0), per.getDouble(1) / g.getLong(1))
+    }
+    val (za, zb) = spans("zval")
+    val (oa, ob) = spans("a")
+    // a z-ordered file covers a near-square region: both dims localized.
+    // a plain sort on `a` localizes `a` but leaves `b` at ~global span.
+    assert(za < 0.8 && zb < 0.8,
+      s"z-order spans not localized: a=$za b=$zb")
+    assert(ob > 0.9, s"control broken: plain-sort b span $ob should be ~1")
+    assert(zb < ob * 0.8,
+      s"z-order must beat plain sort on the second dimension ($zb vs $ob)")
+    assert(oa <= za, "plain sort should localize its own column best")
+  }
+
   test("tsv round-trip is lossless") {
     val back = ops.EtlQueries.tsvRoundTrip(spark, sf)
     val orig = Tables.nation(spark, sf)
