@@ -2252,6 +2252,44 @@ object GraftOps {
       .withColumn("selected", (col("dsir_score") > 0).cast("int"))
   }
 
+  /** Per-source dataset card — the summary report a curation pipeline
+    * publishes next to a shipped corpus slice: doc/token/char volumes,
+    * exact-duplicate rate, language mix (dominant language + its share)
+    * per source. All exact integers (ppm shares, integer mean) so the
+    * report replays bit-for-bit. Shapes: one (source, fingerprint)
+    * dedup aggregation, one (source, lang) rollup whose result is
+    * bounded by sources×languages (the argmax is a max(struct) partial
+    * agg over that bounded table), one per-source rollup — nothing
+    * scales beyond the fingerprint shuffle the dedup tier already pays.
+    */
+  def datasetCard(docs: DataFrame, source: Column, lang: Column,
+                  text: Column): DataFrame = {
+    val base = docs.select(source.as("source"), lang.as("lang"),
+        text.as("text"))
+      .select(col("source"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        sha2(col("text"), 256).as("fp"))
+      .persistOnce()
+    val vol = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        count_distinct(col("fp")).as("n_distinct"))
+    val langTop = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        max(struct(col("nl"), col("lang"))).as("top"))
+      .select(col("source"), col("n_langs"),
+        col("top.lang").as("top_lang"), col("top.nl").as("top_lang_docs"))
+    vol.join(langTop, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        expr("n_tokens div n_docs").as("mean_doc_tokens"),
+        expr("(n_docs - n_distinct) * 1000000 div n_docs").as("dup_ppm"),
+        col("n_langs"), col("top_lang"),
+        expr("top_lang_docs * 1000000 div n_docs").as("top_lang_ppm"))
+  }
+
   /** Z-order (Morton) interleave of the low `bits` bits of two
     * non-negative integer columns — the multi-dimensional LAYOUT key for
     * data skipping: range-sorting by the interleaved key clusters rows

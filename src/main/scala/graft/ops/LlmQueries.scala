@@ -587,11 +587,19 @@ object LlmQueries extends QueryPack {
     GraftOps.tokenEntropy(Tables.documents(s, d), col("doc_id"),
       col("text"))
 
+  /** x_dataset_card: the per-source corpus report — volumes, exact-dup
+    * rate, language mix — every number an exact integer.
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    GraftOps.datasetCard(Tables.documents(s, d), col("source"),
+      col("lang"), col("text"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dsir" -> dsir,
     "x_winnow" -> winnow,
     "x_cms" -> cms,
     "x_entropy" -> entropy,
+    "x_dataset_card" -> datasetCard,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_norm" -> dedupNorm,
     "x_outlier_mad" -> outlierMad,
@@ -654,6 +662,30 @@ object LlmQueries extends QueryPack {
         |  round(avg(lr), 6) AS dsir_score,
         |  CAST(round(avg(lr), 6) > 0 AS INT) AS selected
         |FROM f JOIN lr USING (f) GROUP BY doc_id""".stripMargin,
+    // max(struct(nl, lang)) ties break to the lexicographically LARGEST
+    // lang; the oracle replays it as ORDER BY nl DESC, lang DESC rn=1.
+    "x_dataset_card" ->
+      """WITH base AS (SELECT source, lang,
+        |    len([w for w in string_split_regex(trim(lower(text)), '\s+')
+        |         if w != '']) AS toks,
+        |    length(text) AS chars, sha256(text) AS fp
+        |  FROM documents),
+        |vol AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(chars) AS BIGINT) AS n_chars,
+        |    count(DISTINCT fp) AS n_distinct
+        |  FROM base GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS nl FROM base GROUP BY 1, 2),
+        |lt AS (SELECT source, count(*) AS n_langs FROM lc GROUP BY 1),
+        |tp AS (SELECT source, lang AS top_lang, nl AS top_docs FROM (
+        |  SELECT source, lang, nl, row_number() OVER (PARTITION BY source
+        |    ORDER BY nl DESC, lang DESC) AS rn FROM lc) WHERE rn = 1)
+        |SELECT v.source, n_docs, n_tokens, n_chars,
+        |  CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+        |  CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+        |  n_langs, top_lang,
+        |  CAST(top_docs * 1000000 // n_docs AS BIGINT) AS top_lang_ppm
+        |FROM vol v JOIN lt USING (source) JOIN tp USING (source)""".stripMargin,
     "x_entropy" ->
       """WITH toks AS (SELECT doc_id, unnest([w for w in
         |    string_split_regex(trim(lower(text)), '\s+') if w != '']) AS term

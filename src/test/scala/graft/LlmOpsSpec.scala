@@ -576,6 +576,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(fp.filter(col("fp_density") > 1.0).count() === 0L)
   }
 
+  test("datasetCard reconciles with doc-level recomputation") {
+    import graft.api.GraftOps
+    val docs = Tables.documents(spark, sf)
+    val card = ops.LlmQueries.datasetCard(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.values.map(_.getLong(1)).sum === docs.count(),
+      "per-source doc counts must total the corpus")
+    // spot-check one source end-to-end
+    val src = card.keys.head
+    val slice = docs.filter(col("source") === src)
+    val r = card(src)
+    assert(r.getLong(1) === slice.count())
+    assert(r.getLong(3) ===
+      slice.agg(sum(length(col("text")))).head().getLong(0))
+    val distinct = slice.select(sha2(col("text"), 256)).distinct().count()
+    assert(r.getLong(5) ===
+      (r.getLong(1) - distinct) * 1000000L / r.getLong(1))
+    // shares are ppm: top language share in (0, 1e6]
+    card.values.foreach { row =>
+      assert(row.getLong(8) > 0L && row.getLong(8) <= 1000000L)
+      assert(row.getLong(5) >= 0L && row.getLong(5) < 1000000L)
+    }
+  }
+
   test("tokenEntropy: textbook values and [0, ln n_distinct] bounds") {
     import graft.api.GraftOps
     import spark.implicits._
