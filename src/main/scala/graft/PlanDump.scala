@@ -178,7 +178,10 @@ object PlanDump {
     "q_etl_zorder" -> ("Z-order layout key — 1-row min/max stats " +
       "broadcast, normalized Morton interleave as one codegen'd " +
       "projection, zero shuffle (the consuming range sort is the " +
-      "writer's)")
+      "writer's)"),
+    "x_dataset_card" -> ("Per-source dataset card — fingerprint dedup " +
+      "agg + bounded (source, lang) argmax rollup + per-source rollup; " +
+      "exact ppm integers throughout")
   )
 
   def main(args: Array[String]): Unit = {
