@@ -2555,4 +2555,91 @@ object GraftOps {
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Per-node triangle counts over a simple undirected graph given as
+    * DISTINCT canonical pairs `(a, b)` with `a < b` (one row per edge;
+    * a multigraph input would double-count triangles per parallel
+    * edge — dedup upstream, same contract as [[kcorePeel]]).
+    *
+    * Algorithm: degree-ordered orientation (the classic compact-forward
+    * / Latapy scheme). Every edge is oriented from its lower-(degree,
+    * id) endpoint to the higher one, wedges are enumerated by self-
+    * joining the oriented list on the source, and a wedge closes iff
+    * its two tips are themselves an edge. Each triangle is produced
+    * exactly once (its unique lowest-ordered corner emits it).
+    *
+    * Why orientation matters at 100 TB: the naive wedge join fans out
+    * Σ deg(v)² rows — a single 10M-degree hub yields 10¹⁴ wedges. After
+    * orienting by total degree order, every out-degree is O(√m), so the
+    * wedge count is bounded by O(m^1.5) REGARDLESS of skew — the skew
+    * mitigation is structural, not a salting patch. The closing-edge
+    * probe is an equi-join on the canonical pair, so Catalyst plans
+    * plain shuffled hash joins; nothing is ever collected.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).persistOnce()
+    val und = e.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // (deg, id) lexicographic order via struct comparison — total and
+    // strict because ids are distinct.
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("degb")), "b")
+    val oriented = withDeg.select(
+      when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+        col("b")).otherwise(col("a")).as("v"))
+      .persistOnce()
+    val wedges = oriented.select(col("u"), col("v").as("v1"))
+      .join(oriented.select(col("u"), col("v").as("v2")), Seq("u"))
+      .filter(col("v1") < col("v2"))
+    // wedge tips are id-ordered and e is id-canonical, so the closing
+    // edge probe is a direct equi-join — no least/greatest rewrite.
+    val tris = wedges.join(
+      e.select(col("a").as("v1"), col("b").as("v2")), Seq("v1", "v2"))
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Bounded synchronous min-label propagation over a SYMMETRIZED,
+    * DISTINCT edge table: every node starts labeled with its own id,
+    * and each round every node adopts the minimum of its own label and
+    * its neighbors' labels. After r rounds, nodes ≤ r hops from a
+    * component's minimum share its label — the fixpoint is exact
+    * connected components (the pointer-jumping path `clusterPairs`
+    * computes in O(log n) rounds); the bounded form is the streaming/
+    * incremental-friendly variant whose every round an unrolled SQL
+    * oracle can replay ([[pageRank]] discipline).
+    *
+    * Scale shape per round: one edge-sized join + min-aggregation
+    * (map-side partial min makes the shuffle node-sized), then a
+    * node-sized left join. The label frontier is `localCheckpoint`ed
+    * each round — it feeds both the next round's neighbor join and its
+    * own-label fallback, so intact lineage would double the plan per
+    * round (the [[hits]] lesson).
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    // hash-partition the edge table on the join key ONCE: the cached
+    // scan's outputPartitioning satisfies every round's join requirement,
+    // so each round shuffles only the node-sized frontier — r rounds cost
+    // one edge shuffle total, not r
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persistOnce()
+    // symmetrized input: distinct src IS the node set
+    var lab = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbr = e.join(lab, e("src") === lab("node"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
+      lab = lab.join(nbr, lab("node") === nbr("dst"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+    }
+    lab
+  }
 }

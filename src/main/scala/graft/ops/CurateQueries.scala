@@ -334,7 +334,38 @@ object CurateQueries extends QueryPack {
       .filter(col("rank") <= 5)
   }
 
+  /** x_sample_weighted: weighted sampling WITHOUT replacement, k docs per
+    * source, inclusion probability ∝ n_chars — the Efraimidis–Spirakis
+    * exponential-keys scheme. Each doc draws a deterministic uniform
+    * u ∈ (0, 1] from md5(doc_id) (the q_filter_sample discipline: re-runs
+    * and the oracle replay the same sample) and is ranked by
+    * ln(u)/weight; the top-k per group IS a weight-proportional
+    * without-replacement sample (Efraimidis & Spirakis 2006).
+    *
+    * Why this shape at 100 TB: one pass, no per-group state, no
+    * rejection loop — a window top-k per group (or TopKByScore for the
+    * giant-group case). The md5→(0,1] map is exact in doubles (48-bit
+    * integer / 2⁴⁸ — both < 2⁵³), so the only cross-engine float risk is
+    * ln() ulp drift flipping two NEARLY-IDENTICAL keys; md5 keys are
+    * well-separated at fixture scale.
+    */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val K = 5
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long") + 1).cast("double") / lit(281474976710656.0) // 2^48
+    val rn = row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("es_key").desc, col("doc_id")))
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .withColumn("es_key", log(u) / col("n_chars"))
+      .withColumn("rn", rn)
+      .filter(col("rn") <= K)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_sample_weighted" -> sampleWeighted,
     "x_pipeline_clean" -> pipelineClean,
     "x_cluster_topics" -> clusterTopics,
     "x_kmeans" -> kmeans,
@@ -365,6 +396,22 @@ object CurateQueries extends QueryPack {
   )
 
   val oracle = Map(
+    // Same md5-derived uniform, same exponential key, same tiebreak —
+    // the oracle replays the exact sample. '0x'||hex CAST is DuckDB's
+    // conv(,16,10); both engines then do exact double division by 2^48.
+    "x_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |          AS BIGINT) + 1) / 281474976710656.0) / n_chars AS es_key
+        |  FROM documents WHERE n_chars > 0),
+        |ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY es_key DESC, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5""".stripMargin,
+
     "x_outlier_embed" ->
       """WITH emb AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v

@@ -61,8 +61,50 @@ object GraphQueries extends QueryPack {
     // 3 rounds, k=5 — strips thin traders; survivors keep their
     // within-core degree.
     "q_kcore" -> ((s, d) =>
-      GraftOps.kcorePeel(tradeEdges(s, d), k = 5, rounds = 3))
+      GraftOps.kcorePeel(tradeEdges(s, d), k = 5, rounds = 3)),
+
+    // Triangle counting runs on the supplier CO-PURCHASE projection
+    // (suppliers sharing an order) — the bipartite trade graph itself is
+    // triangle-free by construction, the projection is the classic
+    // "communities of suppliers bought together" graph.
+    "q_triangles" -> ((s, d) =>
+      GraftOps.triangleCounts(coPurchasePairs(s, d))),
+
+    // Bounded min-label propagation on the symmetrized trade graph:
+    // 3 rounds — every node ≤3 hops from its component minimum adopts
+    // it. The fixpoint is connected components (x_dedup_cluster's
+    // pointer-jumping path); the bounded form is exactly replayable.
+    "q_label_prop" -> ((s, d) =>
+      GraftOps.labelPropagate(tradeEdges(s, d), rounds = 3))
   )
+
+  /** Supplier pairs co-occurring in ≥ MinSupport distinct orders,
+    * id-canonical (`a < b`) — the projection of the bipartite
+    * order↔supplier graph onto suppliers, thresholded the way real
+    * basket projections are: a single shared order between two of 1000
+    * suppliers is noise (at sf0.1 the unthresholded projection is a
+    * near-complete K₁₀₀₀ whose ~1.7e8 triangles are an artifact of the
+    * projection, not signal — and 20s of bench time). The self-join
+    * fans out Σ sizeᵢ² over order baskets before the support count;
+    * basket sizes are bounded (≤7 lines in TPC-H shape), so the
+    * expansion is linear in lineitem — the same bounded-group contract
+    * q_basket documents.
+    */
+  private val MinSupport = 3
+
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    li.select(col("l_orderkey"), col("l_suppkey").as("a"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")),
+        Seq("l_orderkey"))
+      .filter(col("a") < col("b"))
+      .select(col("l_orderkey"), col("a"), col("b"))
+      .distinct()
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= MinSupport)
+      .select(col("a"), col("b"))
+  }
 
   val oracle = Map(
     // The oracle unrolls the 3 iterations as chained CTEs with the same
@@ -153,6 +195,57 @@ object GraphQueries extends QueryPack {
         |  SELECT src, count(*) AS deg FROM e2 GROUP BY 1) WHERE deg >= 5),
         |e3 AS (SELECT e.src, e.dst FROM e2 e
         |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
-        |SELECT src AS node, count(*) AS core_deg FROM e3 GROUP BY 1""".stripMargin
+        |SELECT src AS node, count(*) AS core_deg FROM e3 GROUP BY 1""".stripMargin,
+
+    // The oracle enumerates each triangle once as an id-ordered triple
+    // (x < y < z): wedge from the smallest corner, closing edge between
+    // the two tips. The engine enumerates from the lowest-DEGREE corner
+    // instead (the O(m^1.5) orientation) — a different representative
+    // tuple per triangle, but the same triangle SET, so the per-node
+    // explode/count agrees exactly.
+    "q_triangles" ->
+      """WITH pairs0 AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        |pairs AS (
+        |  SELECT s1, s2 FROM pairs0 GROUP BY 1, 2 HAVING count(*) >= 3),
+        |tri AS (
+        |  SELECT p1.s1 AS x, p1.s2 AS y, p2.s2 AS z
+        |  FROM pairs p1
+        |  JOIN pairs p2 ON p2.s1 = p1.s1 AND p1.s2 < p2.s2
+        |  JOIN pairs p3 ON p3.s1 = p1.s2 AND p3.s2 = p2.s2)
+        |SELECT node, count(*) AS tri_cnt FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY 1""".stripMargin,
+
+    // Three unrolled min-label rounds: neighbor-min per node, folded
+    // with the node's own label via least/coalesce — same shape as the
+    // engine's round. String min is binary collation in both engines.
+    "q_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT cust AS src, supp AS dst FROM e0
+        |  UNION ALL
+        |  SELECT supp AS src, cust AS dst FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+        |n1 AS (SELECT e.dst AS node, min(l.lab) AS nlab
+        |  FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1),
+        |l1 AS (SELECT l.node, least(l.lab, coalesce(n.nlab, l.lab)) AS lab
+        |  FROM l0 l LEFT JOIN n1 n ON l.node = n.node),
+        |n2 AS (SELECT e.dst AS node, min(l.lab) AS nlab
+        |  FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1),
+        |l2 AS (SELECT l.node, least(l.lab, coalesce(n.nlab, l.lab)) AS lab
+        |  FROM l1 l LEFT JOIN n2 n ON l.node = n.node),
+        |n3 AS (SELECT e.dst AS node, min(l.lab) AS nlab
+        |  FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1),
+        |l3 AS (SELECT l.node, least(l.lab, coalesce(n.nlab, l.lab)) AS lab
+        |  FROM l2 l LEFT JOIN n3 n ON l.node = n.node)
+        |SELECT node, lab FROM l3""".stripMargin
   )
 }

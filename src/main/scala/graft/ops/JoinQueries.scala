@@ -151,7 +151,40 @@ object JoinQueries extends QueryPack {
             .agg(count(lit(1)).as("n_orders")),
           col("c_custkey") === col("o_custkey"), "full_outer")),
 
-    "q_join_asof" -> joinAsof
+    "q_join_asof" -> joinAsof,
+
+    // Skew-salted shuffle join: the supplier key space is tiny relative
+    // to lineitem (10 suppliers per SF unit vs 600k lines), so a plain
+    // shuffle join lands each supplier's ENTIRE fact slice on one task —
+    // the reducer-hotspot pattern. Salting splits every supplier into
+    // SaltBuckets sub-keys: the dim side replicates ×SaltBuckets (dim is
+    // tiny, replication is free), the fact side derives a deterministic
+    // salt from its own primary key, and the join runs on (key, salt) —
+    // each hot key now spreads over SaltBuckets tasks. AQE's skew-join
+    // split solves the same problem adaptively; the salt is the
+    // structural form that also works mid-pipeline where AQE cannot
+    // re-split (e.g. under a cached or checkpointed subtree). The salt
+    // never reaches the output: the post-join aggregate re-merges on the
+    // real key, and partial aggregation makes that second shuffle
+    // key-sized.
+    "q_join_salted" -> ((s, d) => {
+      val SaltBuckets = 8
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))
+        .withColumn("salt",
+          explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(SaltBuckets)).cast("int").as("salt"))
+      fact.join(dim,
+          fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    })
   )
 
   val oracle = Map(
@@ -226,6 +259,16 @@ object JoinQueries extends QueryPack {
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |     AND c.ts <= p.ts) AS asof_ts
         |FROM events p WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // The salt must be invisible in the result: the oracle is the PLAIN
+    // join + aggregate. Any salt leakage (missed bucket, wrong modulo,
+    // dim under-replication) breaks the hash.
+    "q_join_salted" ->
+      """SELECT s_suppkey, s_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }

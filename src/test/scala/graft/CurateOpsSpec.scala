@@ -397,4 +397,38 @@ class CurateOpsSpec extends SparkSpec {
         assert(t.length <= n / 2 + 1, s"$lang: tail oversized"))
     }
   }
+
+  test("x_sample_weighted replays exactly from a plain-Scala ES computation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5hex12(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = docs.filter(_._3 > 0).groupBy(_._1).toSeq.flatMap {
+      case (src, rows) =>
+        rows.toSeq.map { case (_, id, w) =>
+          val u = (md5hex12(id.toString) + 1).toDouble / 281474976710656.0
+          (id, math.log(u) / w)
+        }.sortBy { case (id, k) => (-k, id) }.take(5)
+          .map { case (id, _) => (src, id) }
+    }.toSet
+    val got = ops.CurateQueries.queries("x_sample_weighted")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("x_sample_weighted favors heavy docs at the rate the weights imply") {
+    // aggregate inclusion bias across sources: the mean n_chars of
+    // sampled docs must exceed the corpus mean (weight ∝ n_chars), by
+    // enough margin that a uniform sampler would essentially never show
+    val all = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampled = ops.CurateQueries.queries("x_sample_weighted")(spark, sf)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampled > all,
+      f"sampled mean $sampled%.1f should exceed corpus mean $all%.1f")
+  }
 }

@@ -291,6 +291,95 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(Set("a", "b", "c").subsetOf(r1))
   }
 
+  test("triangleCounts matches a brute-force triple scan on seeded random graphs") {
+    import spark.implicits._
+    // integer node ids: the canonical-pair contract (a < b) is in the
+    // COLUMN's ordering, and "n10" < "n2" as strings would silently
+    // violate it for stringified numerals
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(12)
+      val und = (for (_ <- 1 to n * 3) yield {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+      }).flatten.distinct
+      // reference: enumerate every id-ordered triple, count closures
+      val es = und.toSet
+      val ids = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val triples = for {
+        i <- ids.indices; j <- (i + 1) until ids.size; k <- (j + 1) until ids.size
+        a = ids(i); b = ids(j); c = ids(k)
+        if es((a, b)) && es((a, c)) && es((b, c))
+      } yield Seq(a, b, c)
+      val expected = triples.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val got = GraftOps.triangleCounts(und.toDF("a", "b")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, edges=${und.size})")
+    }
+  }
+
+  test("triangleCounts: K4 gives every node 3, a path gives none") {
+    import spark.implicits._
+    val k4 = (for (i <- 0 to 3; j <- (i + 1) to 3) yield (s"v$i", s"v$j"))
+      .toDF("a", "b")
+    val gotK4 = GraftOps.triangleCounts(k4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotK4 === Map("v0" -> 3L, "v1" -> 3L, "v2" -> 3L, "v3" -> 3L))
+    // triangle-free graph -> empty output (zero-count nodes are absent
+    // by contract: the result is a participation report, not a node list)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    assert(GraftOps.triangleCounts(path).count() === 0L)
+  }
+
+  test("labelPropagate matches a plain-Scala sync propagation and converges to components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 4) {
+      val n = 15 + rnd.nextInt(20)
+      val und = (for (_ <- 1 to n) yield {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a != b) Some((s"n$a", s"n$b")) else None
+      }).flatten.distinct
+      val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val rounds = 1 + rnd.nextInt(3)
+      // reference: synchronous min-label rounds over an adjacency map
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keySet.map(v => v -> v).toMap
+      for (_ <- 1 to rounds)
+        lab = lab.map { case (v, l) => v -> (adj(v).map(lab) :+ l).min }
+      val got = GraftOps.labelPropagate(sym.toDF("src", "dst"), rounds)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === lab, s"trial $trial (n=$n, rounds=$rounds)")
+      // at >= diameter rounds the labels are exactly the per-component
+      // minima — cross-check against union-find components
+      val cc = {
+        val parent = scala.collection.mutable.Map[String, String]()
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        sym.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(Seq(ra, rb).max) = Seq(ra, rb).min
+        }
+        adj.keySet.map(v => v -> find(v)).toMap
+      }
+      // find the exact round count the fixpoint needs (≤ diameter), so
+      // the Spark run stays minimal — one localCheckpoint per round
+      var (ref, needed, stable) = (adj.keySet.map(v => v -> v).toMap, 0, false)
+      while (!stable) {
+        val next = ref.map { case (v, l) => v -> (adj(v).map(ref) :+ l).min }
+        stable = next == ref; ref = next; if (!stable) needed += 1
+      }
+      val deep = GraftOps.labelPropagate(sym.toDF("src", "dst"),
+          rounds = math.max(needed, 1))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // union-find roots are component minima because merges keep the min
+      assert(deep === cc, s"trial $trial fixpoint vs union-find")
+    }
+  }
+
   test("dedupNormalized folds case/punctuation/whitespace variants") {
     import spark.implicits._
     val docs = Seq((1L, "Hello, World!"), (2L, "hello world"),

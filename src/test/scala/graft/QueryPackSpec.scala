@@ -42,6 +42,22 @@ class QueryPackSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() === 6)
   }
 
+  test("q_join_salted equals the unsalted join bit-for-bit") {
+    // the salt is an execution-layout device only — any visible effect
+    // (dropped bucket, modulo mismatch, dim under-replication) is a bug
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(salted === plain)
+  }
+
   test("q_group_agg pins: row count equals distinct flag/status pairs") {
     val li = Tables.lineitem(spark, sf)
     val expected = li
