@@ -1588,6 +1588,95 @@ object GraftOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Product-quantization codebooks + sub-vector codes — the memory side
+    * of billion-scale ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): each vector splits into `m`
+    * contiguous sub-vectors of `subDim` dims, each sub-vector snaps to
+    * its nearest of `ksub` codewords, and the stored index is m small
+    * ints per vector — 64-dim floats (256 B) become 8 byte-codes, a 32×
+    * compression that turns a 100-TB vector corpus into a few TB of
+    * codes that fit an executor cache tier.
+    *
+    * Codebook init is sampling-based like [[ivfTopK]]'s coarse
+    * quantizer: codeword j of EVERY subspace is vector j's sub-vector
+    * (dense 0-based vec_id contract, oracle-replayable; production would
+    * slot per-subspace k-means here unchanged). Distances are exact L2
+    * written as an explicit left-to-right term sum, so both engines
+    * fold identically and the (dist, code) argmin tie-break can never
+    * diverge. Shapes: codebook is m·ksub rows (broadcast), assignment is
+    * one map-side join + partial-agg argmin — shuffle is m rows of 3
+    * ints per vector, never n×ksub.
+    */
+  def pqEncode(corpus: DataFrame, m: Int, subDim: Int, ksub: Int): DataFrame = {
+    val (subs, cb) = pqSubsAndCodebook(corpus, m, subDim, ksub)
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(pqL2(subDim).as("d"), col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).getField("code").as("code"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe builds a
+    * lookup table of exact sub-distances to every codeword (m·ksub
+    * entries — broadcast-sized for any probe batch that fits a driver
+    * anyway), and a corpus vector's approximate distance is the SUM of
+    * its m table entries — the scan never touches a float vector, only
+    * byte codes and an integer add. Sub-distances are floored to integer
+    * micro-units BEFORE the sum so the aggregation is exact integer math
+    * in any order — no float-summation-order divergence between engines
+    * (or between two cluster runs) can reorder the ranking.
+    */
+  def pqSearch(corpus: DataFrame, probes: DataFrame, k: Int,
+               m: Int, subDim: Int, ksub: Int): DataFrame = {
+    val codes = pqEncode(corpus, m, subDim, ksub)
+    val (probeSubs, cb) = pqSubsAndCodebook(probes, m, subDim, ksub,
+      codebookFrom = Some(corpus))
+    val lut = probeSubs
+      .select(col("vec_id").as("probe_id"), col("sub"), col("sv"))
+      .join(cb, Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        floor(pqL2(subDim) * lit(1000000.0)).cast("long").as("ld"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist_micro").asc, col("vec_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("ld")).as("adist_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("adist_micro"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Shared PQ plumbing: (vec_id, sub, sv) sub-vector explode of `df`,
+    * plus the codebook (sub, code, cv) drawn from `codebookFrom` (or
+    * `df` itself). `sv`/`cv` keep Doubles so [[pqL2]] folds identically
+    * in both engines.
+    */
+  private def pqSubsAndCodebook(df: DataFrame, m: Int, subDim: Int,
+      ksub: Int, codebookFrom: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    def explodeSubs(src: DataFrame): DataFrame =
+      src.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+        .select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), i -> slice(v, i*$subDim+1, $subDim))"))
+          .as(Seq("sub", "sv")))
+    val subs = explodeSubs(df)
+    val cbSrc = codebookFrom.map(explodeSubs).getOrElse(subs)
+    val cb = cbSrc.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
+    (subs, cb)
+  }
+
+  /** Exact squared-L2 between `sv` and `cv` as an explicit left-to-right
+    * term sum — ((t₀+t₁)+t₂)+… exactly, the same fold an unrolled SQL
+    * `t1 + t2 + …` performs, so cross-engine double parity is by
+    * construction, not by hoping two list-sum builtins share an order.
+    */
+  private def pqL2(subDim: Int): Column =
+    expr((0 until subDim)
+      .map(i => s"(sv[$i]-cv[$i])*(sv[$i]-cv[$i])").mkString(" + "))
+
   /** Semantic outlier detection — flag vectors pointing away from their
     * group's mean direction (a curation pass that catches mislabeled or
     * off-topic documents before training): per group, the spherical

@@ -364,7 +364,27 @@ object CurateQueries extends QueryPack {
       .select(col("source"), col("doc_id"), col("n_chars"))
   }
 
+  /** x_pq / x_pq_adc: product quantization over the embeddings table —
+    * 64 dims as 8 subspaces × 8 dims, 16 codewords each (codes are 8
+    * nibbles per vector, a 64× cut vs float32). ADC probes are the
+    * first 4 vectors searching the full corpus, k=5.
+    */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqKsub = 16
+
+  private def pq(s: SparkSession, d: String): DataFrame =
+    GraftOps.pqEncode(Tables.embeddings(s, d), PqM, PqSubDim, PqKsub)
+
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.pqSearch(emb, emb.filter(col("vec_id") < 4), k = 5,
+      PqM, PqSubDim, PqKsub)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_pq" -> pq,
+    "x_pq_adc" -> pqAdc,
     "x_sample_weighted" -> sampleWeighted,
     "x_pipeline_clean" -> pipelineClean,
     "x_cluster_topics" -> clusterTopics,
@@ -395,7 +415,57 @@ object CurateQueries extends QueryPack {
     "x_mix_temp" -> mixTemp
   )
 
+  /** Explicit 1-based L2 term sum for the PQ oracles — the same
+    * left-to-right fold the engine's pqL2 performs, so double parity is
+    * structural.
+    */
+  private def pqTerms(a: String, b: String): String =
+    (1 to PqSubDim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+
+  private val pqCommon =
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ms AS (SELECT unnest(range($PqM)) AS sub),
+       |subs AS (
+       |  SELECT vec_id, sub,
+       |    list_slice(v, CAST(sub*$PqSubDim+1 AS INTEGER),
+       |      CAST(sub*$PqSubDim+$PqSubDim AS INTEGER)) AS sv
+       |  FROM emb CROSS JOIN ms),
+       |cb AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < $PqKsub),
+       |d AS (
+       |  SELECT s.vec_id, s.sub, c.code, ${pqTerms("s.sv", "c.cv")} AS dist
+       |  FROM subs s JOIN cb c ON s.sub = c.sub),
+       |r AS (
+       |  SELECT vec_id, sub, code,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |  FROM d),
+       |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1)""".stripMargin
+
   val oracle = Map(
+    "x_pq" -> s"""$pqCommon
+       |SELECT vec_id, sub, code FROM codes""".stripMargin,
+
+    // ADC replay: integer micro-unit LUT, exact integer sums — any
+    // divergence in a single floor or tie-break fails the hash.
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back (the round-2 lesson).
+    "x_pq_adc" -> s"""$pqCommon,
+       |pr AS (SELECT vec_id AS probe_id, sub, sv AS psv FROM subs WHERE vec_id < 4),
+       |lut AS (
+       |  SELECT p.probe_id, c.sub, c.code,
+       |    CAST(floor((${pqTerms("p.psv", "c.cv")}) * 1000000) AS BIGINT) AS ld
+       |  FROM pr p JOIN cb c ON p.sub = c.sub),
+       |ad AS (
+       |  SELECT l.probe_id, x.vec_id, CAST(sum(l.ld) AS BIGINT) AS adist_micro
+       |  FROM codes x JOIN lut l ON l.sub = x.sub AND l.code = x.code
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT probe_id, vec_id, adist_micro,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adist_micro, vec_id) AS rnk
+       |  FROM ad)
+       |SELECT probe_id, vec_id, adist_micro, rnk FROM rk WHERE rnk <= 5""".stripMargin,
+
     // Same md5-derived uniform, same exponential key, same tiebreak —
     // the oracle replays the exact sample. '0x'||hex CAST is DuckDB's
     // conv(,16,10); both engines then do exact double division by 2^48.

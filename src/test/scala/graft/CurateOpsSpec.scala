@@ -398,6 +398,35 @@ class CurateOpsSpec extends SparkSpec {
     }
   }
 
+  test("pqEncode/pqSearch: hand-computed codes, ties, and ADC ranking") {
+    import spark.implicits._
+    // m=2 subspaces of 1 dim, ksub=2 codewords (= v0, v1 sub-vectors)
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)),   // codeword 0 per subspace
+      (1L, Seq(1.0f, 10.0f)),  // codeword 1 per subspace
+      (2L, Seq(0.2f, 9.0f)),   // -> codes (0, 1)
+      (3L, Seq(0.6f, 4.0f)),   // -> codes (1, 0)
+      (4L, Seq(0.5f, 5.0f))    // exact tie both subspaces -> lower code 0
+    ).toDF("vec_id", "embedding")
+    val codes = GraftOps.pqEncode(emb, m = 2, subDim = 1, ksub = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes === Map(
+      (0L, 0L) -> 0L, (0L, 1L) -> 0L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L,
+      (2L, 0L) -> 0L, (2L, 1L) -> 1L,
+      (3L, 0L) -> 1L, (3L, 1L) -> 0L,
+      (4L, 0L) -> 0L, (4L, 1L) -> 0L))
+    // ADC from probe v0: LUT sub0 = {0, 1e6}, sub1 = {0, 1e8} micro-units;
+    // v4 quantizes onto v0's codes, so its approximate distance is 0 —
+    // quantization loss made visible, ranked by (adist, vec_id)
+    val adc = GraftOps.pqSearch(emb, emb.filter($"vec_id" === 0L), k = 5,
+        m = 2, subDim = 1, ksub = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(adc.sortBy(_._3) === Seq(
+      (0L, 0L, 1L), (4L, 0L, 2L), (3L, 1000000L, 3L),
+      (2L, 100000000L, 4L), (1L, 101000000L, 5L)))
+  }
+
   test("x_sample_weighted replays exactly from a plain-Scala ES computation") {
     val docs = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
