@@ -181,7 +181,31 @@ object PlanDump {
       "writer's)"),
     "x_dataset_card" -> ("Per-source dataset card — fingerprint dedup " +
       "agg + bounded (source, lang) argmax rollup + per-source rollup; " +
-      "exact ppm integers throughout")
+      "exact ppm integers throughout"),
+    "q_triangles" -> ("Triangle counting — degree-ordered orientation " +
+      "(struct-compare projection) bounds every out-degree at O(√m), " +
+      "wedge self-join + closing-edge equi-join; a 10M-degree hub " +
+      "contributes ZERO wedges (ScaleSpec proof)"),
+    "q_label_prop" -> ("Min-label propagation — edge table hash-" +
+      "partitioned + cached once; per round one node-sized frontier " +
+      "min-agg + left join, localCheckpoint-ed (r rounds = ONE edge " +
+      "shuffle total)"),
+    "q_join_salted" -> ("Skew-salted join — dim exploded ×salts, fact " +
+      "salt from its own key, join on (key, salt) spreads each hot key " +
+      "over salts tasks; post-join re-merge is key-sized after partial " +
+      "agg"),
+    "x_pq" -> ("PQ encode — sub-vector posexplode, m·ksub codebook " +
+      "broadcast, partial-agg (dist, code) argmin; shuffle is m int " +
+      "rows per vector, never n×ksub"),
+    "x_pq_adc" -> ("PQ ADC search — 512-entry integer LUT broadcast " +
+      "onto the code table, exact integer partial sums + rank window; " +
+      "the scan never touches a float vector"),
+    "x_sample_weighted" -> ("Weighted sampling (Efraimidis–Spirakis) — " +
+      "one codegen'd scan computes md5-deterministic exponential keys, " +
+      "per-group top-k window; no per-group state, no rejection loop"),
+    "x_perplexity_interp" -> ("Jelinek–Mercer bigram LM — pair counts + " +
+      "two unigram equi-joins + 1-row total broadcast; O(total pairs) " +
+      "with map-side combine, no stage superlinear in corpus size")
   )
 
   def main(args: Array[String]): Unit = {

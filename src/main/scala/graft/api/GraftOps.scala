@@ -269,6 +269,51 @@ object GraftOps {
         round(exp(col("nll") / col("n_pairs")), 6).as("ppl"))
   }
 
+  /** Jelinek–Mercer interpolated bigram perplexity — the third smoothing
+    * family next to add-one ([[perplexityBigram]]) and the unigram
+    * [[perplexity]]: p(b|a) = λ·C(ab)/C(a) + (1−λ)·C(b)/N, the classic
+    * fixed-weight interpolation (Jelinek & Mercer 1980) that backs off
+    * smoothly to the unigram instead of flattening toward 1/|V|. Scored
+    * pairs are corpus pairs (self-trained), so C(ab) ≥ 1 and the ML term
+    * never zeroes the log. The λ/(1−λ) literals are printed into the
+    * expression, so the oracle can replay the identical double
+    * arithmetic — keep λ to a short decimal.
+    *
+    * Shapes are [[perplexityBigram]]'s plus one more unigram equi-join
+    * (on the TARGET token) and a 1-row total broadcast — still O(total
+    * pairs) with map-side combine everywhere.
+    */
+  def perplexityInterp(df: DataFrame, key: Column, text: Column,
+                       lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0)
+    val d = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= 2)
+      .persistOnce()
+    val pairs = d.select(col("doc_id"),
+        explode(TextFns.grams2(col("w"))).as("p"))
+      .select(col("doc_id"), split(col("p"), " ").getItem(0).as("a"),
+        split(col("p"), " ").getItem(1).as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("pf"))
+      .persistOnce()
+    val bc = pairs.groupBy(col("a"), col("b")).agg(sum(col("pf")).as("cab"))
+    val uni = d.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n"))
+    pairs.join(bc, Seq("a", "b"))
+      .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("nlp",
+        expr(s"-log($lambda * cab / ca + ${1.0 - lambda} * cb / n)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pf")).as("n_pairs"),
+        sum(col("nlp") * col("pf")).as("nll"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(col("nll") / col("n_pairs"), 6).as("avg_nll"),
+        round(exp(col("nll") / col("n_pairs")), 6).as("ppl"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * paper): per-language head/middle/tail split over LM perplexity —
     * the curation gate that routes each language's cleanest slice to
@@ -2124,7 +2169,11 @@ object GraftOps {
     val e = edges.select(col("src"), col("dst")).persistOnce()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persistOnce()
-    val withDeg = e.join(deg, "src").persistOnce()
+    // hash-partitioned on the per-round join key before the cache: when
+    // the mass table is too big to broadcast (true at web-graph node
+    // counts), each round then shuffles only the node-sized mass — the
+    // edge+degree table pays its shuffle once, not once per iteration
+    val withDeg = e.join(deg, "src").repartition(col("src")).persistOnce()
     // src ∪ dst — node-sized, feeds every round's left join, so persist
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))

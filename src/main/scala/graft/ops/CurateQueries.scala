@@ -100,6 +100,13 @@ object CurateQueries extends QueryPack {
     GraftOps.perplexityBigram(Tables.documents(s, d), col("doc_id"),
       col("text"))
 
+  /** x_perplexity_interp: Jelinek–Mercer λ=0.75 interpolated bigram LM —
+    * smooth unigram backoff instead of Laplace's uniform flattening.
+    */
+  def perplexityInterp(s: SparkSession, d: String): DataFrame =
+    GraftOps.perplexityInterp(Tables.documents(s, d), col("doc_id"),
+      col("text"))
+
   /** x_ccnet: CCNet-style per-language perplexity split — head (≤ p25),
     * middle (≤ p75), tail; the curation gate that routes each language's
     * cleanest slice to training.
@@ -400,6 +407,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_incr" -> dedupIncr,
     "x_perplexity" -> perplexity,
     "x_perplexity_bi" -> perplexityBi,
+    "x_perplexity_interp" -> perplexityInterp,
     "x_ccnet" -> ccnet,
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
@@ -522,6 +530,35 @@ object CurateQueries extends QueryPack {
         |SELECT doc_id, n_pairs, round(nll / n_pairs, 6) avg_nll,
         |  round(exp(nll / n_pairs), 6) ppl
         |FROM sc""".stripMargin,
+    // JM interpolation replay: identical double arithmetic
+    // (0.75·cab/ca + 0.25·cb/n, left-associated) and exact-integer
+    // counts — the ln-parity discipline of x_perplexity_bi with one
+    // more unigram join on the target token.
+    "x_perplexity_interp" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w FROM ws WHERE len(w) >= 2),
+        |tall AS (SELECT doc_id, w[i] a, w[i + 1] b
+        |  FROM d, unnest(generate_series(1, len(w) - 1)) t(i)),
+        |pairs AS (SELECT doc_id, a, b, count(*) pf FROM tall GROUP BY 1, 2, 3),
+        |bc AS (SELECT a, b, CAST(sum(pf) AS BIGINT) cab FROM pairs GROUP BY 1, 2),
+        |u AS (SELECT t, count(*) c
+        |  FROM (SELECT unnest(w) t FROM d) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) n FROM u),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(pf) AS BIGINT) n_pairs,
+        |    sum(-ln(0.75 * cab / ca + 0.25 * cb / n) * pf) nll
+        |  FROM pairs JOIN bc USING (a, b)
+        |    JOIN (SELECT t, c ca FROM u) ua ON pairs.a = ua.t
+        |    JOIN (SELECT t, c cb FROM u) ub ON pairs.b = ub.t
+        |    CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT doc_id, n_pairs, round(nll / n_pairs, 6) avg_nll,
+        |  round(exp(nll / n_pairs), 6) ppl
+        |FROM sc""".stripMargin,
+
     "x_pipeline_clean" ->
       """WITH canon AS (
         |  SELECT min(doc_id) doc_id FROM documents GROUP BY sha256(text)),

@@ -398,6 +398,27 @@ class CurateOpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexityInterp: textbook JM mixture on a two-doc corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" and "a c" -> unigrams a=3 b=2 c=1 (N=6),
+    // bigrams (a,b)=2 (b,a)=1 (a,c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = 0.75 * 2 / 3 + 0.25 * 2 / 6
+    val pBA = 0.75 * 1 / 2 + 0.25 * 3 / 6
+    val pAC = 0.75 * 1 / 3 + 0.25 * 1 / 6
+    val nll1 = (-math.log(pAB)) * 2 + (-math.log(pBA))
+    val got = GraftOps.perplexityInterp(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((3L, r6(nll1 / 3), r6(math.exp(nll1 / 3)))))
+    assert(got(2L) === ((1L, r6(-math.log(pAC)), r6(math.exp(-math.log(pAC))))))
+    // JM backs off to the unigram, never past it: every probability is a
+    // convex mix of two terms <= 1, so ppl is bounded below by 1
+    assert(got.values.forall(_._3 >= 1.0))
+  }
+
   test("pqEncode/pqSearch: hand-computed codes, ties, and ADC ranking") {
     import spark.implicits._
     // m=2 subspaces of 1 dim, ksub=2 codewords (= v0, v1 sub-vectors)

@@ -312,6 +312,68 @@ class ScaleSpec extends SparkSpec {
     assert(d > 0.25 && d < 0.6, s"mean density $d outside winnowing range")
   }
 
+  test("triangleCounts: a 500k-degree hub contributes ZERO wedges") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // hub 0 linked to every spoke, plus 100k planted spoke pairs — the
+    // naive wedge join would fan the hub into 1.25e11 pairs; the degree
+    // orientation gives the hub out-degree 0, so the whole run costs
+    // ~100k wedges. Completing inside the suite budget IS the proof.
+    import spark.implicits._
+    val n = 500000L
+    val hubEdges = spark.range(1, n + 1, 1, 32)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val pairEdges = spark.range(0, 100000L, 1, 32)
+      .select((col("id") * 2 + 1).as("a"), (col("id") * 2 + 2).as("b"))
+    val tri = GraftOps.triangleCounts(hubEdges.unionAll(pairEdges))
+    val rows = tri.collect()
+    assert(rows.length === 200001, "hub + both members of each pair")
+    val byNode = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode(0L) === 100000L, "hub closes every planted pair")
+    assert(byNode.view.filterKeys(_ != 0L).values.forall(_ == 1L),
+      "each pair member sits in exactly one triangle")
+  }
+
+  test("labelPropagate floods 8 star components at 1M edges in one round each") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 500k spokes bi-linked to 8 hubs ('h' < 'v' lexicographically, so
+    // the hub label is each component's minimum): after round 1 every
+    // spoke must carry its hub's label — per-round cost is one
+    // node-sized frontier shuffle against the pre-partitioned edge cache
+    import spark.implicits._
+    val n = 500000L
+    val spokes = spark.range(0, n, 1, 32)
+      .select(concat(lit("v"), col("id").cast("string")).as("spoke"),
+        concat(lit("h"), pmod(col("id"), lit(8L)).cast("string")).as("hub"))
+    val edges = spokes.select(col("spoke").as("src"), col("hub").as("dst"))
+      .unionAll(spokes.select(col("hub").as("src"), col("spoke").as("dst")))
+    val lab = GraftOps.labelPropagate(edges, rounds = 2)
+    val perLabel = lab.groupBy(col("lab")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLabel.keySet === (0 until 8).map(i => s"h$i").toSet)
+    assert(perLabel.values.sum === n + 8)
+    assert(perLabel.values.forall(_ === n / 8 + 1))
+  }
+
+  test("pq at 200k vectors: code-sized index, ADC never touches a vector") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 200k 64-dim vectors -> 1.6M (vec, sub, code) int rows; the ADC
+    // scan joins codes against a 512-entry broadcast LUT — shuffle is
+    // integer partial sums only, independent of dim
+    val vecs = spark.range(0, 200000L, 1, 32)
+      .select(col("id").as("vec_id"), expr(
+        "transform(sequence(0, 63), j -> cast(pmod(xxhash64(id, j), 1000) / 10.0 as float))")
+        .as("embedding"))
+    val codes = GraftOps.pqEncode(vecs, m = 8, subDim = 8, ksub = 16)
+    val stats = codes.agg(count(lit(1)).as("n"),
+      min(col("code")).as("lo"), max(col("code")).as("hi")).head()
+    assert(stats.getLong(0) === 1600000L)
+    assert(stats.getLong(1) >= 0L && stats.getLong(2) < 16L)
+    val hits = GraftOps.pqSearch(vecs, vecs.filter(col("vec_id") < 4), k = 5,
+      m = 8, subDim = 8, ksub = 16).collect()
+    assert(hits.length === 20)
+    assert(hits.forall(_.getLong(2) >= 0L), "ADC distances are non-negative")
+  }
+
   test("dsir at 2M docs: bounded bin table, selection separates slices") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // target docs draw from one vocabulary, raw from a disjoint one ->
