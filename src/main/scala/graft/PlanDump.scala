@@ -205,7 +205,10 @@ object PlanDump {
       "per-group top-k window; no per-group state, no rejection loop"),
     "x_perplexity_interp" -> ("Jelinek–Mercer bigram LM — pair counts + " +
       "two unigram equi-joins + 1-row total broadcast; O(total pairs) " +
-      "with map-side combine, no stage superlinear in corpus size")
+      "with map-side combine, no stage superlinear in corpus size"),
+    "q_agg_wmedian" -> ("Weighted median — distribution-sized (grp, v) " +
+      "rollup with partial agg, ONE cumulative window, integer " +
+      "threshold; no per-group value buffer at any group size")
   )
 
   def main(args: Array[String]): Unit = {

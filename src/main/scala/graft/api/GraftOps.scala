@@ -1889,6 +1889,39 @@ object GraftOps {
     joinOnGroupKey(src, walked)
   }
 
+  /** Exact per-group WEIGHTED median (lower-median convention): the
+    * smallest value v whose cumulative weight reaches half the group's
+    * total — 2·cumw(v) ≥ totw, all in exact integer weight units, so
+    * both engines locate the identical row with no interpolation float
+    * to diverge on. The "median doc length weighted by tokens" /
+    * "median price weighted by quantity" shape.
+    *
+    * Same 100-TB discipline as [[groupMedian]]: no per-group value
+    * buffer — one (grp, value) partial-agg weight rollup
+    * (distribution-sized), one cumulative window over it, one final min.
+    * Weights must be non-negative; zero-weight rows cannot carry the
+    * median (their cumw equals the previous row's, and the NEXT row
+    * also satisfies the threshold with a larger cumw — min picks the
+    * first positive-weight crossing only when a zero-weight value is
+    * not tied at the crossing, so filter zero weights upstream when
+    * that distinction matters).
+    */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+                     weight: Column): DataFrame = {
+    val dist = df.select(group.as("grp"), value.as("v"),
+        weight.cast("long").as("w"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
+    val cumW = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dist
+      .withColumn("cw", sum(col("w")).over(cumW))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("grp"))
+      .agg(min(col("v")).as("wmedian"))
+  }
+
   /** Re-attach a per-group computed table to the full distinct group set,
     * NULL-SAFELY: `Seq("grp")` equi-join semantics would drop the NULL
     * group's computed row (NULL never equals NULL), silently replacing a

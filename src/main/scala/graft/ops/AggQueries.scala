@@ -37,6 +37,12 @@ object AggQueries extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_group_agg" -> groupAgg,
 
+    // Exact weighted median (lower convention) per return flag — price
+    // weighted by quantity, all threshold math in integer weight units.
+    "q_agg_wmedian" -> ((s, d) =>
+      GraftOps.weightedMedian(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))),
+
     // Two-phase salted aggregation (hot-key mitigation): the gate proves
     // the salt-and-merge decomposition is value-identical to the plain
     // aggregate — quantities cast to BIGINT so both phases sum exactly.
@@ -169,6 +175,23 @@ object AggQueries extends QueryPack {
   val oracle = Map(
     "q_count_rows" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+    // Lower weighted median replay: identical distribution rollup,
+    // cumulative window, and integer 2·cumw >= totw threshold — no
+    // interpolation float anywhere.
+    "q_agg_wmedian" ->
+      """WITH dist AS (
+        |  SELECT l_returnflag AS grp, l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, v,
+        |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cw,
+        |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) tw
+        |  FROM dist)
+        |SELECT grp, min(v) AS wmedian FROM cum
+        |WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
     "q_retention" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -86,6 +86,29 @@ object EtlQueries extends QueryPack {
     s.read.parquet(out)
   }
 
+  /** Small-file compaction + re-cluster (OPTIMIZE): the operational op a
+    * 100-TB lake runs nightly — streaming/CDC sinks leave thousands of
+    * KB-sized files whose per-file open/footer cost dominates scans.
+    * Fragment the input to 64 shards, then compact to `numFiles`
+    * range-clustered, internally-sorted files (the [[bulkLoad]] layout:
+    * compaction that also restores key locality, so post-compaction
+    * scans get both fewer files AND min/max pruning). Content
+    * preservation is the gate: the oracle is the uncompacted table.
+    */
+  def compactTo(s: SparkSession, d: String, out: String,
+                numFiles: Int): String = {
+    val frag = tmp("graft_frag")
+    Tables.lineitem(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag)
+      .repartitionByRange(numFiles, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  def compact(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(compactTo(s, d, tmp("graft_compact"), numFiles = 4))
+
   /** q_join_bucket: co-located join over bucketed tables — the
     * zero-shuffle join strategy a 100-TB deployment pre-pays at write
     * time (HBase's region-aligned layout re-expressed as Spark
@@ -159,6 +182,7 @@ object EtlQueries extends QueryPack {
     "q_join_bucket" -> joinBucketed,
     "q_etl_tsv" -> tsvRoundTrip,
     "q_etl_bulkload" -> bulkLoad,
+    "q_etl_compact" -> compact,
     "q_etl_copytable" -> copyTable,
     "q_etl_multi_sink" -> multiSink,
     "q_etl_export" -> exportImport
@@ -200,6 +224,8 @@ object EtlQueries extends QueryPack {
         |  CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin,
     "q_etl_bulkload" ->
       "SELECT * FROM part",
+    "q_etl_compact" ->
+      "SELECT * FROM lineitem",
     "q_etl_copytable" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'

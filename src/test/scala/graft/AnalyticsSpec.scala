@@ -52,6 +52,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(m.getDouble(1) === 2.0)
   }
 
+  test("weightedMedian: hand-computed lower-median crossings") {
+    import spark.implicits._
+    // g1: values 1(w1) 2(w1) 3(w4): totw=6, cum(1)=1 cum(2)=2 cum(3)=6 ->
+    //     first 2*cw >= 6 at v=3
+    // g2: values 1(w2) 5(w2): totw=4, cum(1)=2 -> 2*2 >= 4 already at v=1
+    //     (lower-median convention: the EARLIER of the two middle values)
+    // g3: a heavier early value dominates: 10(w5) 99(w1) -> 10
+    val df = Seq(("g1", 1.0, 1L), ("g1", 2.0, 1L), ("g1", 3.0, 4L),
+      ("g2", 1.0, 2L), ("g2", 5.0, 2L),
+      ("g3", 10.0, 5L), ("g3", 99.0, 1L)).toDF("g", "v", "w")
+    val got = GraftOps.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("g1" -> 3.0, "g2" -> 1.0, "g3" -> 10.0))
+    // uniform weights reduce to the classic lower median
+    val uni = Seq(("u", 1.0, 1L), ("u", 2.0, 1L), ("u", 3.0, 1L),
+      ("u", 4.0, 1L)).toDF("g", "v", "w")
+    val lm = GraftOps.weightedMedian(uni, col("g"), col("v"), col("w"))
+      .collect().head.getDouble(1)
+    assert(lm === 2.0)
+  }
+
   test("groupQuantiles/groupMedian: all-NULL groups keep their NULL row") {
     import spark.implicits._
     // percentile_cont drops NULL VALUES but still emits the group row;

@@ -40,6 +40,28 @@ class EtlSpec extends SparkSpec {
       Tables.part(spark, sf).count())
   }
 
+  test("compaction collapses 64 fragments into <= 4 range-disjoint files") {
+    val out = ops.EtlQueries.compactTo(spark, sf,
+      Files.createTempDirectory("graft_compacttest").toString, numFiles = 4)
+    val perFile = spark.read.parquet(out)
+      .select(col("l_orderkey"), input_file_name().as("f"))
+    val ranges = perFile.groupBy(col("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .orderBy(col("lo")).collect()
+    assert(ranges.length <= 4, s"expected <= 4 compacted files, ${ranges.length}")
+    // re-clustered: file [lo, hi] key ranges may touch at a shared
+    // boundary key (range partitioning splits BETWEEN keys) but never
+    // properly interleave
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"compacted file ranges interleave: $a vs $b")
+      case _ =>
+    }
+    // totality: compaction loses and invents nothing
+    assert(spark.read.parquet(out).count() ===
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("z-order layout localizes BOTH key dimensions per file") {
     val keyed = ops.EtlQueries.zorderKeys(spark, sf)
       .select(col("l_orderkey").as("a"), col("l_partkey").as("b"),
