@@ -43,6 +43,27 @@ object AggQueries extends QueryPack {
       GraftOps.weightedMedian(Tables.lineitem(s, d), col("l_returnflag"),
         col("l_extendedprice"), col("l_quantity"))),
 
+    // Incremental materialized-view refresh: the base MV (pre-cutoff
+    // partial aggregates) merges with the delta batch's partials by
+    // UNION + re-aggregate — count/sum merge algebra, so a refresh costs
+    // the DELTA scan plus an MV-sized merge, never a base-fact rescan.
+    // Exact-cents integers keep the merge associative bit-for-bit; the
+    // oracle is the full recompute, so any drift between "maintained"
+    // and "recomputed" fails the hash.
+    "q_mv_refresh" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      partials(o.filter(col("o_orderdate") < cutoff))
+        .unionByName(partials(o.filter(col("o_orderdate") >= cutoff)))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("cents")).as("total_cents"))
+    }),
+
     // Two-phase salted aggregation (hot-key mitigation): the gate proves
     // the salt-and-merge decomposition is value-identical to the plain
     // aggregate — quantities cast to BIGINT so both phases sum exactly.
@@ -175,6 +196,11 @@ object AggQueries extends QueryPack {
   val oracle = Map(
     "q_count_rows" ->
       "SELECT count(*) AS n_rows FROM lineitem",
+    "q_mv_refresh" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1""".stripMargin,
     // Lower weighted median replay: identical distribution rollup,
     // cumulative window, and integer 2·cumw >= totw threshold — no
     // interpolation float anywhere.

@@ -109,6 +109,30 @@ object EtlQueries extends QueryPack {
   def compact(s: SparkSession, d: String): DataFrame =
     s.read.parquet(compactTo(s, d, tmp("graft_compact"), numFiles = 4))
 
+  /** Secondary-index build + serve — the classic MR pattern over a
+    * row-keyed store: a batch job inverts (rowkey → value) into a
+    * (value, rowkey) index table, range-clustered on the indexed value
+    * so a point query touches one file; serving is index probe →
+    * rowkey set → semi-join back to the base table. At 100 TB the
+    * probe reads ~selectivity of the INDEX (two narrow columns,
+    * min/max-pruned), never scans the base fact, and the rowkey join is
+    * the base table's own key — the gate proves the indexed path equals
+    * the direct predicate.
+    */
+  def idxLookup(s: SparkSession, d: String): DataFrame = {
+    val idxDir = tmp("graft_idx")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("ival"), col("o_orderkey").as("rk"))
+      .repartitionByRange(4, col("ival"))
+      .sortWithinPartitions(col("ival"))
+      .write.mode("overwrite").parquet(idxDir)
+    val hits = s.read.parquet(idxDir)
+      .filter(col("ival") === "1-URGENT")
+      .select(col("rk").as("o_orderkey"))
+    Tables.orders(s, d).join(hits, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   /** q_join_bucket: co-located join over bucketed tables — the
     * zero-shuffle join strategy a 100-TB deployment pre-pays at write
     * time (HBase's region-aligned layout re-expressed as Spark
@@ -183,6 +207,7 @@ object EtlQueries extends QueryPack {
     "q_etl_tsv" -> tsvRoundTrip,
     "q_etl_bulkload" -> bulkLoad,
     "q_etl_compact" -> compact,
+    "q_idx_lookup" -> idxLookup,
     "q_etl_copytable" -> copyTable,
     "q_etl_multi_sink" -> multiSink,
     "q_etl_export" -> exportImport
@@ -226,6 +251,11 @@ object EtlQueries extends QueryPack {
       "SELECT * FROM part",
     "q_etl_compact" ->
       "SELECT * FROM lineitem",
+    // The index is invisible in the result: the oracle is the DIRECT
+    // predicate on the base table — a stale/lossy index fails the hash.
+    "q_idx_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_etl_copytable" ->
       """SELECT * FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'

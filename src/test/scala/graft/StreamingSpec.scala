@@ -197,4 +197,42 @@ class StreamingSpec extends SparkSpec {
     assert(fin.length === 1 && fin.head.value === 9.0,
       "upsert must keep only the latest version of key 1")
   }
+
+  test("s_mv_sink: foreachBatch partial-agg merge equals the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // streaming mirror of q_mv_refresh: each micro-batch aggregates to
+    // (user, n, cents) partials and MERGES with the persisted MV by
+    // union + re-aggregate — per batch the work is batch-partials plus
+    // an MV-sized merge, never a replay of past batches
+    val target = java.nio.file.Files
+      .createTempDirectory("graft_mv").toString
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partials = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("cents"))
+        val existing =
+          try spark.read.parquet(target)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged = if (existing.isEmpty) partials
+          else existing.unionByName(partials)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        merged.write.mode("overwrite").parquet(target + "_next")
+        spark.read.parquet(target + "_next")
+          .write.mode("overwrite").parquet(target)
+      }
+      .start()
+    in.addData(Ev(1, ts("10:00"), 1, "click", 1.5, "{}"),
+      Ev(2, ts("10:01"), 2, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Ev(3, ts("10:02"), 1, "buy", 3.25, "{}"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 475L), (2L, 1L, 200L)),
+      "maintained MV must equal the from-scratch aggregate")
+  }
 }
