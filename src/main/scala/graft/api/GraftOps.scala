@@ -304,8 +304,13 @@ object GraftOps {
       .join(uni.select(col("t").as("a"), col("c").as("ca")), "a")
       .join(uni.select(col("t").as("b"), col("c").as("cb")), "b")
       .crossJoin(broadcast(tot))
+      // CAST AS DOUBLE is load-bearing: Spark parses a bare 0.75 literal
+      // as DECIMAL and would run the whole mixture in decimal(38,17)
+      // while DuckDB promotes to DOUBLE — measurably different values
+      // pre-round. Forcing double makes the arithmetic engine-identical.
       .withColumn("nlp",
-        expr(s"-log($lambda * cab / ca + ${1.0 - lambda} * cb / n)"))
+        expr(s"-log(CAST($lambda AS DOUBLE) * cab / ca + " +
+          s"CAST(${1.0 - lambda} AS DOUBLE) * cb / n)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("pf")).as("n_pairs"),
         sum(col("nlp") * col("pf")).as("nll"))
@@ -1653,13 +1658,9 @@ object GraftOps {
     * ints per vector, never n×ksub.
     */
   def pqEncode(corpus: DataFrame, m: Int, subDim: Int, ksub: Int): DataFrame = {
-    val (subs, cb) = pqSubsAndCodebook(corpus, m, subDim, ksub)
-    subs.join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"),
-        struct(pqL2(subDim).as("d"), col("code")).as("dc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("dc")).getField("code").as("code"))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+    require(m > 0 && subDim > 0 && ksub > 0)
+    val subs = pqSubs(corpus, m, subDim)
+    pqAssign(subs, pqCodebook(subs, subDim, ksub), subDim)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each probe builds a
@@ -1674,12 +1675,17 @@ object GraftOps {
     */
   def pqSearch(corpus: DataFrame, probes: DataFrame, k: Int,
                m: Int, subDim: Int, ksub: Int): DataFrame = {
-    val codes = pqEncode(corpus, m, subDim, ksub)
-    val (probeSubs, cb) = pqSubsAndCodebook(probes, m, subDim, ksub,
-      codebookFrom = Some(corpus))
-    val lut = probeSubs
+    require(k > 0 && m > 0 && subDim > 0 && ksub > 0)
+    // ONE corpus sub-vector derivation serves both the code table and
+    // the LUT's codebook side; the m·ksub codebook is persisted because
+    // it feeds two separate subtrees (assignment + LUT) — without the
+    // persist the corpus scan behind it plans twice
+    val subs = pqSubs(corpus, m, subDim)
+    val cb = pqCodebook(subs, subDim, ksub).persistOnce()
+    val codes = pqAssign(subs, cb, subDim)
+    val lut = pqSubs(probes, m, subDim)
       .select(col("vec_id").as("probe_id"), col("sub"), col("sv"))
-      .join(cb, Seq("sub"))
+      .join(broadcast(cb), Seq("sub"))
       .select(col("probe_id"), col("sub"), col("code"),
         floor(pqL2(subDim) * lit(1000000.0)).cast("long").as("ld"))
     val w = Window.partitionBy(col("probe_id"))
@@ -1693,25 +1699,40 @@ object GraftOps {
         col("rnk").cast("long").as("rnk"))
   }
 
-  /** Shared PQ plumbing: (vec_id, sub, sv) sub-vector explode of `df`,
-    * plus the codebook (sub, code, cv) drawn from `codebookFrom` (or
-    * `df` itself). `sv`/`cv` keep Doubles so [[pqL2]] folds identically
-    * in both engines.
+  /** (vec_id, sub, sv) sub-vector explode — `sv` keeps Doubles so
+    * [[pqL2]] folds identically in both engines.
     */
-  private def pqSubsAndCodebook(df: DataFrame, m: Int, subDim: Int,
-      ksub: Int, codebookFrom: Option[DataFrame] = None)
-      : (DataFrame, DataFrame) = {
-    def explodeSubs(src: DataFrame): DataFrame =
-      src.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
-        .select(col("vec_id"), posexplode(expr(
-          s"transform(sequence(0, ${m - 1}), i -> slice(v, i*$subDim+1, $subDim))"))
-          .as(Seq("sub", "sv")))
-    val subs = explodeSubs(df)
-    val cbSrc = codebookFrom.map(explodeSubs).getOrElse(subs)
-    val cb = cbSrc.filter(col("vec_id") < ksub)
-      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
-    (subs, cb)
-  }
+  private def pqSubs(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("v"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(v, i*$subDim+1, $subDim))"))
+        .as(Seq("sub", "sv")))
+
+  /** Sampling-init codebook (sub, code, cv) from an exploded sub-vector
+    * table. The size guard rides the m·ksub codebook rows, NOT the
+    * corpus-sized hot path (the hits raise_error lesson): a vector
+    * shorter than m·subDim slices short here and would otherwise
+    * propagate NULL distances that min(struct) silently resolves.
+    */
+  private def pqCodebook(subs: DataFrame, subDim: Int, ksub: Int): DataFrame =
+    subs.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").as("code"),
+        when(size(col("sv")) =!= subDim, raise_error(lit(
+          s"pq: codeword sub-vector shorter than subDim=$subDim — " +
+            "embedding dim must equal m*subDim")))
+          .otherwise(col("sv")).as("cv"))
+
+  /** Nearest-codeword assignment: broadcast codebook, partial-agg
+    * (dist, code) argmin, id-typed (vec_id, sub, code) output.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame,
+                       subDim: Int): DataFrame =
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(pqL2(subDim).as("d"), col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).getField("code").as("code"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
 
   /** Exact squared-L2 between `sv` and `cv` as an explicit left-to-right
     * term sum — ((t₀+t₁)+t₂)+… exactly, the same fold an unrolled SQL
@@ -1908,18 +1929,24 @@ object GraftOps {
     */
   def weightedMedian(df: DataFrame, group: Column, value: Column,
                      weight: Column): DataFrame = {
-    val dist = df.select(group.as("grp"), value.as("v"),
-        weight.cast("long").as("w"))
-      .filter(col("v").isNotNull)
+    // floor() before the long conversion: a bare cast truncates in Spark
+    // but ROUNDS in DuckDB's CAST — floor is the one conversion both
+    // engines (and any SQL oracle) agree on for fractional weights
+    val src = df.select(group.as("grp"), value.as("v"),
+      floor(weight.cast("double")).cast("long").as("w"))
+    val dist = src.filter(col("v").isNotNull)
       .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
     val cumW = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    dist
+    val walked = dist
       .withColumn("cw", sum(col("w")).over(cumW))
       .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy(col("grp"))
       .agg(min(col("v")).as("wmedian"))
+    // all-NULL groups keep their (grp, NULL) row — the groupMedian
+    // contract, NULL-safe on the group key
+    joinOnGroupKey(src, walked)
   }
 
   /** Re-attach a per-group computed table to the full distinct group set,

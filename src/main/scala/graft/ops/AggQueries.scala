@@ -53,10 +53,13 @@ object AggQueries extends QueryPack {
     "q_mv_refresh" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val cutoff = lit("1997-01-01").cast("timestamp")
+      // round, not floor: price doubles sit one ulp under the true cent
+      // (e.g. 137115.80 stored as ...799999) and floor drops that cent
+      // on ~5% of rows — round(*100) is the repo's exact-cents form
       def partials(df: org.apache.spark.sql.DataFrame) =
         df.groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n"),
-            sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       partials(o.filter(col("o_orderdate") < cutoff))
         .unionByName(partials(o.filter(col("o_orderdate") >= cutoff)))
         .groupBy(col("o_custkey"))
@@ -198,7 +201,7 @@ object AggQueries extends QueryPack {
       "SELECT count(*) AS n_rows FROM lineitem",
     "q_mv_refresh" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS total_cents
         |FROM orders GROUP BY 1""".stripMargin,
     // Lower weighted median replay: identical distribution rollup,
@@ -207,7 +210,7 @@ object AggQueries extends QueryPack {
     "q_agg_wmedian" ->
       """WITH dist AS (
         |  SELECT l_returnflag AS grp, l_extendedprice AS v,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
         |  GROUP BY 1, 2),
         |cum AS (

@@ -93,13 +93,19 @@ object GraphQueries extends QueryPack {
   private val MinSupport = 3
 
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    li.select(col("l_orderkey"), col("l_suppkey").as("a"))
-      .join(li.select(col("l_orderkey"), col("l_suppkey").as("b")),
-        Seq("l_orderkey"))
-      .filter(col("a") < col("b"))
-      .select(col("l_orderkey"), col("a"), col("b"))
-      .distinct()
+    // basketPairs' map-side expansion shape, not a lineitem self-join:
+    // ONE shuffle builds each order's sorted supplier set (collect_set
+    // dedups in the agg buffer; baskets are bounded), pairs expand
+    // map-side via posexplode + suffix slice — the self-equi-join form
+    // references the scan subtree twice and was the measured 6x
+    // regression basketPairs' doc records
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("items"))
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(expr("slice(items, i + 2, size(items) - i - 1)")).as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)

@@ -73,6 +73,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(lm === 2.0)
   }
 
+  test("weightedMedian: all-NULL groups keep their row; weights floor") {
+    import spark.implicits._
+    // the groupMedian contract: g2's values are all NULL -> (g2, NULL)
+    // row survives, never a silent drop
+    val df = Seq(("g1", Some(1.0), 1.0), ("g1", Some(9.0), 0.4),
+      ("g2", None, 5.0), ("g2", None, 5.0)).toDF("g", "v", "w")
+    val got = GraftOps.weightedMedian(df, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    // fractional weights FLOOR (the cross-engine-safe conversion):
+    // w=0.4 floors to 0, so v=9.0 carries no weight and 1.0 is median
+    assert(got === Map("g1" -> Some(1.0), "g2" -> None))
+  }
+
   test("groupQuantiles/groupMedian: all-NULL groups keep their NULL row") {
     import spark.implicits._
     // percentile_cont drops NULL VALUES but still emits the group row;

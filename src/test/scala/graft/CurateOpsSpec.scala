@@ -448,6 +448,20 @@ class CurateOpsSpec extends SparkSpec {
       (2L, 100000000L, 4L), (1L, 101000000L, 5L)))
   }
 
+  test("pqEncode fails loud when embedding dim != m*subDim") {
+    import spark.implicits._
+    val emb = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    // m*subDim = 4 over 2-dim vectors: the short slice must raise on the
+    // codebook rows, not silently assign via NULL-first struct ordering
+    val e = intercept[Exception] {
+      GraftOps.pqEncode(emb, m = 2, subDim = 2, ksub = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("m*subDim")))
+  }
+
   test("x_sample_weighted replays exactly from a plain-Scala ES computation") {
     val docs = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
