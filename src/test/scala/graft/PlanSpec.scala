@@ -434,6 +434,37 @@ class PlanSpec extends SparkSpec {
       && !finalPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_triangles contains no cartesian/nested-loop stage") {
+    // the whole point of the degree orientation: wedges and closing
+    // edges are plain equi-joins — a BNLJ here is the O(n³) death
+    val p = planOf(SparkEntry.queries("q_triangles")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_idx_lookup pushes the index predicate into the index scan") {
+    val df = SparkEntry.queries("q_idx_lookup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("ival"),
+      s"index probe not pushed to the index file scan: $pushed")
+  }
+
+  test("x_pq joins the codebook by hash, never nested-loop") {
+    val p = planOf(SparkEntry.queries("x_pq")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "codebook should broadcast")
+  }
+
+  test("x_sample_weighted plans one scan + one per-group window") {
+    val p = planOf(SparkEntry.queries("x_sample_weighted")(spark, sf))
+    assert(!p.contains("Join"), "sampling must not join")
+    assert(p.contains("Window"), "per-group top-k rides a rank window")
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF
