@@ -389,7 +389,29 @@ object CurateQueries extends QueryPack {
       PqM, PqSubDim, PqKsub)
   }
 
+  /** x_dp_counts: ε=1 Laplace-mechanism count release per source — the
+    * differential-privacy mechanism a dataset card applies before
+    * publishing volumes (count sensitivity 1 ⇒ Laplace(1/ε) noise).
+    * The noise draw is DETERMINISTIC (md5(source) → uniform → inverse
+    * CDF), the q_filter_sample replay discipline: a re-run or audit
+    * reproduces the released numbers exactly. A production release
+    * would use a sealed random seed instead — the mechanism, shapes
+    * and inverse-CDF math are identical. u ∈ (0,1) strictly: the
+    * +0.5/2⁴⁸ offset keeps both ln() arguments positive.
+    */
+  private def dpCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        (conv(substring(md5(col("source")), 1, 12), 16, 10)
+          .cast("long").cast("double") + 0.5) / lit(281474976710656.0))
+      .select(col("source"),
+        round(col("n") +
+          expr("-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))"), 6)
+          .as("noisy_n"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_dp_counts" -> dpCounts,
     "x_pq" -> pq,
     "x_pq_adc" -> pqAdc,
     "x_sample_weighted" -> sampleWeighted,
@@ -451,6 +473,19 @@ object CurateQueries extends QueryPack {
        |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1)""".stripMargin
 
   val oracle = Map(
+    // Same md5 uniform, same inverse-CDF Laplace draw, same literal
+    // constants — the release replays bit-for-bit (round-6 absorbs ln ulp).
+    "x_dp_counts" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |k AS (SELECT source, n,
+        |  (CAST(('0x' || substr(md5(source), 1, 12)) AS BIGINT) + 0.5)
+        |    / 281474976710656.0 AS u
+        |  FROM c)
+        |SELECT source,
+        |  round(n + -1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+        |    AS noisy_n
+        |FROM k""".stripMargin,
+
     "x_pq" -> s"""$pqCommon
        |SELECT vec_id, sub, code FROM codes""".stripMargin,
 

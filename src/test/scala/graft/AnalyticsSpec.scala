@@ -73,6 +73,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(lm === 2.0)
   }
 
+  test("weightedMedian laws: unit weights = classic median (odd n), weight-scale invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 2 * (3 + rnd.nextInt(10)) + 1 // odd: lower = interpolated
+      val vals = Seq.fill(n)(rnd.nextInt(100).toDouble)
+      def df(w: Long) = vals.map(("g", _, w)).toDF("g", "v", "w")
+      val wm = GraftOps.weightedMedian(df(1L), col("g"), col("v"), col("w"))
+        .collect().head.getDouble(1)
+      val cm = GraftOps.groupMedian(df(1L), col("g"), col("v"))
+        .collect().head.getDouble(1)
+      assert(wm === cm, s"trial $trial: unit-weight median diverged")
+      // multiplying every weight by a constant cannot move the median
+      val wm7 = GraftOps.weightedMedian(df(7L), col("g"), col("v"), col("w"))
+        .collect().head.getDouble(1)
+      assert(wm7 === wm, s"trial $trial: weight scaling moved the median")
+    }
+  }
+
   test("weightedMedian: all-NULL groups keep their row; weights floor") {
     import spark.implicits._
     // the groupMedian contract: g2's values are all NULL -> (g2, NULL)

@@ -462,6 +462,32 @@ class CurateOpsSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("m*subDim")))
   }
 
+  test("x_dp_counts replays from a plain-Scala Laplace inverse-CDF") {
+    def md5hex12(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val expected = counts.map { case (src, n) =>
+      val u = (md5hex12(src) + 0.5) / 281474976710656.0
+      val noise = -math.signum(u - 0.5) * math.log(1 - 2 * math.abs(u - 0.5))
+      src -> r6(n + noise)
+    }.toMap
+    val got = ops.CurateQueries.queries("x_dp_counts")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+    // ε=1 Laplace noise is symmetric and usually small: every released
+    // count stays within a plausible band of the truth at fixture scale
+    counts.foreach { case (src, n) =>
+      assert(math.abs(got(src) - n) < 35.0, s"$src noise implausibly large")
+    }
+  }
+
   test("x_sample_weighted replays exactly from a plain-Scala ES computation") {
     val docs = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
