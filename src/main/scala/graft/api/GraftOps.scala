@@ -2090,6 +2090,70 @@ object GraftOps {
         (col("adev") > lit(k) * col("mad")).cast("int").as("is_outlier"))
   }
 
+  /** Poisson(1) cumulative CDF thresholds for k = 0..4 (k = 5 caps the
+    * tail, P(>5) ≈ 6e-4 — deterministic and identical on both engines,
+    * documented bias far below bootstrap noise). PUBLIC so the oracle
+    * SQL interpolates the SAME printed literals the engine uses — parity
+    * by construction, not by two exp() implementations agreeing.
+    */
+  val PoissonCum: Seq[Double] = {
+    val e = math.exp(-1)
+    Seq(e, 2 * e, 2 * e + e / 2, 2 * e + e / 2 + e / 6,
+      2 * e + e / 2 + e / 6 + e / 24)
+  }
+
+  /** Inverse-CDF CASE over a uniform `u` → Poisson(1) weight, shared by
+    * [[bootstrapCi]] and its oracle builder.
+    */
+  def poissonCase: String = PoissonCum.zipWithIndex
+    .map { case (c, i) => s"WHEN u < $c THEN $i" }
+    .mkString("CASE ", " ", " ELSE 5 END")
+
+  /** Poisson-bootstrap confidence band for a per-group mean — the
+    * bootstrap that actually runs at 100 TB (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012; the classic
+    * resample-n-rows bootstrap needs n draws per replica and a global
+    * sample, the Poisson form needs ONE deterministic weight per
+    * (row, replica)). Each row gets a Poisson(1) weight per replica from
+    * an md5-seeded inverse CDF (replayable, auditable); replica means are
+    * EXACT integer sums divided once (Σw·x / Σw — no float accumulation
+    * to drift between engines); the band is the 2nd/(reps−1)th order
+    * statistic of the replica means (exact selection, no float quantile
+    * math). Shapes: one scan exploded ×reps of 4 narrow columns with
+    * map-side partial aggregation absorbing into (group, replica) sums —
+    * state is groups × reps rows, never a copy of the data.
+    *
+    * `value` must be integral (cast to long) — that is what keeps every
+    * replica sum exact. An all-zero-weight replica (P ≈ e^−n) yields a
+    * NULL mean and drops from the ranking; at any real group size this
+    * is unreachable.
+    */
+  def bootstrapCi(df: DataFrame, group: Column, key: Column, value: Column,
+                  reps: Int = 32): DataFrame = {
+    require(reps >= 4)
+    val base = df.select(group.as("grp"), key.as("k"),
+      value.cast("long").as("x"))
+    val repRows = base.select(col("grp"), col("k"), col("x"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
+      .withColumn("u",
+        (conv(substring(md5(concat_ws("|", col("k"), col("b"))), 1, 12),
+          16, 10).cast("long").cast("double") + 0.5) / lit(281474976710656.0))
+      .withColumn("w", expr(poissonCase))
+    val means = repRows.groupBy(col("grp"), col("b"))
+      .agg((sum(col("w") * col("x")) / sum(col("w"))).as("m"))
+    val rw = Window.partitionBy(col("grp")).orderBy(col("m"), col("b"))
+    val ranked = means.withColumn("rn", row_number().over(rw))
+    val est = base.groupBy(col("grp"))
+      .agg((sum(col("x")) / count(lit(1))).as("est"))
+    est
+      .join(ranked.filter(col("rn") === 2)
+        .select(col("grp"), col("m").as("lo")), "grp")
+      .join(ranked.filter(col("rn") === reps - 1)
+        .select(col("grp"), col("m").as("hi")), "grp")
+      .select(col("grp"), round(col("est"), 6).as("est"),
+        round(col("lo"), 6).as("boot_lo"), round(col("hi"), 6).as("boot_hi"))
+  }
+
   /** Per-group simple OLS fit (slope / intercept / R²) via the moment
     * aggregates — the distributed closed form: one partial+final
     * aggregation computes covar/var/avg per group, so a 100-TB regression

@@ -410,7 +410,18 @@ object CurateQueries extends QueryPack {
           expr("-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))"), 6)
           .as("noisy_n"))
 
+  /** x_bootstrap: Poisson-bootstrap band for the per-source mean doc
+    * length — the uncertainty a dataset card should publish next to its
+    * point estimates. 32 replicas, band = 2nd/31st replica-mean order
+    * statistics (≈ a 94% interval).
+    */
+  private def bootstrap(s: SparkSession, d: String): DataFrame =
+    GraftOps.bootstrapCi(Tables.documents(s, d), col("source"),
+      col("doc_id"), col("n_chars"), reps = 32)
+      .withColumnRenamed("grp", "source")
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_bootstrap" -> bootstrap,
     "x_dp_counts" -> dpCounts,
     "x_pq" -> pq,
     "x_pq_adc" -> pqAdc,
@@ -473,6 +484,36 @@ object CurateQueries extends QueryPack {
        |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1)""".stripMargin
 
   val oracle = Map(
+    // The Poisson weights replay from the SAME printed threshold
+    // literals the engine compiled (GraftOps.PoissonCum interpolated
+    // into both sides); replica means are exact-int divisions, the band
+    // is pure order statistics — nothing float-accumulated anywhere.
+    "x_bootstrap" ->
+      s"""WITH bs AS (SELECT unnest(range(32)) AS b),
+         |reps AS (
+         |  SELECT source, n_chars,
+         |    (CAST(('0x' || substr(md5(doc_id || '|' || b), 1, 12))
+         |       AS BIGINT) + 0.5) / 281474976710656.0 AS u, b
+         |  FROM documents CROSS JOIN bs),
+         |wt AS (SELECT source, b, n_chars, ${GraftOps.poissonCase} AS w
+         |  FROM reps),
+         |means AS (
+         |  SELECT source, b,
+         |    CAST(sum(w * n_chars) AS BIGINT) / CAST(sum(w) AS BIGINT) AS m
+         |  FROM wt GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT source, b, m,
+         |    row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn
+         |  FROM means),
+         |est AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) / count(*) AS est
+         |  FROM documents GROUP BY 1)
+         |SELECT e.source, round(e.est, 6) AS est, round(l.m, 6) AS boot_lo,
+         |  round(h.m, 6) AS boot_hi
+         |FROM est e
+         |JOIN (SELECT source, m FROM ranked WHERE rn = 2) l USING (source)
+         |JOIN (SELECT source, m FROM ranked WHERE rn = 31) h USING (source)""".stripMargin,
+
     // Same md5 uniform, same inverse-CDF Laplace draw, same literal
     // constants — the release replays bit-for-bit (round-6 absorbs ln ulp).
     "x_dp_counts" ->

@@ -462,6 +462,41 @@ class CurateOpsSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("m*subDim")))
   }
 
+  test("bootstrapCi replays from a plain-Scala Poisson bootstrap") {
+    def md5hex12(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pois(u: Double): Long = {
+      val i = GraftOps.PoissonCum.indexWhere(u < _)
+      if (i < 0) 5L else i.toLong
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val means = (0 until 32).map { b =>
+        var (swx, sw) = (0L, 0L)
+        rows.foreach { case (_, id, x) =>
+          val u = (md5hex12(s"$id|$b") + 0.5) / 281474976710656.0
+          val w = pois(u); swx += w * x; sw += w
+        }
+        (swx.toDouble / sw.toDouble, b)
+      }.sorted
+      val est = rows.map(_._3).sum.toDouble / rows.length.toDouble
+      src -> ((r6(est), r6(means(1)._1), r6(means(30)._1)))
+    }
+    val got = ops.CurateQueries.queries("x_bootstrap")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    // the band brackets: lo <= hi by construction of the order statistics
+    got.values.foreach { case (_, lo, hi) => assert(lo <= hi) }
+  }
+
   test("x_dp_counts replays from a plain-Scala Laplace inverse-CDF") {
     def md5hex12(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
