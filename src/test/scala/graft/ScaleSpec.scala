@@ -374,6 +374,22 @@ class ScaleSpec extends SparkSpec {
     assert(hits.forall(_.getLong(2) >= 0L), "ADC distances are non-negative")
   }
 
+  test("bootstrapCi at 2M rows x 16 replicas brackets the true mean tightly") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // value = id % 1000 -> true mean 499.5, bootstrap SE ~ sd/sqrt(n) =
+    // 288.7/1414 ~ 0.2; the order-statistic band must bracket the truth
+    // within ~1 — the 32M exploded rows flow through map-side partial
+    // aggregation into a 16-row state per group
+    val rows = spark.range(0, 2000000L, 1, 32)
+      .select(lit("g").as("grp"), col("id"), (col("id") % 1000).as("x"))
+    val ci = GraftOps.bootstrapCi(rows, col("grp"), col("id"), col("x"),
+      reps = 16).collect().head
+    val (est, lo, hi) = (ci.getDouble(1), ci.getDouble(2), ci.getDouble(3))
+    assert(est === 499.5)
+    assert(lo <= 499.5 && 499.5 <= hi, s"band [$lo, $hi] misses the mean")
+    assert(hi - lo < 2.0, s"band [$lo, $hi] implausibly wide")
+  }
+
   test("dsir at 2M docs: bounded bin table, selection separates slices") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // target docs draw from one vocabulary, raw from a disjoint one ->
