@@ -993,6 +993,38 @@ object GraftOps {
         md5(concat_ws(" ", col("c"))).as("chunk_md5"))
   }
 
+  /** Sentence-aware chunking — the RAG-prep alternative to
+    * [[chunkDocs]]' fixed token windows: text splits at sentence
+    * boundaries ('. ' — the RE2-portable form, no lookbehind, so any
+    * SQL oracle can replay the split), and sentences pack greedily into
+    * `budget`-token chunks by cumulative offset: a sentence belongs to
+    * the chunk its FIRST token falls in (the chunk-atomic contiguous
+    * fill [[packChunks]] documents — a boundary-spanning sentence rides
+    * with its start, chunks may slightly overshoot). Shapes: one scan,
+    * one doc-partitioned cumulative window, one (doc, chunk) agg — no
+    * shuffle beyond doc_id at any corpus size. Output per chunk:
+    * sentence/token counts + an order-exact content md5.
+    */
+  def chunkSentences(df: DataFrame, key: Column, text: Column,
+                     budget: Int): DataFrame = {
+    require(budget > 0)
+    val sents = df
+      .select(key.as("doc_id"), posexplode(split(text, "\\. "))
+        .as(Seq("idx", "sent")))
+      .withColumn("nt", size(TextFns.tokens(col("sent"))).cast("long"))
+      .filter(col("nt") > 0)
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sents
+      .withColumn("cumb", coalesce(sum(col("nt")).over(before), lit(0L)))
+      .withColumn("chunk_id", floor(col("cumb") / lit(budget)).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_sents"), sum(col("nt")).as("n_tokens"),
+        md5(concat_ws(" | ", transform(
+          array_sort(collect_list(struct(col("idx"), col("sent")))),
+          x => x.getField("sent")))).as("chunk_md5"))
+  }
+
   /** Sequence packing — the step after [[chunkDocs]]: concatenate the
     * chunk stream in a deterministic shard-local order and cut it into
     * `budget`-token training sequences. Packing is chunk-atomic by start

@@ -37,6 +37,30 @@ object EtlQueries extends QueryPack {
       .option("sep", "\t").csv(out)
   }
 
+  /** JSON source round-trip: schema-applied line-JSON ingest — the
+    * interchange format half the upstream feeds arrive in. Reading with
+    * an explicit schema (never inference) is the 100-TB contract: an
+    * inferred schema costs a full pre-scan and can drift per batch.
+    */
+  def jsonRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("graft_json")
+    Tables.nation(s, d).write.mode("overwrite").json(out)
+    s.read
+      .schema(StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"))
+      .json(out)
+  }
+
+  /** ORC source round-trip: the second columnar format Spark ships
+    * natively — same pushdown/pruning machinery as parquet, so a lake
+    * that mixes both reads through one code path.
+    */
+  def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("graft_orc")
+    Tables.supplier(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+  }
+
   /** Bulk load: total-order write — range-partition by sampled key
     * quantiles (TotalOrderPartitioner's contract), sort within each
     * partition, write. Files hold disjoint, internally-sorted key ranges —
@@ -207,6 +231,8 @@ object EtlQueries extends QueryPack {
     "q_etl_tsv" -> tsvRoundTrip,
     "q_etl_bulkload" -> bulkLoad,
     "q_etl_compact" -> compact,
+    "q_etl_json" -> jsonRoundTrip,
+    "q_etl_orc" -> orcRoundTrip,
     "q_idx_lookup" -> idxLookup,
     "q_etl_copytable" -> copyTable,
     "q_etl_multi_sink" -> multiSink,
@@ -251,6 +277,10 @@ object EtlQueries extends QueryPack {
       "SELECT * FROM part",
     "q_etl_compact" ->
       "SELECT * FROM lineitem",
+    "q_etl_json" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_etl_orc" ->
+      "SELECT * FROM supplier",
     // The index is invisible in the result: the oracle is the DIRECT
     // predicate on the base table — a stale/lossy index fails the hash.
     "q_idx_lookup" ->

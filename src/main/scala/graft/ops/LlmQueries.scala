@@ -225,6 +225,13 @@ object LlmQueries extends QueryPack {
     GraftOps.chunkDocs(Tables.documents(s, d), col("doc_id"), col("text"),
       chunkSize = 64, stride = 48)
 
+  /** x_chunk_sent: sentence-boundary chunking into 64-token budgets —
+    * the RAG-prep companion to the fixed windows above.
+    */
+  def chunkSent(s: SparkSession, d: String): DataFrame =
+    GraftOps.chunkSentences(Tables.documents(s, d), col("doc_id"),
+      col("text"), budget = 64)
+
   /** x_pack: sequence packing — the 64/48 chunk stream concatenated
     * shard-locally (8 shards) and cut into 256-token training sequences.
     * Chunk-atomic contiguous fill; fill_frac ~1.0 except each shard's
@@ -615,6 +622,7 @@ object LlmQueries extends QueryPack {
     "x_decontam_embed" -> decontamEmbed,
     "x_dup_stats" -> dupStats,
     "x_chunk" -> chunk,
+    "x_chunk_sent" -> chunkSent,
     "x_pack" -> pack,
     "x_tfidf" -> tfidf,
     "x_pipeline" -> pipeline,
@@ -1008,6 +1016,31 @@ object LlmQueries extends QueryPack {
         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // Sentence split on the same RE2-portable '\. ' pattern, token
+    // counts via the tokens() definition, greedy chunk = floor(cum
+    // tokens BEFORE the sentence / budget), order-exact md5 per chunk.
+    "x_chunk_sent" ->
+      """WITH ss AS (
+        |  SELECT doc_id, string_split_regex(text, '\. ') AS sl
+        |  FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, i AS idx, sl[i] AS sent
+        |  FROM ss, unnest(generate_series(1, len(sl))) t(i)),
+        |st AS (
+        |  SELECT doc_id, idx, sent,
+        |    len([w for w in string_split_regex(lower(sent), '\s+') if w != '']) AS nt
+        |  FROM s0),
+        |f AS (SELECT * FROM st WHERE nt > 0),
+        |c AS (
+        |  SELECT doc_id, idx, sent, nt,
+        |    coalesce(sum(nt) OVER (PARTITION BY doc_id ORDER BY idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM f)
+        |SELECT doc_id, CAST(floor(cumb / 64) AS BIGINT) AS chunk_id,
+        |  count(*) AS n_sents, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(sent, ' | ' ORDER BY idx)) AS chunk_md5
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     "x_chunk" ->
       """WITH ws AS (
         |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w

@@ -1,5 +1,6 @@
 package graft
 
+import graft.api.GraftOps
 import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.functions._
 
@@ -168,6 +169,29 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getLong(2) === shared)
       assert(r.getInt(4) === (if (shared * 2 >= n) 1 else 0))
     }
+  }
+
+  test("chunkSentences: greedy packing, chunk-atomic overshoot, lossless tokens") {
+    import spark.implicits._
+    // budget 3: "a b"(2) and "c d e"(3) share chunk 0 (the 3-token
+    // sentence STARTS at offset 2 < 3, so it rides along — overshoot to
+    // 5), "f g" starts at offset 5 -> chunk 1
+    val docs = Seq((1L, "a b. c d e. f g")).toDF("doc_id", "text")
+    val got = GraftOps.chunkSentences(docs, col("doc_id"), col("text"),
+        budget = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((0L, 2L, 5L), (1L, 1L, 2L)))
+    // lossless on the fixture: chunk token totals equal the sentence-
+    // split recompute — no sentence lost or double-assigned
+    val fixture = Tables.documents(spark, sf)
+    val chunked = GraftOps.chunkSentences(fixture, col("doc_id"),
+        col("text"), budget = 64)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    val direct = fixture
+      .select(explode(split(col("text"), "\\. ")).as("sent"))
+      .select(size(graft.functions.TextFns.tokens(col("sent"))).as("nt"))
+      .filter(col("nt") > 0).agg(sum(col("nt"))).head.getLong(0)
+    assert(chunked === direct)
   }
 
   test("x_chunk: windows tile every token with the declared overlap") {
