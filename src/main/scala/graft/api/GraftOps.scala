@@ -2360,12 +2360,38 @@ object GraftOps {
     * unique tiebreaker.
     */
   def latestVersion(df: DataFrame, rowkey: Column, qualifier: Column,
-                    version: Column, tiebreak: Column): DataFrame = {
+                    version: Column, tiebreak: Column): DataFrame =
+    latestVersions(df, rowkey, qualifier, version, tiebreak, n = 1)
+
+  /** Scan#setMaxVersions(N): the newest `n` cells per (rowkey,
+    * qualifier) — [[latestVersion]] generalized. Same single shuffle +
+    * sorted window pass; HBase's VERSIONS => N retention read.
+    */
+  def latestVersions(df: DataFrame, rowkey: Column, qualifier: Column,
+                     version: Column, tiebreak: Column, n: Int): DataFrame = {
+    require(n >= 1)
     val w = Window.partitionBy(rowkey, qualifier)
       .orderBy(version.desc, tiebreak.desc)
     df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= n)
       .drop("rn")
+  }
+
+  /** Delete-marker (tombstone) masking — the HBase Delete read path: a
+    * tombstone (key, ts) masks every version of that key at or before
+    * ts; rows with no tombstone, or newer than theirs, survive. The
+    * tombstone table is key-sized (one max-ts marker per key after the
+    * rollup), so the mask is one left join + filter — at 100 TB the
+    * fact side shuffles once on its own key and the marker side is
+    * usually broadcast by AQE.
+    */
+  def maskTombstones(df: DataFrame, key: Column, ts: Column,
+                     tombstones: DataFrame): DataFrame = {
+    val t = tombstones.select(col("k").as("_tk"), col("tomb_ts"))
+      .groupBy(col("_tk")).agg(max(col("tomb_ts")).as("_tts"))
+    df.join(t, key === col("_tk"), "left")
+      .filter(col("_tts").isNull || ts > col("_tts"))
+      .drop("_tk", "_tts")
   }
 
   /** As-of join: for each right-side row, the latest left-side `ts` of the

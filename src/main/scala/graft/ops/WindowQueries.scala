@@ -240,7 +240,29 @@ object WindowQueries extends QueryPack {
           ntile(4).over(w).cast("long").as("quartile"))
     }),
 
-    "q_v1_latest" -> v1Latest
+    "q_v1_latest" -> v1Latest,
+
+    // maxVersions(3): the VERSIONS => N retention read.
+    "q_v_maxn" -> ((s, d) =>
+      GraftOps.latestVersions(Tables.events(s, d),
+        rowkey = col("user_id"), qualifier = col("event_type"),
+        version = col("ts"), tiebreak = col("event_id"), n = 3)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("value"), col("event_id"))),
+
+    // Delete-marker masking: every user_id % 11 == 0 carries a
+    // tombstone 7 days before their newest event — versions at or
+    // before it are masked, newer ones survive (the HBase Delete
+    // read path, not a plain anti join).
+    "q_tombstone" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tomb = ev.filter(pmod(col("user_id"), lit(11L)) === 0)
+        .select(col("user_id").as("k"),
+          (col("ts") - expr("INTERVAL 7 DAYS")).as("tomb_ts"))
+      GraftOps.maskTombstones(ev, col("user_id"), col("ts"), tomb)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+    })
   )
 
   val oracle = Map(
@@ -377,6 +399,19 @@ object WindowQueries extends QueryPack {
         |  SELECT user_id, event_type, ts, value, event_id,
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q_v_maxn" ->
+      """SELECT user_id, event_type, ts, value, event_id FROM (
+        |  SELECT user_id, event_type, ts, value, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q_tombstone" ->
+      """WITH tomb AS (
+        |  SELECT user_id, max(ts - INTERVAL 7 DAY) AS tts
+        |  FROM events WHERE user_id % 11 = 0 GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.ts, e.event_type
+        |FROM events e LEFT JOIN tomb t USING (user_id)
+        |WHERE t.tts IS NULL OR e.ts > t.tts""".stripMargin
   )
 }

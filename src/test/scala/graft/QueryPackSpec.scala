@@ -58,6 +58,24 @@ class QueryPackSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("maskTombstones: masks at-or-before the marker, keeps newer versions") {
+    import spark.implicits._
+    // key 1 tombstoned at ts=10: the ts=10 version is masked (HBase
+    // Delete covers the marker's own timestamp), ts=20 survives; key 2
+    // has no marker and keeps everything
+    val ev = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 10L))
+      .toDF("event_id", "k", "ts")
+    val tomb = Seq((1L, 10L)).toDF("k", "tomb_ts")
+    val kept = api.GraftOps.maskTombstones(ev, col("k"), col("ts"), tomb)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    // several markers per key: the NEWEST one governs
+    val multi = Seq((1L, 5L), (1L, 15L)).toDF("k", "tomb_ts")
+    val kept2 = api.GraftOps.maskTombstones(ev, col("k"), col("ts"), multi)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(2L, 3L))
+  }
+
   test("q_group_agg pins: row count equals distinct flag/status pairs") {
     val li = Tables.lineitem(spark, sf)
     val expected = li
