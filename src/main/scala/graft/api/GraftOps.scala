@@ -2186,6 +2186,45 @@ object GraftOps {
         round(col("lo"), 6).as("boot_lo"), round(col("hi"), 6).as("boot_hi"))
   }
 
+  /** Top principal direction by distributed power iteration — the
+    * "what axis dominates my embedding space" diagnostic (isotropy /
+    * mode-collapse checks) at any corpus size: v ← normalize(Σₓ x·(x·v)),
+    * starting from the all-ones vector (deterministic, oracle-replayable
+    * — a random init would flip signs between runs). Uncentered (the
+    * Gram matrix's top eigenvector, not covariance PCA) — center
+    * upstream when mean-removal matters; the iteration is identical.
+    *
+    * Scale shape per iteration: one broadcast of the 1-row direction,
+    * one map-side dot product (the codegen'd `dot_product`), one
+    * (dim)-sized partial-agg sum — the corpus never shuffles, state is
+    * `dim` doubles. The per-dimension sums are float accumulations over
+    * the corpus (order-dependent in the last bits) — outputs round at 6
+    * with ~8 orders of margin, the [[kmeansRefine]] discipline.
+    */
+  def topComponent(corpus: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && iters >= 1)
+    val emb = corpus
+      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("x"))
+      .persistOnce()
+    var v = emb.sparkSession.range(1)
+      .select(expr(s"transform(sequence(1, $dim), i -> 1.0D)").as("v"))
+    for (_ <- 1 to iters) {
+      val u = emb.crossJoin(broadcast(v))
+        .select(expr("dot_product(x, v)").as("d"),
+          posexplode(col("x")).as(Seq("pos", "c")))
+        .groupBy(col("pos")).agg(sum(col("c") * col("d")).as("s"))
+      v = u
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("u"))
+        .select(expr("transform(u, y -> y / sqrt(aggregate(" +
+          "transform(u, z -> z*z), 0D, (a, b) -> a + b)))").as("v"))
+        .localCheckpoint()
+    }
+    v.select(posexplode(col("v")).as(Seq("pos", "comp")))
+      .select(col("pos").cast("long").as("pos"),
+        round(col("comp"), 6).as("pc"))
+  }
+
   /** Per-group simple OLS fit (slope / intercept / R²) via the moment
     * aggregates — the distributed closed form: one partial+final
     * aggregation computes covar/var/avg per group, so a 100-TB regression

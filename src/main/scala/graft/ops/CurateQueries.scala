@@ -420,7 +420,15 @@ object CurateQueries extends QueryPack {
       col("doc_id"), col("n_chars"), reps = 32)
       .withColumnRenamed("grp", "source")
 
+  /** x_pca: top principal direction of the embedding corpus by two
+    * power-iteration rounds (uncentered Gram eigenvector) — the
+    * isotropy / dominant-axis diagnostic.
+    */
+  private def pca(s: SparkSession, d: String): DataFrame =
+    GraftOps.topComponent(Tables.embeddings(s, d), dim = 64, iters = 2)
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_pca" -> pca,
     "x_bootstrap" -> bootstrap,
     "x_dp_counts" -> dpCounts,
     "x_pq" -> pq,
@@ -484,6 +492,37 @@ object CurateQueries extends QueryPack {
        |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1)""".stripMargin
 
   val oracle = Map(
+    // Two unrolled power-iteration rounds: iter-1's direction is the
+    // all-ones vector, so its dot product IS list_sum(x); per-dimension
+    // sums replay the engine's float accumulation within round-6 margin
+    // (the x_kmeans discipline).
+    "x_pca" ->
+      """WITH emb AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        |  FROM embeddings),
+        |u1 AS (
+        |  SELECT i, sum(x[i] * d) AS s
+        |  FROM (SELECT x, list_sum(x) AS d FROM emb),
+        |    unnest(generate_series(1, 64)) t(i)
+        |  GROUP BY i),
+        |vv1 AS (
+        |  SELECT list_transform(l,
+        |    y -> y / sqrt(list_sum(list_transform(l, z -> z*z)))) AS v1
+        |  FROM (SELECT list(s ORDER BY i) AS l FROM u1)),
+        |d2 AS (
+        |  SELECT e.x,
+        |    list_sum(list_transform(range(64),
+        |      i -> e.x[i+1] * vv1.v1[i+1])) AS d
+        |  FROM emb e CROSS JOIN vv1),
+        |u2 AS (
+        |  SELECT i, sum(x[i] * d) AS s
+        |  FROM d2, unnest(generate_series(1, 64)) t(i)
+        |  GROUP BY i),
+        |vv2 AS (SELECT list(s ORDER BY i) AS l FROM u2)
+        |SELECT CAST(i - 1 AS BIGINT) AS pos,
+        |  round(l[i] / sqrt(list_sum(list_transform(l, z -> z*z))), 6) AS pc
+        |FROM vv2, unnest(generate_series(1, 64)) t(i)""".stripMargin,
+
     // The Poisson weights replay from the SAME printed threshold
     // literals the engine compiled (GraftOps.PoissonCum interpolated
     // into both sides); replica means are exact-int divisions, the band

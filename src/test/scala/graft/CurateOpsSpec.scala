@@ -462,6 +462,26 @@ class CurateOpsSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("m*subDim")))
   }
 
+  test("topComponent: hand-computed power iteration on a diagonal Gram matrix") {
+    import spark.implicits._
+    // vectors (3,0) and (0,1): Gram = diag(9,1); from all-ones the
+    // iteration tilts to the dominant axis — u1=(9,1), u2=(81,1)/sqrt82
+    val emb = Seq((0L, Seq(3.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n2 = math.sqrt(81.0 * 81.0 + 1.0)
+    val expected = Map(0L -> r6(81.0 / n2), 1L -> r6(1.0 / n2))
+    val got = GraftOps.topComponent(emb, dim = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+    // the returned direction is unit-norm (within rounding)
+    val fix = GraftOps.topComponent(Tables.embeddings(spark, sf),
+      dim = 64, iters = 2).collect().map(_.getDouble(1))
+    val norm = fix.map(c => c * c).sum
+    assert(math.abs(norm - 1.0) < 1e-4, s"norm^2 = $norm")
+  }
+
   test("bootstrapCi replays from a plain-Scala Poisson bootstrap") {
     def md5hex12(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
