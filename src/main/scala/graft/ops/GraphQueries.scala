@@ -75,7 +75,33 @@ object GraphQueries extends QueryPack {
     // it. The fixpoint is connected components (x_dedup_cluster's
     // pointer-jumping path); the bounded form is exactly replayable.
     "q_label_prop" -> ((s, d) =>
-      GraftOps.labelPropagate(tradeEdges(s, d), rounds = 3))
+      GraftOps.labelPropagate(tradeEdges(s, d), rounds = 3)),
+
+    // Node similarity by common neighbors (link prediction): supplier
+    // pairs scored by exact Jaccard over their customer sets —
+    // |N(a)∩N(b)| counted via the customer-anchored basket expansion
+    // (never a supplier×supplier join), |N(a)∪N(b)| from the degree
+    // table by inclusion-exclusion, similarity as an exact ppm integer.
+    "q_common_nbrs" -> ((s, d) => {
+      val e = GraftOps.cacheOnce(Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("v"))
+        .distinct())
+      val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val common = e.groupBy(col("c"))
+        .agg(sort_array(collect_set(col("v"))).as("items"))
+        .select(col("items"), posexplode(col("items")).as(Seq("i", "sa")))
+        .select(col("sa"),
+          explode(expr("slice(items, i + 2, size(items) - i - 1)")).as("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 5)
+      common
+        .join(deg.select(col("v").as("sa"), col("deg").as("da")), "sa")
+        .join(deg.select(col("v").as("sb"), col("deg").as("db")), "sb")
+        .select(col("sa"), col("sb"), col("common"),
+          expr("common * 1000000 div (da + db - common)").as("jac_ppm"))
+    })
   )
 
   /** Supplier pairs co-occurring in ≥ MinSupport distinct orders,
@@ -252,6 +278,24 @@ object GraphQueries extends QueryPack {
         |  FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1),
         |l3 AS (SELECT l.node, least(l.lab, coalesce(n.nlab, l.lab)) AS lab
         |  FROM l2 l LEFT JOIN n3 n ON l.node = n.node)
-        |SELECT node, lab FROM l3""".stripMargin
+        |SELECT node, lab FROM l3""".stripMargin,
+
+    // Exact-integer Jaccard replay: common via the id-ordered pair
+    // count, union by inclusion-exclusion, ppm by integer floor div.
+    "q_common_nbrs" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |deg AS (SELECT v, count(*) AS d FROM e GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.v AS sa, b.v AS sb, count(*) AS common
+        |  FROM e a JOIN e b ON a.c = b.c AND a.v < b.v
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT sa, sb, common,
+        |  CAST(common * 1000000 // (da.d + db.d - common) AS BIGINT)
+        |    AS jac_ppm
+        |FROM pairs
+        |JOIN deg da ON sa = da.v
+        |JOIN deg db ON sb = db.v""".stripMargin
   )
 }
