@@ -2156,31 +2156,51 @@ object GraftOps {
     * state is groups × reps rows, never a copy of the data.
     *
     * `value` must be integral (cast to long) — that is what keeps every
-    * replica sum exact. An all-zero-weight replica (P ≈ e^−n) yields a
-    * NULL mean and drops from the ranking; at any real group size this
-    * is unreachable.
+    * replica sum exact. An all-zero-weight replica (probability e^−n per
+    * replica, so COMMON for 1-3-row groups) is filtered out BEFORE its
+    * mean is computed — under ANSI mode its 0/0 is a runtime error, and
+    * engines that return NULL/NaN instead rank it differently (Spark
+    * NULLs first, SQL engines last), so the filter is both a crash
+    * guard and a parity guard. A group keeps its (degenerate) band as
+    * long as ≥2 replicas carried weight; below that it drops from the
+    * output — a bootstrap band on such a group is meaningless anyway.
     */
   def bootstrapCi(df: DataFrame, group: Column, key: Column, value: Column,
                   reps: Int = 32): DataFrame = {
     require(reps >= 4)
+    // read twice (replica expansion + point estimate) — persist once
     val base = df.select(group.as("grp"), key.as("k"),
-      value.cast("long").as("x"))
+      value.cast("long").as("x")).persistOnce()
     val repRows = base.select(col("grp"), col("k"), col("x"),
         explode(expr(s"sequence(0, ${reps - 1})")).as("b"))
       .withColumn("u",
         (conv(substring(md5(concat_ws("|", col("k"), col("b"))), 1, 12),
           16, 10).cast("long").cast("double") + 0.5) / lit(281474976710656.0))
       .withColumn("w", expr(poissonCase))
+    // filter BEFORE dividing: under ANSI mode a zero-weight replica's
+    // 0/0 is a runtime error, not a NULL
     val means = repRows.groupBy(col("grp"), col("b"))
-      .agg((sum(col("w") * col("x")) / sum(col("w"))).as("m"))
-    val rw = Window.partitionBy(col("grp")).orderBy(col("m"), col("b"))
-    val ranked = means.withColumn("rn", row_number().over(rw))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("grp"), col("b"), (col("swx") / col("sw")).as("m"))
+    // hi = 2nd-from-the-TOP (not asc rank reps−1): for a full replica
+    // set the two are the same element (the desc ordering fully
+    // reverses the asc one, tiebreak included), but a small group whose
+    // zero-weight replicas were filtered still gets a band instead of
+    // silently failing the asc-rank-(reps−1) lookup
+    val rwAsc = Window.partitionBy(col("grp"))
+      .orderBy(col("m").asc, col("b").asc)
+    val rwDesc = Window.partitionBy(col("grp"))
+      .orderBy(col("m").desc, col("b").desc)
+    val ranked = means
+      .withColumn("rlo", row_number().over(rwAsc))
+      .withColumn("rhi", row_number().over(rwDesc))
     val est = base.groupBy(col("grp"))
       .agg((sum(col("x")) / count(lit(1))).as("est"))
     est
-      .join(ranked.filter(col("rn") === 2)
+      .join(ranked.filter(col("rlo") === 2)
         .select(col("grp"), col("m").as("lo")), "grp")
-      .join(ranked.filter(col("rn") === reps - 1)
+      .join(ranked.filter(col("rhi") === 2)
         .select(col("grp"), col("m").as("hi")), "grp")
       .select(col("grp"), round(col("est"), 6).as("est"),
         round(col("lo"), 6).as("boot_lo"), round(col("hi"), 6).as("boot_hi"))
@@ -2204,7 +2224,7 @@ object GraftOps {
   def topComponent(corpus: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(dim > 0 && iters >= 1)
     val emb = corpus
-      .select(col("vec_id"), VectorFns.toDoubles(col("embedding")).as("x"))
+      .select(VectorFns.toDoubles(col("embedding")).as("x"))
       .persistOnce()
     var v = emb.sparkSession.range(1)
       .select(expr(s"transform(sequence(1, $dim), i -> 1.0D)").as("v"))
@@ -2425,9 +2445,11 @@ object GraftOps {
     * usually broadcast by AQE.
     */
   def maskTombstones(df: DataFrame, key: Column, ts: Column,
-                     tombstones: DataFrame): DataFrame = {
-    val t = tombstones.select(col("k").as("_tk"), col("tomb_ts"))
-      .groupBy(col("_tk")).agg(max(col("tomb_ts")).as("_tts"))
+                     tombstones: DataFrame,
+                     tombKey: Column = col("k"),
+                     tombTs: Column = col("tomb_ts")): DataFrame = {
+    val t = tombstones.select(tombKey.as("_tk"), tombTs.as("_ts"))
+      .groupBy(col("_tk")).agg(max(col("_ts")).as("_tts"))
     df.join(t, key === col("_tk"), "left")
       .filter(col("_tts").isNull || ts > col("_tts"))
       .drop("_tk", "_tts")

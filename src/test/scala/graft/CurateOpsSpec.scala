@@ -482,6 +482,19 @@ class CurateOpsSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-4, s"norm^2 = $norm")
   }
 
+  test("bootstrapCi: 1-row groups get a degenerate band, never NULL bounds") {
+    import spark.implicits._
+    // ~37% of a 1-row group's replicas draw weight 0 -> NULL means; the
+    // survivors' means all equal the single value, so the band must be
+    // exactly [v, v] (NULLs filtered, ranks from the non-null set only)
+    val one = Seq(("g", 1L, 42L)).toDF("grp", "id", "x")
+    val ci = GraftOps.bootstrapCi(one, col("grp"), col("id"), col("x"),
+      reps = 32).collect()
+    assert(ci.length === 1)
+    assert(ci.head.getDouble(1) === 42.0)
+    assert(ci.head.getDouble(2) === 42.0 && ci.head.getDouble(3) === 42.0)
+  }
+
   test("bootstrapCi replays from a plain-Scala Poisson bootstrap") {
     def md5hex12(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
