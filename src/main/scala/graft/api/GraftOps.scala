@@ -2305,23 +2305,40 @@ object GraftOps {
     val names = df.select(key.as("id"), text.as("s"))
       .filter(length(col("s")) >= (k + 1) * q)
       .persistOnce()
+    // Occurrence index computed LOCALLY inside the gram array (a repeated
+    // gram's i-th copy gets occ = i): O(L²) codegen'd comparisons per
+    // string replace a 900k-row Window.partitionBy(id, gram) shuffle+sort.
+    // The earlier window form cost two full sorts (it fed both the
+    // frequency table and the prefix join, unpersisted) — measured at
+    // sf0.1 the local form takes the whole operator 4.1s → ~2s warm.
     val grams = names.select(col("id"), length(col("s")).as("len"),
-        explode(expr(s"transform(sequence(1, length(s) - $q + 1), " +
-          s"i -> substring(s, i, $q))")).as("gram"))
-      // occurrence index over IDENTICAL (id, gram) rows — any order works.
-      // Deliberately NOT persisted although read twice (frequency table +
-      // prefix join): measured at sf0.1, caching the 900k-row window
-      // output costs more than the codegen'd recompute (21.6s vs 12.3s
-      // cold, 5.6s vs 4.1s warm).
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("id"), col("gram")).orderBy(col("gram"))))
+        expr(s"transform(sequence(1, length(s) - $q + 1), " +
+          s"i -> substring(s, i, $q))").as("ga"))
+      .select(col("id"), col("len"), explode(expr(
+        "transform(ga, (g, i) -> struct(g AS gram, " +
+          "size(filter(slice(ga, 1, i), x -> x = g)) + 1 AS occ))")).as("go"))
+      .select(col("id"), col("len"),
+        col("go.gram").as("gram"), col("go.occ").as("occ"))
+      // cheap to persist now that no window rides on it (the earlier
+      // window form measured anti-productive to cache); one ~30-byte-row
+      // materialization feeds both the frequency table and the prefix join
+      .persistOnce()
     val freq = grams.groupBy(col("gram"), col("occ"))
       .agg(count(lit(1)).as("gf"))
+    // Per-id prefix (the k·q+1 globally-rarest grams): a groupBy with a
+    // local array_sort + slice over the ~L-element gram list, not a
+    // Window.partitionBy(id) — the sort is per-array (L log L), never a
+    // partition-wide sort, and the shuffle carries each gram row once.
+    // freq is an equi-join side (AQE broadcasts it at fixture scale; at
+    // corpus scale the q-gram vocabulary grows past broadcast range and
+    // the shuffle-hash join is the right plan — no forced hint).
     val pref = grams.join(freq, Seq("gram", "occ"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
-        .orderBy(col("gf"), col("gram"), col("occ"))))
-      .filter(col("rk") <= k * q + 1)
-      .select(col("id"), col("len"), col("gram"), col("occ"))
+      .groupBy(col("id"), col("len"))
+      .agg(slice(array_sort(collect_list(
+        struct(col("gf"), col("gram"), col("occ")))), 1, k * q + 1).as("top"))
+      .select(col("id"), col("len"), explode(col("top")).as("t"))
+      .select(col("id"), col("len"),
+        col("t.gram").as("gram"), col("t.occ").as("occ"))
     val cand = pref.as("fa").join(pref.as("fb"),
         col("fa.gram") === col("fb.gram") && col("fa.occ") === col("fb.occ")
           && col("fa.id") < col("fb.id")
@@ -2333,9 +2350,14 @@ object GraftOps {
       .join(names.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       // computed ONCE then filtered: Filter and Project are separate
       // physical operators, so a filter-side levenshtein would re-run
-      // the O(|a|·|b|) DP for every surviving pair
-      .withColumn("edit_dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("edit_dist") <= k)
+      // the DP for every surviving pair. The THRESHOLD form (Spark 3.5+)
+      // runs the banded O(|s|·k) DP and returns -1 past the band instead
+      // of filling the full O(|a|·|b|) table — candidates outnumber true
+      // pairs ~100:1 here, so the reject path is the hot path (measured
+      // ~1.4s → ~0.3s for the verify stage at sf0.1).
+      .withColumn("edit_dist",
+        levenshtein(col("s_a"), col("s_b"), k).cast("long"))
+      .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
@@ -3022,5 +3044,111 @@ object GraftOps {
         .localCheckpoint()
     }
     lab
+  }
+
+  /** Bounded multi-source BFS hop distances over a SYMMETRIZED, DISTINCT
+    * edge table: every node in `sources` starts at distance 0, and each
+    * round every node adopts `min(own, min(neighbor) + 1)`. After r
+    * rounds the table holds exact hop distances for every node within r
+    * hops of a source (unreached nodes are absent — no sentinel row).
+    * The fixpoint is single/multi-source shortest hop count; the bounded
+    * form keeps every round replayable in an unrolled SQL oracle (the
+    * [[pageRank]] discipline).
+    *
+    * Scale shape per round: one edge ⋈ frontier equi-join whose dst-side
+    * min-aggregation partial-combines map-side (shuffle is node-sized),
+    * then a node-sized outer merge. Only rows whose distance CHANGED last
+    * round propagate (`frontier`), so a round's join touches the edges of
+    * the expanding wavefront, not the whole reached set — on a 100-TB
+    * graph the late rounds stay frontier-sized instead of rescanning
+    * every settled node. Distance tables are `localCheckpoint`ed per
+    * round ([[labelPropagate]] lesson: each feeds two consumers).
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persistOnce()
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val reach = e.join(frontier, e("src") === frontier("node"))
+        .groupBy(col("dst")).agg((min(col("dist")) + 1).as("nd"))
+      val merged = dist.join(reach, dist("node") === reach("dst"), "full")
+        .select(coalesce(dist("node"), reach("dst")).as("node"),
+          least(col("dist"), col("nd")).as("newdist"), col("dist"))
+        .localCheckpoint()
+      frontier = merged.filter(col("dist").isNull || col("newdist") < col("dist"))
+        .select(col("node"), col("newdist").as("dist"))
+      dist = merged.select(col("node"), col("newdist").as("dist"))
+    }
+    dist
+  }
+
+  /** Bloom-filter-pruned semi-join — the runtime-filter pattern for the
+    * "fact ⋈ dim where the dim KEY SET is too big to broadcast raw but a
+    * few megabits summarize it" regime. Classic two-phase plan:
+    *
+    *  1. BUILD: each dim key sets `numHashes` bits (xxhash64 seeded by
+    *     the probe index) in a `numBits`-wide bitmap. The bitmap is built
+    *     distributively — per-word `bit_or` aggregation with map-side
+    *     partial combine, so the shuffle is ≤ numBits/64 words no matter
+    *     how many dim keys stream in — then packed into ONE map row and
+    *     broadcast.
+    *  2. PROBE: the fact side tests all `numHashes` bits with a local
+    *     `forall` against the broadcast bitmap — zero shuffle, zero
+    *     fact-side expansion; a miss on ANY bit proves the key absent.
+    *  3. VERIFY: survivors (true matches + Bloom false positives) run the
+    *     EXACT semi-join, so the result is precisely `fact ⋉ dim` — the
+    *     filter only shrinks the exact join's probe side (at ~1% fpp the
+    *     shuffle carries the matching fraction instead of the full fact).
+    *
+    * Spark's AQE injects this same pattern automatically in narrow cases
+    * (runtime bloom on shuffle joins); the explicit form works
+    * mid-pipeline — under caches, checkpoints, or iterative plans where
+    * the optimizer cannot see through — and sizes the filter from domain
+    * knowledge. Sizing: fpp ≈ (1 - e^(-kn/m))^k; the default 2^20 bits /
+    * 5 hashes holds ~100k keys at ~1% fpp. numBits must be a power of two
+    * (bit positions come from a mask, not a modulo).
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: Column, dim: DataFrame,
+                    dimKey: Column, numBits: Int = 1 << 20,
+                    numHashes: Int = 5): DataFrame = {
+    require(numBits >= 128 && (numBits & (numBits - 1)) == 0,
+      "numBits must be a power of two >= 128")
+    require(numHashes >= 1 && numHashes <= 16)
+    val mask = numBits - 1
+    val numWords = numBits / 64
+    val keys = dim.select(dimKey.as("k")).persistOnce()
+    // (hash & mask) is non-negative for a positive mask regardless of the
+    // hash sign — two's complement AND, no pmod needed. The bitmap packs
+    // into a DENSE array (one long per 64-bit word, zero-filled words
+    // union'd in so every index exists): array element_at is O(1) indexed
+    // access, where a MAP bitmap's element_at linear-scans the entries on
+    // EVERY probe — measured 82s vs sub-second for the probe pass at
+    // sf0.1 with a 16k-word map.
+    val zeroWords = dim.sparkSession.range(numWords)
+      .select(col("id").as("wi"), lit(0L).as("word"))
+    val bloom = keys
+      .select(explode(expr(s"transform(sequence(0, ${numHashes - 1}), " +
+        s"s -> xxhash64(k, s) & $mask)")).as("pos"))
+      .select(expr("pos div 64").as("wi"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("word"))
+      .unionAll(zeroWords)
+      .groupBy(col("wi")).agg(expr("bit_or(word)").as("word"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(wi, word))), " +
+        "x -> x.word)").as("bf"))
+    val factKeyed = fact.withColumn("__bk", factKey)
+    val pruned = factKeyed.crossJoin(broadcast(bloom))
+      .filter(expr(s"forall(transform(sequence(0, ${numHashes - 1}), " +
+        s"s -> xxhash64(__bk, s) & $mask), " +
+        "p -> (element_at(bf, CAST(p div 64 AS INT) + 1) & " +
+        "shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
+      .drop("bf")
+    pruned.join(keys, pruned("__bk") === keys("k"), "left_semi")
+      .drop("__bk")
   }
 }

@@ -29,13 +29,19 @@ object GraphQueries extends QueryPack {
     * for the derivation at sf0.1).
     */
   private def tradePairs(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+    // cacheOnce is idempotent by logical-plan equality, so the five graph
+    // queries sharing this derivation (pagerank/hits/kcore/label_prop via
+    // tradeEdges, plus the directed q_hits form) materialize the
+    // join+distinct ONCE per resident session — the derivation measured
+    // ~2.5s at sf0.1, the dominant cost of every graph query paying it
+    // separately.
+    GraftOps.cacheOnce(Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey"))
       .distinct()
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
+        concat(lit("s"), col("l_suppkey").cast("string")).as("supp")))
 
   /** Symmetrized (bidirectional) form of [[tradePairs]] for PageRank. */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
@@ -76,6 +82,18 @@ object GraphQueries extends QueryPack {
     // pointer-jumping path); the bounded form is exactly replayable.
     "q_label_prop" -> ((s, d) =>
       GraftOps.labelPropagate(tradeEdges(s, d), rounds = 3)),
+
+    // Bounded multi-round BFS hop distances from supplier node s1 over
+    // the symmetrized trade graph ([[GraftOps.bfsDistances]], 3 rounds):
+    // round 1 reaches s1's customers, round 2 every supplier sharing one
+    // of them, round 3 the bulk of the customer side — a nontrivial
+    // distance spectrum whose oracle unrolls each round as a min-merge
+    // CTE (the q_pagerank discipline).
+    "q_bfs" -> ((s, d) =>
+      GraftOps.bfsDistances(tradeEdges(s, d),
+        tradeEdges(s, d).select(col("src").as("node"))
+          .filter(col("node") === "s1"),
+        rounds = 3)),
 
     // Node similarity by common neighbors (link prediction): supplier
     // pairs scored by exact Jaccard over their customer sets —
@@ -296,6 +314,37 @@ object GraphQueries extends QueryPack {
         |    AS jac_ppm
         |FROM pairs
         |JOIN deg da ON sa = da.v
-        |JOIN deg db ON sb = db.v""".stripMargin
+        |JOIN deg db ON sb = db.v""".stripMargin,
+
+    // Three unrolled BFS rounds: each d_r is the min-merge of d_{r-1}
+    // with every neighbor's d_{r-1}+1 — identical to the engine's
+    // frontier form round-by-round (distances only decrease, so a
+    // settled node re-propagating adds nothing).
+    "q_bfs" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT cust AS src, supp AS dst FROM e0
+        |  UNION ALL
+        |  SELECT supp AS src, cust AS dst FROM e0),
+        |d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + 1 FROM edges e JOIN d0 d ON e.src = d.node)
+        |  GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + 1 FROM edges e JOIN d1 d ON e.src = d.node)
+        |  GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + 1 FROM edges e JOIN d2 d ON e.src = d.node)
+        |  GROUP BY 1)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin
   )
 }

@@ -167,6 +167,22 @@ object JoinQueries extends QueryPack {
     // never reaches the output: the post-join aggregate re-merges on the
     // real key, and partial aggregation makes that second shuffle
     // key-sized.
+    // Runtime-filter semi-join: a distributed Bloom bitmap built from the
+    // urgent-order key set prunes lineitem BEFORE the exact semi-join
+    // ([[GraftOps.bloomSemiJoin]]) — the "dim key set too big to
+    // broadcast raw, bitmap fits anywhere" regime. The oracle is the
+    // plain IN-subquery: a single false NEGATIVE (a true match the
+    // bitmap drops) fails the hash, so the gate proves the filter only
+    // ever over-approximates.
+    "q_join_bloom" -> ((s, d) =>
+      GraftOps.bloomSemiJoin(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        col("l_orderkey"),
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_orderkey"))),
+
     "q_join_salted" -> ((s, d) => {
       val SaltBuckets = 8
       val dim = Tables.supplier(s, d)
@@ -260,6 +276,12 @@ object JoinQueries extends QueryPack {
         |     AND c.ts <= p.ts) AS asof_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_bloom" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
 
     // The salt must be invisible in the result: the oracle is the PLAIN
     // join + aggregate. Any salt leakage (missed bucket, wrong modulo,

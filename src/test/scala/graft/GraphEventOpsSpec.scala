@@ -39,6 +39,39 @@ class GraphEventOpsSpec extends SparkSpec {
     assert(m.values.sum <= 5 * M0)
   }
 
+  test("bfsDistances: exact hop counts on a path graph; bounded horizon") {
+    import spark.implicits._
+    // path a-b-c-d-e plus isolated pair f-g (symmetrized)
+    val und = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "f" -> "g")
+    val edges = und.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .toDF("src", "dst")
+    val src = Seq("a").toDF("node")
+    val d2 = GraftOps.bfsDistances(edges, src, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // horizon bound: only nodes within 2 hops appear
+    assert(d2 === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    val d4 = GraftOps.bfsDistances(edges, src, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d4 === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L, "e" -> 4L))
+    // the f-g component is unreachable at any horizon: no sentinel rows
+    assert(!d4.contains("f") && !d4.contains("g"))
+  }
+
+  test("bfsDistances: multi-source takes the nearest source; cycles settle") {
+    import spark.implicits._
+    // 6-cycle with sources at opposite corners: max distance is 1 hop
+    // from the nearer source, and the min-merge never loops mass around
+    val n = Array("a", "b", "c", "d", "e", "f")
+    val edges = (0 until 6).flatMap { i =>
+      val (x, y) = (n(i), n((i + 1) % 6)); Seq(x -> y, y -> x)
+    }.toDF("src", "dst")
+    val src = Seq("a", "d").toDF("node")
+    val got = GraftOps.bfsDistances(edges, src, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "c" -> 1L,
+      "e" -> 1L, "f" -> 1L))
+  }
+
   test("q_sessionize: sessions partition each user's events at >30min gaps") {
     val gapUs = 30L * 60L * 1000000L
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
