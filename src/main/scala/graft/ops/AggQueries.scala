@@ -161,6 +161,36 @@ object AggQueries extends QueryPack {
         .groupBy(col("o_orderpriority"))
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))),
 
+    // Mergeable-sketch distinct (Datasketches HLL): sketches built over
+    // two DISJOINT slices, stored as binary, union-merged, estimated —
+    // the incremental-distinct architecture (per-day sketches re-merged
+    // into rolling windows without touching raw data). The gate is
+    // STRONG despite the approximation: the output carries the exact
+    // per-group distinct (plain count-distinct, DuckDB-replayable) plus
+    // `merge_accurate` = (merged-slices estimate within 5% of exact).
+    // The sketch is hash-based and order-invariant, so the boolean is
+    // deterministic — at lgK=12 the relative error is ~0.8%, 5% is a
+    // >6-sigma bound; a broken merge path (lost slice, double union)
+    // lands far outside it and fails the hash. (Exact equality against
+    // the direct whole-table sketch does NOT hold — the union gadget's
+    // internal HLL type differs from a direct build.)
+    "q_distinct_sketch" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_custkey"), col("o_orderkey"))
+      def slice(rem: Int) = o.filter(col("o_orderkey") % 2 === rem)
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = slice(0).unionAll(slice(1))
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("n_exact"))
+      merged.join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_exact"),
+          (abs(col("est_merged") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("merge_accurate"))
+    }),
+
     // AggregationClient coprocessor surface: sum/min/max/avg/std per group
     // in one partial+final pass.
     "q_agg_coproc" -> ((s, d) =>
@@ -274,6 +304,13 @@ object AggQueries extends QueryPack {
       """SELECT l_returnflag AS k, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_value
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // The sketch estimates never reach the output — only the exact
+    // distinct and the split-invariance boolean, both engine-agnostic.
+    "q_distinct_sketch" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_exact,
+        |  true AS merge_accurate
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_agg_coproc" ->
       """SELECT l_returnflag,
         |  round(sum(l_quantity), 2) AS sum_qty,

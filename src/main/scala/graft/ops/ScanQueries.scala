@@ -17,7 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object ScanQueries extends QueryPack {
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    // Hive-style partition pruning: the table is laid out as one
+    // directory per o_orderpriority, and an equality predicate on the
+    // partition column prunes at the DIRECTORY listing — zero I/O for
+    // non-matching partitions, before row-group stats even load
+    // (`PartitionFilters` in explain, pinned in PlanSpec). At 100 TB
+    // this is the difference between a metadata operation and a scan:
+    // date/source/tenant partitioning makes selective reads O(selected
+    // partitions), and the pruning composes with the row-group pushdown
+    // q_scan_range pins.
+    "q_scan_partition" -> ((s, d) => {
+      val out = tmp("graft_part")
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+    }),
+
+
     // Full table scan: every row, every column (one split per file).
     "q_scan_full" -> ((s, d) =>
       Tables.part(s, d)),
@@ -57,6 +80,9 @@ object ScanQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_scan_partition" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_scan_full" ->
       "SELECT * FROM part ORDER BY p_partkey",
     "q_scan_range" ->

@@ -465,6 +465,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "per-group top-k rides a rank window")
   }
 
+  test("q_scan_partition prunes at the directory level (PartitionFilters)") {
+    val df = SparkEntry.queries("q_scan_partition")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderpriority"),
+      s"partition predicate not pruning directories: $pf")
+  }
+
+  test("q_join_bloom: bitmap probe adds no shuffle; exact join still runs") {
+    val p = planOf(SparkEntry.queries("q_join_bloom")(spark, sf))
+    // the one-row bitmap rides a broadcast nested loop (bounded by
+    // construction — a single row); the fact side must not CartesianProduct
+    // and the verify semi-join must be a hash join, not nested-loop on keys
+    assert(!p.contains("CartesianProduct"), "unbounded cartesian in bloom probe")
+    assert(p.contains("LeftSemi"), "exact verify semi-join missing")
+  }
+
+  test("q_bfs: every round is equi-join + hash agg, no cartesian") {
+    val p = planOf(SparkEntry.queries("q_bfs")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF
