@@ -3065,9 +3065,29 @@ object GraftOps {
     * round ([[labelPropagate]] lesson: each feeds two consumers).
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame,
-                   rounds: Int): DataFrame = {
+                   rounds: Int): DataFrame =
+    ssspDistances(edges.select(col("src"), col("dst"), lit(1L).as("w")),
+      sources, rounds)
+
+  /** Bounded Bellman–Ford single/multi-source shortest paths over a
+    * weighted edge table (`src`, `dst`, integer `w` ≥ 0): [[bfsDistances]]
+    * generalized from hop counts to weighted distance — each round every
+    * node adopts `min(own, min over in-edges (neighbor + w))`. After r
+    * rounds the table holds the exact shortest distance among paths of
+    * ≤ r edges; the fixpoint (r = |V|−1) is true SSSP, and the bounded
+    * form keeps each round replayable in an unrolled SQL oracle.
+    *
+    * Same frontier discipline as BFS — only rows whose distance IMPROVED
+    * last round propagate, which is exactly the classic Bellman–Ford
+    * queue optimization: an unchanged node's relaxations were all
+    * delivered in the round it last improved, so re-propagating it adds
+    * nothing. Integer weights keep min-merge deterministic (no float
+    * summation-order ties).
+    */
+  def ssspDistances(edges: DataFrame, sources: DataFrame,
+                    rounds: Int): DataFrame = {
     require(rounds >= 1)
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .repartition(col("src")).persistOnce()
     var dist = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
@@ -3075,7 +3095,7 @@ object GraftOps {
     var frontier = dist
     for (_ <- 1 to rounds) {
       val reach = e.join(frontier, e("src") === frontier("node"))
-        .groupBy(col("dst")).agg((min(col("dist")) + 1).as("nd"))
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
       val merged = dist.join(reach, dist("node") === reach("dst"), "full")
         .select(coalesce(dist("node"), reach("dst")).as("node"),
           least(col("dist"), col("nd")).as("newdist"), col("dist"))

@@ -95,6 +95,28 @@ object GraphQueries extends QueryPack {
           .filter(col("node") === "s1"),
         rounds = 3)),
 
+    // Weighted shortest paths (bounded Bellman–Ford, 3 rounds) from s1:
+    // edge cost 1 + 100 div n_trades, so high-volume relationships are
+    // cheap to traverse — "how commercially close is every entity to
+    // supplier 1". Exact integer weights keep every round's min-merge
+    // bit-replayable in the unrolled oracle.
+    "q_sssp" -> ((s, d) => {
+      val wp = GraftOps.cacheOnce(Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"), col("o_orderkey"))
+        .distinct()
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("nt"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("supp"),
+          expr("1 + 100 div nt").as("w")))
+      val edges = wp.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionAll(wp.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+      GraftOps.ssspDistances(edges,
+        edges.select(col("src").as("node")).filter(col("node") === "s1"),
+        rounds = 3)
+    }),
+
     // Node similarity by common neighbors (link prediction): supplier
     // pairs scored by exact Jaccard over their customer sets —
     // |N(a)∩N(b)| counted via the customer-anchored basket expansion
@@ -344,6 +366,38 @@ object GraphQueries extends QueryPack {
         |  SELECT node, dist FROM d2
         |  UNION ALL
         |  SELECT e.dst, d.dist + 1 FROM edges e JOIN d2 d ON e.src = d.node)
+        |  GROUP BY 1)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin,
+
+    // Three unrolled Bellman–Ford rounds over the volume-weighted trade
+    // graph — min-merge of d_{r-1} with neighbor + w, integer weights.
+    "q_sssp" ->
+      """WITH wp AS (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS supp,
+        |    1 + 100 // count(*) AS w
+        |  FROM (SELECT DISTINCT o_custkey, l_suppkey, o_orderkey
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT cust AS src, supp AS dst, w FROM wp
+        |  UNION ALL
+        |  SELECT supp AS src, cust AS dst, w FROM wp),
+        |d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM edges e JOIN d0 d ON e.src = d.node)
+        |  GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM edges e JOIN d1 d ON e.src = d.node)
+        |  GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + e.w FROM edges e JOIN d2 d ON e.src = d.node)
         |  GROUP BY 1)
         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d3""".stripMargin
   )

@@ -72,6 +72,22 @@ class GraphEventOpsSpec extends SparkSpec {
       "e" -> 1L, "f" -> 1L))
   }
 
+  test("ssspDistances: cheaper two-hop beats direct edge; horizon bounds") {
+    import spark.implicits._
+    // a-b direct costs 10; a-c-b costs 2 — round 1 must report 10,
+    // round 2 must improve to 2 (the relaxation BFS can't express)
+    val und = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 1L))
+    val edges = und.flatMap { case (x, y, w) => Seq((x, y, w), (y, x, w)) }
+      .toDF("src", "dst", "w")
+    val src = Seq("a").toDF("node")
+    val r1 = GraftOps.ssspDistances(edges, src, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 === Map("a" -> 0L, "b" -> 10L, "c" -> 1L))
+    val r2 = GraftOps.ssspDistances(edges, src, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2 === Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("q_sessionize: sessions partition each user's events at >30min gaps") {
     val gapUs = 30L * 60L * 1000000L
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
