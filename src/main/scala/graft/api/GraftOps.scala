@@ -1247,6 +1247,38 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Windowed skip-gram co-occurrence counts — the corpus statistic a
+    * word2vec/GloVe-style embedding pipeline builds first: every unordered
+    * token pair co-occurring within ±`window` positions, counted over all
+    * (position, offset) slots, thresholded and top-k ranked on the exact
+    * count. The pair expansion is LOCAL (one zip-with-shifted-self per
+    * offset, the [[graft.functions.TextFns.gramsN]] discipline), so a
+    * 100-TB corpus pays window · tokens map-side rows into ONE partially-
+    * aggregated count shuffle — never a positional self-join. Pairs are
+    * canonicalized (least, greatest) before counting; a tail slot whose
+    * right neighbor falls off the array yields null and is dropped BEFORE
+    * canonicalization (least(a, null) = a would fabricate self-pairs).
+    */
+  def cooccurPairs(df: DataFrame, text: Column, window: Int, k: Int,
+                   minCount: Int): DataFrame = {
+    require(window >= 1 && k > 0 && minCount >= 1)
+    val ws = df.select(TextFns.tokens(text).as("w"))
+    val top = ws.select(explode(expr(
+        s"flatten(transform(sequence(1, $window), j -> " +
+          "zip_with(w, slice(w, j + 1, size(w)), " +
+          "(a, b) -> if(b IS NULL, NULL, " +
+          "struct(least(a, b) AS x, greatest(a, b) AS y)))))")).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.x").as("a"), col("p.y").as("b"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+      .orderBy(col("n_cooc").desc, col("a").asc, col("b").asc)
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_cooc").desc, col("a").asc, col("b").asc))
+      .cast("long"))
+  }
+
   /** Adjacent-pair PMI — the collocation statistic an embedding/phrase
     * pipeline computes before training (word2vec-style "new_york" phrase
     * merging): for the top-k most frequent adjacent token pairs (above a

@@ -257,6 +257,14 @@ object CurateQueries extends QueryPack {
     GraftOps.pmiPairs(Tables.documents(s, d), col("text"), k = 50,
       minCount = 5)
 
+  /** x_cooccur: windowed (±3) skip-gram co-occurrence counts — top-50
+    * unordered token pairs above a 5-occurrence floor, the word2vec /
+    * GloVe corpus statistic ([[GraftOps.cooccurPairs]]).
+    */
+  def cooccur(s: SparkSession, d: String): DataFrame =
+    GraftOps.cooccurPairs(Tables.documents(s, d), col("text"), window = 3,
+      k = 50, minCount = 5)
+
   /** x_vocab: vocabulary coverage curve — top-100 terms with cumulative
     * ppm share of all token occurrences (tokenizer sizing).
     */
@@ -438,6 +446,7 @@ object CurateQueries extends QueryPack {
     "x_cluster_topics" -> clusterTopics,
     "x_kmeans" -> kmeans,
     "x_pmi" -> pmi,
+    "x_cooccur" -> cooccur,
     "x_vocab" -> vocab,
     "x_len_hist" -> lenHist,
     "x_frame_sample" -> frameSample,
@@ -765,6 +774,25 @@ object CurateQueries extends QueryPack {
         |  FROM asg, unnest(generate_series(1, len(v))) t(i))
         |SELECT cid, pos, round(sum(comp) / count(*), 6) AS cv
         |FROM nrm GROUP BY 1, 2""".stripMargin,
+    // Same lateral-unnest token positions as x_pmi, one extra lateral for
+    // the offset; least/greatest canonicalization is binary collation in
+    // both engines.
+    "x_cooccur" ->
+      """WITH ws AS (
+        |  SELECT [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |prs AS (
+        |  SELECT least(w[i], w[i + j]) a, greatest(w[i], w[i + j]) b
+        |  FROM ws,
+        |    unnest(generate_series(1, 3)) s(j),
+        |    unnest(generate_series(1, len(w) - j)) x(i)),
+        |pc AS (SELECT a, b, count(*) n FROM prs GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |top AS (SELECT a, b, n FROM pc ORDER BY n DESC, a, b LIMIT 50)
+        |SELECT a, b, CAST(n AS BIGINT) AS n_cooc,
+        |  CAST(row_number() OVER (ORDER BY n DESC, a, b) AS BIGINT) AS rank
+        |FROM top""".stripMargin,
+
     "x_pmi" ->
       """WITH ws AS (
         |  SELECT [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
