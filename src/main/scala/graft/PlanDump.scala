@@ -208,7 +208,26 @@ object PlanDump {
       "with map-side combine, no stage superlinear in corpus size"),
     "q_agg_wmedian" -> ("Weighted median — distribution-sized (grp, v) " +
       "rollup with partial agg, ONE cumulative window, integer " +
-      "threshold; no per-group value buffer at any group size")
+      "threshold; no per-group value buffer at any group size"),
+    "q_join_bloom" -> ("Bloom-pruned semi-join — distributed bitmap " +
+      "build (per-word bit_or, shuffle ≤ bits/64 words), dense " +
+      "long-array broadcast (O(1) probes — a map bitmap linear-scans), " +
+      "zero-shuffle forall probe, exact hash semi-join on survivors"),
+    "q_bfs" -> ("Bounded BFS — frontier-only propagation; per round one " +
+      "edges⋈frontier equi-join + node-sized min agg + full-merge; " +
+      "edge table hash-partitioned and cached once"),
+    "q_sssp" -> ("Bounded Bellman–Ford — the BFS loop with integer " +
+      "edge-weight relaxation; changed-rows-only propagation keeps late " +
+      "rounds frontier-sized"),
+    "q_scan_partition" -> ("Partition-pruned scan — PartitionFilters " +
+      "prunes directories at listing time; composes with row-group " +
+      "pushdown below it"),
+    "q_distinct_sketch" -> ("Mergeable HLL distinct — per-slice " +
+      "hll_sketch_agg partials, binary sketch union agg, estimate; " +
+      "sketch state is fixed-size per group at any cardinality"),
+    "x_cooccur" -> ("Skip-gram co-occurrence — window·tokens LOCAL " +
+      "zip-with-shifted slots, ONE partially-aggregated count shuffle, " +
+      "TakeOrderedAndProject top-k; never a positional self-join")
   )
 
   def main(args: Array[String]): Unit = {
