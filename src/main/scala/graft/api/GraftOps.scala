@@ -3168,6 +3168,44 @@ object GraftOps {
   def bloomSemiJoin(fact: DataFrame, factKey: Column, dim: DataFrame,
                     dimKey: Column, numBits: Int = 1 << 20,
                     numHashes: Int = 5): DataFrame = {
+    val (probed, keys) = bloomProbe(fact, factKey, dim, dimKey,
+      numBits, numHashes)
+    probed.filter(col("__might"))
+      .join(keys, col("__bk") === keys("k"), "left_semi")
+      .drop("__bk", "__might")
+  }
+
+  /** Bloom-accelerated ANTI join — the incremental-dedup scale shape
+    * ("drop every new record whose key already exists in a history too
+    * big to broadcast"). The Bloom filter's one-sided error works FOR the
+    * anti-join: a bitmap MISS proves the key absent from the history, so
+    * the miss fraction — nearly everything, when most records are new —
+    * is emitted directly with ZERO shuffle; only bitmap HITS (true dups +
+    * ~fpp false positives) run the exact anti-join that rescues the
+    * false positives. Result is exactly `fact ▷ dim`; the anti-join's
+    * shuffle carries the hit fraction instead of the whole delta.
+    */
+  def bloomAntiJoin(fact: DataFrame, factKey: Column, dim: DataFrame,
+                    dimKey: Column, numBits: Int = 1 << 20,
+                    numHashes: Int = 5): DataFrame = {
+    val (probed, keys) = bloomProbe(fact, factKey, dim, dimKey,
+      numBits, numHashes)
+    val p = probed.persistOnce()
+    val definitelyNew = p.filter(!col("__might")).drop("__bk", "__might")
+    val rescued = p.filter(col("__might"))
+      .join(keys, col("__bk") === keys("k"), "left_anti")
+      .drop("__bk", "__might")
+    definitelyNew.unionAll(rescued)
+  }
+
+  /** Shared Bloom build + probe for [[bloomSemiJoin]]/[[bloomAntiJoin]]:
+    * returns (fact + `__bk` key + `__might` bitmap verdict, dim key set).
+    * `__might` = false proves the key is NOT in dim (no false negatives);
+    * `__might` = true needs exact verification (~fpp false positives).
+    */
+  private def bloomProbe(fact: DataFrame, factKey: Column, dim: DataFrame,
+                         dimKey: Column, numBits: Int,
+                         numHashes: Int): (DataFrame, DataFrame) = {
     require(numBits >= 128 && (numBits & (numBits - 1)) == 0,
       "numBits must be a power of two >= 128")
     require(numHashes >= 1 && numHashes <= 16)
@@ -3193,14 +3231,14 @@ object GraftOps {
       .groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(wi, word))), " +
         "x -> x.word)").as("bf"))
-    val factKeyed = fact.withColumn("__bk", factKey)
-    val pruned = factKeyed.crossJoin(broadcast(bloom))
-      .filter(expr(s"forall(transform(sequence(0, ${numHashes - 1}), " +
-        s"s -> xxhash64(__bk, s) & $mask), " +
-        "p -> (element_at(bf, CAST(p div 64 AS INT) + 1) & " +
-        "shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
+    val probed = fact.withColumn("__bk", factKey)
+      .crossJoin(broadcast(bloom))
+      .withColumn("__might",
+        expr(s"forall(transform(sequence(0, ${numHashes - 1}), " +
+          s"s -> xxhash64(__bk, s) & $mask), " +
+          "p -> (element_at(bf, CAST(p div 64 AS INT) + 1) & " +
+          "shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
       .drop("bf")
-    pruned.join(keys, pruned("__bk") === keys("k"), "left_semi")
-      .drop("__bk")
+    (probed, keys)
   }
 }

@@ -257,6 +257,25 @@ object CurateQueries extends QueryPack {
     GraftOps.pmiPairs(Tables.documents(s, d), col("text"), k = 50,
       minCount = 5)
 
+  /** x_dedup_bloom: Bloom-accelerated incremental exact dedup — the
+    * delta batch (doc_id ≡ 0 mod 3) keeps only fingerprints absent from
+    * the history (the other two thirds). Bitmap misses — most of a
+    * mostly-new batch — ship with zero shuffle ([[GraftOps.bloomAntiJoin]]);
+    * only bitmap hits run the exact anti-join. Oracle is the plain
+    * NOT-EXISTS, so a Bloom false negative (a dup that leaks through) or
+    * an unrescued false positive (a new doc wrongly dropped) fails the
+    * hash.
+    */
+  def dedupBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    GraftOps.bloomAntiJoin(
+      docs.filter(col("doc_id") % 3 === 0),
+      col("fp"),
+      docs.filter(col("doc_id") % 3 =!= 0),
+      col("fp"))
+  }
+
   /** x_cooccur: windowed (±3) skip-gram co-occurrence counts — top-50
     * unordered token pairs above a 5-occurrence floor, the word2vec /
     * GloVe corpus statistic ([[GraftOps.cooccurPairs]]).
@@ -447,6 +466,7 @@ object CurateQueries extends QueryPack {
     "x_kmeans" -> kmeans,
     "x_pmi" -> pmi,
     "x_cooccur" -> cooccur,
+    "x_dedup_bloom" -> dedupBloom,
     "x_vocab" -> vocab,
     "x_len_hist" -> lenHist,
     "x_frame_sample" -> frameSample,
@@ -774,6 +794,14 @@ object CurateQueries extends QueryPack {
         |  FROM asg, unnest(generate_series(1, len(v))) t(i))
         |SELECT cid, pos, round(sum(comp) / count(*), 6) AS cv
         |FROM nrm GROUP BY 1, 2""".stripMargin,
+    // NOT EXISTS (not NOT IN) to match anti-join NULL semantics exactly.
+    "x_dedup_bloom" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)
+        |SELECT doc_id, fp FROM f d
+        |WHERE doc_id % 3 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM f h
+        |    WHERE h.doc_id % 3 != 0 AND h.fp = d.fp)""".stripMargin,
+
     // Same lateral-unnest token positions as x_pmi, one extra lateral for
     // the offset; least/greatest canonicalization is binary collation in
     // both engines.

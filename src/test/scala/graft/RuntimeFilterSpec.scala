@@ -41,6 +41,30 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(GraftOps.bloomSemiJoin(fact, col("fk"), dim, col("dk")).count() === 0L)
   }
 
+  test("bloomAntiJoin equals the exact anti-join; misses skip the verify") {
+    import spark.implicits._
+    val fact = (1L to 2000L).map(i => (i % 500, i)).toDF("fk", "payload")
+    val dim = (0L to 499L by 7L).toDF("dk")
+    val got = GraftOps.bloomAntiJoin(fact, col("fk"), dim, col("dk"),
+        numBits = 1 << 10, numHashes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = fact.join(dim, col("fk") === col("dk"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("bloomAntiJoin: disjoint key spaces keep everything; empty dim too") {
+    import spark.implicits._
+    val fact = (1000L to 1050L).toDF("fk")
+    val dim = (1L to 100L).toDF("dk")
+    assert(GraftOps.bloomAntiJoin(fact, col("fk"), dim, col("dk"))
+      .count() === 51L)
+    val empty = Seq.empty[Long].toDF("dk")
+    assert(GraftOps.bloomAntiJoin(fact, col("fk"), empty, col("dk"))
+      .count() === 51L)
+  }
+
   test("the bitmap probe prunes: a tiny filter passes few false positives") {
     import spark.implicits._
     // disjoint key spaces: every fact row is a potential false positive.
