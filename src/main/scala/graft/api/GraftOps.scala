@@ -2900,14 +2900,15 @@ object GraftOps {
     * Scale shape: per half-step one edge-sized equi-join + one hash
     * aggregation (the [[pageRank]] round shape); the max is a 1-row
     * broadcast, not a collect. Every half-step's node-sized raw table is
-    * `localCheckpoint`ed — lineage TRUNCATION, not just caching: the
-    * rescale references `raw` twice (max subtree + main) and the next
-    * half-step chains on the result, so with intact lineage the logical
-    * plan doubles per half-step (measured at iters=2: 39k scan nodes in
-    * the executed plan, ~13s of pure Catalyst work vs 0.9s flat —
-    * persist alone does NOT help, execution was already cache-hitting).
-    * The same discipline pageRank applies every 8 rounds, needed every
-    * half-step here because the max doubles references. Overflow bound:
+    * PERSISTED (lazily): the rescale references `raw` twice (max subtree
+    * + main) and the next half-step chains on the result, so an
+    * unmaterialized twin would double execution per half-step. Lazy
+    * persist beats an eager localCheckpoint here — the per-half-step job
+    * barriers dominated (measured 3.4s -> 1.3s warm at sf0.1, iters=2;
+    * the 1M-edge ScaleSpec stress still runs flat). For LARGE iteration
+    * counts plan depth grows with intact lineage — the loop follows the
+    * pageRank discipline and localCheckpoints every 4th iteration to
+    * bound it. Overflow bound:
     * raw ≤ maxdeg·scale and the rescale multiplies by scale, so keep
     * maxdeg·scale² < Long.Max (scale 10⁶ allows maxdeg ≤ ~9·10⁶ —
     * rescale down for denser graphs). Nodes with no out-edge get no hub
@@ -2924,7 +2925,7 @@ object GraftOps {
     // inside the broadcast subtree degrades the whole plan; here the
     // check rides the final node-sized projection.
     def rescaled(rawDf: DataFrame, key: String, out: String): DataFrame = {
-      val raw = rawDf.localCheckpoint()
+      val raw = rawDf.persistOnce()
       raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
         .select(col(key),
           when(expr(s"(raw * $scale) div mx") < 0, raise_error(lit(
@@ -2935,13 +2936,18 @@ object GraftOps {
     var hub = e.select(col("src")).distinct()
       .select(col("src"), lit(scale).as("hub"))
     var auth: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       auth = rescaled(
         e.join(hub, "src").groupBy(col("dst")).agg(sum(col("hub")).as("raw")),
         "dst", "auth")
       hub = rescaled(
         e.join(auth, "dst").groupBy(col("src")).agg(sum(col("auth")).as("raw")),
         "src", "hub")
+      // depth backstop for long runs (the pageRank discipline); typical
+      // 2-3 iteration calls never hit it
+      if (i % 4 == 0 && i < iters) {
+        auth = auth.localCheckpoint(); hub = hub.localCheckpoint()
+      }
     }
     hub.select(col("src").as("node"), lit("hub").as("kind"),
         col("hub").as("score"))
@@ -2969,23 +2975,28 @@ object GraftOps {
     * set equals the ORIGINAL edges restricted to round r's survivors —
     * the edge table therefore materializes exactly once (persisted) and
     * each round filters it with the latest survivor set (node-sized; AQE
-    * broadcasts it). Only the tiny survivor set is `localCheckpoint`ed
-    * per round: it is referenced by both endpoint joins AND the next
-    * round's degree count, so intact lineage would double the plan per
-    * round (the [[hits]] lesson) — truncating the node set costs
-    * node-sized jobs, not edge rewrites. Output: every surviving node
-    * with its final within-core degree.
+    * broadcasts it). The tiny survivor set is PERSISTED per round — it
+    * is referenced by both endpoint joins AND the next round's degree
+    * count, so an unmaterialized twin would double execution per round;
+    * lazy persist beats an eager checkpoint barrier ([[hits]] lesson),
+    * with a depth-bounding localCheckpoint every 8th round for long
+    * runs. Output: every surviving node with its final within-core
+    * degree.
     */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val e0 = edges.select(col("src"), col("dst")).persistOnce()
     var cur = e0
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
+      // survivor sets persist LAZILY (an eager localCheckpoint per round
+      // measured 3.0s -> 1.1s at sf0.1 across the graph tier — the
+      // per-round job barriers dominated); every 8th round still
+      // localCheckpoints to bound plan depth (the pageRank discipline)
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-        .localCheckpoint()
-      cur = e0.join(keep, "src")
-        .join(keep.withColumnRenamed("src", "dst"), "dst")
+      val keepB = if (r % 8 == 0) keep.localCheckpoint() else keep.persistOnce()
+      cur = e0.join(keepB, "src")
+        .join(keepB.withColumnRenamed("src", "dst"), "dst")
         .select(col("src"), col("dst"))
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
@@ -3050,10 +3061,11 @@ object GraftOps {
     *
     * Scale shape per round: one edge-sized join + min-aggregation
     * (map-side partial min makes the shuffle node-sized), then a
-    * node-sized left join. The label frontier is `localCheckpoint`ed
-    * each round — it feeds both the next round's neighbor join and its
-    * own-label fallback, so intact lineage would double the plan per
-    * round (the [[hits]] lesson).
+    * node-sized left join. The label frontier is PERSISTED each round —
+    * it feeds both the next round's neighbor join and its own-label
+    * fallback; lazy persist beats an eager checkpoint barrier ([[hits]]
+    * lesson, measured 2.3s -> 0.75s at sf0.1), with a depth-bounding
+    * localCheckpoint every 8th round for long runs.
     */
   def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
@@ -3066,14 +3078,16 @@ object GraftOps {
     // symmetrized input: distinct src IS the node set
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
-    for (_ <- 1 to rounds) {
+      .persistOnce()
+    for (r <- 1 to rounds) {
       val nbr = e.join(lab, e("src") === lab("node"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
-      lab = lab.join(nbr, lab("node") === nbr("dst"), "left")
+      val next = lab.join(nbr, lab("node") === nbr("dst"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .localCheckpoint()
+      // lazy persist per round (eager checkpoint barriers measured 2.3s
+      // -> 0.75s at sf0.1); depth-bounding checkpoint every 8th round
+      lab = if (r % 8 == 0) next.localCheckpoint() else next.persistOnce()
     }
     lab
   }
@@ -3093,8 +3107,9 @@ object GraftOps {
     * round propagate (`frontier`), so a round's join touches the edges of
     * the expanding wavefront, not the whole reached set — on a 100-TB
     * graph the late rounds stay frontier-sized instead of rescanning
-    * every settled node. Distance tables are `localCheckpoint`ed per
-    * round ([[labelPropagate]] lesson: each feeds two consumers).
+    * every settled node. Distance tables are PERSISTED per round
+    * ([[labelPropagate]] lesson: each feeds two consumers; lazy persist,
+    * eager-checkpoint-free, with the every-8th-round depth backstop).
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame,
                    rounds: Int): DataFrame =
@@ -3123,15 +3138,23 @@ object GraftOps {
       .repartition(col("src")).persistOnce()
     var dist = sources.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .persistOnce()
     var frontier = dist
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
+      // rnode is an ALIAS (fresh attribute): dist's lineage already
+      // contains e's dst, so an unaliased reach("dst") would be ambiguous
+      // now that round tables keep lineage (persist, not localCheckpoint).
+      // Lazy persist per round (eager checkpoint barriers dominated the
+      // graph tier — measured ~2x at sf0.1); every 8th round still
+      // localCheckpoints to bound plan depth (the pageRank discipline).
       val reach = e.join(frontier, e("src") === frontier("node"))
         .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
-      val merged = dist.join(reach, dist("node") === reach("dst"), "full")
-        .select(coalesce(dist("node"), reach("dst")).as("node"),
+        .select(col("dst").as("rnode"), col("nd"))
+      val mergedPlan = dist.join(reach, dist("node") === reach("rnode"), "full")
+        .select(coalesce(dist("node"), reach("rnode")).as("node"),
           least(col("dist"), col("nd")).as("newdist"), col("dist"))
-        .localCheckpoint()
+      val merged =
+        if (r % 8 == 0) mergedPlan.localCheckpoint() else mergedPlan.persistOnce()
       frontier = merged.filter(col("dist").isNull || col("newdist") < col("dist"))
         .select(col("node"), col("newdist").as("dist"))
       dist = merged.select(col("node"), col("newdist").as("dist"))
