@@ -161,6 +161,21 @@ object AggQueries extends QueryPack {
         .groupBy(col("o_orderpriority"))
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))),
 
+    // Multi-grain time rollup — the OLAP time-dimension cube over the
+    // event stream: year / year-month / year-month-day subtotals plus the
+    // grand total from ONE scan (Expand feeds a single partial+final
+    // aggregate; at 100 TB the rollup costs the same one shuffle as the
+    // finest grain alone). Grain columns cast to long for engine parity
+    // (DuckDB date parts are BIGINT).
+    "q_time_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .rollup(year(col("ts")).cast("long").as("yr"),
+          month(col("ts")).cast("long").as("mo"),
+          dayofmonth(col("ts")).cast("long").as("dy"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          grouping_id().cast("int").as("gid"))),
+
     // Mergeable-sketch distinct (Datasketches HLL): sketches built over
     // two DISJOINT slices, stored as binary, union-merged, estimated —
     // the incremental-distinct architecture (per-day sketches re-merged
@@ -304,6 +319,13 @@ object AggQueries extends QueryPack {
       """SELECT l_returnflag AS k, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_value
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_time_rollup" ->
+      """SELECT year(ts) AS yr, month(ts) AS mo, day(ts) AS dy,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |  CAST(GROUPING(year(ts), month(ts), day(ts)) AS INT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP(year(ts), month(ts), day(ts))""".stripMargin,
+
     // The sketch estimates never reach the output — only the exact
     // distinct and the split-invariance boolean, both engine-agnostic.
     "q_distinct_sketch" ->

@@ -225,7 +225,38 @@ object EtlQueries extends QueryPack {
       .withColumn("zbucket", expr("zval div 1048576"))
   }
 
+  /** q_analyze_stats: ANALYZE TABLE — per-column catalog statistics
+    * (ndv, null count, min/max) the optimizer's CBO consumes. ONE scan:
+    * a single multi-distinct aggregate row (Spark plans multi-column
+    * countDistinct via one Expand + partial/final agg — one shuffle
+    * total), unpivoted to the per-column stats table with stack().
+    * Min/max stringified on integer/varchar columns only (float
+    * formatting is engine-specific).
+    */
+  def analyzeStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(
+        count_distinct(col("o_orderkey")).as("ndv_ok"),
+        (count(lit(1)) - count(col("o_orderkey"))).as("null_ok"),
+        min(col("o_orderkey")).cast("string").as("min_ok"),
+        max(col("o_orderkey")).cast("string").as("max_ok"),
+        count_distinct(col("o_custkey")).as("ndv_ck"),
+        (count(lit(1)) - count(col("o_custkey"))).as("null_ck"),
+        min(col("o_custkey")).cast("string").as("min_ck"),
+        max(col("o_custkey")).cast("string").as("max_ck"),
+        count_distinct(col("o_orderpriority")).as("ndv_op"),
+        (count(lit(1)) - count(col("o_orderpriority"))).as("null_op"),
+        min(col("o_orderpriority")).cast("string").as("min_op"),
+        max(col("o_orderpriority")).cast("string").as("max_op"))
+      .select(expr(
+        "stack(3, " +
+          "'o_orderkey', ndv_ok, null_ok, min_ok, max_ok, " +
+          "'o_custkey', ndv_ck, null_ck, min_ck, max_ck, " +
+          "'o_orderpriority', ndv_op, null_op, min_op, max_op) " +
+          "AS (col_name, ndv, n_null, vmin, vmax)"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_analyze_stats" -> analyzeStats,
     "q_etl_zorder" -> zorderKeys,
     "q_join_bucket" -> joinBucketed,
     "q_etl_tsv" -> tsvRoundTrip,
@@ -240,6 +271,22 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_analyze_stats" ->
+      """SELECT 'o_orderkey' AS col_name,
+        |  count(DISTINCT o_orderkey) AS ndv,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS vmin,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS vmax FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(DISTINCT o_custkey),
+        |  count(*) - count(o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(DISTINCT o_orderpriority),
+        |  count(*) - count(o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin,
+
     // bit-for-bit Morton replay: correlated sum over the 21 bit
     // positions; sum() is HUGEINT in DuckDB, cast back.
     "q_etl_zorder" ->
