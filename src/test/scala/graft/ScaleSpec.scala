@@ -354,6 +354,50 @@ class ScaleSpec extends SparkSpec {
     assert(perLabel.values.forall(_ === n / 8 + 1))
   }
 
+  test("bloom semi/anti at 2M facts x 200k dim keys: exact, probe-local") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // dim = every third key in [0, 600k); fact keys uniform over the same
+    // range -> ~1/3 match. The bitmap probe is a per-row local forall
+    // against one broadcast array (2^22 bits / 200k keys ~ 0.1% fpp);
+    // correctness = exact equality with the plain semi/anti join at a
+    // size where a false negative or an unrescued false positive would
+    // hit thousands of rows.
+    import spark.implicits._
+    val fact = spark.range(0, 2000000L, 1, 32)
+      .select(pmod(xxhash64(col("id")), lit(600000L)).as("fk"))
+    val dim = spark.range(0, 600000L, 3, 32).select(col("id").as("dk"))
+    val semi = GraftOps.bloomSemiJoin(fact, col("fk"), dim, col("dk"),
+      numBits = 1 << 22, numHashes = 5)
+    val anti = GraftOps.bloomAntiJoin(fact, col("fk"), dim, col("dk"),
+      numBits = 1 << 22, numHashes = 5)
+    val nSemi = semi.count()
+    val nAnti = anti.count()
+    assert(nSemi === fact.join(dim, col("fk") === col("dk"), "left_semi").count())
+    assert(nAnti === fact.count() - nSemi, "semi + anti must partition fact")
+  }
+
+  test("bfs/sssp over the 1M-edge hub graph settle in 2 rounds, exact") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // hub-and-spoke: from hub h0, distance 1 = its spokes (every 8th),
+    // distance 2 = everything else (spoke -> another hub via round 2?
+    // no — spokes link only to their own hub, so h0's spokes are at 1,
+    // other hubs unreachable, their spokes too). Exact partition counts
+    // prove frontier propagation didn't drop or duplicate nodes.
+    import spark.implicits._
+    val n = 500000L
+    val spokes = spark.range(0, n, 1, 32)
+      .select(concat(lit("v"), col("id").cast("string")).as("spoke"),
+        concat(lit("h"), pmod(col("id"), lit(8L)).cast("string")).as("hub"))
+    val edges = spokes.select(col("spoke").as("src"), col("hub").as("dst"))
+      .unionAll(spokes.select(col("hub").as("src"), col("spoke").as("dst")))
+    val dist = GraftOps.bfsDistances(edges,
+      edges.select(col("src").as("node")).filter(col("node") === "h0"),
+      rounds = 3)
+    val byDist = dist.groupBy(col("dist")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDist === Map(0L -> 1L, 1L -> n / 8), s"got $byDist")
+  }
+
   test("pq at 200k vectors: code-sized index, ADC never touches a vector") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // 200k 64-dim vectors -> 1.6M (vec, sub, code) int rows; the ADC
