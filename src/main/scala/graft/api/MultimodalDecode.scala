@@ -52,4 +52,34 @@ object MultimodalDecode {
     import df.sparkSession.implicits._
     decode(df.as[MediaIn]).toDF()
   }
+
+  /** Per-payload byte histogram features — REAL byte work (not a stub):
+    * 16 bins over `byte & 0xff mod 16`, the stand-in position where an
+    * image pipeline runs its embedding/feature model. Same partition-at-
+    * a-time shape as [[decode]] (a real model would load weights once per
+    * partition here); output is tall (doc_id, bin, cnt) with all 16 bins
+    * present per doc — fixed-arity rows keep the result oracle-comparable
+    * (array cells are unsortable in the driver's pandas comparator).
+    */
+  def features(payloads: Dataset[MediaIn]): Dataset[MediaFeat] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      rows.flatMap { in =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < in.content.length) {
+          hist((in.content(i) & 0xff) % 16) += 1; i += 1
+        }
+        (0 until 16).map(b => MediaFeat(in.doc_id, b, hist(b)))
+      }
+    }
+  }
+
+  def featuresDF(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    features(df.as[MediaIn]).toDF()
+  }
 }
+
+/** One histogram-bin feature row leaving the feature stage. */
+case class MediaFeat(doc_id: Long, bin: Int, cnt: Long)

@@ -564,6 +564,46 @@ object LlmQueries extends QueryPack {
       col("media.width").as("width"),
       col("media.height").as("height"))
 
+  /** x_mm_resize: aspect-preserving resize planning + payload transform
+    * over the media struct. Target fit in a 256×256 box: scale_ppm =
+    * min(1e6, 256e6 div max(w, h)) in EXACT integer ppm, new dims by
+    * integer floor — the metadata side every image pipeline computes
+    * before touching pixels. The payload transform is a deterministic
+    * CROP to new_w·new_h bytes standing in for the pixel resample (no
+    * imaging libs in this container — the MultimodalDecode stub
+    * contract); its md5 is gated, so the byte-level transform is
+    * hash-verified, not just the arithmetic. Pure map work, no shuffle.
+    */
+  def mmResize(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("doc_id"), col("media.width").as("width"),
+        col("media.height").as("height"),
+        col("media.content").as("content"))
+      .withColumn("scale_ppm",
+        expr("least(1000000L, 256000000L div greatest(width, height))"))
+      .withColumn("new_w", expr("width * scale_ppm div 1000000"))
+      .withColumn("new_h", expr("height * scale_ppm div 1000000"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale_ppm"),
+        col("new_w"), col("new_h"),
+        least(length(col("content")).cast("long"),
+          col("new_w") * col("new_h")).as("n_bytes_out"),
+        md5(expr("substring(content, 1, " +
+          "CAST(least(CAST(length(content) AS BIGINT), new_w * new_h) AS INT))"))
+          .as("crop_md5"))
+
+  /** x_mm_features: byte-histogram feature extraction through the typed
+    * partition-at-a-time harness ([[graft.api.MultimodalDecode.features]])
+    * — REAL byte counting in the position where an image/audio feature
+    * model runs. Tall (doc_id, bin, cnt) output, all 16 bins per doc.
+    * The oracle replays the histogram over characters — the fixture
+    * corpus is ASCII, where bytes ≡ chars; a non-ASCII regeneration
+    * would fail loud here, not silently drift.
+    */
+  def mmFeatures(s: SparkSession, d: String): DataFrame =
+    graft.api.MultimodalDecode.featuresDF(
+      mediaTable(s, d).select(col("doc_id"),
+        col("media.content").as("content"), col("media.mime").as("mime")))
+
   /** x_dsir: DSIR importance weights over the documents table — target
     * slice = English docs, features = md5-hashed tokens in 1024 bins.
     * The data-selection pass that upsamples target-like raw documents.
@@ -640,7 +680,9 @@ object LlmQueries extends QueryPack {
     "x_lang_id" -> langId,
     "x_token_count" -> tokenCount,
     "x_fingerprint" -> fingerprint,
-    "x_multimodal" -> multimodal
+    "x_multimodal" -> multimodal,
+    "x_mm_resize" -> mmResize,
+    "x_mm_features" -> mmFeatures
   )
 
   val oracle = Map(
@@ -1616,6 +1658,48 @@ object LlmQueries extends QueryPack {
         |  sha256(text) AS sha256_hex,
         |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 64 AS width,
         |  CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 64 AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Exact-integer resize arithmetic + md5 of the cropped payload; the
+    // fixture corpus is ASCII so substr-by-chars == crop-by-bytes.
+    "x_mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 64
+        |      AS width,
+        |    CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 64
+        |      AS height
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text, width, height,
+        |    least(1000000, 256000000 // greatest(width, height)) AS scale_ppm
+        |  FROM m),
+        |r2 AS (
+        |  SELECT doc_id, text, width, height, scale_ppm,
+        |    width * scale_ppm // 1000000 AS new_w,
+        |    height * scale_ppm // 1000000 AS new_h
+        |  FROM r)
+        |SELECT doc_id, width, height, scale_ppm, new_w, new_h,
+        |  least(CAST(octet_length(encode(text)) AS BIGINT), new_w * new_h)
+        |    AS n_bytes_out,
+        |  md5(substr(text, 1,
+        |    CAST(least(CAST(octet_length(encode(text)) AS BIGINT),
+        |      new_w * new_h) AS INT))) AS crop_md5
+        |FROM r2""".stripMargin,
+
+    // Character-wise histogram replay of the engine's BYTE histogram —
+    // equal on the ASCII fixture corpus (bytes == chars), loud on drift.
+    "x_mm_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id,
+        |    unnest([ascii(substr(text, i, 1)) % 16
+        |            for i in range(1, len(text) + 1)]) AS bin
+        |  FROM documents),
+        |bins AS (SELECT doc_id, unnest(range(16)) AS b FROM documents),
+        |cnt AS (SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY 1, 2)
+        |SELECT b.doc_id, CAST(b.b AS INT) AS bin,
+        |  CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+        |FROM bins b
+        |LEFT JOIN cnt c ON b.doc_id = c.doc_id AND b.b = c.bin""".stripMargin
   )
 }

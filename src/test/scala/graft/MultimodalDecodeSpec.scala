@@ -26,6 +26,23 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(out.filter(!col("ok")).count() === 0)
   }
 
+  test("features: exact byte histogram, all 16 bins, map-only") {
+    import spark.implicits._
+    val in = Seq((1L, "abc".getBytes("UTF-8"), "text/plain"),
+      (2L, Array.empty[Byte], "text/plain"))
+      .toDF("doc_id", "content", "mime")
+    val out = MultimodalDecode.featuresDF(in)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length === 32, "16 bins per payload, empty included")
+    val d1 = rows.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+    // 'a'=97 -> bin 1, 'b'=98 -> bin 2, 'c'=99 -> bin 3
+    assert(d1(1) === 1L && d1(2) === 1L && d1(3) === 1L)
+    assert(d1.values.sum === 3L)
+    assert(rows.filter(_._1 == 2L).forall(_._3 == 0L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "feature stage must not shuffle")
+  }
+
   test("decode is deterministic and map-only (no shuffle)") {
     val a = MultimodalDecode.decodeDF(payloads)
     val b = MultimodalDecode.decodeDF(payloads)
