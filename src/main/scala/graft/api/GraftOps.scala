@@ -3229,8 +3229,13 @@ object GraftOps {
   private def bloomProbe(fact: DataFrame, factKey: Column, dim: DataFrame,
                          dimKey: Column, numBits: Int,
                          numHashes: Int): (DataFrame, DataFrame) = {
-    require(numBits >= 128 && (numBits & (numBits - 1)) == 0,
-      "numBits must be a power of two >= 128")
+    // upper bound: the dense bitmap rides ONE broadcast row (numBits/64
+    // longs) — 2^28 bits = 32 MB, the sane broadcast ceiling. Bigger key
+    // sets want a coarser filter (higher fpp still prunes) or the plain
+    // shuffle join, not a quarter-gigabyte row on every executor.
+    require(numBits >= 128 && numBits <= (1 << 28) &&
+      (numBits & (numBits - 1)) == 0,
+      "numBits must be a power of two in [128, 2^28]")
     require(numHashes >= 1 && numHashes <= 16)
     val mask = numBits - 1
     val numWords = numBits / 64
