@@ -2924,8 +2924,10 @@ object GraftOps {
     // the broadcast max itself measured 3.3s -> 13s at sf0.1 — raise_error
     // inside the broadcast subtree degrades the whole plan; here the
     // check rides the final node-sized projection.
+    val held = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def rescaled(rawDf: DataFrame, key: String, out: String): DataFrame = {
       val raw = rawDf.persistOnce()
+      held += raw
       raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
         .select(col(key),
           when(expr(s"(raw * $scale) div mx") < 0, raise_error(lit(
@@ -2943,10 +2945,12 @@ object GraftOps {
       hub = rescaled(
         e.join(auth, "dst").groupBy(col("src")).agg(sum(col("auth")).as("raw")),
         "src", "hub")
-      // depth backstop for long runs (the pageRank discipline); typical
-      // 2-3 iteration calls never hit it
+      // depth + cache-retention backstop for long runs: eager checkpoint,
+      // then release the accumulated half-step caches (amortized over 4
+      // iterations); typical 2-3 iteration calls never hit it
       if (i % 4 == 0 && i < iters) {
         auth = auth.localCheckpoint(); hub = hub.localCheckpoint()
+        held.foreach(_.unpersist(false)); held.clear()
       }
     }
     hub.select(col("src").as("node"), lit("hub").as("kind"),
@@ -2987,14 +2991,24 @@ object GraftOps {
     require(k >= 1 && rounds >= 1)
     val e0 = edges.select(col("src"), col("dst")).persistOnce()
     var cur = e0
+    val held = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       // survivor sets persist LAZILY (an eager localCheckpoint per round
       // measured 3.0s -> 1.1s at sf0.1 across the graph tier — the
-      // per-round job barriers dominated); every 8th round still
-      // localCheckpoints to bound plan depth (the pageRank discipline)
+      // per-round job barriers dominated). Every 8th round an EAGER
+      // checkpoint materializes the frontier and releases the
+      // accumulated round caches: one amortized barrier bounds both plan
+      // depth and CacheManager retention for long runs (releasing a
+      // LAZY round table would re-expose its double reference and the
+      // exponential twin-evaluation persist exists to prevent).
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      val keepB = if (r % 8 == 0) keep.localCheckpoint() else keep.persistOnce()
+      val keepB =
+        if (r % 8 == 0) {
+          val cp = keep.localCheckpoint()
+          held.foreach(_.unpersist(false)); held.clear()
+          cp
+        } else { val kp = keep.persistOnce(); held += kp; kp }
       cur = e0.join(keepB, "src")
         .join(keepB.withColumnRenamed("src", "dst"), "dst")
         .select(col("src"), col("dst"))
@@ -3079,6 +3093,7 @@ object GraftOps {
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .persistOnce()
+    val held = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       val nbr = e.join(lab, e("src") === lab("node"))
         .groupBy(col("dst")).agg(min(col("lab")).as("nlab"))
@@ -3086,8 +3101,16 @@ object GraftOps {
         .select(col("node"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
       // lazy persist per round (eager checkpoint barriers measured 2.3s
-      // -> 0.75s at sf0.1); depth-bounding checkpoint every 8th round
-      lab = if (r % 8 == 0) next.localCheckpoint() else next.persistOnce()
+      // -> 0.75s at sf0.1); every 8th round an EAGER checkpoint
+      // materializes the frontier and releases the accumulated round
+      // caches — one amortized barrier bounds plan depth AND cache
+      // retention (kcorePeel rationale)
+      lab =
+        if (r % 8 == 0) {
+          val cp = next.localCheckpoint()
+          held.foreach(_.unpersist(false)); held.clear()
+          cp
+        } else { val np = next.persistOnce(); held += np; np }
     }
     lab
   }
@@ -3140,6 +3163,7 @@ object GraftOps {
       .select(col("node"), lit(0L).as("dist"))
       .persistOnce()
     var frontier = dist
+    val held = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       // rnode is an ALIAS (fresh attribute): dist's lineage already
       // contains e's dst, so an unaliased reach("dst") would be ambiguous
@@ -3154,7 +3178,11 @@ object GraftOps {
         .select(coalesce(dist("node"), reach("rnode")).as("node"),
           least(col("dist"), col("nd")).as("newdist"), col("dist"))
       val merged =
-        if (r % 8 == 0) mergedPlan.localCheckpoint() else mergedPlan.persistOnce()
+        if (r % 8 == 0) {
+          val cp = mergedPlan.localCheckpoint()
+          held.foreach(_.unpersist(false)); held.clear()
+          cp
+        } else { val mp = mergedPlan.persistOnce(); held += mp; mp }
       frontier = merged.filter(col("dist").isNull || col("newdist") < col("dist"))
         .select(col("node"), col("newdist").as("dist"))
       dist = merged.select(col("node"), col("newdist").as("dist"))
@@ -3213,9 +3241,12 @@ object GraftOps {
                     numHashes: Int = 5): DataFrame = {
     val (probed, keys) = bloomProbe(fact, factKey, dim, dimKey,
       numBits, numHashes)
-    val p = probed.persistOnce()
-    val definitelyNew = p.filter(!col("__might")).drop("__bk", "__might")
-    val rescued = p.filter(col("__might"))
+    // deliberately NOT persisted: the probe is pure map work over the
+    // scan, so the union's two branches re-running it costs a second
+    // codegen'd pass — materializing the whole fact to avoid that would
+    // be the opposite of the operator's zero-materialization story.
+    val definitelyNew = probed.filter(!col("__might")).drop("__bk", "__might")
+    val rescued = probed.filter(col("__might"))
       .join(keys, col("__bk") === keys("k"), "left_anti")
       .drop("__bk", "__might")
     definitelyNew.unionAll(rescued)
@@ -3225,10 +3256,12 @@ object GraftOps {
     * returns (fact + `__bk` key + `__might` bitmap verdict, dim key set).
     * `__might` = false proves the key is NOT in dim (no false negatives);
     * `__might` = true needs exact verification (~fpp false positives).
+    * Package-private so the pruning property (few `__might` survivors on
+    * disjoint key spaces) is directly testable.
     */
-  private def bloomProbe(fact: DataFrame, factKey: Column, dim: DataFrame,
-                         dimKey: Column, numBits: Int,
-                         numHashes: Int): (DataFrame, DataFrame) = {
+  private[graft] def bloomProbe(fact: DataFrame, factKey: Column,
+                                dim: DataFrame, dimKey: Column, numBits: Int,
+                                numHashes: Int): (DataFrame, DataFrame) = {
     // upper bound: the dense bitmap rides ONE broadcast row (numBits/64
     // longs) — 2^28 bits = 32 MB, the sane broadcast ceiling. Bigger key
     // sets want a coarser filter (higher fpp still prunes) or the plain
@@ -3239,7 +3272,18 @@ object GraftOps {
     require(numHashes >= 1 && numHashes <= 16)
     val mask = numBits - 1
     val numWords = numBits / 64
-    val keys = dim.select(dimKey.as("k")).persistOnce()
+    // HASH PARITY ACROSS TYPES: xxhash64 hashes an int and a long of the
+    // same value differently, so a type-mismatched (but join-compatible)
+    // key pair would set bits the probe never tests — Bloom false
+    // NEGATIVES, i.e. silently dropped true matches. When the resolved
+    // key dtypes differ, both sides hash a canonical string rendering;
+    // same-typed keys keep the cheaper native hash.
+    val ft = fact.select(factKey.as("k")).schema.head.dataType
+    val dt = dim.select(dimKey.as("k")).schema.head.dataType
+    val (fKey, dKey) =
+      if (ft == dt) (factKey, dimKey)
+      else (factKey.cast("string"), dimKey.cast("string"))
+    val keys = dim.select(dimKey.as("k"), dKey.as("kh")).persistOnce()
     // (hash & mask) is non-negative for a positive mask regardless of the
     // hash sign — two's complement AND, no pmod needed. The bitmap packs
     // into a DENSE array (one long per 64-bit word, zero-filled words
@@ -3251,7 +3295,7 @@ object GraftOps {
       .select(col("id").as("wi"), lit(0L).as("word"))
     val bloom = keys
       .select(explode(expr(s"transform(sequence(0, ${numHashes - 1}), " +
-        s"s -> xxhash64(k, s) & $mask)")).as("pos"))
+        s"s -> xxhash64(kh, s) & $mask)")).as("pos"))
       .select(expr("pos div 64").as("wi"),
         expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("word"))
       .unionAll(zeroWords)
@@ -3259,14 +3303,14 @@ object GraftOps {
       .groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(wi, word))), " +
         "x -> x.word)").as("bf"))
-    val probed = fact.withColumn("__bk", factKey)
+    val probed = fact.withColumn("__bk", factKey).withColumn("__bkh", fKey)
       .crossJoin(broadcast(bloom))
       .withColumn("__might",
         expr(s"forall(transform(sequence(0, ${numHashes - 1}), " +
-          s"s -> xxhash64(__bk, s) & $mask), " +
+          s"s -> xxhash64(__bkh, s) & $mask), " +
           "p -> (element_at(bf, CAST(p div 64 AS INT) + 1) & " +
           "shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
-      .drop("bf")
-    (probed, keys)
+      .drop("bf", "__bkh")
+    (probed, keys.select(col("k")))
   }
 }

@@ -17,8 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object ScanQueries extends QueryPack {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Deterministic per-sf layout dir, written ONCE per JVM (presence of
+    * parquet's _SUCCESS marker = complete): a fresh temp dir per
+    * invocation would rewrite the whole table every time the query
+    * lambda runs (Bench reps, Verify, PlanSpec) and leak a copy per run.
+    */
+  private def partitionedOrders(s: SparkSession, d: String): String = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_part_" + Integer.toHexString(d.hashCode))
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out.toString)
+    }
+    out.toString
+  }
 
   val queries = Map[String, (SparkSession, String) => DataFrame](
     // Hive-style partition pruning: the table is laid out as one
@@ -30,15 +42,11 @@ object ScanQueries extends QueryPack {
     // date/source/tenant partitioning makes selective reads O(selected
     // partitions), and the pruning composes with the row-group pushdown
     // q_scan_range pins.
-    "q_scan_partition" -> ((s, d) => {
-      val out = tmp("graft_part")
-      Tables.orders(s, d).write.mode("overwrite")
-        .partitionBy("o_orderpriority").parquet(out)
-      s.read.parquet(out)
+    "q_scan_partition" -> ((s, d) =>
+      s.read.parquet(partitionedOrders(s, d))
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          col("o_orderpriority"))
-    }),
+          col("o_orderpriority"))),
 
 
     // Full table scan: every row, every column (one split per file).

@@ -67,19 +67,35 @@ class RuntimeFilterSpec extends SparkSpec {
 
   test("the bitmap probe prunes: a tiny filter passes few false positives") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     // disjoint key spaces: every fact row is a potential false positive.
-    // At m=2^14 bits / k=5 / n=100 keys, fpp ~ (1-e^(-500/16384))^5 ≈ 2e-8
-    // — allow a generous margin, but a broken mask/shift that lets most
-    // rows through fails loudly.
+    // At m=2^14 bits / k=5 / n=100 keys, fpp ~ (1-e^(-500/16384))^5 ≈ 2e-8.
+    // Assert on the PROBE VERDICT itself — the end-to-end result is empty
+    // either way (the exact verify join removes false positives), so only
+    // the __might survivor count can expose a bitmap that prunes nothing.
     val fact = (1000000L to 1010000L).toDF("fk")
     val dim = (1L to 100L).toDF("dk")
-    val keys = dim.select(col("dk").as("k"))
-    // survivors of the bitmap alone = result of bloomSemiJoin WITHOUT the
-    // verify join being able to add rows; since the final result is the
-    // exact semi-join (empty here), assert on emptiness + run the probe
-    // path end-to-end.
+    val (probed, _) = GraftOps.bloomProbe(fact, col("fk"), dim, col("dk"),
+      numBits = 1 << 14, numHashes = 5)
+    val survivors = probed.filter(col("__might")).count()
+    assert(survivors <= 10L,
+      s"bitmap passed $survivors of 10001 disjoint keys — not pruning")
     assert(GraftOps.bloomSemiJoin(fact, col("fk"), dim, col("dk"),
       numBits = 1 << 14, numHashes = 5).count() === 0L)
-    assert(keys.count() === 100L)
+  }
+
+  test("bloom joins stay exact across mismatched key types (int vs long)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // xxhash64 hashes an int and a long of the same value differently —
+    // without canonicalization the build and probe would set/test
+    // different bits and silently drop TRUE matches (false negatives).
+    val fact = (1 to 1000).map(i => i % 200).toDF("fk") // IntegerType
+    val dim = (0L to 199L by 2L).toDF("dk")             // LongType
+    val got = GraftOps.bloomSemiJoin(fact, col("fk"), dim, col("dk")).count()
+    val want = fact.join(dim, col("fk") === col("dk"), "left_semi").count()
+    assert(got === want && got > 0)
+    val gotAnti = GraftOps.bloomAntiJoin(fact, col("fk"), dim, col("dk")).count()
+    assert(gotAnti === fact.count() - want)
   }
 }
