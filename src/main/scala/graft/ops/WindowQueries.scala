@@ -28,6 +28,26 @@ object WindowQueries extends QueryPack {
       .select(col("user_id"), col("event_type"), col("ts"), col("value"),
         col("event_id"))
 
+  /** SCD2 dimension build (shared by q_scd2 and q_join_temporal): state-
+    * change detection + interval stitch over one user_id shuffle.
+    */
+  def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from_us"),
+        lead(col("us"), 1).over(w).as("valid_to_us"),
+        row_number().over(w).cast("long").as("version"),
+        lead(col("us"), 1).over(w).isNull.cast("int").as("is_current"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     // Total-order sort: Spark range-partitions by sampled quantiles —
     // exactly TotalOrderPartitioner's contract (SURVEY.md §3.2).
@@ -170,21 +190,29 @@ object WindowQueries extends QueryPack {
     // Change detection (lag) and interval stitching (lead / row_number
     // over the change rows) share the same user_id partitioning — one
     // shuffle; the change filter between them runs partition-local.
-    "q_scd2" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      val ev = Tables.events(s, d)
-        .filter(col("user_id").isNotNull)
-        .select(col("user_id"), col("event_type"), col("event_id"),
+    "q_scd2" -> scd2Dim,
+
+    // Temporal (validity-interval) join — the warehouse pattern "which
+    // dimension VERSION was in effect when this fact happened": each
+    // purchase matches the SCD2 state interval containing its
+    // timestamp, via an equi-join on the natural key with the interval
+    // predicate as a hash-join residual (never a cross/range product —
+    // per-user version counts are bounded). Intervals are half-open
+    // [from, to) and partition the user's timeline, so every purchase
+    // matches exactly one version.
+    "q_join_temporal" -> ((s, d) => {
+      val dim = scd2Dim(s, d)
+        .select(col("user_id").as("d_uid"), col("state"),
+          col("valid_from_us"), col("valid_to_us"), col("version"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"))
-      ev.withColumn("prev_state", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_state").isNull ||
-          col("prev_state") =!= col("event_type"))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("us").as("valid_from_us"),
-          lead(col("us"), 1).over(w).as("valid_to_us"),
-          row_number().over(w).cast("long").as("version"),
-          lead(col("us"), 1).over(w).isNull.cast("int").as("is_current"))
+        .join(dim, col("user_id") === col("d_uid") &&
+          col("us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("state"), col("version"))
     }),
 
     // Time-series gap fill (LOCF): per-user hourly series over the full
@@ -362,6 +390,35 @@ object WindowQueries extends QueryPack {
         |  CAST(row_number() OVER w2 AS BIGINT) AS version,
         |  CAST(lead(us) OVER w2 IS NULL AS INT) AS is_current
         |FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    // Same SCD2 CTEs, then the validity-interval join: half-open
+    // [from, to) intervals partition each user's timeline, so every
+    // purchase matches exactly one version on both engines.
+    "q_join_temporal" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ch AS (
+        |  SELECT user_id, event_type, event_id, us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_state
+        |  FROM ev),
+        |st AS (
+        |  SELECT user_id, event_type, event_id, us FROM ch
+        |  WHERE prev_state IS NULL OR prev_state <> event_type),
+        |scd AS (
+        |  SELECT user_id, event_type AS state, us AS valid_from_us,
+        |    lead(us) OVER w2 AS valid_to_us,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version
+        |  FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |p AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) us
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT p.event_id, p.user_id, p.us, s.state, s.version
+        |FROM p JOIN scd s ON p.user_id = s.user_id
+        |  AND p.us >= s.valid_from_us
+        |  AND (s.valid_to_us IS NULL OR p.us < s.valid_to_us)""".stripMargin,
     "q_gapfill" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, value,
