@@ -227,7 +227,21 @@ object PlanDump {
       "sketch state is fixed-size per group at any cardinality"),
     "x_cooccur" -> ("Skip-gram co-occurrence — window·tokens LOCAL " +
       "zip-with-shifted slots, ONE partially-aggregated count shuffle, " +
-      "TakeOrderedAndProject top-k; never a positional self-join")
+      "TakeOrderedAndProject top-k; never a positional self-join"),
+    "x_dedup_bloom" -> ("Bloom-accelerated incremental dedup — bitmap " +
+      "misses (definitely-new) bypass the shuffle entirely; only hits " +
+      "run the exact anti-join that rescues false positives"),
+    "q_time_rollup" -> ("Multi-grain time cube — Expand feeds one " +
+      "partial+final aggregate; year/month/day subtotals cost the " +
+      "single finest-grain shuffle"),
+    "q_analyze_stats" -> ("ANALYZE column stats — one multi-distinct " +
+      "scan (single Expand), stack() unpivot; no per-column rescans"),
+    "q_join_temporal" -> ("Temporal validity-interval join — hash " +
+      "equi-join on the natural key, half-open interval residual; " +
+      "composes the one-shuffle SCD2 dimension build"),
+    "x_mm_features" -> ("Media byte-histogram features — typed " +
+      "mapPartitions at the model position, zero shuffle, fixed-arity " +
+      "tall output")
   )
 
   def main(args: Array[String]): Unit = {
