@@ -84,12 +84,57 @@ object AnalyticsQueries extends QueryPack {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("basket"), col("p_brand").as("item")))
 
+  /** q_ab_test: Welch's t statistic per event type between two user
+    * cohorts (user_id parity as the deterministic variant assignment) —
+    * the experimentation readout every event pipeline serves. One
+    * partial+final aggregate per (type, variant) cell — count/mean/
+    * variance are the only state, so a 100-TB A/B readout is one
+    * shuffle of 4 doubles per cell. Outputs round to 6: moment sums are
+    * order-sensitive in the last bits (the [[GraftOps.linearFit]]
+    * contract); the t formula is written identically on both engines.
+    */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val ag = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), (col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+        var_samp(col("value")).as("v"))
+    val a = ag.filter(col("variant") === 0)
+      .select(col("event_type"), col("n").as("n0"), col("m").as("m0"),
+        col("v").as("v0"))
+    val b = ag.filter(col("variant") === 1)
+      .select(col("event_type").as("et1"), col("n").as("n1"),
+        col("m").as("m1"), col("v").as("v1"))
+    a.join(b, col("event_type") === col("et1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("m0") - col("m1"), 6).as("mean_diff"),
+        round((col("m0") - col("m1")) /
+          sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 6)
+          .as("t_stat"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_rfm" -> rfm,
-    "q_basket" -> basket
+    "q_basket" -> basket,
+    "q_ab_test" -> abTest
   )
 
   val oracle = Map(
+    // Identical t-formula shape; both engines aggregate doubles and
+    // round at 6 (moment-sum last-bit drift absorbed by the rounding).
+    "q_ab_test" ->
+      """WITH ag AS (
+        |  SELECT event_type, user_id % 2 AS variant,
+        |    count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type, a.n AS n0, b.n AS n1,
+        |  round(a.m - b.m, 6) AS mean_diff,
+        |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat
+        |FROM ag a JOIN ag b
+        |  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1""".stripMargin,
+
     // sum(cents) is HUGEINT in DuckDB — the // 100 floor stays HUGEINT,
     // cast back to BIGINT (the round-2 lesson). quantile_cont replays the
     // distribution-walk interpolation exactly on these integer metrics.
