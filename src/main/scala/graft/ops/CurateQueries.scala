@@ -127,14 +127,15 @@ object CurateQueries extends QueryPack {
     * components over the embedding-cosine near-dup pairs; the semantic
     * analog of x_dedup_cluster, composed from the same two operators.
     */
-  def dedupEmbedCluster(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  def dedupEmbedCluster(s: SparkSession, d: String): DataFrame =
+    // planesOf, not a fresh planesFor(count()): the memoized derivation
+    // (LlmQueries) keeps this composition from paying an extra count job
+    // per plan build and from drifting if the bucket budget changes
     GraftOps.clusterPairs(
-      GraftOps.dedupEmbed(emb, col("vec_id"), col("embedding"),
-          planes = GraftOps.planesFor(emb.count(), 64), dim = 64,
+      GraftOps.dedupEmbed(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), planes = LlmQueries.planesOf(s, d), dim = 64,
           threshold = 0.4)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-  }
 
   /** x_frame_sample: multimodal frame sampling — frame count derived from
     * the payload (md5 window, 16..79 frames at a nominal 25 fps), every
@@ -568,10 +569,13 @@ object CurateQueries extends QueryPack {
          |means AS (
          |  SELECT source, b,
          |    CAST(sum(w * n_chars) AS BIGINT) / CAST(sum(w) AS BIGINT) AS m
-         |  FROM wt GROUP BY 1, 2),
+         |  FROM wt GROUP BY 1, 2
+         |  HAVING sum(w) > 0),
          |ranked AS (
          |  SELECT source, b, m,
-         |    row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn
+         |    row_number() OVER (PARTITION BY source ORDER BY m, b) AS rlo,
+         |    row_number() OVER (PARTITION BY source ORDER BY m DESC, b DESC)
+         |      AS rhi
          |  FROM means),
          |est AS (
          |  SELECT source, CAST(sum(n_chars) AS BIGINT) / count(*) AS est
@@ -579,8 +583,8 @@ object CurateQueries extends QueryPack {
          |SELECT e.source, round(e.est, 6) AS est, round(l.m, 6) AS boot_lo,
          |  round(h.m, 6) AS boot_hi
          |FROM est e
-         |JOIN (SELECT source, m FROM ranked WHERE rn = 2) l USING (source)
-         |JOIN (SELECT source, m FROM ranked WHERE rn = 31) h USING (source)""".stripMargin,
+         |JOIN (SELECT source, m FROM ranked WHERE rlo = 2) l USING (source)
+         |JOIN (SELECT source, m FROM ranked WHERE rhi = 2) h USING (source)""".stripMargin,
 
     // Same md5 uniform, same inverse-CDF Laplace draw, same literal
     // constants — the release replays bit-for-bit (round-6 absorbs ln ulp).
@@ -791,9 +795,13 @@ object CurateQueries extends QueryPack {
         |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
         |nrm AS (SELECT cell cid, CAST(i - 1 AS INT) pos,
         |    v[i] / sqrt(list_dot_product(v, v)) comp
-        |  FROM asg, unnest(generate_series(1, len(v))) t(i))
-        |SELECT cid, pos, round(sum(comp) / count(*), 6) AS cv
-        |FROM nrm GROUP BY 1, 2""".stripMargin,
+        |  FROM asg, unnest(generate_series(1, len(v))) t(i)),
+        |upd AS (SELECT cid, pos, sum(comp) / count(*) AS m
+        |  FROM nrm GROUP BY 1, 2),
+        |grid AS (SELECT c.cid, CAST(i - 1 AS INT) AS pos, c.cv[i] AS old
+        |  FROM cent c, unnest(generate_series(1, len(c.cv))) t(i))
+        |SELECT g.cid, g.pos, round(coalesce(u.m, g.old), 6) AS cv
+        |FROM grid g LEFT JOIN upd u ON u.cid = g.cid AND u.pos = g.pos""".stripMargin,
     // NOT EXISTS (not NOT IN) to match anti-join NULL semantics exactly.
     "x_dedup_bloom" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents)

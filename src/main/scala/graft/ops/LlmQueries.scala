@@ -42,7 +42,7 @@ object LlmQueries extends QueryPack {
     */
   private val planesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
-  private def planesOf(s: SparkSession, d: String): Int = {
+  private[ops] def planesOf(s: SparkSession, d: String): Int = {
     // drop entries of stopped sessions (same hygiene as Tables.loaded)
     planesCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     planesCache.getOrElseUpdate((s, d),
@@ -685,6 +685,38 @@ object LlmQueries extends QueryPack {
     "x_mm_features" -> mmFeatures
   )
 
+  /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
+    * 16-perm signatures -> 8 band keys -> id-ordered candidate pairs),
+    * interpolated into every oracle that replays the engine's
+    * dedupNear blocking — ONE copy, so a constant change (perms, bands,
+    * band width) cannot silently desync a subset of gates. The numeric
+    * literals mirror MinhashPerms/Bands/band hashing in GraftOps.
+    */
+  private val minhashCommon =
+    """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
+        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracle = Map(
     // Hashed-token DSIR replay: same md5 12-hex-digit fold into 1024
     // bins, add-1 smoothing, ln ratio averaged per doc, round(6) — the
@@ -900,29 +932,7 @@ object LlmQueries extends QueryPack {
         |  CAST(adev > 3 * mad AS INT) AS is_outlier
         |FROM dev JOIN mad USING (source)""".stripMargin,
     "x_dedup_near" ->
-      """WITH ws AS (
-        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
-        |  FROM ws WHERE len(w) >= 3),
-        |hs AS (
-        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_aggregate(list_transform(h, x ->
-        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
-        |     for p in range(0, 16)] sig
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
-        |  FROM sig CROSS JOIN range(0, 8) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      raw"""$minhashCommon
         |SELECT doc_a, doc_b,
         |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
@@ -1178,29 +1188,7 @@ object LlmQueries extends QueryPack {
         |  CAST(m >= 0.4 AS INT) AS contaminated
         |FROM mx""".stripMargin,
     "x_pipeline" ->
-      """WITH ws AS (
-        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
-        |  FROM ws WHERE len(w) >= 3),
-        |hs AS (
-        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_aggregate(list_transform(h, x ->
-        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
-        |     for p in range(0, 16)] sig
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
-        |  FROM sig CROSS JOIN range(0, 8) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      raw"""$minhashCommon,
         |dropnear AS (
         |  SELECT DISTINCT doc_b FROM cand
         |  JOIN sh x ON x.doc_id = doc_a
@@ -1462,29 +1450,7 @@ object LlmQueries extends QueryPack {
         |  md5(t) AS clean_md5
         |FROM i""".stripMargin,
     "x_pipeline_full" ->
-      """WITH ws AS (
-        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
-        |  FROM ws WHERE len(w) >= 3),
-        |hs AS (
-        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_aggregate(list_transform(h, x ->
-        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
-        |     for p in range(0, 16)] sig
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
-        |  FROM sig CROSS JOIN range(0, 8) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      raw"""$minhashCommon,
         |dropnear AS (
         |  SELECT DISTINCT doc_b FROM cand
         |  JOIN sh x ON x.doc_id = doc_a
@@ -1530,29 +1496,7 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(n_tokens * w) AS BIGINT) AS est_total_tokens
         |FROM kept GROUP BY lang""".stripMargin,
     "x_pipeline_seq" ->
-      """WITH ws AS (
-        |  SELECT doc_id, [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
-        |  FROM ws WHERE len(w) >= 3),
-        |hs AS (
-        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_aggregate(list_transform(h, x ->
-        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
-        |     for p in range(0, 16)] sig
-        |  FROM hs),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    md5(concat(CAST(sig[2*b+1] AS VARCHAR), '|', CAST(sig[2*b+2] AS VARCHAR))) bkey
-        |  FROM sig CROSS JOIN range(0, 8) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      raw"""$minhashCommon,
         |dropnear AS (
         |  SELECT DISTINCT doc_b FROM cand
         |  JOIN sh x ON x.doc_id = doc_a
