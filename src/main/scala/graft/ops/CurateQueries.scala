@@ -521,6 +521,27 @@ object CurateQueries extends QueryPack {
        |  FROM d),
        |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1)""".stripMargin
 
+  /** Shared IVF cell-assignment CTE prefix (sqrt(n) centroid derivation +
+    * max-cosine / higher-cid tie-break argmax), interpolated into every
+    * oracle that replays assignCells — ONE copy, so a tie-break or nlist
+    * change cannot silently desync a subset of gates (the minhashCommon
+    * discipline in LlmQueries).
+    */
+  private val ivfCommon =
+    """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (SELECT vec_id, v, cid AS cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |      c.cid DESC) rn
+        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
   val oracle = Map(
     // Two unrolled power-iteration rounds: iter-1's direction is the
     // all-ones vector, so its dot product IS list_sum(x); per-dimension
@@ -780,19 +801,7 @@ object CurateQueries extends QueryPack {
         |  CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 5""".stripMargin,
     "x_kmeans" ->
-      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
-        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
-        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
-        |asg AS (SELECT vec_id, v, cid AS cell FROM (
-        |  SELECT e.vec_id, e.v, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.v, c.cv)
-        |        / (sqrt(list_dot_product(e.v, e.v))
-        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |      c.cid DESC) rn
-        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+      raw"""$ivfCommon,
         |nrm AS (SELECT cell cid, CAST(i - 1 AS INT) pos,
         |    v[i] / sqrt(list_dot_product(v, v)) comp
         |  FROM asg, unnest(generate_series(1, len(v))) t(i)),
@@ -959,19 +968,7 @@ object CurateQueries extends QueryPack {
         |    fused_rank
         |FROM top""".stripMargin,
     "x_knn_graph" ->
-      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
-        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
-        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
-        |asg AS (SELECT vec_id, v, cid AS cell FROM (
-        |  SELECT e.vec_id, e.v, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.v, c.cv)
-        |        / (sqrt(list_dot_product(e.v, e.v))
-        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |      c.cid DESC) rn
-        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+      raw"""$ivfCommon,
         |pr AS (SELECT x.vec_id src_id, y.vec_id nbr_id,
         |    round(list_dot_product(x.v, y.v)
         |      / (sqrt(list_dot_product(x.v, x.v))
@@ -1013,19 +1010,7 @@ object CurateQueries extends QueryPack {
         |  CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 3""".stripMargin,
     "x_sample_diverse" ->
-      """WITH nl AS (SELECT min(c) c FROM range(1, 100000) t(c)
-        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
-        |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
-        |asg AS (SELECT vec_id, v, cid AS cell FROM (
-        |  SELECT e.vec_id, e.v, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.v, c.cv)
-        |        / (sqrt(list_dot_product(e.v, e.v))
-        |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-        |      c.cid DESC) rn
-        |  FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+      raw"""$ivfCommon,
         |scored AS (SELECT a.cell, a.vec_id,
         |    round(list_dot_product(a.v, c.cv)
         |      / (sqrt(list_dot_product(a.v, a.v))
