@@ -60,8 +60,14 @@ object AggQueries extends QueryPack {
         df.groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n"),
             sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      // NULL-safe slice split: a NULL o_orderdate satisfies NEITHER
+      // comparison, so a plain </>= pair would silently drop such rows
+      // from both partials while the full-recompute oracle counts them —
+      // NULLs route into the delta slice to keep the decomposition
+      // exhaustive.
       partials(o.filter(col("o_orderdate") < cutoff))
-        .unionByName(partials(o.filter(col("o_orderdate") >= cutoff)))
+        .unionByName(partials(o.filter(
+          !(col("o_orderdate") < cutoff) || col("o_orderdate").isNull)))
         .groupBy(col("o_custkey"))
         .agg(sum(col("n")).as("n_orders"),
           sum(col("cents")).as("total_cents"))
@@ -252,6 +258,10 @@ object AggQueries extends QueryPack {
     // Lower weighted median replay: identical distribution rollup,
     // cumulative window, and integer 2·cumw >= totw threshold — no
     // interpolation float anywhere.
+    // Left join from the DISTINCT group set (NULL-safe), mirroring the
+    // engine's joinOnGroupKey: a group whose values are all NULL still
+    // emits a (grp, NULL) row on both sides instead of vanishing from
+    // one of them.
     "q_agg_wmedian" ->
       """WITH dist AS (
         |  SELECT l_returnflag AS grp, l_extendedprice AS v,
@@ -263,9 +273,13 @@ object AggQueries extends QueryPack {
         |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cw,
         |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) tw
-        |  FROM dist)
-        |SELECT grp, min(v) AS wmedian FROM cum
-        |WHERE cw * 2 >= tw GROUP BY 1""".stripMargin,
+        |  FROM dist),
+        |med AS (
+        |  SELECT grp, min(v) AS wmedian FROM cum
+        |  WHERE cw * 2 >= tw GROUP BY 1),
+        |grps AS (SELECT DISTINCT l_returnflag AS grp FROM lineitem)
+        |SELECT g.grp, m.wmedian
+        |FROM grps g LEFT JOIN med m ON g.grp IS NOT DISTINCT FROM m.grp""".stripMargin,
     "q_retention" ->
       """WITH ev AS (
         |  SELECT user_id,

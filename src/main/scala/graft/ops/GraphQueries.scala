@@ -28,20 +28,26 @@ object GraphQueries extends QueryPack {
     * row instead of two materialized strings (measured ~6.6s → ~2.5s
     * for the derivation at sf0.1).
     */
-  private def tradePairs(s: SparkSession, d: String): DataFrame =
-    // cacheOnce is idempotent by logical-plan equality, so the five graph
-    // queries sharing this derivation (pagerank/hits/kcore/label_prop via
-    // tradeEdges, plus the directed q_hits form) materialize the
-    // join+distinct ONCE per resident session — the derivation measured
-    // ~2.5s at sf0.1, the dominant cost of every graph query paying it
-    // separately.
+  /** The raw (custkey, suppkey) distinct pair set, cacheOnce'd on the
+    * INTEGER keys: every graph query shares this one materialization
+    * (pagerank/hits/kcore/label_prop/bfs via tradeEdges, q_common_nbrs
+    * directly) — the join+distinct measured ~2.5s at sf0.1, the dominant
+    * cost of each query paying it separately. Caching before the string
+    * projection keeps ONE cache entry for both consumers (the string
+    * concat is a cheap map on top) instead of two plans caching the same
+    * logical data twice.
+    */
+  private def rawTradePairs(s: SparkSession, d: String): DataFrame =
     GraftOps.cacheOnce(Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey"))
-      .distinct()
+      .distinct())
+
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    rawTradePairs(s, d)
       .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("supp")))
+        concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
 
   /** Symmetrized (bidirectional) form of [[tradePairs]] for PageRank. */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
@@ -89,11 +95,15 @@ object GraphQueries extends QueryPack {
     // of them, round 3 the bulk of the customer side — a nontrivial
     // distance spectrum whose oracle unrolls each round as a min-merge
     // CTE (the q_pagerank discipline).
-    "q_bfs" -> ((s, d) =>
+    // Seed is a LITERAL one-row source (not filtered from the edge
+    // table): the oracle's d0 seeds ('s1', 0) unconditionally, so an
+    // edge-derived seed would diverge on a fixture where s1 trades
+    // nothing (engine empty vs oracle's lone seed row).
+    "q_bfs" -> ((s, d) => {
+      import s.implicits._
       GraftOps.bfsDistances(tradeEdges(s, d),
-        tradeEdges(s, d).select(col("src").as("node"))
-          .filter(col("node") === "s1"),
-        rounds = 3)),
+        Seq("s1").toDF("node"), rounds = 3)
+    }),
 
     // Weighted shortest paths (bounded Bellman–Ford, 3 rounds) from s1:
     // edge cost 1 + 100 div n_trades, so high-volume relationships are
@@ -112,9 +122,8 @@ object GraphQueries extends QueryPack {
           expr("1 + 100 div nt").as("w")))
       val edges = wp.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
         .unionAll(wp.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
-      GraftOps.ssspDistances(edges,
-        edges.select(col("src").as("node")).filter(col("node") === "s1"),
-        rounds = 3)
+      import s.implicits._
+      GraftOps.ssspDistances(edges, Seq("s1").toDF("node"), rounds = 3)
     }),
 
     // Node similarity by common neighbors (link prediction): supplier
@@ -123,10 +132,8 @@ object GraphQueries extends QueryPack {
     // (never a supplier×supplier join), |N(a)∪N(b)| from the degree
     // table by inclusion-exclusion, similarity as an exact ppm integer.
     "q_common_nbrs" -> ((s, d) => {
-      val e = GraftOps.cacheOnce(Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      val e = rawTradePairs(s, d)
         .select(col("o_custkey").as("c"), col("l_suppkey").as("v"))
-        .distinct())
       val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
       val common = e.groupBy(col("c"))
         .agg(sort_array(collect_set(col("v"))).as("items"))

@@ -49,7 +49,11 @@ object JoinQueries extends QueryPack {
     * range join; scales linearly in events.
     */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    // NULL users excluded on BOTH engines (the q_funnel discipline):
+    // Window.partitionBy groups NULL keys together while the oracle's
+    // correlated equality never matches NULL — without the filter a
+    // NULL-user fixture row would silently diverge the gate.
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
     GraftOps.asofJoin(
       quotes = ev.filter(col("event_type") === "click"),
       trades = ev.filter(col("event_type") === "purchase"),
@@ -153,20 +157,6 @@ object JoinQueries extends QueryPack {
 
     "q_join_asof" -> joinAsof,
 
-    // Skew-salted shuffle join: the supplier key space is tiny relative
-    // to lineitem (10 suppliers per SF unit vs 600k lines), so a plain
-    // shuffle join lands each supplier's ENTIRE fact slice on one task —
-    // the reducer-hotspot pattern. Salting splits every supplier into
-    // SaltBuckets sub-keys: the dim side replicates ×SaltBuckets (dim is
-    // tiny, replication is free), the fact side derives a deterministic
-    // salt from its own primary key, and the join runs on (key, salt) —
-    // each hot key now spreads over SaltBuckets tasks. AQE's skew-join
-    // split solves the same problem adaptively; the salt is the
-    // structural form that also works mid-pipeline where AQE cannot
-    // re-split (e.g. under a cached or checkpointed subtree). The salt
-    // never reaches the output: the post-join aggregate re-merges on the
-    // real key, and partial aggregation makes that second shuffle
-    // key-sized.
     // Runtime-filter semi-join: a distributed Bloom bitmap built from the
     // urgent-order key set prunes lineitem BEFORE the exact semi-join
     // ([[GraftOps.bloomSemiJoin]]) — the "dim key set too big to
@@ -183,6 +173,20 @@ object JoinQueries extends QueryPack {
         Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
         col("o_orderkey"))),
 
+    // Skew-salted shuffle join: the supplier key space is tiny relative
+    // to lineitem (10 suppliers per SF unit vs 600k lines), so a plain
+    // shuffle join lands each supplier's ENTIRE fact slice on one task —
+    // the reducer-hotspot pattern. Salting splits every supplier into
+    // SaltBuckets sub-keys: the dim side replicates ×SaltBuckets (dim is
+    // tiny, replication is free), the fact side derives a deterministic
+    // salt from its own primary key, and the join runs on (key, salt) —
+    // each hot key now spreads over SaltBuckets tasks. AQE's skew-join
+    // split solves the same problem adaptively; the salt is the
+    // structural form that also works mid-pipeline where AQE cannot
+    // re-split (e.g. under a cached or checkpointed subtree). The salt
+    // never reaches the output: the post-join aggregate re-merges on the
+    // real key, and partial aggregation makes that second shuffle
+    // key-sized.
     "q_join_salted" -> ((s, d) => {
       val SaltBuckets = 8
       val dim = Tables.supplier(s, d)
@@ -274,7 +278,8 @@ object JoinQueries extends QueryPack {
         |  (SELECT max(c.ts) FROM events c
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |     AND c.ts <= p.ts) AS asof_ts
-        |FROM events p WHERE p.event_type = 'purchase'
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL
         |ORDER BY p.event_id""".stripMargin,
 
     "q_join_bloom" ->
