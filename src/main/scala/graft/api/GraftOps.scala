@@ -1247,6 +1247,95 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Distributed BPE tokenizer TRAINING — `rounds` greedy merge decisions
+    * (Sennrich et al. 2016), the step after [[bpePairStats]]'s one-round
+    * readout. Vocabulary-bounded iteration: the corpus is scanned ONCE
+    * (token → word-frequency shuffle, cached); each round then costs one
+    * pair count over the distinct-word table plus a 1-row argmax — at
+    * 100 TB the per-round work is proportional to the vocabulary, never
+    * the corpus. Symbol sequences are tracked in a delimiter-wrapped
+    * string form ("cat" → "<c><a><t>") where applying a merge (a,b)→ab
+    * is a plain string `replace` of "<a><b>" with "<ab>": replace scans
+    * left-to-right over non-overlapping occurrences in both Spark
+    * (UTF8String) and DuckDB, which IS greedy BPE application order, so
+    * the unrolled SQL oracle replays every round bit-for-bit. Ties on
+    * pair count break lexicographically (lhs, rhs) — deterministic
+    * across engines and partitionings. Precondition: the token alphabet
+    * must not contain the delimiter characters '<' or '>' (true of
+    * [[graft.functions.TextFns.tokens]] output over the fixtures; wider
+    * alphabets need a caller-chosen delimiter pair).
+    */
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, "rounds must be in [1, 32]")
+    val spark = df.sparkSession
+    val base = cacheOnce(
+      df.select(explode(TextFns.tokens(text)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          regexp_replace(col("word"), "(.)", "<$1>").as("syms")))
+    var words = base
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // adjacent symbol pairs weighted by word frequency; single-symbol
+      // words drop out (size < 2 — the guard matters: Spark's
+      // sequence(1, 0) is a DESCENDING range, not empty)
+      val best = words
+        .select(col("freq"),
+          expr("split(substring(syms, 2, length(syms) - 2), '><')").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS lhs,
+            |              element_at(t, i + 1) AS rhs))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best(0)
+        val (l, rr, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        // call_function keeps the merge strings as bound literals — no
+        // string interpolation into SQL, so corpus content can never
+        // inject into the plan
+        words = words.withColumn("syms",
+          call_function("replace", col("syms"),
+            lit(s"<$l><$rr>"), lit(s"<$l$rr>")))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** Apply learned BPE merges corpus-wide — the tokenizer SERVE path:
+    * wrap every non-space character of the normalized text, then fold
+    * the merge list through chained `replace` calls (greedy left-to-
+    * right, merge-order-faithful — same contract as [[bpeTrain]]).
+    * Pure map stage: zero shuffle at any corpus size; the merge list
+    * rides into the codegen'd plan as literals. Emits per-doc BPE token
+    * count and an md5 of the full segmentation, so a gate must agree on
+    * every merge boundary, not just the counts.
+    */
+  def bpeApply(df: DataFrame, key: Column, text: Column,
+               merges: Seq[(String, String)]): DataFrame = {
+    val wrapped = regexp_replace(trim(lower(text)), "(\\S)", "<$1>")
+    val seg = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    df.select(key.as("doc_id"), seg.as("seg"))
+      .select(col("doc_id"),
+        (length(col("seg")) -
+          length(call_function("replace", col("seg"), lit("<"), lit(""))))
+          .cast("long").as("n_bpe_tokens"),
+        md5(col("seg")).as("seg_md5"))
+  }
+
   /** Windowed skip-gram co-occurrence counts — the corpus statistic a
     * word2vec/GloVe-style embedding pipeline builds first: every unordered
     * token pair co-occurring within ±`window` positions, counted over all

@@ -158,6 +158,20 @@ object AggQueries extends QueryPack {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // Unpivot (melt): wide → tall normalization via the stack generator —
+    // pure map-side row expansion inside whole-stage codegen, zero
+    // shuffle; the inverse reshape of q_pivot. Values pass through
+    // untouched (no arithmetic), so both engines re-emit the parquet
+    // doubles bit-identically.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d).selectExpr(
+        "l_orderkey", "l_linenumber",
+        """stack(4,
+          |  'quantity', l_quantity,
+          |  'extendedprice', l_extendedprice,
+          |  'discount', l_discount,
+          |  'tax', l_tax) AS (measure, val)""".stripMargin)),
+
     // HLL sketch path — the 100-TB form of count-distinct: one pass, fixed
     // memory per group, no expand-by-distinct-key shuffle. No oracleSql on
     // purpose (approximate ≠ DuckDB-replayable): the driver records the
@@ -306,6 +320,15 @@ object AggQueries extends QueryPack {
         |  count(*) FILTER (o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |  l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |  l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+        |  l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
+        |  l_tax FROM lineitem""".stripMargin,
     "q_count_cells" ->
       """SELECT qual, count(*) AS n_cells FROM (
         |  SELECT 'o_orderstatus' AS qual, o_orderstatus AS cell FROM orders

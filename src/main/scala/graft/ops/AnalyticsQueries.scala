@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryPack, Tables}
 import graft.api.GraftOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Customer/merchandising analytics over the order tables — the classic
@@ -113,13 +114,57 @@ object AnalyticsQueries extends QueryPack {
           .as("t_stat"))
   }
 
+  /** q_skyline: per-brand Pareto frontier of parts — cheapest-for-their-
+    * size survivors under strict dominance (another part of the same
+    * brand strictly cheaper AND strictly bigger kills a row). The naive
+    * form is a quadratic NOT-EXISTS self-join; here it is one bounded
+    * aggregation plus a prefix-max window: collapse to the max size per
+    * (brand, price) — one row per distinct price, the only state the
+    * frontier needs — then a strictly-preceding running max over prices
+    * gives each row the best size among all strictly-cheaper parts, and
+    * the survivor test is a scalar compare. Window partitions by brand,
+    * so no single-partition global sort; per-partition state is the
+    * distinct-price list, not the part table. Price is compared in exact
+    * cents (doubles only re-emitted for display).
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    val perPrice = p.groupBy(col("p_brand"), col("price_cents"))
+      .agg(max(col("size")).as("best_size"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("cheaper_best", max(col("best_size")).over(w))
+      .select(col("p_brand"), col("price_cents"), col("cheaper_best"))
+    p.join(frontier, Seq("p_brand", "price_cents"))
+      .filter(col("cheaper_best").isNull ||
+        col("cheaper_best") <= col("size"))
+      .select(col("p_brand"), col("p_partkey"), col("price_cents"),
+        col("size"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_rfm" -> rfm,
     "q_basket" -> basket,
-    "q_ab_test" -> abTest
+    "q_ab_test" -> abTest,
+    "q_skyline" -> skyline
   )
 
   val oracle = Map(
+    // The declarative dominance definition — the window rewrite above
+    // must agree row-for-row with the quadratic NOT EXISTS.
+    "q_skyline" ->
+      """SELECT p_brand, p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part d
+        |  WHERE d.p_brand = p.p_brand
+        |    AND round(d.p_retailprice * 100) < round(p.p_retailprice * 100)
+        |    AND d.p_size > p.p_size)""".stripMargin,
     // Identical t-formula shape; both engines aggregate doubles and
     // round at 6 (moment-sum last-bit drift absorbed by the rounding).
     "q_ab_test" ->

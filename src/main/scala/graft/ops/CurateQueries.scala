@@ -168,6 +168,38 @@ object CurateQueries extends QueryPack {
   def bpeStats(s: SparkSession, d: String): DataFrame =
     GraftOps.bpePairStats(Tables.documents(s, d), col("text"), k = 50)
 
+  /** Merge rounds for the BPE trainer gates — enough to exercise merged-
+    * symbol chaining (later rounds pair PREVIOUS merges), small enough
+    * that the unrolled SQL oracle stays readable.
+    */
+  private val BpeRounds = 6
+
+  /** x_bpe_train: distributed BPE tokenizer training — six greedy merge
+    * rounds over the frequency-weighted vocabulary ([[GraftOps.bpeTrain]]).
+    * The corpus is scanned once; each round is a vocabulary-bounded pair
+    * count + a 1-row argmax, so training cost at 100 TB is per-round
+    * vocab work, never corpus work. Gate = the full merge table (round,
+    * pair, count) vs a 6-round unrolled SQL replay — every greedy
+    * decision and tie-break must match bit-for-bit.
+    */
+  def bpeTrainQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.bpeTrain(Tables.documents(s, d), col("text"), rounds = BpeRounds)
+
+  /** x_bpe_apply: tokenizer serve path — the merges learned by
+    * [[bpeTrainQ]] applied corpus-wide as chained string replaces
+    * (zero-shuffle map stage). The collect is the bounded merge table
+    * (6 rows), the standard model-broadcast shape. Gate = per-doc token
+    * count + segmentation md5, so every merge boundary must agree.
+    */
+  def bpeApplyQ(s: SparkSession, d: String): DataFrame = {
+    val merges = GraftOps.bpeTrain(Tables.documents(s, d), col("text"),
+        rounds = BpeRounds)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    GraftOps.bpeApply(Tables.documents(s, d), col("doc_id"), col("text"),
+      merges)
+  }
+
   /** x_rank_fusion: hybrid retrieval — BM25 top-20 (lexical) fused with
     * cosine top-20 against the vec_id-0 probe (dense, doc_id == vec_id in
     * the fixtures) by exact-integer reciprocal-rank fusion.
@@ -484,6 +516,8 @@ object CurateQueries extends QueryPack {
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
     "x_bpe_stats" -> bpeStats,
+    "x_bpe_train" -> bpeTrainQ,
+    "x_bpe_apply" -> bpeApplyQ,
     "x_rank_fusion" -> rankFusion,
     "x_knn_graph" -> knnGraph,
     "x_knn_graph_probe" -> knnGraphProbe,
@@ -541,6 +575,42 @@ object CurateQueries extends QueryPack {
         |           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
         |      c.cid DESC) rn
         |  FROM emb e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
+  /** Unrolled BPE training replay for the x_bpe_train / x_bpe_apply
+    * oracles: w0 = the wrapped-symbol vocabulary, then per round i a pair
+    * count (pI), the greedy argmax (mI — count desc, then lexicographic
+    * lhs/rhs), and the merged vocabulary (wI) via the same left-to-right
+    * non-overlapping `replace` the engine uses. Generated, not hand-
+    * written, so the round count stays in one place ([[BpeRounds]]).
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT regexp_replace(word, '(.)', '<\1>', 'g') syms, freq FROM (
+        |    SELECT word, count(*) freq FROM (
+        |      SELECT unnest([w for w in
+        |        string_split_regex(lower(trim(text)), '\s+') if w != '']) word
+        |      FROM documents) GROUP BY word))""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT u.lhs lhs, u.rhs rhs, CAST(sum(freq) AS BIGINT) cnt FROM (
+        |    SELECT freq, unnest([{'lhs': t[i], 'rhs': t[i+1]}
+        |      for i in range(1, len(t))]) u
+        |    FROM (SELECT freq,
+        |            string_split(substr(syms, 2, length(syms) - 2), '><') t
+        |          FROM w${i - 1}) s)
+        |  GROUP BY u.lhs, u.rhs),
+        |m$i AS (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |w$i AS (
+        |  SELECT replace(syms,
+        |    (SELECT '<' || lhs || '><' || rhs || '>' FROM m$i),
+        |    (SELECT '<' || lhs || rhs || '>' FROM m$i)) syms, freq
+        |  FROM w${i - 1})""".stripMargin)
+    }
+    sb.toString
+  }
 
   val oracle = Map(
     // Two unrolled power-iteration rounds: iter-1's direction is the
@@ -904,6 +974,29 @@ object CurateQueries extends QueryPack {
         |  round(coalesce(n_dup, 0) / CAST(nw - 15 AS DOUBLE), 6) AS dup_frac,
         |  CAST(coalesce(n_dup, 0) * 5 >= nw - 15 AS INT) AS flagged
         |FROM d LEFT JOIN dup USING (doc_id)""".stripMargin,
+    "x_bpe_train" ->
+      (bpeOracleCtes(BpeRounds) + "\n" +
+        (1 to BpeRounds).map { i =>
+          val prefix = if (i == 1) s"SELECT CAST($i AS BIGINT) round, "
+                       else s"UNION ALL SELECT $i, "
+          s"${prefix}lhs, rhs, cnt pair_count FROM m$i"
+        }.mkString("SELECT * FROM (\n", "\n", ")")),
+    "x_bpe_apply" ->
+      (bpeOracleCtes(BpeRounds) + ",\n" +
+        """a0 AS (SELECT doc_id,
+          |  regexp_replace(lower(trim(text)), '(\S)', '<\1>', 'g') seg
+          |  FROM documents)""".stripMargin + ",\n" +
+        (1 to BpeRounds).map { i =>
+          s"""a$i AS (SELECT doc_id, replace(seg,
+             |  (SELECT '<' || lhs || '><' || rhs || '>' FROM m$i),
+             |  (SELECT '<' || lhs || rhs || '>' FROM m$i)) seg
+             |  FROM a${i - 1})""".stripMargin
+        }.mkString(",\n") + "\n" +
+        s"""SELECT doc_id,
+           |  CAST(length(seg) - length(replace(seg, '<', '')) AS BIGINT)
+           |    AS n_bpe_tokens,
+           |  md5(seg) AS seg_md5
+           |FROM a$BpeRounds""".stripMargin),
     "x_bpe_stats" ->
       """WITH toks AS (
         |  SELECT unnest(

@@ -351,6 +351,33 @@ object LlmQueries extends QueryPack {
       nlist = GraftOps.nlistFor(emb.count()), nprobe = 3)
   }
 
+  /** x_ann_recall: the ANN evaluation harness — recall@3 of the IVF index
+    * ([[simIvf]]'s exact configuration) against brute-force ground truth
+    * on the bounded probe sample. The offline quality readout every
+    * vector-store deployment runs before trusting an index: ground truth
+    * costs one exact corpus pass for the PROBE SAMPLE only (the bounded
+    * broadcast-probe shape of [[simBrute]]), never per production query.
+    * Both legs are deterministic, so recall is an exact integer fraction
+    * and the oracle replays it bit-for-bit instead of asserting a
+    * threshold.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 8)
+    val truth = GraftOps.similarityTopK(emb, probes, k = 3)
+      .select(col("probe_id"), col("vec_id"))
+    val approx = GraftOps.ivfTopK(emb, probes, k = 3,
+      nlist = GraftOps.nlistFor(emb.count()), nprobe = 3)
+      .select(col("probe_id").as("a_probe"), col("vec_id").as("a_vec"))
+    truth.join(approx,
+        col("probe_id") === col("a_probe") && col("vec_id") === col("a_vec"),
+        "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("a_vec")).as("n_hits"))
+      .select(col("probe_id"), col("n_hits"),
+        expr("(n_hits * 1000000) div 3").as("recall_ppm"))
+  }
+
   /** x_quality: per-document C4/Gopher-style quality heuristics — exact
     * integer gates, score = fraction of gates passed. The pre-filter stage
     * of every curation pipeline.
@@ -671,6 +698,7 @@ object LlmQueries extends QueryPack {
     "x_embed_quantize" -> embedQuantize,
     "x_sim_lsh" -> simLsh,
     "x_sim_ivf" -> simIvf,
+    "x_ann_recall" -> annRecall,
     "x_quality" -> quality,
     "x_repetition" -> repetition,
     "x_sample_strat" -> sampleStrat,
@@ -1365,6 +1393,59 @@ object LlmQueries extends QueryPack {
         |  FROM pr)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 3""".stripMargin,
+    // Replays BOTH legs — the x_sim_ivf algorithm (top-3) and brute-force
+    // top-3 ground truth — then counts the overlap, so the recall integers
+    // must agree exactly, not just clear a threshold.
+    "x_ann_recall" ->
+      """WITH nl AS (
+        |  SELECT min(c) c FROM range(1, 100000) t(c)
+        |  WHERE c*c >= (SELECT count(*) FROM embeddings)),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id cid, v cv FROM emb, nl WHERE vec_id < c),
+        |asg AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, c.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cid DESC) rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |pc AS (
+        |  SELECT probe_id, pv, cid AS cell FROM (
+        |    SELECT p.vec_id probe_id, p.v pv, c.cid,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_dot_product(p.v, c.cv)
+        |          / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        |        c.cid DESC) rn
+        |    FROM emb p CROSS JOIN cent c WHERE p.vec_id < 8) WHERE rn <= 3),
+        |apr AS (
+        |  SELECT probe_id, a.vec_id,
+        |    round(list_dot_product(pv, a.v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(a.v, a.v))), 6) cos_sim
+        |  FROM pc JOIN asg a ON pc.cell = a.cell AND a.vec_id <> pc.probe_id),
+        |ark AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) rnk
+        |    FROM apr) WHERE rnk <= 3),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 8),
+        |bpr AS (
+        |  SELECT probe_id, vec_id,
+        |    round(list_dot_product(pv, v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+        |  FROM p JOIN emb ON vec_id <> probe_id),
+        |brk AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) rnk
+        |    FROM bpr) WHERE rnk <= 3)
+        |SELECT t.probe_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+        |  CAST((count(a.vec_id) * 1000000) // 3 AS BIGINT) AS recall_ppm
+        |FROM brk t LEFT JOIN ark a
+        |  ON t.probe_id = a.probe_id AND t.vec_id = a.vec_id
+        |GROUP BY t.probe_id""".stripMargin,
     "x_quality" ->
       """WITH base AS (
         |  SELECT doc_id,

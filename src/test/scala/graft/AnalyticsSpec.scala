@@ -210,4 +210,23 @@ class AnalyticsSpec extends SparkSpec {
     // roughly balanced quartiles: every score 1..4 appears
     assert(scores.toSet === Set(1, 2, 3, 4))
   }
+
+  test("q_skyline equals the brute-force dominance filter") {
+    val rows = Tables.part(spark, sf).select(col("p_brand"), col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.filter { case (b, _, pc, sz) =>
+      !rows.exists { case (b2, _, pc2, sz2) =>
+        b2 == b && pc2 < pc && sz2 > sz
+      }
+    }.toSet
+    val got = ops.AnalyticsQueries.skyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    // a frontier is never empty while the input isn't
+    assert(got.nonEmpty)
+  }
 }

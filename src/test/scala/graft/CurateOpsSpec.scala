@@ -589,4 +589,69 @@ class CurateOpsSpec extends SparkSpec {
     assert(sampled > all,
       f"sampled mean $sampled%.1f should exceed corpus mean $all%.1f")
   }
+
+  test("bpeTrain replays a plain-Scala greedy BPE on the fixture corpus") {
+    val texts = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => freq(w) += 1))
+    var syms: Map[String, Vector[String]] =
+      freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val expected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to 4) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      syms.foreach { case (w, s) =>
+        s.sliding(2).filter(_.size == 2)
+          .foreach(p => pc((p(0), p(1))) += freq(w))
+      }
+      val ((a, b), c) = pc.toSeq.minBy { case ((l, rr), n) => (-n, l, rr) }
+      expected += ((r.toLong, a, b, c))
+      // greedy left-to-right merge, the exact `replace` contract
+      syms = syms.map { case (w, s) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val got = GraftOps.bpeTrain(Tables.documents(spark, sf), col("text"),
+        rounds = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got === expected.toSeq)
+  }
+
+  test("bpeTrain chains merged symbols into later rounds") {
+    import spark.implicits._
+    val df = Seq("aaaa aaaa aaaa", "ab ab").toDF("text")
+    val m = GraftOps.bpeTrain(df, col("text"), rounds = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // "aaaa"×3: (a,a) appears 3×3=9 times; after the merge the word is
+    // [aa, aa] so round 2's winner is the MERGED pair (aa, aa)
+    assert(m(0) === ((1L, "a", "a", 9L)))
+    assert(m(1) === ((2L, "aa", "aa", 3L)))
+    assert(m(2) === ((3L, "a", "b", 2L)))
+  }
+
+  test("bpeApply folds merges greedily left-to-right, word-bounded") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa ab"), (2L, "")).toDF("doc_id", "text")
+    // (a,a) then (aa,a): "aaa" -> [aa, a] -> [aaa] (1 token); "ab" is
+    // untouched (no merge crosses the space) -> 2 tokens
+    val out = GraftOps.bpeApply(df, col("doc_id"), col("text"),
+        Seq(("a", "a"), ("aa", "a")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(1L) === 3L)
+    assert(out(2L) === 0L)
+  }
 }

@@ -684,4 +684,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(stats.forall(_.getLong(0) >= 2),
       "a near-dup cluster has at least 2 members by construction")
   }
+
+  test("x_ann_recall: one row per probe, recall an exact fraction of k=3") {
+    val out = ops.LlmQueries.annRecall(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet === (0L until 8L).toSet)
+    out.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0L && hits <= 3L, s"hits out of range: $hits")
+      assert(r.getLong(2) === hits * 1000000L / 3L,
+        "recall_ppm must be the exact integer fraction")
+    }
+    // the IVF owner cell always contains the vector's own best-cell
+    // neighbors at nprobe=3 >= 1, so recall can't be uniformly zero
+    assert(out.map(_.getLong(1)).sum > 0L, "zero total recall — index broken")
+  }
 }

@@ -487,6 +487,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_unpivot is single-scan, shuffle-free (stack is a map-side generator)") {
+    val p = planOf(SparkEntry.queries("q_unpivot")(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"q_unpivot shuffles:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.contains("Join"), "q_unpivot joins")
+  }
+
+  test("q_skyline: frontier join is hash-based, window partitions by brand") {
+    val p = planOf(SparkEntry.queries("q_skyline")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "skyline must not fall back to the quadratic dominance join")
+    // the prefix-max window runs per brand, never through one partition
+    assert(!p.contains("SinglePartition"),
+      "skyline must not funnel through one partition")
+  }
+
+  test("x_bpe_apply is single-scan, shuffle-free (merges ride as literals)") {
+    val p = planOf(SparkEntry.queries("x_bpe_apply")(spark, sf))
+    assert(!p.contains("Exchange"),
+      s"x_bpe_apply shuffles:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.contains("Join"), "x_bpe_apply joins")
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF
