@@ -18,7 +18,8 @@ object StreamQueries extends QueryPack {
     "s_session" -> ((s, d) => StreamOps.sessionize(Tables.events(s, d))),
     "s_join" -> ((s, d) => StreamOps.clickAttribution(Tables.events(s, d))),
     "s_enrich" -> ((s, d) =>
-      StreamOps.enrich(Tables.events(s, d), Tables.customer(s, d)))
+      StreamOps.enrich(Tables.events(s, d), Tables.customer(s, d))),
+    "s_distinct" -> ((s, d) => StreamOps.distinctUsers(Tables.events(s, d)))
   )
 
   val oracle = Map(
@@ -66,6 +67,14 @@ object StreamQueries extends QueryPack {
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // Exact windowed distinct — NULL users excluded on both sides
+    // (count(DISTINCT) semantics); Spark buckets from the epoch, DuckDB
+    // from 2000-01-01, both midnight-aligned for 5-minute widths.
+    "s_distinct" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start,
+        |  event_type, count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // Batch semantics of the stream-stream interval join: purchases at or
     // within 10 minutes after a same-user click.
     "s_join" ->

@@ -123,4 +123,30 @@ object StreamOps {
         col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("c_mktsegment"), col("c_nationkey"))
+
+  /** s_distinct: exact distinct active users per 5-minute bucket and
+    * event type — the streaming cardinality readout (DAU/MAU at window
+    * grain). A streaming count(DISTINCT) is unsupported, so this is TWO
+    * CHAINED stateful aggregations (the Spark 3.4+ multiple-stateful-
+    * operator shape): a user-grain pre-aggregate collapses each
+    * (window, type, user) to one row, then the distinct count is a plain
+    * count of first-level groups — re-windowed via window_time(), the
+    * documented chained-window idiom. State per window is one row per
+    * active user (bounded by the watermark horizon), and the first level
+    * partial-aggregates map-side, so the shuffle carries user-grain rows
+    * once, never raw events twice. NULL user_ids are excluded
+    * (count(DISTINCT) semantics in both engines).
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(window_time(col("w")), "5 minutes").as("w2"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w2.start").as("bucket_start"), col("event_type"),
+        col("n_users"))
 }

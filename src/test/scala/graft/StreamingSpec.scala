@@ -235,4 +235,27 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 475L), (2L, 1L, 200L)),
       "maintained MV must equal the from-scratch aggregate")
   }
+
+  test("s_distinct: chained stateful aggregations emit watermark-closed buckets") {
+    val q = StreamOps.distinctUsers(StreamOps.readEventStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("dist_tbl")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dist_tbl")
+    val batch = StreamOps.distinctUsers(Tables.events(spark, sf))
+    // append mode emits only the buckets the 10-minute watermark has
+    // closed: streamed must be a subset of batch, and exact on the
+    // strictly-closed prefix (strict < sidesteps the boundary-equality
+    // convention of window expiry)
+    assert(streamed.except(batch).isEmpty,
+      "streamed buckets must match the batch distinct counts")
+    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).head.getTimestamp(0)
+    val horizon = new Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val closed = batch.filter(
+      col("bucket_start") + expr("INTERVAL 5 MINUTES") < lit(horizon))
+    assert(closed.except(streamed).isEmpty,
+      "every watermark-closed bucket must have been emitted")
+    assert(streamed.count() > 0,
+      "no buckets emitted — the chained aggregation is not progressing")
+  }
 }
