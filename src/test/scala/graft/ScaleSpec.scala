@@ -453,4 +453,72 @@ class ScaleSpec extends SparkSpec {
     assert(wrong === 0L,
       s"$wrong docs mis-selected despite disjoint vocabularies")
   }
+
+  test("bpeTrain at 2M tokens / 100k vocab: bounded rounds, monotone counts") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 2M corpus tokens over a 100k-word hex vocabulary (md5 chars are
+    // 0-9a-f — no delimiter collision). Per-round cost must stay
+    // vocabulary-bounded: 4 rounds over 2M rows completing at test speed
+    // is itself the check that no per-round stage rescans pair work at
+    // corpus rather than vocab size.
+    val docs = spark.range(0, 2000000L, 1, 32)
+      .select(substring(md5(pmod(col("id"), lit(100000L)).cast("string")),
+        1, 6).as("text"))
+    val merges = GraftOps.bpeTrain(docs, col("text"), rounds = 4)
+      .collect().sortBy(_.getLong(0))
+    assert(merges.length === 4)
+    val counts = merges.map(_.getLong(3))
+    assert(counts.forall(_ > 0L))
+    // greedy BPE law: merging can only shrink or preserve any pair's
+    // count, so the per-round maximum is non-increasing
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"greedy max must be non-increasing: ${counts.mkString(",")}")
+  }
+
+  test("skyline at 5M rows x 100 brands: frontier is small and non-dominated") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    import org.apache.spark.sql.expressions.Window
+    // independent uniform dims -> expected frontier ~ ln(n) per brand;
+    // the operator's output must be brute-verifiable against itself
+    // (pairwise non-domination) and against a corpus sample
+    val rows = spark.range(0, 5000000L, 1, 32)
+      .select(col("id").as("p_partkey"),
+        pmod(col("id"), lit(100L)).cast("string").as("p_brand"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("price_cents"),
+        pmod(xxhash64(col("id"), lit(7L)), lit(10000L)).as("size"))
+    val perPrice = rows.groupBy(col("p_brand"), col("price_cents"))
+      .agg(max(col("size")).as("best_size"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = rows.join(
+        perPrice.withColumn("cheaper_best", max(col("best_size")).over(w))
+          .select(col("p_brand"), col("price_cents"), col("cheaper_best")),
+        Seq("p_brand", "price_cents"))
+      .filter(col("cheaper_best").isNull ||
+        col("cheaper_best") <= col("size"))
+      .select(col("p_brand"), col("p_partkey"), col("price_cents"),
+        col("size"))
+    val f = frontier.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(f.length < 100000, s"frontier implausibly large: ${f.length}")
+    // pairwise: no frontier row strictly dominates another
+    val byBrand = f.groupBy(_._1)
+    byBrand.values.foreach { g =>
+      g.foreach { case (b, pc, sz) =>
+        assert(!g.exists { case (_, pc2, sz2) => pc2 < pc && sz2 > sz },
+          s"dominated row survived in brand $b")
+      }
+    }
+    // sample check: no corpus row strictly dominates any frontier row
+    val sample = rows.filter(pmod(col("p_partkey"), lit(499L)) === 0)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val sByBrand = sample.groupBy(_._1)
+    byBrand.foreach { case (b, g) =>
+      val s = sByBrand.getOrElse(b, Array.empty[(String, Long, Long)])
+      g.foreach { case (_, pc, sz) =>
+        assert(!s.exists { case (_, pc2, sz2) => pc2 < pc && sz2 > sz },
+          s"sampled corpus row dominates a frontier row in brand $b")
+      }
+    }
+  }
 }
