@@ -319,6 +319,61 @@ object GraftOps {
         round(exp(col("nll") / col("n_pairs")), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995) — the
+    * fourth and strongest smoothing family in the LM-quality tier:
+    *
+    *   p(b|a) = (C(ab) − D)/C(a·) + D·N1+(a·)/C(a·) · N1+(·b)/N1+(··)
+    *
+    * with discount D = 0.75, context total C(a·) = Σ_b C(ab), fan-out
+    * N1+(a·) = |{b : C(ab) > 0}|, continuation count N1+(·b) =
+    * |{a : C(ab) > 0}| and bigram-type total N1+(··). The continuation
+    * distribution scores a word by how many CONTEXTS it follows, not how
+    * often — the fix for high-frequency-but-context-bound words
+    * ("francisco") that add-one and JM both overrate. Scored pairs are
+    * corpus pairs (self-trained), so C(ab) ≥ 1 > D and the discounted
+    * term never goes negative (no max() needed — documented invariant,
+    * kept out of both engines for expression parity).
+    *
+    * Shapes: [[perplexityBigram]]'s pair table, then all three KN
+    * statistics come from ONE groupBy(a) over the distinct-bigram table
+    * (sum + count per context) plus one groupBy(b) (continuation) and a
+    * 1-row type total — every aggregate is map-side combinable and
+    * vocabulary-bounded. The mixture expression is written with CAST AS
+    * DOUBLE literals in identical token order both engines (the
+    * [[perplexityInterp]] decimal-literal lesson).
+    */
+  def perplexityKneserNey(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val d = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= 2)
+      .persistOnce()
+    val pairs = d.select(col("doc_id"),
+        explode(TextFns.grams2(col("w"))).as("p"))
+      .select(col("doc_id"), split(col("p"), " ").getItem(0).as("a"),
+        split(col("p"), " ").getItem(1).as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("pf"))
+      .persistOnce()
+    val bc = pairs.groupBy(col("a"), col("b")).agg(sum(col("pf")).as("cab"))
+      .persistOnce()
+    val ctx = bc.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ctot"), count(lit(1)).as("n1a"))
+    val contb = bc.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val types = bc.agg(count(lit(1)).as("nbt"))
+    pairs.join(bc, Seq("a", "b"))
+      .join(ctx, "a")
+      .join(contb, "b")
+      .crossJoin(broadcast(types))
+      .withColumn("nlp",
+        expr("-log((cab - CAST(0.75 AS DOUBLE)) / ctot + " +
+          "CAST(0.75 AS DOUBLE) * n1a / ctot * n1b / nbt)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pf")).as("n_pairs"),
+        sum(col("nlp") * col("pf")).as("nll"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(col("nll") / col("n_pairs"), 6).as("avg_nll"),
+        round(exp(col("nll") / col("n_pairs")), 6).as("ppl"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * paper): per-language head/middle/tail split over LM perplexity —
     * the curation gate that routes each language's cleanest slice to

@@ -107,6 +107,14 @@ object CurateQueries extends QueryPack {
     GraftOps.perplexityInterp(Tables.documents(s, d), col("doc_id"),
       col("text"))
 
+  /** x_perplexity_kn: interpolated Kneser–Ney bigram perplexity — the
+    * strongest classical n-gram smoothing, completing the LM-quality
+    * tier (add-one unigram → add-one bigram → Jelinek–Mercer → KN).
+    */
+  def perplexityKn(s: SparkSession, d: String): DataFrame =
+    GraftOps.perplexityKneserNey(Tables.documents(s, d), col("doc_id"),
+      col("text"))
+
   /** x_ccnet: CCNet-style per-language perplexity split — head (≤ p25),
     * middle (≤ p75), tail; the curation gate that routes each language's
     * cleanest slice to training.
@@ -511,6 +519,7 @@ object CurateQueries extends QueryPack {
     "x_perplexity" -> perplexity,
     "x_perplexity_bi" -> perplexityBi,
     "x_perplexity_interp" -> perplexityInterp,
+    "x_perplexity_kn" -> perplexityKn,
     "x_ccnet" -> ccnet,
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
@@ -765,6 +774,34 @@ object CurateQueries extends QueryPack {
         |  SELECT doc_id, CAST(sum(pf) AS BIGINT) n_pairs,
         |    sum(-ln((cab + 1.0) / (ca + vocab)) * pf) nll
         |  FROM pairs JOIN bc USING (a, b) JOIN u ON pairs.a = u.t CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT doc_id, n_pairs, round(nll / n_pairs, 6) avg_nll,
+        |  round(exp(nll / n_pairs), 6) ppl
+        |FROM sc""".stripMargin,
+    // KN replay: all three statistics (context total + fan-out,
+    // continuation count, type total) recomputed from the distinct-bigram
+    // table; mixture expression token-identical to the engine's
+    // (left-associated, double literals), C(ab) >= 1 > D so no max().
+    "x_perplexity_kn" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(lower(text), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w FROM ws WHERE len(w) >= 2),
+        |tall AS (SELECT doc_id, w[i] a, w[i + 1] b
+        |  FROM d, unnest(generate_series(1, len(w) - 1)) t(i)),
+        |pairs AS (SELECT doc_id, a, b, count(*) pf FROM tall GROUP BY 1, 2, 3),
+        |bc AS (SELECT a, b, CAST(sum(pf) AS BIGINT) cab FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) ctot, count(*) n1a
+        |  FROM bc GROUP BY 1),
+        |contb AS (SELECT b, count(*) n1b FROM bc GROUP BY 1),
+        |types AS (SELECT count(*) nbt FROM bc),
+        |sc AS (
+        |  SELECT doc_id, CAST(sum(pf) AS BIGINT) n_pairs,
+        |    sum(-ln((cab - CAST(0.75 AS DOUBLE)) / ctot +
+        |      CAST(0.75 AS DOUBLE) * n1a / ctot * n1b / nbt) * pf) nll
+        |  FROM pairs JOIN bc USING (a, b) JOIN ctx USING (a)
+        |    JOIN contb USING (b) CROSS JOIN types
         |  GROUP BY 1)
         |SELECT doc_id, n_pairs, round(nll / n_pairs, 6) avg_nll,
         |  round(exp(nll / n_pairs), 6) ppl

@@ -278,8 +278,44 @@ object EtlQueries extends QueryPack {
           "'o_orderpriority', ndv_op, null_op, min_op, max_op) " +
           "AS (col_name, ndv, n_null, vmin, vmax)"))
 
+  /** q_histogram: equi-depth 8-bucket histogram — the CBO selectivity
+    * statistic next to [[analyzeStats]]' ndv/min/max. Boundaries are the
+    * exact interpolated octiles of l_extendedprice (in cents) from the
+    * distribution walk ([[GraftOps.groupQuantileTable]] — no per-group
+    * value buffer, the shape that survives a billion-row column); the
+    * 1-row boundary table broadcasts back and bucket assignment is a
+    * pure comparison scan. Octile positions are (n−1)·i/8 — eighths are
+    * binary-exact, so quantile_cont replays every boundary double and
+    * every boundary-tie bucket decision.
+    *
+    * Scale note: the single global group means the cum-count window runs
+    * in one partition — but over the DISTINCT-value distribution table,
+    * whose size is bounded by the integer cents DOMAIN (≈10⁷ values for
+    * any realistic price range), not by corpus rows; a billion-row scan
+    * still walks at most domain-many rows. For a genuinely unbounded
+    * value domain the exact path is a repartitionByRange prefix-sum
+    * (per-partition cumulative weights + broadcast partition offsets);
+    * the approximate path is percentile_approx.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.lineitem(s, d).select(
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      lit(1).as("g"))
+    val bounds = GraftOps.groupQuantileTable(c, col("g"), col("cents"),
+      (1 to 7).map(i => (s"b$i", i, 8)))
+    val bucket = (1 to 7).foldLeft(lit(1).cast("int")) { (acc, i) =>
+      acc + (col("cents") > col(s"b$i")).cast("int")
+    }
+    c.crossJoin(broadcast(bounds.drop("grp")))
+      .select(col("cents"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_analyze_stats" -> analyzeStats,
+    "q_histogram" -> histogram,
     "q_etl_zorder" -> zorderKeys,
     "q_join_bucket" -> joinBucketed,
     "q_etl_tsv" -> tsvRoundTrip,
@@ -294,6 +330,25 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents
+        |  FROM lineitem),
+        |q AS (SELECT
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.125) b1,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.250) b2,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.375) b3,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.500) b4,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.625) b5,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.750) b6,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.875) b7
+        |  FROM c)
+        |SELECT 1 + CAST(cents > b1 AS INT) + CAST(cents > b2 AS INT)
+        |     + CAST(cents > b3 AS INT) + CAST(cents > b4 AS INT)
+        |     + CAST(cents > b5 AS INT) + CAST(cents > b6 AS INT)
+        |     + CAST(cents > b7 AS INT) AS bucket,
+        |  count(*) AS n_rows, min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM c, q GROUP BY 1""".stripMargin,
     "q_analyze_stats" ->
       """SELECT 'o_orderkey' AS col_name,
         |  count(DISTINCT o_orderkey) AS ndv,

@@ -590,6 +590,35 @@ class CurateOpsSpec extends SparkSpec {
       f"sampled mean $sampled%.1f should exceed corpus mean $all%.1f")
   }
 
+  test("perplexityKneserNey matches the textbook formula by hand") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c" -> C(ab)=2, C(ac)=1; C(a·)=3,
+    // N1+(a·)=2; N1+(·b)=N1+(·c)=1; N1+(··)=2. With D=0.75:
+    //   p(b|a) = 1.25/3 + (0.75·2/3)·(1/2) = 2/3   -> ppl("a b") = 1.5
+    //   p(c|a) = 0.25/3 + (0.75·2/3)·(1/2) = 1/3   -> ppl("a c") = 3.0
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = GraftOps.perplexityKneserNey(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 1.5 && out(2L) === 1.5)
+    assert(out(3L) === 3.0)
+  }
+
+  test("perplexityKneserNey: observed-type mass never exceeds 1 per context") {
+    // Σ_b p(b|a) over OBSERVED followers plus the unseen continuation
+    // mass equals 1 exactly in KN; the observed part alone must be <= 1.
+    // Reconstruct per-pair probabilities from per-doc nll on 1-pair docs.
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "y z"),
+      (5L, "z x")).toDF("doc_id", "text")
+    val out = GraftOps.perplexityKneserNey(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> math.exp(-r.getDouble(2))).toMap
+    // context x: followers y (docs 1,2 same pair) and z
+    val massX = out(1L) + out(3L)
+    assert(massX > 0.0 && massX <= 1.0 + 1e-9, s"mass(x·) = $massX")
+    assert(out.values.forall(p => p > 0.0 && p < 1.0))
+  }
+
   test("bpeTrain replays a plain-Scala greedy BPE on the fixture corpus") {
     val texts = Tables.documents(spark, sf).select(col("text"))
       .collect().map(_.getString(0))

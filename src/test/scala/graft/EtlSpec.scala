@@ -110,4 +110,22 @@ class EtlSpec extends SparkSpec {
     assert(back.select(sha2(col("content"), 256).as("h"))
       .except(media.select(sha2(col("content"), 256).as("h"))).isEmpty)
   }
+
+  test("q_histogram: 8 disjoint ordered buckets of near-equal depth") {
+    val h = ops.EtlQueries.histogram(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(h.map(_._1).toSeq === (1 to 8))
+    // buckets tile the value range in order without overlap
+    h.zip(h.tail).foreach { case ((_, _, _, hi), (_, _, lo, _)) =>
+      assert(hi < lo, s"bucket ranges overlap: hi=$hi lo=$lo")
+    }
+    h.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    // equi-depth: every bucket within 25% of n/8 (ties can skew slightly)
+    val n = h.map(_._2).sum
+    h.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 8.0) <= n / 8.0 * 0.25,
+        s"bucket $b depth $cnt far from ${n / 8}")
+    }
+  }
 }
