@@ -1626,6 +1626,50 @@ object GraftOps {
       .toDF("probe_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Two-stage truncated-dimension retrieval (the Matryoshka/MRL serving
+    * pattern): a cheap coarse pass ranks by cosine over only the FIRST
+    * `coarseDims` components, then exact full-dimension cosine re-ranks
+    * the per-probe top-`coarseK` survivors. At 100 TB this is the
+    * standard accuracy/cost lever when embeddings are trained
+    * prefix-truncatable: the corpus-wide scan touches a coarseDims-wide
+    * prefix (store it as its own column/file for real I/O savings — an
+    * array column cannot prune a prefix at the parquet layer), and only
+    * probes×coarseK rows ever load full vectors, via a bounded equi-join
+    * back to the corpus. Both stages are deterministic (rank ties break
+    * on vec_id), so recall loss from truncation is replayable, not
+    * stochastic.
+    */
+  def truncatedRerank(corpus: DataFrame, probes: DataFrame,
+                      coarseDims: Int, coarseK: Int, k: Int): DataFrame = {
+    require(coarseDims >= 1 && coarseK >= k && k >= 1)
+    val c = corpus.select(col("vec_id"),
+      slice(VectorFns.toDoubles(col("embedding")), 1, coarseDims).as("vc"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      VectorFns.toDoubles(col("embedding")).as("pv"))
+      .withColumn("pvc", slice(col("pv"), 1, coarseDims))
+      .persistOnce()
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("coarse_sim").desc, col("vec_id").asc)
+    val coarse = c
+      .join(broadcast(p.select(col("probe_id"), col("pvc"))),
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(expr("cosine_sim(pvc, vc)"), 6).as("coarse_sim"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= coarseK)
+    // stage 2: bounded survivor set re-fetches full vectors by key
+    val full = corpus.select(col("vec_id"),
+      VectorFns.toDoubles(col("embedding")).as("v"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    coarse.join(full, "vec_id")
+      .join(broadcast(p.select(col("probe_id"), col("pv"))), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("coarse_sim"),
+        round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Symmetric per-vector int8 quantization — the memory lever that turns
     * a 100-TB float32 embedding store into ~25 TB of codes: scale each
     * vector by its own max |component| so every code lands in [-127, 127],
@@ -2656,21 +2700,31 @@ object GraftOps {
   /** As-of join: for each right-side row, the latest left-side `ts` of the
     * same key at or before the right row's ts. One union + one shuffle on
     * the key + a sorted window pass — linear, no range join, no per-row
-    * probe.
+    * probe. With `tolerance` (an INTERVAL string, pandas merge_asof
+    * semantics) a match older than `ts − tolerance` nulls out — sound
+    * because the as-of match is the LATEST qualifying row: if it misses
+    * the tolerance window, every earlier candidate misses it too, so the
+    * post-window filter loses nothing.
     */
   def asofJoin(quotes: DataFrame, trades: DataFrame, key: String,
-               ts: String, tradeId: String): DataFrame = {
+               ts: String, tradeId: String,
+               tolerance: Option[String] = None): DataFrame = {
     val q = quotes.select(col(key), col(ts),
       lit(null).cast("long").as(tradeId), lit(0).as("tag"))
     val t = trades.select(col(key), col(ts), col(tradeId), lit(1).as("tag"))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    q.unionByName(t)
+    val matched = q.unionByName(t)
       .withColumn("asof_ts",
         last(when(col("tag") === 0, col(ts)), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .select(col(tradeId), col(key), col("asof_ts"))
+    val bounded = tolerance.fold(matched) { tol =>
+      matched.withColumn("asof_ts",
+        when(col("asof_ts") >= col(ts) - expr(s"INTERVAL $tol"),
+          col("asof_ts")))
+    }
+    bounded.select(col(tradeId), col(key), col("asof_ts"))
   }
 
   /** SyncTable-style diff: compare two tables by range-bucket digests

@@ -58,6 +58,28 @@ object EtlQueries extends QueryPack {
       .option("sep", "\t").csv(out)
   }
 
+  /** Quoted-CSV round-trip: the tsv path hardened for embedded
+    * delimiters, quotes and escapes — the interchange edge case that
+    * silently corrupts naive splitters. The written column PLANTS a
+    * comma + double-quote in every value (both engines synthesize the
+    * identical string, the piiScrub discipline), so the gate proves the
+    * writer quoted and the reader unquoted every value exactly.
+    */
+  def csvRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("graft_csv")
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit(",\""), col("n_name")).as("tricky"),
+        col("n_regionkey"))
+      .write.mode("overwrite").option("quote", "\"").option("escape", "\"")
+      .csv(out)
+    s.read
+      .schema(StructType.fromDDL(
+        "n_nationkey INT, tricky STRING, n_regionkey INT"))
+      .option("quote", "\"").option("escape", "\"")
+      .csv(out)
+  }
+
   /** JSON source round-trip: schema-applied line-JSON ingest — the
     * interchange format half the upstream feeds arrive in. Reading with
     * an explicit schema (never inference) is the 100-TB contract: an
@@ -319,6 +341,7 @@ object EtlQueries extends QueryPack {
     "q_etl_zorder" -> zorderKeys,
     "q_join_bucket" -> joinBucketed,
     "q_etl_tsv" -> tsvRoundTrip,
+    "q_etl_csv" -> csvRoundTrip,
     "q_etl_bulkload" -> bulkLoad,
     "q_etl_compact" -> compact,
     "q_etl_json" -> jsonRoundTrip,
@@ -397,6 +420,10 @@ object EtlQueries extends QueryPack {
         |GROUP BY 1, 2""".stripMargin,
     "q_etl_tsv" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin,
+    "q_etl_csv" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+        |  n_name || ',"' || n_name AS tricky,
         |  CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin,
     "q_etl_bulkload" ->
       "SELECT * FROM part",

@@ -157,6 +157,19 @@ object JoinQueries extends QueryPack {
 
     "q_join_asof" -> joinAsof,
 
+    // As-of with a staleness bound (pandas merge_asof tolerance): the
+    // same linear union+window pass; matches older than 30 minutes null
+    // out AFTER the window — sound because the as-of match is the latest
+    // qualifying candidate (see GraftOps.asofJoin).
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      GraftOps.asofJoin(
+        quotes = ev.filter(col("event_type") === "click"),
+        trades = ev.filter(col("event_type") === "purchase"),
+        key = "user_id", ts = "ts", tradeId = "event_id",
+        tolerance = Some("30 MINUTES"))
+    }),
+
     // Runtime-filter semi-join: a distributed Bloom bitmap built from the
     // urgent-order key set prunes lineitem BEFORE the exact semi-join
     // ([[GraftOps.bloomSemiJoin]]) — the "dim key set too big to
@@ -278,6 +291,15 @@ object JoinQueries extends QueryPack {
         |  (SELECT max(c.ts) FROM events c
         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
         |     AND c.ts <= p.ts) AS asof_ts
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT max(c.ts) FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts <= p.ts
+        |     AND c.ts >= p.ts - INTERVAL '30 minutes') AS asof_ts
         |FROM events p
         |WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL
         |ORDER BY p.event_id""".stripMargin,

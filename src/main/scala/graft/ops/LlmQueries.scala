@@ -351,6 +351,19 @@ object LlmQueries extends QueryPack {
       nlist = GraftOps.nlistFor(emb.count()), nprobe = 3)
   }
 
+  /** x_mrl_topk: two-stage truncated-dimension retrieval — the
+    * Matryoshka-representation serving pattern ([[GraftOps
+    * .truncatedRerank]]): coarse cosine over the first 16 of 64 dims
+    * prunes to top-20 per probe, exact full-dimension cosine re-ranks to
+    * top-5. The corpus-wide work touches a quarter of each vector; full
+    * vectors load only for the bounded survivor set.
+    */
+  def mrlTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.truncatedRerank(emb, emb.filter(col("vec_id") < 8),
+      coarseDims = 16, coarseK = 20, k = 5)
+  }
+
   /** x_ann_recall: the ANN evaluation harness — recall@3 of the IVF index
     * ([[simIvf]]'s exact configuration) against brute-force ground truth
     * on the bounded probe sample. The offline quality readout every
@@ -699,6 +712,7 @@ object LlmQueries extends QueryPack {
     "x_sim_lsh" -> simLsh,
     "x_sim_ivf" -> simIvf,
     "x_ann_recall" -> annRecall,
+    "x_mrl_topk" -> mrlTopK,
     "x_quality" -> quality,
     "x_repetition" -> repetition,
     "x_sample_strat" -> sampleStrat,
@@ -1393,6 +1407,41 @@ object LlmQueries extends QueryPack {
         |  FROM pr)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 3""".stripMargin,
+    // Two-stage replay: the coarse prefix ranking (v[1:16]) and the full
+    // re-rank must both agree — a survivor admitted or dropped
+    // differently at stage 1 changes the output set and fails the hash.
+    "x_mrl_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id, v, v[1:16] vc FROM emb),
+        |p AS (SELECT vec_id AS probe_id, v pv, v[1:16] pvc
+        |  FROM emb WHERE vec_id < 8),
+        |cs AS (
+        |  SELECT probe_id, c.vec_id,
+        |    round(list_dot_product(pvc, vc)
+        |      / (sqrt(list_dot_product(pvc, pvc)) * sqrt(list_dot_product(vc, vc))), 6)
+        |      AS coarse_sim
+        |  FROM p JOIN c ON c.vec_id <> p.probe_id),
+        |ck AS (
+        |  SELECT probe_id, vec_id, coarse_sim FROM (
+        |    SELECT probe_id, vec_id, coarse_sim,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY coarse_sim DESC, vec_id) crn
+        |    FROM cs) WHERE crn <= 20),
+        |rr AS (
+        |  SELECT ck.probe_id, ck.vec_id, ck.coarse_sim,
+        |    round(list_dot_product(pv, e.v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(e.v, e.v))), 6)
+        |      AS cos_sim
+        |  FROM ck JOIN emb e ON ck.vec_id = e.vec_id
+        |    JOIN p ON ck.probe_id = p.probe_id)
+        |SELECT probe_id, vec_id, coarse_sim, cos_sim,
+        |  CAST(rnk AS BIGINT) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos_sim DESC, vec_id) rnk
+        |  FROM rr) WHERE rnk <= 5""".stripMargin,
     // Replays BOTH legs — the x_sim_ivf algorithm (top-3) and brute-force
     // top-3 ground truth — then counts the overlap, so the recall integers
     // must agree exactly, not just clear a threshold.

@@ -30,4 +30,30 @@ class JoinAsofSpec extends SparkSpec {
       .filter(col("a.asof_ts") > col("e.ts"))
     assert(bad.count() === 0)
   }
+
+  test("tolerance nulls exactly the matches staler than the bound") {
+    import graft.api.GraftOps
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val plain = GraftOps.asofJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      key = "user_id", ts = "ts", tradeId = "event_id")
+    val tol = ops.JoinQueries.queries("q_join_asof_tol")(spark, sf)
+    // same row set; asof_ts either identical or nulled
+    assert(tol.count() === plain.count())
+    val joined = tol.select(col("event_id"), col("asof_ts").as("t_tol"))
+      .join(plain.select(col("event_id"), col("asof_ts").as("t_plain")),
+        "event_id")
+      .join(Tables.events(spark, sf)
+        .select(col("event_id"), col("ts")), "event_id")
+    // nulled exactly when the unbounded match was staler than 30 minutes
+    val wrong = joined.filter(
+      (col("t_tol").isNull && col("t_plain").isNotNull &&
+        col("t_plain") >= col("ts") - expr("INTERVAL 30 MINUTES")) ||
+      (col("t_tol").isNotNull && col("t_tol") =!= col("t_plain"))).count()
+    assert(wrong === 0, s"$wrong rows disagree with the tolerance contract")
+    // and some matches actually differ at sf0.001 (the bound has teeth)
+    assert(joined.filter(col("t_tol").isNull && col("t_plain").isNotNull)
+      .count() > 0, "tolerance bound never fired — fixture too dense?")
+  }
 }

@@ -685,6 +685,41 @@ class LlmOpsSpec extends SparkSpec {
       "a near-dup cluster has at least 2 members by construction")
   }
 
+  test("truncatedRerank prunes by prefix then re-ranks by full cosine") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    // probe (1,0,0,0). A ranks FIRST on the 2-dim prefix (perfect
+    // direction) but its heavy tail collapses the full cosine; B is
+    // slightly worse coarse but near-perfect full; D is pruned at stage 1.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0f, 5f, 0f)),   // A: coarse 1.0, full ~0.18
+      (2L, Array(0.8f, 0.1f, 0f, 0f)), // B: coarse ~0.99, full ~0.99
+      (3L, Array(0f, 1f, 0f, 0f))      // D: coarse 0.0 -> pruned
+    ).toDF("vec_id", "embedding")
+    val out = GraftOps.truncatedRerank(vecs,
+        vecs.filter(col("vec_id") === 0), coarseDims = 2, coarseK = 2, k = 1)
+      .collect()
+    assert(out.length === 1)
+    // stage 2 must overturn the coarse order: B wins despite A's
+    // perfect prefix score
+    assert(out.head.getLong(1) === 2L,
+      s"expected the full-cosine winner, got vec ${out.head.getLong(1)}")
+  }
+
+  test("x_mrl_topk: ranked 1..5 per probe, full cosine monotone in rank") {
+    val out = ops.LlmQueries.mrlTopK(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(out.keySet === (0L until 8L).toSet)
+    out.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(4))
+      assert(byRank.map(_.getLong(4)).toSeq === (1L to 5L))
+      val sims = byRank.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "cos_sim must be non-increasing in rank")
+    }
+  }
+
   test("x_ann_recall: one row per probe, recall an exact fraction of k=3") {
     val out = ops.LlmQueries.annRecall(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSet === (0L until 8L).toSet)
