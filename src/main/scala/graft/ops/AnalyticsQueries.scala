@@ -145,14 +145,71 @@ object AnalyticsQueries extends QueryPack {
         col("size"))
   }
 
+  /** q_attribution: multi-touch click attribution — for every purchase,
+    * the first-touch, last-touch and linear credit over the same-user
+    * clicks in the 30-minute lookback. The interval join is the s_join
+    * shape (equi-join on user_id with the time band as a residual,
+    * never a time-range product); credit is ONE partial+final aggregate
+    * per purchase — lexicographic min/max(struct(ts, click_id)) are the
+    * deterministic first/last touch (ties break on click_id), linear
+    * credit the exact integer 10⁶ div n share. Purchases with no
+    * qualifying click carry no credit and drop (inner join semantics).
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    buys.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cts") <= col("ts") &&
+          col("cts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(struct(col("cts"), col("click_id"))).getField("click_id")
+          .as("first_click"),
+        max(struct(col("cts"), col("click_id"))).getField("click_id")
+          .as("last_click"))
+      .withColumn("linear_ppm", expr("1000000 div n_clicks"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_rfm" -> rfm,
     "q_basket" -> basket,
     "q_ab_test" -> abTest,
-    "q_skyline" -> skyline
+    "q_skyline" -> skyline,
+    "q_attribution" -> attribution
   )
 
   val oracle = Map(
+    // first/last touch replayed with rank windows ordered exactly like
+    // the engine's lexicographic struct min/max (ts, then click_id).
+    "q_attribution" ->
+      """WITH j AS (
+        |  SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |    CAST(c.ts AS TIMESTAMP) AS cts
+        |  FROM events p JOIN events c
+        |    ON c.user_id = p.user_id
+        |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |   AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |   AND CAST(c.ts AS TIMESTAMP)
+        |       >= CAST(p.ts AS TIMESTAMP) - INTERVAL '30 minutes'
+        |  WHERE p.user_id IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY cts, click_id) rf,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY cts DESC, click_id DESC) rl,
+        |    count(*) OVER (PARTITION BY event_id) n
+        |  FROM j)
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS n_clicks,
+        |  max(CASE WHEN rf = 1 THEN click_id END) AS first_click,
+        |  max(CASE WHEN rl = 1 THEN click_id END) AS last_click,
+        |  CAST(1000000 // n AS BIGINT) AS linear_ppm
+        |FROM r GROUP BY event_id, user_id, n""".stripMargin,
     // The declarative dominance definition — the window rewrite above
     // must agree row-for-row with the quadratic NOT EXISTS.
     "q_skyline" ->

@@ -28,6 +28,38 @@ object SetQueries extends QueryPack {
         col("src_hash"), col("tgt_hash"))
   }
 
+  /** q_cdc_diff: row-level changelog between two snapshots — the
+    * companion to [[syncDiff]]'s bucket digests: once a bucket
+    * disagrees, this emits the actual INSERT/UPDATE/DELETE rows. The
+    * target snapshot is a deterministic mutation of orders (both
+    * engines synthesize it — the piiScrub discipline): every 97th key
+    * deleted, every 101st surviving key's priority rewritten, a +20M
+    * clone of every 103rd key inserted. ONE full-outer equi-join on the
+    * key classifies every row; fingerprints use exactly-representable
+    * columns only. At 100 TB each side shuffles once on its key and
+    * AQE handles the skewless hash join — never a row-pair product.
+    */
+  def cdcDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+    val src = base.select(col("o_orderkey"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("s_fp"))
+    val tgt = base.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+      .select(col("o_orderkey"),
+        concat_ws("|", col("o_orderstatus"),
+          when(pmod(col("o_orderkey"), lit(101L)) === 0, lit("RUSH"))
+            .otherwise(col("o_orderpriority"))).as("t_fp"))
+      .unionByName(base.filter(pmod(col("o_orderkey"), lit(103L)) === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+            .as("t_fp")))
+    src.join(tgt, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("s_fp").isNull, lit("I"))
+          .when(col("t_fp").isNull, lit("D"))
+          .when(col("s_fp") =!= col("t_fp"), lit("U")).as("change_type"))
+      .filter(col("change_type").isNotNull)
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     // UNION (distinct): nation keys present in either side.
     "q_union" -> ((s, d) =>
@@ -45,7 +77,8 @@ object SetQueries extends QueryPack {
       Tables.customer(s, d).select(col("c_custkey").as("custkey"))
         .intersect(Tables.orders(s, d).select(col("o_custkey")))),
 
-    "q_sync_diff" -> syncDiff
+    "q_sync_diff" -> syncDiff,
+    "q_cdc_diff" -> cdcDiff
   )
 
   val oracle = Map(
@@ -62,6 +95,28 @@ object SetQueries extends QueryPack {
     // differently than Spark's exact long — cast back before comparing.
     // FULL OUTER + coalesce mirrors GraftOps.syncDiff's one-sided-bucket
     // semantics.
+    "q_cdc_diff" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    o_orderstatus || '|' || o_orderpriority AS s_fp
+        |  FROM orders),
+        |tgt AS (
+        |  SELECT o_orderkey,
+        |    o_orderstatus || '|' ||
+        |      CASE WHEN o_orderkey % 101 = 0 THEN 'RUSH'
+        |           ELSE o_orderpriority END AS t_fp
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000,
+        |    o_orderstatus || '|' || o_orderpriority
+        |  FROM orders WHERE o_orderkey % 103 = 0)
+        |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NULL THEN 'I'
+        |       WHEN t.o_orderkey IS NULL THEN 'D'
+        |       WHEN s_fp <> t_fp THEN 'U' END AS change_type
+        |FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        |WHERE (s.o_orderkey IS NULL OR t.o_orderkey IS NULL
+        |       OR s_fp <> t_fp)""".stripMargin,
     "q_sync_diff" ->
       """WITH src AS (
         |  SELECT o_orderkey % 32 AS bucket, count(*) AS src_count,

@@ -211,6 +211,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(scores.toSet === Set(1, 2, 3, 4))
   }
 
+  test("q_cdc_diff change counts equal the planted mutations exactly") {
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val expD = keys.count(_ % 97 == 0)
+    val expI = keys.count(_ % 103 == 0)
+    val expU = keys.count(k => k % 97 != 0 && k % 101 == 0)
+    val got = ops.SetQueries.cdcDiff(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(got.getOrElse("D", 0) === expD)
+    assert(got.getOrElse("I", 0) === expI)
+    assert(got.getOrElse("U", 0) === expU)
+  }
+
+  test("q_attribution: touch ordering and exact linear shares") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val out = ops.AnalyticsQueries.attribution(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, first, last) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(!ev(first).after(ev(last)), "first touch must not follow last")
+      if (n == 1) assert(first === last)
+      val ppm = r.getLong(5)
+      assert(ppm * n <= 1000000L && 1000000L < ppm * n + n,
+        s"linear share $ppm not the exact floor of 1e6/$n")
+    }
+  }
+
   test("q_skyline equals the brute-force dominance filter") {
     val rows = Tables.part(spark, sf).select(col("p_brand"), col("p_partkey"),
         round(col("p_retailprice") * 100).cast("long").as("pc"),
