@@ -1020,6 +1020,35 @@ object GraftOps {
       .withColumn("weight", round(lit(100.0) / ratePct, 6))
   }
 
+  /** Deterministic train/validation/test split manifest — the dataset-
+    * freeze step every training run starts from. Assignment is an
+    * md5-keyed bucket of the doc key (98/1/1 by default), so the split
+    * is disjoint-exhaustive BY CONSTRUCTION, content-independent, and
+    * replays identically on any engine/partitioning/rerun — no RNG, no
+    * global sort, one scan. The manifest row per split carries doc and
+    * token totals plus an order-insensitive membership digest (sum of
+    * md5-derived row hashes, the [[syncDiff]] trick): two manifests
+    * agree iff the splits contain exactly the same documents, so a gate
+    * on 3 rows certifies the full partition of the corpus.
+    */
+  def datasetSplit(df: DataFrame, key: Column, text: Column,
+                   valPct: Int = 1, testPct: Int = 1): DataFrame = {
+    require(valPct >= 1 && testPct >= 1 && valPct + testPct < 100)
+    val bucket = pmod(
+      conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(100L))
+    val split = when(bucket < lit(100L - valPct - testPct), lit("train"))
+      .when(bucket < lit(100L - testPct), lit("val"))
+      .otherwise(lit("test"))
+    df.select(split.as("split"),
+        size(TextFns.tokens(text)).cast("long").as("n_tokens"),
+        conv(substring(md5(key.cast("string")), 5, 8), 16, 10)
+          .cast("long").as("rh"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        sum(col("rh")).as("membership_digest"))
+  }
+
   /** Fixed-size token chunking with overlap — the sequence-preparation
     * step between curation and training: each document's token stream
     * splits into windows of `chunkSize` tokens every `stride` tokens
@@ -1273,6 +1302,47 @@ object GraftOps {
     scored.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
         .cast("long"))
+  }
+
+  /** Sparse similarity search via the inverted index — the lexical
+    * complement to dense retrieval ([[similarityTopK]]): probe documents
+    * score against the corpus ONLY through shared terms (an equi-join on
+    * term between the corpus postings and the bounded broadcast probe
+    * postings), so total work is Σ_term df(term)·probe_tf — posting-list
+    * bounded, never doc×doc. The dot product and both norms are EXACT
+    * BIGINT sums of tf products (per-doc Σtf² is bounded by doclen², far
+    * inside long range at any corpus size since docs are length-bounded);
+    * the single final division runs in double over exactly-representable
+    * integers, so the oracle replays every cosine bit-for-bit. An idf
+    * weighting slots in by scaling tf to decimal weights — kept out here
+    * to preserve the all-integer shuffle.
+    */
+  def sparseTopK(df: DataFrame, key: Column, text: Column,
+                 probeMax: Long, k: Int): DataFrame = {
+    require(k > 0)
+    val tf = df.select(key.as("doc_id"), explode(TextFns.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persistOnce()
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("nrm"))
+      .persistOnce()
+    val probes = tf.filter(col("doc_id") < probeMax)
+      .select(col("doc_id").as("probe_id"), col("term"), col("tf").as("ptf"))
+    val dot = tf.join(broadcast(probes), "term")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("ptf")).as("dot"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    dot.join(norms, "doc_id")
+      .join(broadcast(norms.select(col("doc_id").as("probe_id"),
+        col("nrm").as("pnrm"))), "probe_id")
+      .select(col("probe_id"), col("doc_id"), col("dot"),
+        round(col("dot").cast("double") /
+          sqrt(col("nrm").cast("double") * col("pnrm").cast("double")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Tokenizer-prep pair statistics — the corpus scan behind a BPE

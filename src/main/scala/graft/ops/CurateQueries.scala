@@ -107,6 +107,14 @@ object CurateQueries extends QueryPack {
     GraftOps.perplexityInterp(Tables.documents(s, d), col("doc_id"),
       col("text"))
 
+  /** x_dataset_split: the 98/1/1 train/val/test freeze —
+    * disjoint-exhaustive md5-bucket assignment with per-split doc/token
+    * totals and an order-insensitive membership digest; 3 gated rows
+    * certify the full corpus partition ([[GraftOps.datasetSplit]]).
+    */
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    GraftOps.datasetSplit(Tables.documents(s, d), col("doc_id"), col("text"))
+
   /** x_perplexity_kn: interpolated Kneser–Ney bigram perplexity — the
     * strongest classical n-gram smoothing, completing the LM-quality
     * tier (add-one unigram → add-one bigram → Jelinek–Mercer → KN).
@@ -520,6 +528,7 @@ object CurateQueries extends QueryPack {
     "x_perplexity_bi" -> perplexityBi,
     "x_perplexity_interp" -> perplexityInterp,
     "x_perplexity_kn" -> perplexityKn,
+    "x_dataset_split" -> datasetSplit,
     "x_ccnet" -> ccnet,
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
@@ -778,6 +787,25 @@ object CurateQueries extends QueryPack {
         |SELECT doc_id, n_pairs, round(nll / n_pairs, 6) avg_nll,
         |  round(exp(nll / n_pairs), 6) ppl
         |FROM sc""".stripMargin,
+    // The split replay: identical 48-bit md5 bucket, identical 32-bit
+    // row hashes — the 3-row manifest certifies the whole partition.
+    "x_dataset_split" ->
+      """WITH a AS (
+        |  SELECT
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |           AS BIGINT) % 100 < 98 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |           AS BIGINT) % 100 < 99 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    len([w for w in string_split_regex(lower(trim(text)), '\s+')
+        |         if w != '']) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8))
+        |      AS BIGINT) AS rh
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(rh) AS BIGINT) AS membership_digest
+        |FROM a GROUP BY split""".stripMargin,
     // KN replay: all three statistics (context total + fan-out,
     // continuation count, type total) recomputed from the distinct-bigram
     // table; mixture expression token-identical to the engine's

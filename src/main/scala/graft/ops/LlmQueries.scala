@@ -364,6 +364,14 @@ object LlmQueries extends QueryPack {
       coarseDims = 16, coarseK = 20, k = 5)
   }
 
+  /** x_sim_sparse: lexical doc-to-corpus similarity through the inverted
+    * index ([[GraftOps.sparseTopK]]) — top-5 tf-cosine neighbors for the
+    * 8 probe docs, exact-integer dot products, posting-list-bounded work.
+    */
+  def simSparse(s: SparkSession, d: String): DataFrame =
+    GraftOps.sparseTopK(Tables.documents(s, d), col("doc_id"), col("text"),
+      probeMax = 8L, k = 5)
+
   /** x_ann_recall: the ANN evaluation harness — recall@3 of the IVF index
     * ([[simIvf]]'s exact configuration) against brute-force ground truth
     * on the bounded probe sample. The offline quality readout every
@@ -713,6 +721,7 @@ object LlmQueries extends QueryPack {
     "x_sim_ivf" -> simIvf,
     "x_ann_recall" -> annRecall,
     "x_mrl_topk" -> mrlTopK,
+    "x_sim_sparse" -> simSparse,
     "x_quality" -> quality,
     "x_repetition" -> repetition,
     "x_sample_strat" -> sampleStrat,
@@ -1407,6 +1416,35 @@ object LlmQueries extends QueryPack {
         |  FROM pr)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 3""".stripMargin,
+    // Integer-exact sparse cosine: tf counts, dot and norms are BIGINT;
+    // the one double division is over exactly-representable ints, so the
+    // 6-decimal cosines replay bit-for-bit.
+    "x_sim_sparse" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) tf FROM (
+        |    SELECT doc_id, unnest([w for w in
+        |      string_split_regex(lower(text), '\s+') if w != '']) term
+        |    FROM documents) GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) nrm
+        |  FROM tf GROUP BY 1),
+        |p AS (SELECT doc_id AS probe_id, term, tf AS ptf
+        |  FROM tf WHERE doc_id < 8),
+        |dot AS (
+        |  SELECT probe_id, tf.doc_id, CAST(sum(tf.tf * ptf) AS BIGINT) dot
+        |  FROM tf JOIN p USING (term) WHERE tf.doc_id <> p.probe_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT probe_id, dot.doc_id, dot,
+        |    round(CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(n.nrm AS DOUBLE) * CAST(pn.nrm AS DOUBLE)), 6)
+        |      AS cos_sim
+        |  FROM dot JOIN nrm n ON dot.doc_id = n.doc_id
+        |    JOIN nrm pn ON dot.probe_id = pn.doc_id)
+        |SELECT probe_id, doc_id, dot, cos_sim, CAST(rnk AS BIGINT) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos_sim DESC, doc_id) rnk
+        |  FROM sc) WHERE rnk <= 5""".stripMargin,
     // Two-stage replay: the coarse prefix ranking (v[1:16]) and the full
     // re-rank must both agree — a survivor admitted or dropped
     // differently at stage 1 changes the output set and fails the hash.

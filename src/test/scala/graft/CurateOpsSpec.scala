@@ -590,6 +590,23 @@ class CurateOpsSpec extends SparkSpec {
       f"sampled mean $sampled%.1f should exceed corpus mean $all%.1f")
   }
 
+  test("datasetSplit partitions the corpus exhaustively and deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val m = ops.CurateQueries.datasetSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m.keySet === Set("train", "val", "test"))
+    // exhaustive: split sizes sum to the corpus
+    assert(m.values.map(_._1).sum === docs.count())
+    // train dominates (98% nominal; small-sample slack)
+    assert(m("train")._1 > m("val")._1 * 10)
+    // deterministic: a second run replays every digest bit-for-bit
+    val again = ops.CurateQueries.datasetSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again === m)
+  }
+
   test("perplexityKneserNey matches the textbook formula by hand") {
     import spark.implicits._
     // corpus: "a b", "a b", "a c" -> C(ab)=2, C(ac)=1; C(a·)=3,

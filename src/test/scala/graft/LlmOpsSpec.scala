@@ -685,6 +685,23 @@ class LlmOpsSpec extends SparkSpec {
       "a near-dup cluster has at least 2 members by construction")
   }
 
+  test("sparseTopK computes exact tf-cosine through the inverted index") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    val docs = Seq((0L, "a b b"), (1L, "a a b"), (2L, "a b"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val out = GraftOps.sparseTopK(docs, col("doc_id"), col("text"),
+        probeMax = 1L, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // probe 0 = {a:1, b:2}, |p|² = 5. doc1 {a:2,b:1}: dot 4, cos 4/5;
+    // doc2 {a:1,b:1}: dot 3, cos 3/√10; doc3 shares no term -> absent
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0)._2 === 4L && out(0)._3 === 0.8)
+    assert(out(1)._2 === 3L &&
+      out(1)._3 === math.floor(3.0 / math.sqrt(10.0) * 1e6 + 0.5) / 1e6)
+  }
+
   test("truncatedRerank prunes by prefix then re-ranks by full cosine") {
     import spark.implicits._
     import graft.api.GraftOps
