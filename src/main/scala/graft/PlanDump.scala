@@ -241,7 +241,30 @@ object PlanDump {
       "composes the one-shuffle SCD2 dimension build"),
     "x_mm_features" -> ("Media byte-histogram features — typed " +
       "mapPartitions at the model position, zero shuffle, fixed-arity " +
-      "tall output")
+      "tall output"),
+    "q_skyline" -> ("Pareto frontier — per-(brand, price) collapse + " +
+      "strictly-preceding prefix-max window; no quadratic dominance join"),
+    "q_unpivot" -> "UNPIVOT — stack generator, single scan, zero shuffle",
+    "x_bpe_apply" -> ("BPE tokenizer serve — chained literal replaces, " +
+      "zero-shuffle map stage"),
+    "s_distinct" -> ("Windowed exact distinct users — two CHAINED " +
+      "stateful aggregations (user-grain pre-agg, then count of groups)"),
+    "x_perplexity_kn" -> ("Kneser-Ney bigram LM — all three KN statistics " +
+      "from the distinct-bigram table, vocab-bounded"),
+    "q_histogram" -> ("Equi-depth histogram — distribution-walk octiles, " +
+      "1-row boundary broadcast + comparison scan"),
+    "q_join_asof_tol" -> ("As-of with staleness tolerance — same linear " +
+      "union+window pass, post-window null-out"),
+    "x_mrl_topk" -> ("Matryoshka two-stage retrieval — prefix-dim coarse " +
+      "prune, bounded full-vector re-rank equi-join"),
+    "q_cdc_diff" -> ("Row-level snapshot changelog — one full-outer " +
+      "equi-join over key fingerprints"),
+    "q_attribution" -> ("Multi-touch attribution — interval join + one " +
+      "partial+final aggregate, struct-min/max touch selection"),
+    "x_dataset_split" -> ("Train/val/test manifest — md5-bucket scan, " +
+      "3-row aggregate with membership digest"),
+    "x_sim_sparse" -> ("Sparse tf-cosine — inverted-index equi-join, " +
+      "posting-bounded, exact BIGINT dots")
   )
 
   def main(args: Array[String]): Unit = {
