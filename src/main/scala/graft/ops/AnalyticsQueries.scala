@@ -175,15 +175,64 @@ object AnalyticsQueries extends QueryPack {
       .withColumn("linear_ppm", expr("1000000 div n_clicks"))
   }
 
+  /** q_concurrency: active sessions per 5-minute bucket — the temporal
+    * OVERLAP aggregation (peak-concurrency / capacity readout) that a
+    * plain groupBy can't express because each session spans many
+    * buckets. Sessions come from the session_window build (s_session
+    * semantics); each explodes map-side into the integer bucket ids it
+    * overlaps (bounded by session length / 5 min — never a time-range
+    * join), and one count shuffle per (bucket) finishes it. Bucket ids
+    * are exact µs integer divisions, so both engines enumerate the
+    * identical bucket sets.
+    */
+  def concurrency(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamOps.sessionize(Tables.events(s, d))
+      .select(explode(sequence(
+        expr("unix_micros(session_start) div 300000000"),
+        expr("unix_micros(session_end) div 300000000"))).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(expr("timestamp_micros(b * 300000000)").as("bucket_start"),
+        col("n_active"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_rfm" -> rfm,
     "q_basket" -> basket,
     "q_ab_test" -> abTest,
     "q_skyline" -> skyline,
-    "q_attribution" -> attribution
+    "q_attribution" -> attribution,
+    "q_concurrency" -> concurrency
   )
 
   val oracle = Map(
+    // The s_session gaps-and-islands build, then each session unnests
+    // into its inclusive integer bucket range — identical µs divisions.
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - CAST(lag(ts) OVER w AS TIMESTAMP)
+        |              > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |sess AS (
+        |  SELECT min(ts) AS session_start,
+        |    max(ts) + INTERVAL '30 minutes' AS session_end
+        |  FROM g GROUP BY user_id, sid),
+        |bk AS (
+        |  SELECT unnest(generate_series(
+        |    epoch_us(session_start) // 300000000,
+        |    epoch_us(session_end) // 300000000)) AS b
+        |  FROM sess)
+        |SELECT make_timestamp(b * 300000000) AS bucket_start,
+        |  count(*) AS n_active
+        |FROM bk GROUP BY 1""".stripMargin,
     // first/last touch replayed with rank windows ordered exactly like
     // the engine's lexicographic struct min/max (ts, then click_id).
     "q_attribution" ->

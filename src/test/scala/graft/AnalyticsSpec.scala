@@ -240,6 +240,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_concurrency conserves session-bucket mass") {
+    val sess = graft.streaming.StreamOps.sessionize(Tables.events(spark, sf))
+      .select(expr("unix_micros(session_start) div 300000000").as("bs"),
+        expr("unix_micros(session_end) div 300000000").as("be"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedMass = sess.map { case (bs, be) => be - bs + 1 }.sum
+    val out = ops.AnalyticsQueries.concurrency(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum === expectedMass,
+      "sum of per-bucket actives must equal total session-bucket slots")
+    assert(out.forall(_.getLong(1) >= 1))
+    // peak concurrency is at least the busiest single instant's floor:
+    // any bucket containing k session starts has n_active >= k
+    assert(out.map(_.getLong(1)).max >= 2, "fixture should overlap sessions")
+  }
+
   test("q_skyline equals the brute-force dominance filter") {
     val rows = Tables.part(spark, sf).select(col("p_brand"), col("p_partkey"),
         round(col("p_retailprice") * 100).cast("long").as("pc"),
