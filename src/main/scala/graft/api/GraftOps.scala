@@ -2345,6 +2345,67 @@ object GraftOps {
     joinOnGroupKey(src, groupQuantileTable(df, group, value, quantiles))
   }
 
+  /** Exact GLOBAL quantiles for an unbounded value domain — the
+    * two-phase distributed prefix sum that [[groupQuantileTable]]'s
+    * single-group walk cannot provide (its cum-count window would pull
+    * the whole distribution table through one partition; fine when the
+    * distinct-value DOMAIN is bounded, wrong when it isn't). Phase 1:
+    * the (distinct value, weight) table is range-partitioned and sorted
+    * on the value, so partition boundaries respect global order; the
+    * per-partition weight totals (one bounded row per partition) come
+    * to the driver and their exclusive prefix sums broadcast back as
+    * offsets. Phase 2: a per-partition cumulative window plus the
+    * offset yields every value's exact global rank, and each quantile's
+    * bracketing values fall out of one conditional aggregate. The
+    * interpolation expression is written IDENTICALLY to the walk's, so
+    * both implementations (and the quantile_cont oracle) agree
+    * bit-for-bit on integer-valued columns at dyadic fractions.
+    * Determinism: values are distinct after the rollup, so global ranks
+    * are partitioning-independent even though partition boundaries come
+    * from range sampling.
+    */
+  def rangedQuantileTable(df: DataFrame, value: Column,
+                          quantiles: Seq[(String, Int, Int)],
+                          partitions: Int = 32): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (_, num, den) => num >= 0 && num <= den && den > 0 })
+    val spark = df.sparkSession
+    val dist = df.select(value.cast("double").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("x")).agg(count(lit(1)).as("w"))
+    val ranged = cacheOnce(dist.repartitionByRange(partitions, col("x"))
+      .sortWithinPartitions(col("x"))
+      .withColumn("pid", spark_partition_id()))
+    // bounded: one row per partition
+    val totals = ranged.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    require(n > 0, "rangedQuantileTable: no non-null values")
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+    val wcum = Window.partitionBy(col("pid")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ranged
+      .withColumn("cw", sum(col("w")).over(wcum))
+      .join(offDf, "pid")
+      .withColumn("cum", col("cw") + col("off"))
+    val aggCols = quantiles.zipWithIndex.flatMap { case ((_, num, den), i) =>
+      val lo = (n - 1) * num / den
+      Seq(min(when(col("cum") > lo, col("x"))).as(s"_vlo_$i"),
+        min(when(col("cum") > lo + 1, col("x"))).as(s"_vhi_$i"))
+    }
+    val outCols = quantiles.zipWithIndex.map { case ((name, num, den), i) =>
+      val rem = ((n - 1) * num) % den
+      if (rem == 0) col(s"_vlo_$i").as(name)
+      else (col(s"_vlo_$i") +
+        (col(s"_vhi_$i") - col(s"_vlo_$i")) * lit(rem).cast("double") / lit(den))
+        .as(name)
+    }
+    cum.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
+  }
+
   /** Market-basket co-occurrence with lift — which items sell together
     * (cols `basket`, `item`; the fixture binds order → part brand). The
     * classic association-rule support/lift statistic, shaped for scale:

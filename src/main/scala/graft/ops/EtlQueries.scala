@@ -335,9 +335,23 @@ object EtlQueries extends QueryPack {
         max(col("cents")).as("hi_cents"))
   }
 
+  /** q_quantile_ranged: the same exact octiles as [[histogram]]'s
+    * boundaries, computed by the UNBOUNDED-DOMAIN path — the two-phase
+    * repartitionByRange prefix sum ([[GraftOps.rangedQuantileTable]]).
+    * Two independent implementations, one quantile_cont oracle: the
+    * distribution walk and the ranged prefix sum must produce
+    * bit-identical boundary doubles.
+    */
+  def quantileRanged(s: SparkSession, d: String): DataFrame =
+    GraftOps.rangedQuantileTable(
+      Tables.lineitem(s, d).select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
+      col("cents"), (1 to 7).map(i => (s"b$i", i, 8)))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_analyze_stats" -> analyzeStats,
     "q_histogram" -> histogram,
+    "q_quantile_ranged" -> quantileRanged,
     "q_etl_zorder" -> zorderKeys,
     "q_join_bucket" -> joinBucketed,
     "q_etl_tsv" -> tsvRoundTrip,
@@ -353,6 +367,19 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle = Map(
+    "q_quantile_ranged" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents
+        |  FROM lineitem)
+        |SELECT
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.125) b1,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.250) b2,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.375) b3,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.500) b4,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.625) b5,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.750) b6,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.875) b7
+        |FROM c""".stripMargin,
     "q_histogram" ->
       """WITH c AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents

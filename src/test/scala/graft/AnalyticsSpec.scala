@@ -211,6 +211,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(scores.toSet === Set(1, 2, 3, 4))
   }
 
+  test("rangedQuantileTable equals the distribution walk, any partitioning") {
+    import spark.implicits._
+    // skewed integers with heavy ties — the distribution both paths
+    // must weigh identically
+    val vals = (1 to 2000).map(i => (i * i) % 97L) ++ Seq.fill(500)(13L)
+    val df = vals.toDF("v")
+    val qs = Seq(("q1", 1, 8), ("q3", 3, 4), ("med", 1, 2), ("p", 7, 8))
+    val walk = GraftOps.groupQuantileTable(df.withColumn("g", lit(1)),
+        col("g"), col("v"), qs)
+      .drop("grp").collect().head.toSeq
+    val r32 = GraftOps.rangedQuantileTable(df, col("v"), qs).collect().head.toSeq
+    val r3 = GraftOps.rangedQuantileTable(df, col("v"), qs, partitions = 3)
+      .collect().head.toSeq
+    assert(r32 === walk, "ranged prefix-sum must equal the walk")
+    assert(r3 === walk, "result must be partitioning-independent")
+  }
+
   test("q_cdc_diff change counts equal the planted mutations exactly") {
     val keys = Tables.orders(spark, sf).select(col("o_orderkey"))
       .collect().map(_.getLong(0))
