@@ -1304,6 +1304,29 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Tokenizer out-of-vocabulary evaluation — per-document OOV token
+    * counts against the corpus top-`vocabK` vocabulary (the readout that
+    * sizes a tokenizer or flags domain-shifted documents). The vocab is
+    * a bounded TakeOrderedAndProject (count desc, term asc — a total
+    * deterministic order) broadcast back over the token table; rates
+    * are exact integer ppm. Two shuffles total (token counts + per-doc
+    * rollup) at any corpus size.
+    */
+  def oovRate(df: DataFrame, key: Column, text: Column,
+              vocabK: Int): DataFrame = {
+    require(vocabK > 0)
+    val tall = df.select(key.as("doc_id"),
+      explode(TextFns.tokens(text)).as("term")).persistOnce()
+    val vocab = tall.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(vocabK)
+      .select(col("term"), lit(1).as("iv"))
+    tall.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+  }
+
   /** Sparse similarity search via the inverted index — the lexical
     * complement to dense retrieval ([[similarityTopK]]): probe documents
     * score against the corpus ONLY through shared terms (an equi-join on

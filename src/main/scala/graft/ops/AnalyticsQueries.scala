@@ -195,16 +195,57 @@ object AnalyticsQueries extends QueryPack {
       .select(expr("timestamp_micros(b * 300000000)").as("bucket_start"),
         col("n_active"))
 
+  /** q_transitions: the user-journey Markov matrix — counts and exact
+    * ppm probabilities of each event_type → next-event_type transition
+    * along per-user timelines. One lead() window on the (user, ts)
+    * ordering (deterministic ties via event_id), one bounded
+    * (from, to) count shuffle, and the per-from totals re-derive from
+    * the SAME transition table (type-count-sized, broadcast back) — the
+    * flow-analysis readout behind every funnel exploration tool.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("from_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div from_total").as("p_ppm"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_rfm" -> rfm,
     "q_basket" -> basket,
     "q_ab_test" -> abTest,
     "q_skyline" -> skyline,
     "q_attribution" -> attribution,
-    "q_concurrency" -> concurrency
+    "q_concurrency" -> concurrency,
+    "q_transitions" -> transitions
   )
 
   val oracle = Map(
+    // Same lead() ordering (ts, then event_id) and exact integer shares.
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+        |  FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 1000000) // from_total AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (from_type)""".stripMargin,
     // The s_session gaps-and-islands build, then each session unnests
     // into its inclusive integer bucket range — identical µs divisions.
     "q_concurrency" ->

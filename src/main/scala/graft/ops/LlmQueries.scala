@@ -364,6 +364,15 @@ object LlmQueries extends QueryPack {
       coarseDims = 16, coarseK = 20, k = 5)
   }
 
+  /** x_oov_rate: per-doc out-of-vocabulary token rate against the corpus
+    * top-10 vocabulary ([[GraftOps.oovRate]]) — the tokenizer-sizing /
+    * domain-shift readout. k=10 against the fixture's tiny vocabulary
+    * so the rates are non-degenerate.
+    */
+  def oovRateQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.oovRate(Tables.documents(s, d), col("doc_id"), col("text"),
+      vocabK = 10)
+
   /** x_sim_sparse: lexical doc-to-corpus similarity through the inverted
     * index ([[GraftOps.sparseTopK]]) — top-5 tf-cosine neighbors for the
     * 8 probe docs, exact-integer dot products, posting-list-bounded work.
@@ -722,6 +731,7 @@ object LlmQueries extends QueryPack {
     "x_ann_recall" -> annRecall,
     "x_mrl_topk" -> mrlTopK,
     "x_sim_sparse" -> simSparse,
+    "x_oov_rate" -> oovRateQ,
     "x_quality" -> quality,
     "x_repetition" -> repetition,
     "x_sample_strat" -> sampleStrat,
@@ -1416,6 +1426,24 @@ object LlmQueries extends QueryPack {
         |  FROM pr)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 3""".stripMargin,
+    // Vocabulary = top-10 by (count desc, term) — a total deterministic
+    // order both engines replay; rates are exact integer ppm.
+    "x_oov_rate" ->
+      """WITH tall AS (
+        |  SELECT doc_id, unnest([w for w in
+        |    string_split_regex(lower(text), '\s+') if w != '']) term
+        |  FROM documents),
+        |v AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) c FROM tall GROUP BY 1
+        |    ORDER BY c DESC, term LIMIT 10))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST((sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS oov_ppm
+        |FROM tall LEFT JOIN v USING (term)
+        |GROUP BY doc_id""".stripMargin,
     // Integer-exact sparse cosine: tf counts, dot and norms are BIGINT;
     // the one double division is over exactly-representable ints, so the
     // 6-decimal cosines replay bit-for-bit.

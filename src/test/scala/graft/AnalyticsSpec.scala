@@ -211,6 +211,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(scores.toSet === Set(1, 2, 3, 4))
   }
 
+  test("q_transitions conserves transition mass per user timeline") {
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    val out = ops.AnalyticsQueries.transitions(spark, sf).collect()
+    // every non-final event contributes exactly one transition
+    assert(out.map(_.getLong(2)).sum === expected)
+    // per-from probabilities: floor shares sum to <= 1e6, > 1e6 - n_types
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val total = rows.map(_.getLong(3)).sum
+      assert(total <= 1000000L && total > 1000000L - rows.length,
+        s"floor ppm shares sum to $total")
+    }
+  }
+
   test("rangedQuantileTable equals the distribution walk, any partitioning") {
     import spark.implicits._
     // skewed integers with heavy ties — the distribution both paths

@@ -685,6 +685,27 @@ class LlmOpsSpec extends SparkSpec {
       "a near-dup cluster has at least 2 members by construction")
   }
 
+  test("x_oov_rate: token accounting and a hand-checked vocabulary cut") {
+    import graft.api.GraftOps
+    val out = ops.LlmQueries.oovRateQ(spark, sf).collect()
+    val corpusTokens = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))))
+      .count()
+    assert(out.map(_.getLong(1)).sum === corpusTokens)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // a tiny corpus where the cut is hand-computable: vocabK=1 keeps
+    // only the most frequent term ("a"); everything else is OOV
+    import spark.implicits._
+    val tiny = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val t = GraftOps.oovRate(tiny, col("doc_id"), col("text"), vocabK = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t(1L) === ((3L, 1L)))
+    assert(t(2L) === ((2L, 1L)))
+  }
+
   test("sparseTopK computes exact tf-cosine through the inverted index") {
     import spark.implicits._
     import graft.api.GraftOps
