@@ -136,10 +136,12 @@ object EtlQueries extends QueryPack {
     */
   def multiSink(s: SparkSession, d: String): DataFrame = {
     val out = tmp("graft_multisink")
-    Tables.events(s, d)
-      .withColumn("route", col("event_type"))
-      .write.mode("overwrite").partitionBy("route").parquet(out)
-    s.read.parquet(out)
+    val routed = Tables.events(s, d).withColumn("route", col("event_type"))
+    routed.write.mode("overwrite").partitionBy("route").parquet(out)
+    // explicit schema on the read-back: inference is both the 100-TB
+    // anti-pattern (a listing-wide pre-scan) and a crash when the
+    // routed write produced zero files (empty source)
+    s.read.schema(routed.schema).parquet(out)
       .filter(col("route") === "click")
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
   }

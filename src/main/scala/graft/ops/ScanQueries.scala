@@ -42,8 +42,11 @@ object ScanQueries extends QueryPack {
     // date/source/tenant partitioning makes selective reads O(selected
     // partitions), and the pruning composes with the row-group pushdown
     // q_scan_range pins.
+    // Explicit schema on the read (incl. the partition column): never
+    // infer — and an all-pruned/empty layout must still resolve.
     "q_scan_partition" -> ((s, d) =>
-      s.read.parquet(partitionedOrders(s, d))
+      s.read.schema(Tables.orders(s, d).schema)
+        .parquet(partitionedOrders(s, d))
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))),
