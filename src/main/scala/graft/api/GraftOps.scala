@@ -1304,6 +1304,57 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Multinomial Naive Bayes text classifier — closed-form distributed
+    * TRAINING (the per-class token counts ARE the model — one shuffle,
+    * no iterations) plus corpus-wide APPLY and a correctness flag per
+    * document: the classic supervised baseline a data pipeline trains
+    * on its own labels (language, source, quality tier) to find
+    * mislabeled slices. Add-one smoothing over the corpus vocabulary;
+    * the per-class score decomposes as
+    *   ln n_c − ln n − n_tok·ln(T_c + V) + Σ_t tf·ln(C_{c,t} + 1)
+    * so only OBSERVED (class, term) pairs join (absent pairs contribute
+    * ln 1 = 0) and the doc-level term is a bounded class-table cross.
+    * Scores are doubles rounded at 6 before the argmax (the perplexity
+    * sum-order discipline); ties break on the class label, so the
+    * prediction replays deterministically.
+    */
+  def naiveBayes(df: DataFrame, key: Column, text: Column,
+                 label: Column): DataFrame = {
+    val base = cacheOnce(df.select(key.as("doc_id"), label.as("lbl"),
+      TextFns.tokens(text).as("w")).filter(size(col("w")) > 0))
+    val tall = cacheOnce(base
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val docTot = tall.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tok"))
+    val ct = cacheOnce(base
+      .select(col("lbl"), explode(col("w")).as("term"))
+      .groupBy(col("lbl"), col("term")).agg(count(lit(1)).as("c")))
+    val classes = base.groupBy(col("lbl")).agg(count(lit(1)).as("n_docs_c"))
+      .join(ct.groupBy(col("lbl")).agg(sum(col("c")).as("t_c")), "lbl")
+    val totals = base.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tall.select(col("term")).distinct()
+        .agg(count(lit(1)).as("v")))
+    // observed-pair contributions: one equi-join on term, partial-agg'd
+    val pos = tall
+      .join(ct.select(col("term"), col("lbl"), col("c")), "term")
+      .groupBy(col("doc_id"), col("lbl"))
+      .agg(sum(col("tf") * log(col("c") + lit(1.0))).as("possum"))
+    val scored = docTot
+      .crossJoin(broadcast(classes))
+      .crossJoin(broadcast(totals))
+      .join(pos, Seq("doc_id", "lbl"), "left")
+      .select(col("doc_id"), col("lbl"),
+        round(log(col("n_docs_c")) - log(col("n_docs"))
+          - col("n_tok") * log(col("t_c") + col("v"))
+          + coalesce(col("possum"), lit(0.0)), 6).as("score"))
+    val pred = scored.groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("lbl"))).getField("lbl")
+        .as("predicted"))
+    base.select(col("doc_id"), col("lbl").as("actual"))
+      .join(pred, "doc_id")
+      .withColumn("correct", (col("actual") === col("predicted")).cast("int"))
+  }
+
   /** Tokenizer out-of-vocabulary evaluation — per-document OOV token
     * counts against the corpus top-`vocabK` vocabulary (the readout that
     * sizes a tokenizer or flags domain-shifted documents). The vocab is

@@ -107,6 +107,17 @@ object CurateQueries extends QueryPack {
     GraftOps.perplexityInterp(Tables.documents(s, d), col("doc_id"),
       col("text"))
 
+  /** x_nb_langid: multinomial Naive Bayes trained on the corpus's own
+    * language labels and applied corpus-wide ([[GraftOps.naiveBayes]]) —
+    * the supervised mislabel-detection baseline next to the
+    * [[quality_lr]] linear probe. Training is one count shuffle (the
+    * counts ARE the model); apply is one term equi-join + a bounded
+    * class cross.
+    */
+  def nbLangId(s: SparkSession, d: String): DataFrame =
+    GraftOps.naiveBayes(Tables.documents(s, d), col("doc_id"), col("text"),
+      col("lang"))
+
   /** x_dataset_split: the 98/1/1 train/val/test freeze —
     * disjoint-exhaustive md5-bucket assignment with per-split doc/token
     * totals and an order-insensitive membership digest; 3 gated rows
@@ -529,6 +540,7 @@ object CurateQueries extends QueryPack {
     "x_perplexity_interp" -> perplexityInterp,
     "x_perplexity_kn" -> perplexityKn,
     "x_dataset_split" -> datasetSplit,
+    "x_nb_langid" -> nbLangId,
     "x_ccnet" -> ccnet,
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
@@ -787,6 +799,45 @@ object CurateQueries extends QueryPack {
         |SELECT doc_id, n_pairs, round(nll / n_pairs, 6) avg_nll,
         |  round(exp(nll / n_pairs), 6) ppl
         |FROM sc""".stripMargin,
+    // NB replay: same score decomposition (only observed (class, term)
+    // pairs join; absent pairs contribute ln 1 = 0), same rounding-
+    // before-argmax and class-label tie-break.
+    "x_nb_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang lbl,
+        |    [w for w in string_split_regex(lower(trim(text)), '\s+')
+        |     if w != ''] w
+        |  FROM documents),
+        |b AS (SELECT doc_id, lbl, w FROM base WHERE len(w) > 0),
+        |tall AS (SELECT doc_id, term, count(*) tf FROM (
+        |  SELECT doc_id, unnest(w) term FROM b) GROUP BY 1, 2),
+        |dt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tok
+        |  FROM tall GROUP BY 1),
+        |ct AS (SELECT lbl, term, count(*) c FROM (
+        |  SELECT lbl, unnest(w) term FROM b) GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT lbl, n_docs_c, t_c FROM
+        |    (SELECT lbl, count(*) n_docs_c FROM b GROUP BY 1)
+        |    JOIN (SELECT lbl, CAST(sum(c) AS BIGINT) t_c
+        |          FROM ct GROUP BY 1) USING (lbl)),
+        |tot AS (SELECT (SELECT count(*) FROM b) n_docs,
+        |  (SELECT count(DISTINCT term) FROM tall) v),
+        |pos AS (
+        |  SELECT doc_id, ct.lbl, sum(tf * ln(c + 1.0)) possum
+        |  FROM tall JOIN ct USING (term) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dt.doc_id, cl.lbl,
+        |    round(ln(n_docs_c) - ln(n_docs) - n_tok * ln(t_c + v)
+        |      + coalesce(possum, 0.0), 6) score
+        |  FROM dt CROSS JOIN cl CROSS JOIN tot
+        |  LEFT JOIN pos ON pos.doc_id = dt.doc_id AND pos.lbl = cl.lbl),
+        |pr AS (
+        |  SELECT doc_id, lbl predicted FROM (
+        |    SELECT doc_id, lbl, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lbl DESC) rn FROM sc) WHERE rn = 1)
+        |SELECT b.doc_id, b.lbl AS actual, predicted,
+        |  CAST(b.lbl = predicted AS INT) AS correct
+        |FROM b JOIN pr USING (doc_id)""".stripMargin,
     // The split replay: identical 48-bit md5 bucket, identical 32-bit
     // row hashes — the 3-row manifest certifies the whole partition.
     "x_dataset_split" ->

@@ -590,6 +590,35 @@ class CurateOpsSpec extends SparkSpec {
       f"sampled mean $sampled%.1f should exceed corpus mean $all%.1f")
   }
 
+  test("naiveBayes predicts the textbook argmax on a hand corpus") {
+    import spark.implicits._
+    // en: {cat:3} over 2 docs; fr: {chat:1} over 1 doc; V=2.
+    // "chat" -> fr (en never saw it; fr's likelihood + prior wins);
+    // both cat docs -> en.
+    val docs = Seq((1L, "cat cat", "en"), (2L, "chat", "fr"),
+      (3L, "cat", "en")).toDF("doc_id", "text", "lang")
+    val out = GraftOps.naiveBayes(docs, col("doc_id"), col("text"),
+        col("lang"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) === (("en", 1)))
+    assert(out(2L) === (("fr", 1)))
+    assert(out(3L) === (("en", 1)))
+  }
+
+  test("x_nb_langid: one prediction per doc from the label set") {
+    val docs = Tables.documents(spark, sf)
+    val labels = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val out = ops.CurateQueries.nbLangId(spark, sf).collect()
+    assert(out.length === docs.filter(length(trim(col("text"))) > 0).count())
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    out.foreach { r =>
+      assert(labels.contains(r.getString(2)))
+      assert(r.getInt(3) === (if (r.getString(1) == r.getString(2)) 1 else 0))
+    }
+  }
+
   test("datasetSplit partitions the corpus exhaustively and deterministically") {
     val docs = Tables.documents(spark, sf)
     val m = ops.CurateQueries.datasetSplit(spark, sf).collect()
