@@ -1304,6 +1304,69 @@ object GraftOps {
         .cast("long"))
   }
 
+  /** Nearest-centroid (Rocchio) classification over labeled embeddings —
+    * the geometric sibling of [[naiveBayes]]: each label's centroid is
+    * the per-label SUM direction (same direction as the mean, one
+    * posexplode + (label, dim) partial-agg shuffle — the [[kmeansRefine]]
+    * update shape), assembled into an array with a deterministic
+    * dim-sorted collect and broadcast as the bounded model; every vector
+    * then classifies map-side to its max-cosine centroid. Cosines round
+    * at 6 before the argmax with the label as tie-break, so predictions
+    * replay across engines and partitionings.
+    */
+  def centroidClassify(emb: DataFrame, key: Column, vec: Column,
+                       label: Column): DataFrame = {
+    val v = cacheOnce(emb.select(key.as("vec_id"),
+      VectorFns.toDoubles(vec).as("v"), label.as("lbl")))
+    val cents = v
+      .select(col("lbl"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("lbl"), col("d")).agg(sum(col("x")).as("s"))
+      .groupBy(col("lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        t => t.getField("s")).as("cv"))
+      .select(col("lbl").as("clbl"), col("cv"))
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("lbl"), col("clbl"),
+        round(expr("cosine_sim(v, cv)"), 6).as("cos"))
+    scored.groupBy(col("vec_id"))
+      .agg(max(col("lbl")).as("actual"),
+        max(struct(col("cos"), col("clbl"))).getField("clbl").as("predicted"))
+      .withColumn("correct", (col("actual") === col("predicted")).cast("int"))
+  }
+
+  /** Per-class precision/recall readout for any (actual, predicted)
+    * table — the evaluation rollup that closes the train/apply loop of
+    * [[naiveBayes]] / [[centroidClassify]]. One bounded (actual,
+    * predicted) confusion shuffle; precision and recall are exact
+    * integer ppm (NULL when a class is never predicted — both engines).
+    */
+  def evalMetrics(pred: DataFrame, actual: Column,
+                  predicted: Column): DataFrame = {
+    val p = cacheOnce(pred.select(actual.as("actual"),
+      predicted.as("predicted")))
+    val conf = cacheOnce(p.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n")))
+    val tp = conf.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("cls"), col("n").as("tp"))
+    val act = conf.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
+      .withColumnRenamed("actual", "cls")
+    val prd = conf.groupBy(col("predicted"))
+      .agg(sum(col("n")).as("n_predicted"))
+      .withColumnRenamed("predicted", "cls")
+    act.join(prd, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_predicted") === 0, lit(null).cast("long"))
+          .otherwise(expr("(tp * 1000000) div n_predicted")))
+      .withColumn("recall_ppm",
+        when(col("n_actual") === 0, lit(null).cast("long"))
+          .otherwise(expr("(tp * 1000000) div n_actual")))
+  }
+
   /** Multinomial Naive Bayes text classifier — closed-form distributed
     * TRAINING (the per-class token counts ARE the model — one shuffle,
     * no iterations) plus corpus-wide APPLY and a correctness flag per

@@ -118,6 +118,14 @@ object CurateQueries extends QueryPack {
     GraftOps.naiveBayes(Tables.documents(s, d), col("doc_id"), col("text"),
       col("lang"))
 
+  /** x_eval_metrics: per-class precision/recall for the [[nbLangId]]
+    * predictions ([[GraftOps.evalMetrics]]) — the evaluation rollup that
+    * closes the train→apply→measure loop; one bounded confusion shuffle,
+    * exact integer ppm metrics.
+    */
+  def evalMetricsQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.evalMetrics(nbLangId(s, d), col("actual"), col("predicted"))
+
   /** x_dataset_split: the 98/1/1 train/val/test freeze —
     * disjoint-exhaustive md5-bucket assignment with per-split doc/token
     * totals and an order-insensitive membership digest; 3 gated rows
@@ -541,6 +549,7 @@ object CurateQueries extends QueryPack {
     "x_perplexity_kn" -> perplexityKn,
     "x_dataset_split" -> datasetSplit,
     "x_nb_langid" -> nbLangId,
+    "x_eval_metrics" -> evalMetricsQ,
     "x_ccnet" -> ccnet,
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
@@ -642,7 +651,72 @@ object CurateQueries extends QueryPack {
     sb.toString
   }
 
+  /** Full NB prediction replay — shared by the x_nb_langid gate and
+    * (as a nested derived table) the x_eval_metrics rollup.
+    */
+  private val nbOracleSql =
+    """WITH base AS (
+      |  SELECT doc_id, lang lbl,
+      |    [w for w in string_split_regex(lower(trim(text)), '\s+')
+      |     if w != ''] w
+      |  FROM documents),
+      |b AS (SELECT doc_id, lbl, w FROM base WHERE len(w) > 0),
+      |tall AS (SELECT doc_id, term, count(*) tf FROM (
+      |  SELECT doc_id, unnest(w) term FROM b) GROUP BY 1, 2),
+      |dt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tok
+      |  FROM tall GROUP BY 1),
+      |ct AS (SELECT lbl, term, count(*) c FROM (
+      |  SELECT lbl, unnest(w) term FROM b) GROUP BY 1, 2),
+      |cl AS (
+      |  SELECT lbl, n_docs_c, t_c FROM
+      |    (SELECT lbl, count(*) n_docs_c FROM b GROUP BY 1)
+      |    JOIN (SELECT lbl, CAST(sum(c) AS BIGINT) t_c
+      |          FROM ct GROUP BY 1) USING (lbl)),
+      |tot AS (SELECT (SELECT count(*) FROM b) n_docs,
+      |  (SELECT count(DISTINCT term) FROM tall) v),
+      |pos AS (
+      |  SELECT doc_id, ct.lbl, sum(tf * ln(c + 1.0)) possum
+      |  FROM tall JOIN ct USING (term) GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT dt.doc_id, cl.lbl,
+      |    round(ln(n_docs_c) - ln(n_docs) - n_tok * ln(t_c + v)
+      |      + coalesce(possum, 0.0), 6) score
+      |  FROM dt CROSS JOIN cl CROSS JOIN tot
+      |  LEFT JOIN pos ON pos.doc_id = dt.doc_id AND pos.lbl = cl.lbl),
+      |pr AS (
+      |  SELECT doc_id, lbl predicted FROM (
+      |    SELECT doc_id, lbl, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lbl DESC) rn FROM sc) WHERE rn = 1)
+      |SELECT b.doc_id, b.lbl AS actual, predicted,
+      |  CAST(b.lbl = predicted AS INT) AS correct
+      |FROM b JOIN pr USING (doc_id)""".stripMargin
+
   val oracle = Map(
+    // Metrics rollup over the full NB replay (nested derived table):
+    // bounded confusion counts, exact integer ppm, NULL when a class is
+    // never predicted — identical CASE guards both engines.
+    "x_eval_metrics" ->
+      (s"WITH nbout AS (\n$nbOracleSql\n),\n" +
+        """conf AS (
+          |  SELECT actual, predicted, count(*) n FROM nbout GROUP BY 1, 2),
+          |tp AS (SELECT actual AS cls, CAST(n AS BIGINT) tp
+          |  FROM conf WHERE actual = predicted),
+          |act AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) n_actual
+          |  FROM conf GROUP BY 1),
+          |prd AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) n_predicted
+          |  FROM conf GROUP BY 1)
+          |SELECT cls,
+          |  coalesce(n_actual, 0) AS n_actual,
+          |  coalesce(n_predicted, 0) AS n_predicted,
+          |  coalesce(tp, 0) AS tp,
+          |  CASE WHEN coalesce(n_predicted, 0) = 0 THEN NULL
+          |       ELSE CAST((coalesce(tp, 0) * 1000000) // n_predicted AS BIGINT)
+          |  END AS precision_ppm,
+          |  CASE WHEN coalesce(n_actual, 0) = 0 THEN NULL
+          |       ELSE CAST((coalesce(tp, 0) * 1000000) // n_actual AS BIGINT)
+          |  END AS recall_ppm
+          |FROM act FULL OUTER JOIN prd USING (cls)
+          |LEFT JOIN tp USING (cls)""".stripMargin),
     // Two unrolled power-iteration rounds: iter-1's direction is the
     // all-ones vector, so its dot product IS list_sum(x); per-dimension
     // sums replay the engine's float accumulation within round-6 margin
@@ -802,42 +876,7 @@ object CurateQueries extends QueryPack {
     // NB replay: same score decomposition (only observed (class, term)
     // pairs join; absent pairs contribute ln 1 = 0), same rounding-
     // before-argmax and class-label tie-break.
-    "x_nb_langid" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang lbl,
-        |    [w for w in string_split_regex(lower(trim(text)), '\s+')
-        |     if w != ''] w
-        |  FROM documents),
-        |b AS (SELECT doc_id, lbl, w FROM base WHERE len(w) > 0),
-        |tall AS (SELECT doc_id, term, count(*) tf FROM (
-        |  SELECT doc_id, unnest(w) term FROM b) GROUP BY 1, 2),
-        |dt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tok
-        |  FROM tall GROUP BY 1),
-        |ct AS (SELECT lbl, term, count(*) c FROM (
-        |  SELECT lbl, unnest(w) term FROM b) GROUP BY 1, 2),
-        |cl AS (
-        |  SELECT lbl, n_docs_c, t_c FROM
-        |    (SELECT lbl, count(*) n_docs_c FROM b GROUP BY 1)
-        |    JOIN (SELECT lbl, CAST(sum(c) AS BIGINT) t_c
-        |          FROM ct GROUP BY 1) USING (lbl)),
-        |tot AS (SELECT (SELECT count(*) FROM b) n_docs,
-        |  (SELECT count(DISTINCT term) FROM tall) v),
-        |pos AS (
-        |  SELECT doc_id, ct.lbl, sum(tf * ln(c + 1.0)) possum
-        |  FROM tall JOIN ct USING (term) GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT dt.doc_id, cl.lbl,
-        |    round(ln(n_docs_c) - ln(n_docs) - n_tok * ln(t_c + v)
-        |      + coalesce(possum, 0.0), 6) score
-        |  FROM dt CROSS JOIN cl CROSS JOIN tot
-        |  LEFT JOIN pos ON pos.doc_id = dt.doc_id AND pos.lbl = cl.lbl),
-        |pr AS (
-        |  SELECT doc_id, lbl predicted FROM (
-        |    SELECT doc_id, lbl, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, lbl DESC) rn FROM sc) WHERE rn = 1)
-        |SELECT b.doc_id, b.lbl AS actual, predicted,
-        |  CAST(b.lbl = predicted AS INT) AS correct
-        |FROM b JOIN pr USING (doc_id)""".stripMargin,
+    "x_nb_langid" -> nbOracleSql,
     // The split replay: identical 48-bit md5 bucket, identical 32-bit
     // row hashes — the 3-row manifest certifies the whole partition.
     "x_dataset_split" ->

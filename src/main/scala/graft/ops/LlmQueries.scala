@@ -364,6 +364,15 @@ object LlmQueries extends QueryPack {
       coarseDims = 16, coarseK = 20, k = 5)
   }
 
+  /** x_centroid_classify: nearest-centroid (Rocchio) classification of
+    * every embedding against the per-label sum directions
+    * ([[GraftOps.centroidClassify]]) — the geometric mislabel screen
+    * over the labeled vector fixture.
+    */
+  def centroidClassify(s: SparkSession, d: String): DataFrame =
+    GraftOps.centroidClassify(Tables.embeddings(s, d), col("vec_id"),
+      col("embedding"), col("label"))
+
   /** x_oov_rate: per-doc out-of-vocabulary token rate against the corpus
     * top-10 vocabulary ([[GraftOps.oovRate]]) — the tokenizer-sizing /
     * domain-shift readout. k=10 against the fixture's tiny vocabulary
@@ -732,6 +741,7 @@ object LlmQueries extends QueryPack {
     "x_mrl_topk" -> mrlTopK,
     "x_sim_sparse" -> simSparse,
     "x_oov_rate" -> oovRateQ,
+    "x_centroid_classify" -> centroidClassify,
     "x_quality" -> quality,
     "x_repetition" -> repetition,
     "x_sample_strat" -> sampleStrat,
@@ -1426,6 +1436,35 @@ object LlmQueries extends QueryPack {
         |  FROM pr)
         |SELECT probe_id, vec_id, cos_sim, CAST(rnk AS BIGINT) AS rank
         |FROM rk WHERE rnk <= 3""".stripMargin,
+    // Centroid replay: same (label, dim) sum rollup, dim-ordered list
+    // assembly, rounded cosine + label tie-break before the argmax.
+    "x_centroid_classify" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, i AS d, sum(v[i]) s
+        |  FROM emb, unnest(generate_series(1, len(v))) t(i)
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT label AS clbl, list(s ORDER BY d) cv
+        |  FROM sums GROUP BY 1),
+        |sc AS (
+        |  SELECT vec_id, label AS lbl, clbl,
+        |    round(list_dot_product(v, cv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+        |      AS cos
+        |  FROM emb CROSS JOIN cents),
+        |pr AS (
+        |  SELECT vec_id, lbl, clbl FROM (
+        |    SELECT vec_id, lbl, clbl,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, clbl DESC) rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT vec_id, lbl AS actual, clbl AS predicted,
+        |  CAST(lbl = clbl AS INT) AS correct
+        |FROM pr""".stripMargin,
     // Vocabulary = top-10 by (count desc, term) — a total deterministic
     // order both engines replay; rates are exact integer ppm.
     "x_oov_rate" ->

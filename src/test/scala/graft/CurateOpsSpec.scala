@@ -590,6 +590,20 @@ class CurateOpsSpec extends SparkSpec {
       f"sampled mean $sampled%.1f should exceed corpus mean $all%.1f")
   }
 
+  test("evalMetrics computes exact per-class precision/recall by hand") {
+    import spark.implicits._
+    val pred = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "b"))
+      .toDF("actual", "predicted")
+    val m = GraftOps.evalMetrics(pred, col("actual"), col("predicted"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(m("a") === ((2L, 1L, 1L, Some(1000000L), Some(500000L))))
+    assert(m("b") === ((1L, 3L, 1L, Some(333333L), Some(1000000L))))
+    assert(m("c") === ((1L, 0L, 0L, None, Some(0L))))
+  }
+
   test("naiveBayes predicts the textbook argmax on a hand corpus") {
     import spark.implicits._
     // en: {cat:3} over 2 docs; fr: {chat:1} over 1 doc; V=2.

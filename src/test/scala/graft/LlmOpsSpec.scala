@@ -685,6 +685,25 @@ class LlmOpsSpec extends SparkSpec {
       "a near-dup cluster has at least 2 members by construction")
   }
 
+  test("centroidClassify recovers clean labels and flags a planted mislabel") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1),
+      (3L, Array(0.1f, 0.9f), 1),
+      (4L, Array(1f, 0f), 1) // mislabeled: geometrically label 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = GraftOps.centroidClassify(vecs, col("vec_id"),
+        col("embedding"), col("label"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(0L) === ((0, 1)) && out(1L) === ((0, 1)))
+    assert(out(2L) === ((1, 1)) && out(3L) === ((1, 1)))
+    assert(out(4L) === ((0, 0)), "planted mislabel must be flagged")
+  }
+
   test("x_oov_rate: token accounting and a hand-checked vocabulary cut") {
     import graft.api.GraftOps
     val out = ops.LlmQueries.oovRateQ(spark, sf).collect()
