@@ -220,6 +220,32 @@ object AnalyticsQueries extends QueryPack {
         expr("(n * 1000000) div from_total").as("p_ppm"))
   }
 
+  /** q_trending: rising-entity trend detection — each brand's shipment
+    * count in the recent half of the time range vs the early half, with
+    * an exact add-one-smoothed growth ratio in ppm and the full ranked
+    * readout. The midpoint is an exact integer µs mean of the global
+    * min/max (1-row broadcast); counts are one bounded (brand, half)
+    * aggregate off the fact⋈dim join. The "what's growing in my
+    * corpus/traffic" report every monitoring pipeline runs.
+    */
+  def trending(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      // l_shipdate is TIMESTAMP_NTZ off the parquet; session tz is UTC,
+      // so the cast to TIMESTAMP is value-identical (the Tables.events
+      // normalization rationale)
+      .select(col("l_partkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("t"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val mid = li.agg(expr("(min(t) + max(t)) div 2").as("mid"))
+    val counts = li.crossJoin(broadcast(mid))
+      .groupBy(col("p_brand"))
+      .agg(sum((col("t") >= col("mid")).cast("long")).as("recent"),
+        sum((col("t") < col("mid")).cast("long")).as("early"))
+    counts.select(col("p_brand"), col("recent"), col("early"),
+      expr("((recent + 1) * 1000000) div (early + 1)").as("growth_ppm"))
+  }
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_rfm" -> rfm,
     "q_basket" -> basket,
@@ -227,10 +253,26 @@ object AnalyticsQueries extends QueryPack {
     "q_skyline" -> skyline,
     "q_attribution" -> attribution,
     "q_concurrency" -> concurrency,
-    "q_transitions" -> transitions
+    "q_transitions" -> transitions,
+    "q_trending" -> trending
   )
 
   val oracle = Map(
+    // Exact integer µs midpoint and add-one-smoothed ppm growth.
+    "q_trending" ->
+      """WITH li AS (
+        |  SELECT p_brand, epoch_us(CAST(l_shipdate AS TIMESTAMP)) t
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT (min(t) + max(t)) // 2 AS mid FROM li),
+        |c AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS BIGINT) recent,
+        |    CAST(sum(CASE WHEN t < mid THEN 1 ELSE 0 END) AS BIGINT) early
+        |  FROM li, m GROUP BY 1)
+        |SELECT p_brand, recent, early,
+        |  CAST(((recent + 1) * 1000000) // (early + 1) AS BIGINT)
+        |    AS growth_ppm
+        |FROM c""".stripMargin,
     // Same lead() ordering (ts, then event_id) and exact integer shares.
     "q_transitions" ->
       """WITH p AS (

@@ -211,6 +211,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(scores.toSet === Set(1, 2, 3, 4))
   }
 
+  test("q_trending splits every shipment into exactly one half") {
+    val total = Tables.lineitem(spark, sf).count()
+    val out = ops.AnalyticsQueries.trending(spark, sf).collect()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === total)
+    out.foreach { r =>
+      val (recent, early, g) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(g === (recent + 1) * 1000000L / (early + 1))
+    }
+  }
+
   test("q_transitions conserves transition mass per user timeline") {
     val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
     val expected = ev.count() - ev.select(col("user_id")).distinct().count()
