@@ -264,7 +264,25 @@ object PlanDump {
     "x_dataset_split" -> ("Train/val/test manifest — md5-bucket scan, " +
       "3-row aggregate with membership digest"),
     "x_sim_sparse" -> ("Sparse tf-cosine — inverted-index equi-join, " +
-      "posting-bounded, exact BIGINT dots")
+      "posting-bounded, exact BIGINT dots"),
+    "q_quantile_ranged" -> ("Exact global quantiles — two-phase " +
+      "repartitionByRange prefix sum, no single-partition walk"),
+    "q_transitions" -> ("User-journey Markov matrix — lead window + " +
+      "bounded count shuffle"),
+    "x_oov_rate" -> ("Tokenizer OOV readout — bounded vocab " +
+      "TakeOrderedAndProject broadcast"),
+    "x_nb_langid" -> ("Naive Bayes train+apply — counts-as-model, " +
+      "observed-pair equi-join, bounded class cross"),
+    "x_centroid_classify" -> ("Nearest-centroid classify — sum-direction " +
+      "centroids, bounded broadcast, map-side argmax"),
+    "x_eval_metrics" -> ("Precision/recall rollup — bounded confusion " +
+      "shuffle, exact ppm"),
+    "q_trending" -> ("Half-over-half trend report — integer midpoint " +
+      "broadcast + bounded (entity, half) aggregate"),
+    "q_window_ratio" -> ("Ratio-to-report — unbounded-frame window sum, " +
+      "exact cents/ppm"),
+    "q_concurrency" -> ("Temporal overlap aggregation — map-side bucket " +
+      "explode + one count shuffle")
   )
 
   def main(args: Array[String]): Unit = {

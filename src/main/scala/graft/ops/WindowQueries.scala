@@ -268,6 +268,24 @@ object WindowQueries extends QueryPack {
           ntile(4).over(w).cast("long").as("quartile"))
     }),
 
+    // Ratio-to-report: each nation's share of its region's revenue — the
+    // unbounded-frame window-sum pattern (partition total without a
+    // second aggregate+join). Exact cents in, one ppm division out.
+    "q_window_ratio" -> ((s, d) => {
+      val rev = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))")
+          .as("cents"))
+      val w = Window.partitionBy(col("n_regionkey"))
+      rev.select(col("n_regionkey"), col("n_name"), col("cents"),
+        sum(col("cents")).over(w).as("region_cents"))
+        .withColumn("share_ppm",
+          expr("(cents * 1000000) div region_cents"))
+    }),
+
     "q_v1_latest" -> v1Latest,
 
     // maxVersions(3): the VERSIONS => N retention read.
@@ -451,6 +469,22 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WHERE user_id IS NOT NULL AND value IS NOT NULL
         |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+    "q_window_ratio" ->
+      """WITH rev AS (
+        |  SELECT n_regionkey, n_name,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_regionkey, n_name, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY n_regionkey) AS BIGINT)
+        |    AS region_cents,
+        |  CAST((cents * 1000000)
+        |    // sum(cents) OVER (PARTITION BY n_regionkey) AS BIGINT)
+        |    AS share_ppm
+        |FROM rev""".stripMargin,
     "q_v1_latest" ->
       """SELECT user_id, event_type, ts, value, event_id FROM (
         |  SELECT user_id, event_type, ts, value, event_id,

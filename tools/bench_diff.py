@@ -118,7 +118,14 @@ def main():
         rows.append((n / o, q, o, n))
     rows.sort(reverse=True)
 
-    regressed = [r for r in rows if r[0] > threshold]
+    # Absolute-delta floor next to the ratio: sub-second queries swing
+    # 2-3x on pure JIT/GC jitter (observed 0.14s -> 0.33s with zero code
+    # change, warm-rep confirmed), while every real contamination case
+    # this tripwire exists for moved by multiple SECONDS (0.3 -> 3.3,
+    # 0.6 -> 10.2). A regression must clear BOTH bars to fail the run.
+    ABS_FLOOR = 0.5
+    regressed = [r for r in rows
+                 if r[0] > threshold and (r[3] - r[2]) > ABS_FLOOR]
     new_total = sum(n for _, _, _, n in rows)
     old_total = sum(o for _, _, o, _ in rows)
     if not rows:
