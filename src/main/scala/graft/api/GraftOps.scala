@@ -1824,6 +1824,10 @@ object GraftOps {
     c.join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(expr("cosine_sim(pv, v)"), 6).as("cos_sim"))
+      // a NULL cosine (NULL/corrupt vector on either side) is an
+      // unscorable pair — dropped BEFORE the typed boundary, where the
+      // primitive-Double encoder would otherwise throw
+      .filter(col("cos_sim").isNotNull)
       .as[ScoredVec]
       .groupByKey(_.probe_id)
       .agg(new TopKByScore(k).toColumn.name("top"))
@@ -1949,6 +1953,10 @@ object GraftOps {
       // qdot <= dim * 127^2 (~1e6 at dim 64) — exact as a Double, so the
       // ScoredVec/TopKByScore machinery is reused loss-free.
       .select(col("probe_id"), col("vec_id"), qdot.cast("double").as("cos_sim"))
+      // a whole-NULL code vector (corrupt source row) is unscorable —
+      // dropped before the typed boundary (same contract as
+      // [[similarityTopK]]); per-component NULLs are already coalesced
+      .filter(col("cos_sim").isNotNull)
       .as[ScoredVec]
       .groupByKey(_.probe_id)
       .agg(new TopKByScore(k).toColumn.name("top"))

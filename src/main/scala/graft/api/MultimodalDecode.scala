@@ -32,10 +32,13 @@ object MultimodalDecode {
     * dimensions from the first content bytes.
     */
   private def decodeOne(in: MediaIn): MediaMeta = {
-    val b0 = if (in.content.nonEmpty) in.content(0) & 0xff else 0
-    val b1 = if (in.content.length > 1) in.content(1) & 0xff else 0
-    MediaMeta(in.doc_id, in.mime, in.content.length.toLong,
-      width = 64 + b0 * 4, height = 64 + b1 * 4, ok = in.content.nonEmpty)
+    // NULL payload = corrupt feed row: decode "fails" loudly (ok=false,
+    // zero bytes) instead of NPE-ing the partition
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val b0 = if (c.nonEmpty) c(0) & 0xff else 0
+    val b1 = if (c.length > 1) c(1) & 0xff else 0
+    MediaMeta(in.doc_id, in.mime, c.length.toLong,
+      width = 64 + b0 * 4, height = 64 + b1 * 4, ok = c.nonEmpty)
   }
 
   /** Decode a payload Dataset partition-at-a-time. */
@@ -65,12 +68,18 @@ object MultimodalDecode {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { rows =>
       rows.flatMap { in =>
-        val hist = new Array[Long](16)
-        var i = 0
-        while (i < in.content.length) {
-          hist((in.content(i) & 0xff) % 16) += 1; i += 1
+        // a NULL payload (corrupt feed row) yields no features — absent
+        // rows are the loud signal; a real pipeline joins back against
+        // the manifest to count them
+        if (in.content == null) Iterator.empty
+        else {
+          val hist = new Array[Long](16)
+          var i = 0
+          while (i < in.content.length) {
+            hist((in.content(i) & 0xff) % 16) += 1; i += 1
+          }
+          (0 until 16).iterator.map(b => MediaFeat(in.doc_id, b, hist(b)))
         }
-        (0 until 16).map(b => MediaFeat(in.doc_id, b, hist(b)))
       }
     }
   }
