@@ -510,6 +510,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "x_bpe_apply joins")
   }
 
+  test("newest operators: no CartesianProduct anywhere, joins stay hash/broadcast") {
+    // crossJoin(broadcast(1-row/bounded)) legitimately plans as BNLJ;
+    // an unhinted CartesianProduct would be the scale-killer
+    for (q <- Seq("q_transitions", "q_trending", "q_concurrency",
+        "x_nb_langid", "x_centroid_classify", "x_eval_metrics",
+        "x_sim_sparse", "x_oov_rate", "q_window_ratio", "q_cdc_diff",
+        "q_quantile_ranged")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
+  test("q_concurrency and q_unpivot expand map-side (no join in the explode path)") {
+    val p = planOf(SparkEntry.queries("q_concurrency")(spark, sf))
+    assert(!p.contains("Join"), "bucket expansion must not join")
+  }
+
+  test("q_window_ratio: window rides the aggregate, no second join-back") {
+    val p = planOf(SparkEntry.queries("q_window_ratio")(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "expected the ratio window")
+  }
+
   test("no forced broadcast of scale-proportional tables in the join tier") {
     // nation/region hints are fine (fixed 25/5 rows); part and customer
     // must not carry hints — their joins may still BE broadcast at tiny SF
