@@ -3003,6 +3003,39 @@ object GraftOps {
     bounded.select(col(tradeId), col(key), col("asof_ts"))
   }
 
+  /** Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    * for each right-side row, whichever of the latest-at-or-before and
+    * earliest-at-or-after left-side timestamps is closer — exact µs
+    * distances, ties to the BACKWARD match (the deterministic convention,
+    * documented). Two linear union+window passes (the [[asofJoin]] shape
+    * and its ts-descending mirror) joined on the trade id — still no
+    * range join, no per-row probe.
+    */
+  def asofJoinNearest(quotes: DataFrame, trades: DataFrame, key: String,
+                      ts: String, tradeId: String): DataFrame = {
+    val back = asofJoin(quotes, trades, key, ts, tradeId)
+      .withColumnRenamed("asof_ts", "back_ts")
+    val q = quotes.select(col(key), col(ts),
+      lit(null).cast("long").as(tradeId), lit(0).as("tag"))
+    val t = trades.select(col(key), col(ts), col(tradeId), lit(1).as("tag"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = q.unionByName(t)
+      .withColumn("fwd_ts",
+        last(when(col("tag") === 0, col(ts)), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col(tradeId), col(ts).as("_t"), col("fwd_ts"))
+    back.join(fwd, tradeId)
+      .select(col(tradeId), col(key),
+        when(col("back_ts").isNull, col("fwd_ts"))
+          .when(col("fwd_ts").isNull, col("back_ts"))
+          .when(expr("unix_micros(fwd_ts) - unix_micros(_t)")
+            < expr("unix_micros(_t) - unix_micros(back_ts)"),
+            col("fwd_ts"))
+          .otherwise(col("back_ts")).as("asof_ts"))
+  }
+
   /** SyncTable-style diff: compare two tables by range-bucket digests
     * (count + order-insensitive sum of md5-derived row hashes); returns
     * only the buckets whose digests disagree. Fingerprint columns must be

@@ -157,6 +157,16 @@ object JoinQueries extends QueryPack {
 
     "q_join_asof" -> joinAsof,
 
+    // Nearest-direction as-of: backward or forward click, whichever is
+    // closer in exact µs (ties backward) — two linear window passes.
+    "q_join_asof_near" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      GraftOps.asofJoinNearest(
+        quotes = ev.filter(col("event_type") === "click"),
+        trades = ev.filter(col("event_type") === "purchase"),
+        key = "user_id", ts = "ts", tradeId = "event_id")
+    }),
+
     // As-of with a staleness bound (pandas merge_asof tolerance): the
     // same linear union+window pass; matches older than 30 minutes null
     // out AFTER the window — sound because the as-of match is the latest
@@ -303,6 +313,27 @@ object JoinQueries extends QueryPack {
         |FROM events p
         |WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL
         |ORDER BY p.event_id""".stripMargin,
+    // nearest: exact µs distances, ties to the backward match
+    "q_join_asof_near" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |m AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |    (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |     WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |       AND CAST(c.ts AS TIMESTAMP) <= p.ts) AS back_ts,
+        |    (SELECT min(CAST(c.ts AS TIMESTAMP)) FROM events c
+        |     WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |       AND CAST(c.ts AS TIMESTAMP) >= p.ts) AS fwd_ts
+        |  FROM p)
+        |SELECT event_id, user_id,
+        |  CASE WHEN back_ts IS NULL THEN fwd_ts
+        |       WHEN fwd_ts IS NULL THEN back_ts
+        |       WHEN epoch_us(fwd_ts) - epoch_us(ts)
+        |            < epoch_us(ts) - epoch_us(back_ts) THEN fwd_ts
+        |       ELSE back_ts END AS asof_ts
+        |FROM m ORDER BY event_id""".stripMargin,
 
     "q_join_bloom" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice

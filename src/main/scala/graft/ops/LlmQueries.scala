@@ -364,6 +364,31 @@ object LlmQueries extends QueryPack {
       coarseDims = 16, coarseK = 20, k = 5)
   }
 
+  /** x_lsh_recall: MinHash-LSH recall against exact ground truth — the
+    * dedup analog of [[annRecall]]: the probabilistically-blocked pair
+    * set ([[GraftOps.dedupNear]], lossy by banding design) measured
+    * against the provably-complete prefix-filtered exact join
+    * ([[GraftOps.jaccardJoin]]). The tuning readout for perms/bands:
+    * exact integer ppm recall over the full corpus, both legs already
+    * scale-shaped and both replayed by the oracle.
+    */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = GraftOps.jaccardJoin(docs, col("doc_id"), col("text"),
+        threshold = JaccardThreshold)
+      .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
+    val lsh = GraftOps.dedupNear(docs, col("doc_id"), col("text"),
+        perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    exact.join(lsh,
+        col("ta") === col("doc_a") && col("tb") === col("doc_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"), count(col("doc_a")).as("n_caught"))
+      .select(col("n_true_pairs"), col("n_caught"),
+        when(col("n_true_pairs") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_caught * 1000000) div n_true_pairs"))
+          .as("recall_ppm"))
+  }
+
   /** x_centroid_classify: nearest-centroid (Rocchio) classification of
     * every embedding against the per-label sum directions
     * ([[GraftOps.centroidClassify]]) — the geometric mislabel screen
@@ -741,6 +766,7 @@ object LlmQueries extends QueryPack {
     "x_mrl_topk" -> mrlTopK,
     "x_sim_sparse" -> simSparse,
     "x_oov_rate" -> oovRateQ,
+    "x_lsh_recall" -> lshRecall,
     "x_centroid_classify" -> centroidClassify,
     "x_quality" -> quality,
     "x_repetition" -> repetition,
@@ -1012,6 +1038,27 @@ object LlmQueries extends QueryPack {
         |JOIN sh y ON y.doc_id = doc_b
         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8""".stripMargin,
+    // Both legs replayed: the banded-LSH pair set (minhashCommon) and
+    // the brute-force exact threshold set; recall is their exact ratio.
+    "x_lsh_recall" ->
+      raw"""$minhashCommon,
+        |lsh AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a
+        |  JOIN sh y ON y.doc_id = doc_b
+        |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8),
+        |tru AS (
+        |  SELECT a.doc_id AS ta, b.doc_id AS tb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |  CAST(count(l.doc_a) AS BIGINT) AS n_caught,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |       ELSE CAST((count(l.doc_a) * 1000000) // count(*) AS BIGINT)
+        |  END AS recall_ppm
+        |FROM tru LEFT JOIN lsh l ON tru.ta = l.doc_a AND tru.tb = l.doc_b""".stripMargin,
     // Brute-force all-pairs hamming: deliberately NOT the blocked plan —
     // matching it proves the engine's pigeonhole blocking is lossless.
     "x_dedup_simhash" ->

@@ -31,6 +31,30 @@ class JoinAsofSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("nearest direction picks the closer of backward and forward, ties backward") {
+    import graft.api.GraftOps
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click")
+    val buys = ev.filter(col("event_type") === "purchase")
+    val near = ops.JoinQueries.queries("q_join_asof_near")(spark, sf)
+      .select(col("event_id"), col("asof_ts").as("near_ts"))
+    val back = GraftOps.asofJoin(clicks, buys, "user_id", "ts", "event_id")
+      .select(col("event_id"), col("asof_ts").as("back_ts"))
+    val j = near.join(back, "event_id")
+      .join(buys.select(col("event_id"), col("ts")), "event_id")
+    // nearest is never farther than backward, and exists whenever
+    // backward does (forward can only add matches)
+    val worse = j.filter(col("back_ts").isNotNull &&
+      (col("near_ts").isNull ||
+        abs(expr("unix_micros(near_ts) - unix_micros(ts)")) >
+          abs(expr("unix_micros(back_ts) - unix_micros(ts)")))).count()
+    assert(worse === 0, s"$worse purchases matched farther than backward")
+    // and at least one purchase is matched forward-only at sf0.001
+    // (first purchase of a user precedes their first click)
+    assert(j.filter(col("back_ts").isNull && col("near_ts").isNotNull)
+      .count() > 0, "no forward-only matches — nearest adds nothing?")
+  }
+
   test("tolerance nulls exactly the matches staler than the bound") {
     import graft.api.GraftOps
     val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)

@@ -685,6 +685,17 @@ class LlmOpsSpec extends SparkSpec {
       "a near-dup cluster has at least 2 members by construction")
   }
 
+  test("x_lsh_recall: caught pairs are true pairs, recall the exact ratio") {
+    val r = ops.LlmQueries.lshRecall(spark, sf).collect().head
+    val (truePairs, caught) = (r.getLong(0), r.getLong(1))
+    assert(caught <= truePairs, "LSH-verified pairs are a subset of truth")
+    assert(truePairs > 0, "fixture must contain near-dup pairs")
+    assert(r.getLong(2) === caught * 1000000L / truePairs)
+    // every dedupNear pair passes the exact verify, so caught must equal
+    // the LSH operator's own pair count
+    assert(caught === ops.LlmQueries.dedupNear(spark, sf).count())
+  }
+
   test("centroidClassify recovers clean labels and flags a planted mislabel") {
     import spark.implicits._
     import graft.api.GraftOps
