@@ -173,13 +173,21 @@ object AggQueries extends QueryPack {
           |  'tax', l_tax) AS (measure, val)""".stripMargin)),
 
     // HLL sketch path — the 100-TB form of count-distinct: one pass, fixed
-    // memory per group, no expand-by-distinct-key shuffle. No oracleSql on
-    // purpose (approximate ≠ DuckDB-replayable): the driver records the
-    // weaker rows-only check, per the SparkEntry contract.
+    // memory per group, no expand-by-distinct-key shuffle. Gated the same
+    // way as q_distinct_sketch: the HLL estimate itself never reaches the
+    // output (approximate ≠ DuckDB-replayable); instead the query emits the
+    // exact per-group distinct plus `approx_accurate` = (HLL estimate within
+    // 5% of exact). approx_count_distinct is hash-based and order-invariant,
+    // so the boolean is deterministic; at rsd=0.01 the 5% bound is ~5 sigma —
+    // a broken sketch path lands far outside it and fails the hash.
     "q_distinct_approx" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))),
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+          count_distinct(col("o_custkey")).as("n_exact"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (abs(col("approx_cust") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("approx_accurate"))),
 
     // Multi-grain time rollup — the OLAP time-dimension cube over the
     // event stream: year / year-month / year-month-day subtotals plus the
@@ -362,6 +370,14 @@ object AggQueries extends QueryPack {
         |  CAST(GROUPING(year(ts), month(ts), day(ts)) AS INT) AS gid
         |FROM events
         |GROUP BY ROLLUP(year(ts), month(ts), day(ts))""".stripMargin,
+
+    // The HLL estimate never reaches the output — only the exact distinct
+    // and the accuracy-bound boolean, both engine-agnostic.
+    "q_distinct_approx" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_exact,
+        |  true AS approx_accurate
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // The sketch estimates never reach the output — only the exact
     // distinct and the split-invariance boolean, both engine-agnostic.
