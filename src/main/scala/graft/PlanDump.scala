@@ -142,9 +142,9 @@ object PlanDump {
     "q_rfm" -> ("RFM segmentation — distribution-walk quartiles (nation-" +
       "partitioned windows, no per-group value buffer), 25-row quartile " +
       "tables broadcast back onto one customer aggregation"),
-    "q_basket" -> ("Market-basket lift — basket-key equi-self-join " +
-      "bounds pair candidates by order size; brand-domain side tables " +
-      "broadcast"),
+    "q_basket" -> ("Market-basket lift — whale baskets capped out by a " +
+      "key-sized degree pre-filter, then map-side pair expansion from " +
+      "per-basket arrays; brand-domain side tables broadcast"),
     "q_sql_lateral" -> ("Correlated LIMIT lateral — decorrelated to a " +
       "window rank over one customer shuffle, no per-outer-row rescan"),
     "q_join_fuzzy" -> ("Edit-distance join — occurrence-indexed gram " +

@@ -29,6 +29,35 @@ object GraftOps {
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
+
+    /** Lineage truncation for the iterative operators (clusterPairs,
+      * pageRank, hits, kcore, labelPropagate, bfs/sssp, pca): every Nth
+      * round the round table's plan must flatten to an RDD scan or the
+      * logical plan grows without bound (doubling per round where the
+      * round self-references). Two backends, same call sites:
+      *
+      *  - default: `localCheckpoint` — blocks live on executors only.
+      *    Zero external I/O, the right trade in local mode (executor
+      *    loss == JVM loss) and on clusters that prefer recompute-from-
+      *    scratch over checkpoint I/O.
+      *  - `GRAFT_CHECKPOINT_DIR` set (an HDFS/S3 path on a real
+      *    cluster): reliable `checkpoint()` through `setCheckpointDir`
+      *    (set once, lazily). Truncated round tables then survive
+      *    executor loss — with `localCheckpoint` an executor death after
+      *    truncation FAILS the job, because the lineage needed to
+      *    recompute the lost blocks was discarded. Reliable mode pays
+      *    one extra computation of each checkpointed round (Spark
+      *    writes checkpoint files by re-running the RDD after the
+      *    first action) — the standard durability/latency trade.
+      */
+    def truncateLineage(eager: Boolean = true): DataFrame =
+      sys.env.get("GRAFT_CHECKPOINT_DIR") match {
+        case Some(dir) if dir.nonEmpty =>
+          val sc = df.sparkSession.sparkContext
+          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          df.checkpoint(eager)
+        case _ => df.localCheckpoint(eager)
+      }
   }
 
   /** Public form of the cache-idempotent persist, for query packs that
@@ -740,7 +769,7 @@ object GraftOps {
     var labels = edges.groupBy(col("es")).agg(min(col("ed")).as("nmin"))
       .select(col("es").as("doc_id"),
         least(col("es"), col("nmin")).as("lbl"))
-      .localCheckpoint(false)
+      .truncateLineage(eager = false)
     // coalesce: an empty pair table (nothing to cluster) must yield an
     // empty result, not a null-aggregate NPE
     def labelSum(df: DataFrame): Long =
@@ -759,7 +788,7 @@ object GraftOps {
       val jump = hopped.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
       val next = hopped.join(jump, hopped("lbl") === jump("j_id"))
         .select(col("doc_id"), col("j_lbl").as("lbl"))
-        .localCheckpoint(false)
+        .truncateLineage(eager = false)
       prevTotal = total
       total = labelSum(next)
       labels = next
@@ -1525,16 +1554,26 @@ object GraftOps {
     * across engines and partitionings. Precondition: the token alphabet
     * must not contain the delimiter characters '<' or '>' (true of
     * [[graft.functions.TextFns.tokens]] output over the fixtures; wider
-    * alphabets need a caller-chosen delimiter pair).
+    * alphabets need a caller-chosen delimiter pair). ENFORCED: a
+    * delimiter char inside a token corrupts symbol parsing silently and
+    * identically in both engines (the oracle replays the corruption, so
+    * the gate cannot catch it) — the guard counts offenders on the
+    * already-cached vocabulary table (one vocab-sized scan, never the
+    * corpus) and fails loudly per the documented-require() contract.
     */
   def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32, "rounds must be in [1, 32]")
     val spark = df.sparkSession
-    val base = cacheOnce(
+    val wordFreq = cacheOnce(
       df.select(explode(TextFns.tokens(text)).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(col("freq"),
-          regexp_replace(col("word"), "(.)", "<$1>").as("syms")))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val nBad = wordFreq
+      .filter(col("word").contains("<") || col("word").contains(">")).count()
+    require(nBad == 0, s"bpeTrain: $nBad vocabulary tokens contain the " +
+      "'<'/'>' delimiter characters — symbol tracking would corrupt " +
+      "silently; normalize the corpus or choose a disjoint alphabet")
+    val base = cacheOnce(wordFreq.select(col("freq"),
+      regexp_replace(col("word"), "(.)", "<$1>").as("syms")))
     var words = base
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -2551,25 +2590,52 @@ object GraftOps {
     cum.agg(aggCols.head, aggCols.tail: _*).select(outCols: _*)
   }
 
+  /** Hub cap for the basket expansions ([[basketPairs]] and the
+    * common-neighbors projection): baskets/anchors with more than this
+    * many DISTINCT items are excluded before any per-key array is built.
+    * A whale key is pathological for the projection twice over — its
+    * collect_set aggregation buffer is a single unbounded multi-MB row,
+    * and its Σsize² pair fan-out is pure projection artifact, not signal
+    * (a customer touching 10⁶ items co-"occurs" with everything). The
+    * pre-filter bounds per-key aggregation state by construction; the
+    * exclusion is part of the operator's declared semantics and the
+    * DuckDB oracles replay the identical HAVING filter, so engine and
+    * oracle agree at ANY scale factor, not just the tested ones.
+    */
+  val MaxBasketSize = 4096
+
   /** Market-basket co-occurrence with lift — which items sell together
     * (cols `basket`, `item`; the fixture binds order → part brand). The
     * classic association-rule support/lift statistic, shaped for scale:
-    * ONE shuffle builds the per-basket sorted item set (collect_set
-    * dedups inside the aggregation buffer — baskets are small by the
-    * domain's nature, so the array buffer is bounded), and pairs expand
+    * a key-sized degree aggregate drops whale baskets (> maxBasketSize
+    * distinct items — see [[MaxBasketSize]]) BEFORE the array build, so
+    * the collect_set aggregation buffer is ≤ maxBasketSize per key by
+    * construction; the semi-join back lands on the same hash
+    * partitioning the array groupBy needs, so the bound costs one extra
+    * key-sized exchange, not a second data-sized shuffle. Pairs expand
     * MAP-SIDE from each array (Σ basket_size² work per row, never a
     * corpus self-join — an earlier self-equi-join formulation recomputed
     * the expensive input subtree once per plan reference on the cold
     * path, measured 9.0s vs 1.5s warm). Per-item basket counts and the
-    * 1-row total derive from the same persisted basket-array table.
-    * Counts are exact integers; lift = support·n_baskets / (n_a·n_b) is
-    * the only float, rounded at 6.
+    * 1-row total derive from the same persisted basket-array table
+    * (post-filter, so support/lift statistics are coherent over exactly
+    * the included baskets). Counts are exact integers; lift =
+    * support·n_baskets / (n_a·n_b) is the only float, rounded at 6.
     */
-  def basketPairs(baskets: DataFrame): DataFrame = {
+  def basketPairs(baskets: DataFrame,
+                  maxBasketSize: Int = MaxBasketSize): DataFrame = {
     // NULL basket keys are unknown baskets, not one shared basket —
     // excluded (the semantics an equi-join on the key would give)
-    val items = baskets.select(col("basket"), col("item"))
+    val pairs = baskets.select(col("basket"), col("item"))
       .filter(col("basket").isNotNull)
+      .persistOnce()
+    // count_distinct plans as a bounded-buffer two-phase aggregate; the
+    // whale keys die here, never reaching an array buffer
+    val kept = pairs.groupBy(col("basket"))
+      .agg(count_distinct(col("item")).as("bsize"))
+      .filter(col("bsize") <= maxBasketSize)
+      .select(col("basket"))
+    val items = pairs.join(kept, "basket")
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .persistOnce()
@@ -2734,7 +2800,7 @@ object GraftOps {
           x => x.getField("s")).as("u"))
         .select(expr("transform(u, y -> y / sqrt(aggregate(" +
           "transform(u, z -> z*z), 0D, (a, b) -> a + b)))").as("v"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     v.select(posexplode(col("v")).as(Seq("pos", "comp")))
       .select(col("pos").cast("long").as("pos"),
@@ -2925,7 +2991,7 @@ object GraftOps {
       // lineage cut (clusterPairs discipline): lazy is enough — the plan
       // is truncated to a LogicalRDD immediately; the RDD materializes
       // with the caller's first action
-      if (i % 8 == 0 && i < iters) mass = mass.localCheckpoint(false)
+      if (i % 8 == 0 && i < iters) mass = mass.truncateLineage(eager = false)
     }
     mass
   }
@@ -3066,10 +3132,19 @@ object GraftOps {
     * quantiles + per-partition sort) — every output file is internally
     * sorted and files hold disjoint key ranges.
     */
-  def bulkLoad(df: DataFrame, key: Column, numFiles: Int, path: String): Unit =
+  def bulkLoad(df: DataFrame, key: Column, numFiles: Int, path: String,
+               maxRecordsPerFile: Long = 0L): Unit =
+    // maxRecordsPerFile (0 = unbounded, Spark's own convention) is the
+    // file-size governor: a skewed range partition otherwise writes one
+    // arbitrarily large file (the HFile-split analog of a hot region).
+    // The writer splits a sorted partition into SEQUENTIAL chunks, so
+    // per-file internal sort and pairwise-disjoint ranges survive the
+    // split — EtlSpec pins both plus the file-count envelope at 10x.
     df.repartitionByRange(numFiles, key)
       .sortWithinPartitions(key)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
 
   /** Top-N per group with a deterministic tiebreak. */
   def topKPerGroup(df: DataFrame, group: Column, order: Column,
@@ -3456,7 +3531,7 @@ object GraftOps {
       // then release the accumulated half-step caches (amortized over 4
       // iterations); typical 2-3 iteration calls never hit it
       if (i % 4 == 0 && i < iters) {
-        auth = auth.localCheckpoint(); hub = hub.localCheckpoint()
+        auth = auth.truncateLineage(); hub = hub.truncateLineage()
         held.foreach(_.unpersist(false)); held.clear()
       }
     }
@@ -3512,7 +3587,7 @@ object GraftOps {
         .filter(col("deg") >= k).select(col("src"))
       val keepB =
         if (r % 8 == 0) {
-          val cp = keep.localCheckpoint()
+          val cp = keep.truncateLineage()
           held.foreach(_.unpersist(false)); held.clear()
           cp
         } else { val kp = keep.persistOnce(); held += kp; kp }
@@ -3614,7 +3689,7 @@ object GraftOps {
       // retention (kcorePeel rationale)
       lab =
         if (r % 8 == 0) {
-          val cp = next.localCheckpoint()
+          val cp = next.truncateLineage()
           held.foreach(_.unpersist(false)); held.clear()
           cp
         } else { val np = next.persistOnce(); held += np; np }
@@ -3686,7 +3761,7 @@ object GraftOps {
           least(col("dist"), col("nd")).as("newdist"), col("dist"))
       val merged =
         if (r % 8 == 0) {
-          val cp = mergedPlan.localCheckpoint()
+          val cp = mergedPlan.truncateLineage()
           held.foreach(_.unpersist(false)); held.clear()
           cp
         } else { val mp = mergedPlan.persistOnce(); held += mp; mp }

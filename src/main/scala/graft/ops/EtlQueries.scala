@@ -166,14 +166,20 @@ object EtlQueries extends QueryPack {
     * scans get both fewer files AND min/max pruning). Content
     * preservation is the gate: the oracle is the uncompacted table.
     */
-  def compactTo(s: SparkSession, d: String, out: String,
-                numFiles: Int): String = {
+  def compactTo(s: SparkSession, d: String, out: String, numFiles: Int,
+                maxRecordsPerFile: Long = 0L): String = {
     val frag = tmp("graft_frag")
     Tables.lineitem(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+    // maxRecordsPerFile (0 = unbounded): compaction must not trade many
+    // small files for one oversized one — the governor re-splits a fat
+    // range partition into sequential, still-sorted chunks (EtlSpec pins
+    // the envelope; same contract as GraftOps.bulkLoad)
     s.read.parquet(frag)
       .repartitionByRange(numFiles, col("l_orderkey"), col("l_linenumber"))
       .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
-      .write.mode("overwrite").parquet(out)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(out)
     out
   }
 

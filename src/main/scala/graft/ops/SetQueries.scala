@@ -33,9 +33,15 @@ object SetQueries extends QueryPack {
     * disagrees, this emits the actual INSERT/UPDATE/DELETE rows. The
     * target snapshot is a deterministic mutation of orders (both
     * engines synthesize it — the piiScrub discipline): every 97th key
-    * deleted, every 101st surviving key's priority rewritten, a +20M
-    * clone of every 103rd key inserted. ONE full-outer equi-join on the
-    * key classifies every row; fingerprints use exactly-representable
+    * deleted, every 101st surviving key's priority rewritten, a clone of
+    * every 103rd key inserted at key -(k+1). Negation-with-offset is the
+    * disjoint insert namespace at ANY scale (orderkeys are >= 0, so
+    * -(k+1) is strictly negative and can never collide with a genuine
+    * key — a fixed "+20M" offset would collide once the key domain
+    * clears 20M, ~sf4, and plain -k collides on key 0; either collision
+    * duplicates keys and fans out the full-outer join). ONE full-outer
+    * equi-join on the key
+    * classifies every row; fingerprints use exactly-representable
     * columns only. At 100 TB each side shuffles once on its key and
     * AQE handles the skewless hash join — never a row-pair product.
     */
@@ -49,7 +55,7 @@ object SetQueries extends QueryPack {
           when(pmod(col("o_orderkey"), lit(101L)) === 0, lit("RUSH"))
             .otherwise(col("o_orderpriority"))).as("t_fp"))
       .unionByName(base.filter(pmod(col("o_orderkey"), lit(103L)) === 0)
-        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
           concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
             .as("t_fp")))
     src.join(tgt, Seq("o_orderkey"), "full_outer")
@@ -107,7 +113,7 @@ object SetQueries extends QueryPack {
         |           ELSE o_orderpriority END AS t_fp
         |  FROM orders WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 20000000,
+        |  SELECT -o_orderkey - 1,
         |    o_orderstatus || '|' || o_orderpriority
         |  FROM orders WHERE o_orderkey % 103 = 0)
         |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,

@@ -270,7 +270,12 @@ object WindowQueries extends QueryPack {
 
     // Ratio-to-report: each nation's share of its region's revenue — the
     // unbounded-frame window-sum pattern (partition total without a
-    // second aggregate+join). Exact cents in, one ppm division out.
+    // second aggregate+join). Exact cents in, one ppm division out. The
+    // ppm product widens through DECIMAL(38,0): cents is scale-
+    // proportional, so the BIGINT cents·10⁶ product overflows (ANSI
+    // ARITHMETIC_OVERFLOW) once a nation clears ~9.2e12 cents (~TPC-H
+    // sf10); the decimal multiply is exact to 38 digits and the quotient
+    // is back under 10⁶, so the final BIGINT cast never overflows.
     "q_window_ratio" -> ((s, d) => {
       val rev = Tables.customer(s, d)
         .join(Tables.orders(s, d),
@@ -283,7 +288,8 @@ object WindowQueries extends QueryPack {
       rev.select(col("n_regionkey"), col("n_name"), col("cents"),
         sum(col("cents")).over(w).as("region_cents"))
         .withColumn("share_ppm",
-          expr("(cents * 1000000) div region_cents"))
+          expr("CAST((CAST(cents AS DECIMAL(38,0)) * 1000000)" +
+            " div region_cents AS BIGINT)"))
     }),
 
     "q_v1_latest" -> v1Latest,

@@ -150,3 +150,33 @@ object StreamOps {
       .select(col("w2.start").as("bucket_start"), col("event_type"),
         col("n_users"))
 }
+
+/** Per-key running row counter on Spark 4's supported arbitrary-state
+  * API (`transformWithState` / `StatefulProcessor`) — the replacement
+  * surface for `flatMapGroupsWithState`, which remains for back-compat.
+  * Same semantics as the fMGWS form StreamingSpec pins: after each
+  * micro-batch the key's total row count is emitted once. State is ONE
+  * long per key in the state store (RocksDB provider required by the
+  * API), so a 100-TB keyspace costs 8 bytes per live key plus the store
+  * overhead — the same bound the fMGWS form carries, but on the API that
+  * supports state TTL, timers, and composite state types going forward.
+  */
+class RunningCountProcessor[I]
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, I, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[I],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long)] = {
+    val total = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(total)
+    Iterator((key, total))
+  }
+}

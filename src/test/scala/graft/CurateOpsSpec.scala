@@ -732,6 +732,17 @@ class CurateOpsSpec extends SparkSpec {
     assert(m(2) === ((3L, "a", "b", 2L)))
   }
 
+  test("bpeTrain fails loudly when a token carries a delimiter char") {
+    import spark.implicits._
+    // '<' inside a token would corrupt symbol parsing silently and
+    // identically in both engines — the guard must reject it up front
+    val df = Seq("normal words here", "a <tag> sneaks in").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.bpeTrain(df, col("text"), rounds = 2)
+    }
+    assert(e.getMessage.contains("delimiter"))
+  }
+
   test("bpeApply folds merges greedily left-to-right, word-bounded") {
     import spark.implicits._
     val df = Seq((1L, "aaa ab"), (2L, "")).toDF("doc_id", "text")

@@ -40,6 +40,64 @@ class EtlSpec extends SparkSpec {
       Tables.part(spark, sf).count())
   }
 
+  test("bulk load honors the per-file record bound at 10x volume") {
+    import graft.api.GraftOps
+    // 10x the sf0.001 part table: 20k keyed rows, 4 range partitions,
+    // 1500-record file governor -> each partition (~5k rows) re-splits
+    // into sequential sorted chunks. Envelope: at least ceil(20000/1500)
+    // = 14 files, at most numFiles + 20000/1500 < 18 (each partition
+    // wastes at most one partial file).
+    val rows = spark.range(0, 20000L, 1, 8)
+      .select(col("id").as("k"), md5(col("id").cast("string")).as("payload"))
+    val out = Files.createTempDirectory("graft_bulkbound").toString
+    GraftOps.bulkLoad(rows, col("k"), numFiles = 4, path = out,
+      maxRecordsPerFile = 1500L)
+    val perFile = spark.read.parquet(out)
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("lo"),
+        max(col("k")).as("hi"))
+      .orderBy(col("lo")).collect()
+    assert(perFile.length >= 14 && perFile.length <= 17,
+      s"file count ${perFile.length} outside the [14, 17] envelope")
+    perFile.foreach { r =>
+      assert(r.getLong(1) <= 1500L, s"file exceeds the record bound: $r")
+    }
+    // the governor must not break the bulk-load layout contract:
+    // pairwise-disjoint ranges across ALL files (keys unique -> strict)
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2),
+        s"split file ranges overlap: $a vs $b")
+      case _ =>
+    }
+    assert(perFile.map(_.getLong(1)).sum === 20000L)
+  }
+
+  test("compaction at 10x respects both the file bound and clustering") {
+    // same governor through the compaction path: 64 fragments in, files
+    // out are range-clustered AND none exceeds the record bound
+    val out = ops.EtlQueries.compactTo(spark, "/root/testdata/sf0.01",
+      Files.createTempDirectory("graft_compactbound").toString,
+      numFiles = 4, maxRecordsPerFile = 10000L)
+    val perFile = spark.read.parquet(out)
+      .select(col("l_orderkey"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("lo"),
+        max(col("l_orderkey")).as("hi"))
+      .orderBy(col("lo")).collect()
+    perFile.foreach { r =>
+      assert(r.getLong(1) <= 10000L, s"file exceeds the record bound: $r")
+    }
+    assert(perFile.length > 4, "the bound must have split the 4 partitions")
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(2),
+        s"compacted file ranges interleave: $a vs $b")
+      case _ =>
+    }
+    assert(perFile.map(_.getLong(1)).sum ===
+      Tables.lineitem(spark, "/root/testdata/sf0.01").count())
+  }
+
   test("compaction collapses 64 fragments into <= 4 range-disjoint files") {
     val out = ops.EtlQueries.compactTo(spark, sf,
       Files.createTempDirectory("graft_compacttest").toString, numFiles = 4)

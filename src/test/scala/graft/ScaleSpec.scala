@@ -565,4 +565,34 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("basketPairs: a 500k-item whale basket is capped out, pairs exact") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // Basket 0 holds 500k distinct items — uncapped, its collect_set
+    // buffer is one ~10MB row and its expansion is 1.25e11 pairs (this
+    // test would not finish). The MaxBasketSize degree pre-filter drops
+    // it BEFORE any array is built, so the run costs only the 100k
+    // normal 2-item baskets: 100 surviving pairs with exact post-filter
+    // support/lift statistics.
+    val whale = spark.range(0, 500000L, 1, 32)
+      .select(lit(0L).as("basket"),
+        concat(lit("i"), col("id").cast("string")).as("item"))
+    val normal = spark.range(1, 100001L, 1, 32)
+      .select(col("id").as("basket"),
+        concat(lit("x"), pmod(col("id"), lit(100L)).cast("string")).as("item"))
+      .unionAll(spark.range(1, 100001L, 1, 32)
+        .select(col("id").as("basket"),
+          concat(lit("y"), pmod(col("id"), lit(100L)).cast("string"))
+            .as("item")))
+    val out = GraftOps.basketPairs(whale.unionAll(normal)).collect()
+    assert(out.length === 100, s"expected 100 pairs, got ${out.length}")
+    out.foreach { r =>
+      assert(!r.getString(0).startsWith("i") && !r.getString(1).startsWith("i"),
+        "whale item leaked into the pair projection")
+      assert(r.getLong(2) === 1000L, s"support off: $r")
+      assert(r.getLong(3) === 1000L && r.getLong(4) === 1000L,
+        s"post-filter item counts off: $r")
+      assert(r.getDouble(5) === 100.0, s"lift off: $r")
+    }
+  }
 }

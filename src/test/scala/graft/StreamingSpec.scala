@@ -165,6 +165,42 @@ class StreamingSpec extends SparkSpec {
       "state must carry the count across micro-batches")
   }
 
+  test("s_stateful: same running counters via transformWithState") {
+    // Spark 4's supported arbitrary-state API, pinned alongside the
+    // flatMapGroupsWithState form above — same inputs, same expected
+    // emissions. transformWithState requires the RocksDB state store
+    // provider; scope it to this query and restore after.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val counted = in.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new graft.streaming.RunningCountProcessor[Ev],
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("user_id", "running_n")
+      val q = counted.writeStream.format("memory").queryName("tws_tbl")
+        .outputMode("append").start()
+      in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}"),
+        Ev(2, ts("10:01"), 7, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("10:02"), 7, "buy", 2.0, "{}"))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_tbl").as[(Long, Long)].collect().toSet
+      assert(got === Set((7L, 2L), (7L, 3L)),
+        "transformWithState must carry the count across micro-batches")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("s_upsert_sink: foreachBatch merge keeps latest version per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

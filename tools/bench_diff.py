@@ -118,14 +118,21 @@ def main():
         rows.append((n / o, q, o, n))
     rows.sort(reverse=True)
 
-    # Absolute-delta floor next to the ratio: sub-second queries swing
-    # 2-3x on pure JIT/GC jitter (observed 0.14s -> 0.33s with zero code
-    # change, warm-rep confirmed), while every real contamination case
-    # this tripwire exists for moved by multiple SECONDS (0.3 -> 3.3,
-    # 0.6 -> 10.2). A regression must clear BOTH bars to fail the run.
-    ABS_FLOOR = 0.5
+    # Baseline-scaled delta floor next to the ratio: sub-second queries
+    # swing 2-3x on pure JIT/GC jitter (observed 0.14s -> 0.33s with zero
+    # code change, warm-rep confirmed), so the floor absorbs up to
+    # NOISE_K x the query's own baseline — but it is CAPPED at ABS_CAP so
+    # a multi-second query regressing >threshold always trips, and it
+    # never drops below MIN_DELTA (timer granularity). A fixed 0.5s floor
+    # (the previous form) let a 40ms query regress 10x to 0.4s silently;
+    # now floor(40ms) = 80ms and that regression fails, while floor(5s) =
+    # 0.5s keeps real big-query regressions failing. Genuine sub-second
+    # jitter that still trips gets re-measured with warm reps by bench.sh
+    # (bench_triage) before anyone believes the number.
+    MIN_DELTA, ABS_CAP, NOISE_K = 0.02, 0.5, 2.0
     regressed = [r for r in rows
-                 if r[0] > threshold and (r[3] - r[2]) > ABS_FLOOR]
+                 if r[0] > threshold and
+                 (r[3] - r[2]) > max(MIN_DELTA, min(ABS_CAP, NOISE_K * r[2]))]
     new_total = sum(n for _, _, _, n in rows)
     old_total = sum(o for _, _, o, _ in rows)
     if not rows:
