@@ -17,6 +17,8 @@ object StreamQueries extends QueryPack {
     "s_sliding" -> ((s, d) => StreamOps.sliding(Tables.events(s, d))),
     "s_session" -> ((s, d) => StreamOps.sessionize(Tables.events(s, d))),
     "s_join" -> ((s, d) => StreamOps.clickAttribution(Tables.events(s, d))),
+    "s_outer_join" -> ((s, d) =>
+      StreamOps.clickAttributionOuter(Tables.events(s, d))),
     "s_enrich" -> ((s, d) =>
       StreamOps.enrich(Tables.events(s, d), Tables.customer(s, d))),
     "s_distinct" -> ((s, d) => StreamOps.distinctUsers(Tables.events(s, d)))
@@ -83,6 +85,17 @@ object StreamQueries extends QueryPack {
         |FROM events c JOIN events b
         |  ON b.user_id = c.user_id
         | AND c.event_type = 'click' AND b.event_type = 'purchase'
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '10 minutes'""".stripMargin,
+    // Batch semantics of the stream-stream LEFT OUTER interval join: the
+    // purchase filter must live in the ON clause (a WHERE would turn the
+    // outer join back into an inner one).
+    "s_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(b.ts AS TIMESTAMP) AS buy_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON b.user_id = c.user_id
         | AND CAST(b.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(b.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '10 minutes'""".stripMargin
   )

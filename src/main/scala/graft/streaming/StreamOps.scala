@@ -109,6 +109,34 @@ object StreamOps {
         col("click_ts"), col("buy_ts"))
   }
 
+  /** s_outer_join: stream-stream LEFT OUTER interval join — every click
+    * with its attributed purchase OR an explicit no-purchase null row.
+    * The outer side is what makes this stateful beyond [[clickAttribution]]:
+    * an unmatched click can only emit once the WATERMARK proves no
+    * qualifying purchase can still arrive (click_ts + 10 min behind the
+    * watermark), so emission lag is bounded by delay + interval and join
+    * state stays watermark-deep on both sides. In batch the identical
+    * plan is a plain left outer join with the range predicate in the ON
+    * clause — which is how the DuckDB oracle gates it.
+    */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    clicks.join(buys,
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        col("click_ts"), col("buy_ts"))
+  }
+
   /** s_enrich: stream-static dimension enrichment — every event joined to
     * its customer row. The production shape behind most streaming ETL:
     * the dimension is broadcast (stateless join, no streaming state at
@@ -161,6 +189,74 @@ object StreamOps {
   * overhead — the same bound the fMGWS form carries, but on the API that
   * supports state TTL, timers, and composite state types going forward.
   */
+/** One closed session: key, bounds, event count. */
+case class ClosedSession(user_id: Long, session_start_ms: Long,
+                         session_end_ms: Long, n_events: Long)
+
+/** Gap-timeout sessionizer on `transformWithState` with EVENT-TIME
+  * TIMERS — the arbitrary-state form of session_window, for pipelines
+  * that need per-session custom state (running aggregates, first/last
+  * payloads) rather than a windowed aggregate. Per key the state is one
+  * (start, last, n) triple plus ONE registered timer at last + gap; a
+  * new event inside the gap extends the session and re-arms the timer,
+  * and the timer firing (watermark passed last + gap) emits the closed
+  * session and clears the state — so emission is exactly-once per
+  * session and state size is O(live keys), the same bound
+  * session_window's merging state carries. Input rows must arrive with
+  * a watermark (TimeMode.EventTime contract).
+  */
+class SessionGapProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), ClosedSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+
+  // (session_start_ms, last_event_ms, n_events)
+  @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues)
+      : Iterator[ClosedSession] = {
+    // fold this batch's rows into the open session; rows inside one
+    // micro-batch may arrive unordered, so track min/max, not sequence
+    var (start, last, n) =
+      if (sess.exists()) sess.get() else (Long.MaxValue, Long.MinValue, 0L)
+    val hadTimer = sess.exists()
+    rows.foreach { case (_, tsMs) =>
+      start = math.min(start, tsMs); last = math.max(last, tsMs); n += 1
+    }
+    sess.update((start, last, n))
+    // one live timer per key: re-arm at the new gap deadline
+    if (hadTimer) getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(last + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[ClosedSession] = {
+    val out =
+      if (sess.exists()) {
+        val (start, last, n) = sess.get()
+        // a re-armed session's stale timer may fire first; only close
+        // when THIS timer is the live gap deadline
+        if (expiredTimerInfo.getExpiryTimeInMs() == last + gapMs) {
+          sess.clear()
+          Iterator(ClosedSession(key, start, last, n))
+        } else Iterator.empty
+      } else Iterator.empty
+    out
+  }
+}
+
 class RunningCountProcessor[I]
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, I, (Long, Long)] {
