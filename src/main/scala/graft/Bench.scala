@@ -79,6 +79,11 @@ object Bench {
       .sortBy(-_._5)
     val triaged: Map[String, (Double, Double, Double)] =
       outliers.take(MaxTriage).map { case (name, fn, rec, r, _) =>
+        // clearCache so the triage reps reproduce the main sweep's
+        // per-query isolation — without it the reps could read tables
+        // persisted by a PREVIOUS query and adjudicate a number biased
+        // fast vs the min-of-two methodology they are compared against.
+        spark.catalog.clearCache()
         val warm = (1 to 3).map(_ => timeOnce(fn)).filter(_ >= 0)
         val warmMin = if (warm.nonEmpty) warm.min else rec
         name -> ((rec, warmMin, r))

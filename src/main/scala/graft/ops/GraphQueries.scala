@@ -131,18 +131,18 @@ object GraphQueries extends QueryPack {
     // |N(a)∩N(b)| counted via the customer-anchored basket expansion
     // (never a supplier×supplier join), |N(a)∪N(b)| from the degree
     // table by inclusion-exclusion, similarity as an exact ppm integer.
-    // Hub cap (GraftOps.MaxBasketSize): customers touching more distinct
-    // suppliers than the cap are dropped BEFORE the per-customer array
-    // build — a whale anchor is an unbounded collect_set buffer row and
-    // Σdeg² of projection-artifact pairs. The degree table is computed
-    // from the SAME capped edge set so inclusion-exclusion stays exact,
-    // and the oracle replays the identical HAVING filter.
+    // Hub cap (GraftOps.capAnchors, per-call size = the global default):
+    // customers touching more distinct suppliers than the cap are dropped
+    // BEFORE the per-customer array build — a whale anchor is an
+    // unbounded collect_set buffer row and Σdeg² of projection-artifact
+    // pairs. capAnchors also observe()-meters how many anchors the cap
+    // excluded. The degree table is computed from the SAME capped edge
+    // set so inclusion-exclusion stays exact, and the oracle replays the
+    // identical HAVING filter (interpolated from the same constant).
     "q_common_nbrs" -> ((s, d) => {
       val e0 = rawTradePairs(s, d)
         .select(col("o_custkey").as("c"), col("l_suppkey").as("v"))
-      val kept = e0.groupBy(col("c")).agg(count(lit(1)).as("cd"))
-        .filter(col("cd") <= GraftOps.MaxBasketSize).select(col("c"))
-      val e = e0.join(kept, "c")
+      val e = GraftOps.capAnchors(e0, "c", "v", GraftOps.MaxBasketSize)
       val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
       val common = e.groupBy(col("c"))
         .agg(sort_array(collect_set(col("v"))).as("items"))
@@ -340,10 +340,10 @@ object GraphQueries extends QueryPack {
     // count, union by inclusion-exclusion, ppm by integer floor div.
     // The HAVING filter replays the engine's hub cap exactly.
     "q_common_nbrs" ->
-      """WITH e0 AS (
+      s"""WITH e0 AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS v
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |keep AS (SELECT c FROM e0 GROUP BY 1 HAVING count(*) <= 4096),
+        |keep AS (SELECT c FROM e0 GROUP BY 1 HAVING count(*) <= ${GraftOps.MaxBasketSize}),
         |e AS (SELECT e0.* FROM e0 JOIN keep USING (c)),
         |deg AS (SELECT v, count(*) AS d FROM e GROUP BY 1),
         |pairs AS (

@@ -179,16 +179,6 @@ object StreamOps {
         col("n_users"))
 }
 
-/** Per-key running row counter on Spark 4's supported arbitrary-state
-  * API (`transformWithState` / `StatefulProcessor`) — the replacement
-  * surface for `flatMapGroupsWithState`, which remains for back-compat.
-  * Same semantics as the fMGWS form StreamingSpec pins: after each
-  * micro-batch the key's total row count is emitted once. State is ONE
-  * long per key in the state store (RocksDB provider required by the
-  * API), so a 100-TB keyspace costs 8 bytes per live key plus the store
-  * overhead — the same bound the fMGWS form carries, but on the API that
-  * supports state TTL, timers, and composite state types going forward.
-  */
 /** One closed session: key, bounds, event count. */
 case class ClosedSession(user_id: Long, session_start_ms: Long,
                          session_end_ms: Long, n_events: Long)
@@ -257,6 +247,16 @@ class SessionGapProcessor(gapMs: Long)
   }
 }
 
+/** Per-key running row counter on Spark 4's supported arbitrary-state
+  * API (`transformWithState` / `StatefulProcessor`) — the replacement
+  * surface for `flatMapGroupsWithState`, which remains for back-compat.
+  * Same semantics as the fMGWS form StreamingSpec pins: after each
+  * micro-batch the key's total row count is emitted once. State is ONE
+  * long per key in the state store (RocksDB provider required by the
+  * API), so a 100-TB keyspace costs 8 bytes per live key plus the store
+  * overhead — the same bound the fMGWS form carries, but on the API that
+  * supports state TTL, timers, and composite state types going forward.
+  */
 class RunningCountProcessor[I]
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, I, (Long, Long)] {

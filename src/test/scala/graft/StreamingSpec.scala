@@ -140,6 +140,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("s_outer_join: NULL-user clicks still emit, with NULL buy side") {
+    // Dirty-feed contract: a click whose user_id is NULL can never match
+    // (NULL equi-join key), but LEFT OUTER semantics must still emit it
+    // with NULL buy columns once the watermark closes its interval —
+    // dropping it silently would under-count the no-attribution bucket.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.clickAttributionOuter(
+        in.toDF().withColumn("user_id",
+          when(col("user_id") < 0, lit(null)).otherwise(col("user_id"))))
+      .writeStream.format("memory").queryName("outer_null_tbl")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("10:00"), -1, "click", 1.0, "{}"), // NULL user click
+      Ev(2, ts("10:01"), 7, "click", 1.0, "{}"),
+      Ev(3, ts("10:05"), 7, "purchase", 5.0, "{}"))
+    q.processAllAvailable()
+    // the global watermark is the MIN over both sides' nodes, and filter
+    // pushdown means each side only sees its own event type — so BOTH a
+    // far-future click and a far-future purchase are needed to advance
+    // it past every open click interval; eviction then happens in the
+    // batch AFTER the advance (watermarks commit at batch end)
+    in.addData(Ev(8, ts("13:00"), 99, "click", 1.0, "{}"),
+      Ev(9, ts("13:00"), 99, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Ev(10, ts("13:01"), 99, "click", 1.0, "{}"),
+      Ev(11, ts("13:01"), 99, "purchase", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("outer_null_tbl")
+      .select(col("click_id"), col("buy_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got.contains((1L, -1L)),
+      s"NULL-user click must emit with a NULL buy side: $got")
+    assert(got.contains((2L, 3L)), s"matched click must attribute: $got")
+  }
+
   test("s_stateful: per-user running counters via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -195,6 +233,137 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("tws_tbl").as[(Long, Long)].collect().toSet
       assert(got === Set((7L, 2L), (7L, 3L)),
         "transformWithState must carry the count across micro-batches")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
+  test("s_stateful: SessionGapProcessor closes sessions on event-time timers") {
+    // The arbitrary-state sessionizer: extend (same-key event inside the
+    // gap re-arms the timer), close (watermark passes last + gap fires
+    // the timer exactly once), and the stale-timer guard (the re-arm
+    // deletes the old deadline so only the live gap deadline closes).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 5 * 60 * 1000L
+      val in = MemoryStream[Ev]
+      val sessions = in.toDS()
+        .withWatermark("ts", "0 seconds")
+        .map(e => (e.user_id, e.ts.getTime))
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.SessionGapProcessor(gapMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+      val q = sessions.toDF().writeStream.format("memory")
+        .queryName("gap_tbl").outputMode("append").start()
+      // one event per batch so every extension exercises the re-arm path
+      in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("10:04"), 7, "click", 1.0, "{}")) // extends 7
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("10:30"), 8, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("10:31"), 8, "click", 1.0, "{}")) // extends 8;
+      q.processAllAvailable() // watermark 10:30 >= 10:09 closes user 7
+      in.addData(Ev(5, ts("11:30"), 9, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Ev(6, ts("11:31"), 9, "click", 1.0, "{}"))
+      q.processAllAvailable(); q.stop() // watermark 11:30 closes user 8
+      val got = spark.table("gap_tbl")
+        .select(col("user_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val t = (m: String) => ts(m).getTime
+      assert(got.contains((7L, t("10:00"), t("10:04"), 2L)),
+        s"user 7's extended session must close once with both events: $got")
+      assert(got.contains((8L, t("10:30"), t("10:31"), 2L)),
+        s"user 8's session must close after the watermark passes: $got")
+      assert(got.count(_._1 == 7L) === 1,
+        "the stale pre-extension timer must not emit a second session")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
+  test("s_restart: flatMapGroupsWithState state survives a checkpoint restart") {
+    // The WALPlayer-analog durability claim: stop a checkpointed query
+    // mid-stream, restart from its checkpoint dir, and the per-key state
+    // must continue where it left off — a lost state store would emit
+    // (7, 1) after restart instead of (7, 3).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_restart_fmgws").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_restart_fmgws_out").toString
+    val in = MemoryStream[Ev]
+    // parquet file sink: the fault-tolerant sink whose _spark_metadata
+    // commit log makes the cross-restart output exactly-once readable
+    // (the memory sink refuses checkpoint recovery by design)
+    def counted = in.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "running_n")
+    val q1 = counted.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}"),
+      Ev(2, ts("10:01"), 7, "click", 1.0, "{}"))
+    q1.processAllAvailable(); q1.stop() // simulated failure/stop
+    val q2 = counted.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in.addData(Ev(3, ts("10:02"), 7, "buy", 2.0, "{}"))
+    q2.processAllAvailable(); q2.stop()
+    val all = spark.read.parquet(outDir).as[(Long, Long)].collect().toSet
+    assert(all === Set((7L, 2L), (7L, 3L)),
+      s"restarted query must resume from checkpointed state (a lost " +
+        s"store would emit (7,1), a replayed batch a duplicate): $all")
+  }
+
+  test("s_restart: transformWithState RocksDB state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_restart_tws").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_restart_tws_out").toString
+      val in = MemoryStream[Ev]
+      def counted = in.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new graft.streaming.RunningCountProcessor[Ev],
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("user_id", "running_n")
+      val q1 = counted.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}"),
+        Ev(2, ts("10:01"), 7, "click", 1.0, "{}"))
+      q1.processAllAvailable(); q1.stop()
+      val q2 = counted.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      in.addData(Ev(3, ts("10:02"), 7, "buy", 2.0, "{}"))
+      q2.processAllAvailable(); q2.stop()
+      val all = spark.read.parquet(outDir).as[(Long, Long)].collect().toSet
+      assert(all === Set((7L, 2L), (7L, 3L)),
+        s"RocksDB-backed state must resume across the restart, got $all")
     } finally prev match {
       case Some(v) => spark.conf.set(provKey, v)
       case None    => spark.conf.unset(provKey)

@@ -102,6 +102,14 @@ def main():
         print(f"bench_diff: no per-query numbers in {new_path}")
         return 1
     shared = sorted(set(new) & set(old))
+    # A head-truncated driver tail capture silently drops early-alphabet
+    # queries; surface the shrunken coverage instead of letting a diff
+    # over a subset read as "covered everything".
+    only_old, only_new = len(set(old) - set(new)), len(set(new) - set(old))
+    if only_old or only_new:
+        print(f"bench_diff: note — {only_old} reference-only and "
+              f"{only_new} new-only queries excluded from comparison "
+              f"(head-truncated tail capture or changed query set)")
     if not shared:
         print(f"bench_diff: no shared queries between {new_path} and "
               f"{old_path}")
