@@ -25,6 +25,24 @@ object Bench {
     // Untimed JVM/codegen warm-up so the alphabetically-first query doesn't
     // absorb ~5s of JIT + classloading into its measurement.
     SparkEntry.entry(spark).count()
+    // Box-speed calibration, recorded IN the artifact: a fixed CPU-bound
+    // workload (parallel xxhash64 fold over a range — no I/O, no shuffle)
+    // timed after warm-up. Round 9 measured the same code 1.36x slower
+    // than a same-day reference with zero steal and an idle guest — the
+    // host had changed speed under the VM. With calib_sec embedded,
+    // bench_diff can report the box-speed ratio next to the query ratios,
+    // so a uniform multiplicative drift explains itself instead of
+    // masquerading as a code regression. min-of-3 for the same reason the
+    // queries use min-of-2.
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // bit_xor fold: full-range hash values would overflow an ANSI sum
+      spark.range(0L, 400000000L, 1L, 32)
+        .select(org.apache.spark.sql.functions.bit_xor(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // A throwing query is reported as JSON null in "queries" and listed
     // in "errors", so downstream parsing can tell a failed query from a
     // fast one; total covers successful queries only.
@@ -112,12 +130,12 @@ object Bench {
       (if (outliers.size > MaxTriage)
         s""","triage_dropped":${outliers.size - MaxTriage}""" else "")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries_cold":$qsCold,"queries":$qs,"errors":$errors$triageTail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calib,"queries_cold":$qsCold,"queries":$qs,"errors":$errors$triageTail,"sf":"$sfDir"}"""
     // Short, total-only summary line printed LAST: the detailed line is
     // ~7 KB and a 4 KB tail capture can truncate its head, leaving no
     // parseable JSON (rounds 1 and 2 both recorded "parsed": null).
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._3 < 0)},"n_triaged":${triaged.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":$calib,"n_queries":${results.size},"n_failed":${results.count(_._3 < 0)},"n_triaged":${triaged.size},"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt passes it through unprefixed) AND a
     // file copy so a logger-wrapped stdout can never zero a round's bench.
     println(json)

@@ -22,6 +22,17 @@ import re
 import sys
 
 PAIR = re.compile(r'"((?:[qsx]|x)_[a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)')
+CALIB = re.compile(r'"calib_sec":([0-9][0-9.eE+-]*)')
+
+
+def load_calib(path):
+    """Box-speed calibration seconds from a bench artifact, or None."""
+    try:
+        with open(path) as f:
+            m = CALIB.search(f.read())
+        return float(m.group(1)) if m else None
+    except OSError:
+        return None
 
 
 def load_queries(path):
@@ -151,6 +162,19 @@ def main():
     print(f"bench_diff: {new_path} vs {old_path} — {len(rows)} shared "
           f"queries, total {old_total:.1f}s -> {new_total:.1f}s "
           f"({new_total / old_total:.2f}x)")
+    # Box-speed calibration: a fixed CPU-bound workload timed inside each
+    # bench run. A calib ratio far from 1.0 means the BOX changed speed
+    # between the runs (VM host drift — round 9 measured 1.36x uniform on
+    # identical code), and per-query ratios near that calib ratio are the
+    # box, not the code.
+    c_new, c_old = load_calib(new_path), load_calib(old_path)
+    if c_new and c_old:
+        print(f"bench_diff: box calibration {c_old:.2f}s -> {c_new:.2f}s "
+              f"({c_new / c_old:.2f}x) — query ratios near this are box "
+              f"drift, not code")
+    elif c_new:
+        print(f"bench_diff: note — new run calib_sec={c_new:.2f}s; "
+              f"reference has no calibration (pre-round-9 artifact)")
     if broke:
         print(f"bench_diff: FAIL — newly FAILING queries (passed in "
               f"{old_path}): {', '.join(broke)}")
