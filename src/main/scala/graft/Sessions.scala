@@ -37,6 +37,15 @@ object Sessions {
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
           java.nio.file.Files.createTempDirectory("graft_warehouse")
             .toString))
+      // Recursive CTEs: keep the LEVEL limit (the loop-shaped safety
+      // valve — every recursion here is depth-bounded by construction,
+      // e.g. digit division depth <= 20 for a Long key) but lift the
+      // TOTAL-ROW limit, whose 1M default scales with INPUT SIZE and so
+      // fails any linear-in-n recursion the moment the data grows
+      // (q_sql_recursive died at sf1 with RECURSION_ROW_LIMIT_EXCEEDED:
+      // 150k anchors x ~11 digit levels > 1M rows — caught by the
+      // round-9 10x rehearsal, invisible at sf0.1).
+      .config("spark.sql.cteRecursionRowLimit", "-1")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

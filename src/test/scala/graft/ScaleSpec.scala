@@ -595,4 +595,25 @@ class ScaleSpec extends SparkSpec {
       assert(r.getDouble(5) === 100.0, s"lift off: $r")
     }
   }
+
+  test("recursive CTE past the 1M-row default: session config lifts the cap") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // The round-9 sf1 rehearsal caught q_sql_recursive dying with
+    // RECURSION_ROW_LIMIT_EXCEEDED: Spark's 1M TOTAL-ROW default scales
+    // with input size, so any linear-in-n recursion fails the moment the
+    // data grows. Sessions.build lifts the row cap and keeps the LEVEL
+    // limit (depth here is <= 20 digit divisions of a Long). 150k
+    // anchors x ~11 levels = ~1.8M rows — over the default cap.
+    spark.range(150000)
+      .select((col("id") + 8999999999L).as("k"))
+      .createOrReplaceTempView("rc_keys")
+    val n = spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT k AS cur, 0 AS depth FROM rc_keys
+        |  UNION ALL
+        |  SELECT cur div 10, depth + 1 FROM chain WHERE cur > 0
+        |) SELECT count(*) FROM chain""".stripMargin).head.getLong(0)
+    assert(n > 1000000L,
+      "the recursion must complete past the 1M-row default cap")
+  }
 }
