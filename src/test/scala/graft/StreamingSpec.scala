@@ -370,6 +370,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_restart: SessionGapProcessor timers survive a checkpoint restart") {
+    // The strongest durability claim of the arbitrary-state tier: not
+    // just VALUE state but a REGISTERED EVENT-TIME TIMER must come back
+    // from the checkpoint — the session armed before the stop has to
+    // close after the restart, when the watermark finally passes its
+    // gap deadline. A state store that lost the timer would never emit.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 5 * 60 * 1000L
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_restart_gap").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_restart_gap_out").toString
+      val in = MemoryStream[Ev]
+      def sessions = in.toDS()
+        .withWatermark("ts", "0 seconds")
+        .map(e => (e.user_id, e.ts.getTime))
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.SessionGapProcessor(gapMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF()
+      val q1 = sessions.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}")) // arms 10:05
+      q1.processAllAvailable(); q1.stop() // stop with the timer live
+      val q2 = sessions.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      in.addData(Ev(2, ts("10:30"), 8, "click", 1.0, "{}")) // wm -> 10:30
+      q2.processAllAvailable()
+      in.addData(Ev(3, ts("10:31"), 8, "click", 1.0, "{}")) // evict batch
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(outDir)
+        .select(col("user_id"), col("session_start_ms"),
+          col("session_end_ms"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val t0 = ts("10:00").getTime
+      assert(got.contains((7L, t0, t0, 1L)),
+        s"the pre-restart timer must fire post-restart and close the " +
+          s"session exactly once: $got")
+      assert(got.count(_._1 == 7L) === 1, s"exactly-once close: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("s_upsert_sink: foreachBatch merge keeps latest version per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
