@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster mode (ClusterSpec): the in-JVM standalone Worker launches
+// executor JVMs through the launcher library, which needs the Scala
+// version that spark-submit normally gets from load-spark-env.sh.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // Pass program stdout through unprefixed: Bench prints one JSON line the
 // driver must parse; sbt's default logger wraps it in "[info] " which broke
 // round 1's bench parse (BENCH_r01.json "parsed": null).

@@ -20,8 +20,9 @@ object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
   def build(master: String = s"local[$cpus]",
-            shufflePartitions: String = cpus): SparkSession = {
-    val spark = SparkSession.builder()
+            shufflePartitions: String = cpus,
+            extraConfigs: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,6 +48,11 @@ object Sessions {
       // round-9 10x rehearsal, invisible at sf0.1).
       .config("spark.sql.cteRecursionRowLimit", "-1")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    // cluster-mode settings (executor classpath/JVM opts for
+    // local-cluster runs) land here without widening the signature for
+    // every caller — the defaults above stay the single source of truth
+    val spark = extraConfigs
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
