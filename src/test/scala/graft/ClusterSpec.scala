@@ -209,6 +209,80 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(df.groupBy("k").count()) === before)
   }
 
+  test("cluster resilience: executor killed mid-query, answer still exact") {
+    assume(enabled, "set GRAFT_CLUSTER_TEST=1 to run")
+    // The recovery path a 1000-executor deployment exercises daily: a
+    // worker dies holding finished map outputs, the scheduler refetches/
+    // recomputes, and the job completes with the RIGHT answer — not a
+    // partial one. Closed-form oracle so nothing is recomputed locally:
+    // sum(id) over [0, n) = n(n-1)/2, and n % k == 0 distinct keys.
+    val n = 400000000L
+    val k = 100000L
+    val agg = cluster.range(0, n, 1, 64)
+      .selectExpr(s"id % $k AS k", "id")
+      .groupBy("k").agg(sum("id").as("s"))
+      .agg(sum(col("s")).as("total"), count(lit(1)).as("groups"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val result = Future(agg.collect())
+    val tracker = cluster.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + 60000
+    while (tracker.getActiveJobIds().isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(tracker.getActiveJobIds().nonEmpty, "job never started")
+    Thread.sleep(500) // let map tasks finish on both executors
+    val victim = executorPids().head
+    ProcessHandle.of(victim).ifPresent(_.destroyForcibly())
+    val row = Await.result(result, 180.seconds).head
+    assert(row.getLong(0) === n * (n - 1) / 2)
+    assert(row.getLong(1) === k)
+  }
+
+  test("cluster streaming: RocksDB state survives total executor loss") {
+    assume(enabled, "set GRAFT_CLUSTER_TEST=1 to run")
+    // Executor-level WALPlayer analog: per-key state checkpoints to the
+    // shared dir, so when every executor holding a RocksDB instance dies
+    // between batches, replacements reload the store from the checkpoint
+    // and the running counts CONTINUE — they don't restart from zero.
+    val spark = cluster
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cluster_stream_ckpt").toString
+    try {
+      def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+      val in = MemoryStream[Ev]
+      val counted = in.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Long, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+            val cnt = state.getOption.getOrElse(0L) + evs.size
+            state.update(cnt)
+            Iterator((user, cnt))
+        }.toDF("user_id", "running_n")
+      val q = counted.writeStream.format("memory")
+        .queryName("cluster_state_loss").outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}"),
+        Ev(2, ts("10:01"), 7, "click", 1.0, "{}"),
+        Ev(3, ts("10:01"), 9, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      killAllExecutors()
+      in.addData(Ev(4, ts("10:02"), 7, "buy", 2.0, "{}"))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("cluster_state_loss")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((7L, 2L), (9L, 1L), (7L, 3L)),
+        s"state must survive executor loss, not restart at zero: $got")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("cluster streaming: RocksDB state lives in executor JVMs") {
     assume(enabled, "set GRAFT_CLUSTER_TEST=1 to run")
     val spark = cluster
