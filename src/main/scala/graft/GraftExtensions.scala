@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CosineSim, DotProduct}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, MinHashSig, SimHash60}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash60(children(0))))
     // Plan-level optimization: constant-width range theta-joins become
     // banded equi-joins (no BroadcastNestedLoopJoin at scale).
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)

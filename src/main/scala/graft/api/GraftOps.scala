@@ -108,22 +108,10 @@ object GraftOps {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
 
-  /** MinHash permutation value for perm `p` from ONE pre-parsed 48-bit
-    * integer per shingle (`hv`), mixed by an odd multiplier and truncated
-    * mod 2^42. The single parse matters: a per-perm hex window means 16
-    * substring+conv string parses per exploded shingle row (~22M allocating
-    * NumberConverter calls at sf0.1 — measured as the dominant near-dup
-    * cost); deriving every perm arithmetically from one 48-bit parse keeps
-    * the whole signature stage in codegen'd long math. The multiply-then-
-    * mod step makes the perms behave independently (a monotonic multiply
-    * would preserve the argmin across perms); hv < 2^48 and multiplier
-    * <= 39 keep the product under 2^54 — no overflow in Spark or DuckDB
-    * BIGINT, so the oracle replays it bit-for-bit. Production note: a
-    * keyed hash family (e.g. seeded xxhash) is stronger; this family keeps
-    * the oracle replayable with engine-identical semantics.
-    */
-  private def permHash(hv: Column, p: Int): Column =
-    hv * (2 * p + 1) % (1L << 42)
+  // MinHash permutation family: hv*(2p+1) mod 2^42 over the first 48 md5
+  // bits per shingle — implemented in the native minhash_sig expression
+  // (sparkext/TextSigs.scala, TextSigKernels), which documents the
+  // no-overflow and oracle-replayability contract.
 
   /** MinHash/LSH near-duplicate pairs over a text column, verified with
     * exact Jaccard on 3-word shingles. Candidates come only from shared
@@ -157,27 +145,74 @@ object GraftOps {
       sh, threshold)
   }
 
+  /** Full-signature MinHash key of a text column as ONE map-side column:
+    * md5 over the "|"-joined `perms`-wide signature. Signature equality
+    * is the STREAMABLE near-dup relation — agreeing on all `perms`
+    * minimums means Jaccard ≈ 1 with overwhelming probability, and
+    * unlike the banded pair join it is a plain per-row key, so
+    * `dropDuplicatesWithinWatermark(sig_key)` turns it into bounded-state
+    * streaming near-dedup (StreamOps.dedupNearStream) while
+    * [[dedupBySignature]] gives the deterministic batch twin. NULL when
+    * the text has fewer than 3 tokens (no shingles — no signature);
+    * callers decide whether sig-less docs all survive (both callers do).
+    */
+  def sigKey(text: Column, perms: Int = 16): Column = {
+    val sig = call_function("minhash_sig",
+      TextFns.shingles3(TextFns.tokens(text)), lit(perms))
+    when(sig.isNotNull,
+      md5(concat_ws("|", transform(sig, _.cast("string")))))
+  }
+
+  /** Signature-class dedup — the batch twin of streaming near-dedup
+    * (same [[sigKey]] relation): group docs by their FULL MinHash
+    * signature, elect the minimum doc_id per class as keeper, flag the
+    * rest as drops. Deterministic (min, not arrival order), so the
+    * DuckDB oracle replays it exactly. Docs with no signature (< 3
+    * tokens) are their own keeper — too short to shingle is too short to
+    * call a near-dup. Scale shape: one map-side signature pass, then
+    * shuffles keyed by sig-key and doc id only (no pair expansion, no
+    * array columns move) — the cheapest of the dedup family at 100 TB,
+    * trading recall (signature-exact classes only) for a single-pass
+    * plan; use [[dedupNear]] when banded-LSH recall is worth the pair
+    * join.
+    */
+  def dedupBySignature(df: DataFrame, key: Column, text: Column,
+                       perms: Int = 16): DataFrame = {
+    val keyed = df.select(key.as("doc_id"), sigKey(text, perms).as("skey"))
+      .filter(col("skey").isNotNull)
+    val cls = keyed.groupBy(col("skey")).agg(min(col("doc_id")).as("keeper_id"))
+    val flagged = keyed.join(cls, "skey").select(col("doc_id"), col("keeper_id"))
+    df.select(key.as("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"),
+        (coalesce(col("keeper_id"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("keep"))
+  }
+
   /** (doc_id, band, bkey) LSH band table of a shingle table — the
     * candidate-generation key shared by [[dedupNear]] (self-dedup) and
-    * [[dedupIncremental]] (delta-vs-corpus). Signature via the tall form:
-    * explode once, ONE md5 per row, then `perms` codegen'd min(BIGINT)
-    * aggregates (map-side combined) — no interpreted nested-lambda
-    * minhash, no string-buffer SortAggregate.
+    * [[dedupIncremental]] (delta-vs-corpus). The signature comes from the
+    * native codegen'd `minhash_sig` expression (sparkext/TextSigs.scala):
+    * one map-side pass per document, versus the earlier tall form that
+    * exploded one row per shingle (corpus-scale at 100 TB) and paid a
+    * `perms`-wide min hash-aggregate per doc. Bit-identical hashes
+    * (TextSigsSpec pins parity against the exploded derivation), so the
+    * DuckDB oracles that replay the tall SQL still hash-match — the swap
+    * moved plan shape only: no explode, no signature Exchange, the whole
+    * stage fuses into the scan's WholeStageCodegen span.
     */
   private def bandTable(sh: DataFrame, perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
     require(perms <= 20, "multiplier 2p+1 <= 39 keeps hv*(2p+1) under 2^54 (no BIGINT overflow)")
     val rowsPerBand = perms / bands
-    val tall = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("hv"))
-    val sigCols = (0 until perms).map(p => min(permHash(col("hv"), p)).as(s"s$p"))
-    val sig = tall.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sig = sh.select(col("doc_id"),
+      expr(s"minhash_sig(shingles, $perms)").as("sig"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           (0 until rowsPerBand).map(r =>
-            col(s"s${b * rowsPerBand + r}").cast("string")): _*))
+            col("sig").getItem(b * rowsPerBand + r).cast("string")): _*))
           .as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -521,22 +556,18 @@ object GraftOps {
     val blocks = maxHamming + 1
     require(bits % blocks == 0, s"$bits bits must split into $blocks blocks")
     val blockBits = bits / blocks
-    val tall = df
-      .select(key.as("doc_id"), explode(TextFns.tokens(text)).as("t"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
-    // One aggregation pass: 60 codegen'd long sums (per-bit popularity)
-    // plus the token count — all map-side combined; bit i of the
-    // fingerprint is then (2 * popularity > count), ties to 0.
-    val sums = (0 until bits).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i")) :+
-      count(lit(1)).as("n")
-    val fp = tall.groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(i =>
-          when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
+    // Fingerprint from the native codegen'd simhash60 expression
+    // (sparkext/TextSigs.scala): one map-side pass per document, versus
+    // the earlier tall form that exploded one row per token and paid a
+    // 60-column long-sum aggregate. Bit-identical (TextSigsSpec pins
+    // parity against the exploded derivation, including the ties-to-0
+    // majority rule), so the oracle's tall SQL still hash-matches; the
+    // isNotNull filter replicates the exploded form's zero-token-doc
+    // drop (no rows -> no group).
+    val fp = df
+      .select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+      .select(col("doc_id"), expr("simhash60(w)").as("fp"))
+      .filter(col("fp").isNotNull)
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("fp"), b * blockBits)

@@ -142,6 +142,17 @@ object LlmQueries extends QueryPack {
     GraftOps.dedupNear(Tables.documents(s, d), col("doc_id"), col("text"),
       perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
 
+  /** x_dedup_sig: signature-class dedup — group docs by their FULL
+    * 16-perm MinHash signature (one map-side key per doc, no pair join
+    * at all), keep the min doc_id per class. The batch twin of the
+    * streaming near-dedup path (StreamOps.dedupNearStream shares the
+    * identical sigKey relation), and the cheapest dedup at 100 TB: no
+    * candidate expansion, shuffles carry only (doc_id, 32-char key).
+    */
+  def dedupSig(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupBySignature(Tables.documents(s, d), col("doc_id"),
+      col("text"), perms = MinhashPerms)
+
   /** x_dedup_simhash: SimHash near-duplicate pairs — one 60-bit
     * fingerprint per doc, pigeonhole block candidates (hamming<=3 pairs
     * must agree on one of 4 fingerprint blocks), exact hamming verify.
@@ -744,6 +755,7 @@ object LlmQueries extends QueryPack {
     "x_quality_lr" -> qualityLr,
     "x_quality_apply" -> qualityApply,
     "x_dedup_near" -> dedupNear,
+    "x_dedup_sig" -> dedupSig,
     "x_dedup_simhash" -> dedupSimhash,
     "x_dedup_ngram" -> dedupNgram,
     "x_dedup_embed" -> dedupEmbed,
@@ -1038,6 +1050,21 @@ object LlmQueries extends QueryPack {
         |JOIN sh y ON y.doc_id = doc_b
         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
         |    / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8""".stripMargin,
+    // Replays the full-signature class key (same sig CTE as the banded
+    // path) and the min-keeper election; sig-less docs keep themselves.
+    "x_dedup_sig" ->
+      raw"""$minhashCommon,
+        |k AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)), '|')) skey
+        |  FROM sig),
+        |cls AS (SELECT skey, min(doc_id) AS keeper FROM k GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(cls.keeper, d.doc_id) AS keeper_id,
+        |  CAST(coalesce(cls.keeper, d.doc_id) = d.doc_id AS INT) AS keep
+        |FROM documents d
+        |LEFT JOIN k ON k.doc_id = d.doc_id
+        |LEFT JOIN cls ON cls.skey = k.skey""".stripMargin,
     // Both legs replayed: the banded-LSH pair set (minhashCommon) and
     // the brute-force exact threshold set; recall is their exact ratio.
     "x_lsh_recall" ->

@@ -82,6 +82,28 @@ object StreamOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** s_dedup_near: streaming near-dedup by FULL MinHash signature
+    * equality — the streamable near-dup relation. The banded LSH pair
+    * join batch dedup uses is not streamable (unbounded two-sided
+    * state); signature equality IS, because the whole 16-perm signature
+    * collapses to one per-row key, computed map-side by the native
+    * minhash_sig expression in a single pass over the arriving
+    * document. dropDuplicatesWithinWatermark keeps the FIRST arrival of
+    * each signature class and expires class state once it falls behind
+    * the watermark, so state is bounded by the horizon, never the
+    * corpus. Sig-less docs (< 3 tokens — nothing to shingle) get a
+    * per-doc unique key and always survive, matching the batch twin
+    * ([[graft.api.GraftOps.dedupBySignature]], oracle-gated as
+    * x_dedup_sig) — the two share the identical sigKey relation.
+    */
+  def dedupNearStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
+    docs.withColumn("sig_key",
+        coalesce(graft.api.GraftOps.sigKey(col("text")),
+          concat(lit("nosig:"), col("doc_id").cast("string"))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("sig_key")
+      .drop("sig_key")
+
   /** s_join: stream-stream interval join — every purchase within 10
     * minutes after a click by the same user (click attribution). The time
     * bound in the join condition is what lets Structured Streaming expire

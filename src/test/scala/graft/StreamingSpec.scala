@@ -11,6 +11,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 
+/** Streaming document record for near-dedup tests. */
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Structured Streaming tier (SURVEY.md §2.8): every StreamOps transform
   * driven through a real streaming source (file source or MemoryStream)
   * into a memory sink, asserting stream/batch parity and the stateful
@@ -127,6 +130,35 @@ class StreamingSpec extends SparkSpec {
     in.addData(Ev(1, ts("10:02"), 1, "click", 1.0, "{}")) // dup, 2nd batch
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup_tbl").count() === 2)
+  }
+
+  test("s_dedup_near: signature-equal docs emit once; short docs all survive") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamOps.dedupNearStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_near_tbl")
+      .outputMode("append").start()
+    in.addData(
+      // same token stream through different raw bytes (case, interior
+      // runs of whitespace) -> same shingles -> same signature: this is
+      // near-dedup over the normalized relation, not byte equality
+      Doc(1, ts("10:00"), "Alpha Beta gamma delta epsilon"),
+      Doc(2, ts("10:01"), "alpha   beta GAMMA delta epsilon"),
+      Doc(3, ts("10:01"), "a completely different document body here"),
+      // < 3 tokens: no shingles, no signature -- both must survive even
+      // though their texts are byte-identical
+      Doc(4, ts("10:02"), "hi there"),
+      Doc(5, ts("10:02"), "hi there"))
+    q.processAllAvailable()
+    // second batch: another member of doc 1's signature class, still
+    // within the watermark horizon -> dropped by retained state
+    in.addData(Doc(6, ts("10:03"), "alpha beta gamma delta epsilon"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dedup_near_tbl").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L),
+      "one survivor per signature class; sig-less docs never dropped")
   }
 
   test("s_join: stream-stream interval join equals the batch join") {

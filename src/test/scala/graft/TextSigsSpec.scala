@@ -1,0 +1,92 @@
+package graft
+
+import graft.api.GraftOps
+import org.apache.spark.sql.functions._
+
+/** The native minhash_sig / simhash60 expressions must be BIT-IDENTICAL
+  * to the composed built-in forms they replace (the exploded tall
+  * md5+conv derivations the DuckDB oracles still replay), null-safe, and
+  * usable from plain SQL via the GraftExtensions registration.
+  */
+class TextSigsSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf).limit(200)
+
+  test("minhash_sig equals the exploded tall-form signature bit-for-bit") {
+    val perms = 16
+    val sh = GraftOps.shingleTable(docs, col("doc_id"), col("text"))
+    // the pre-expression derivation: explode, one md5/conv per shingle,
+    // then perms codegen'd min aggregates
+    val tall = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("hv"))
+    val sigCols = (0 until perms).map(p =>
+      min(col("hv") * (2 * p + 1) % (1L << 42)).as(s"s$p"))
+    val expected = tall.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(p => col(s"s$p")): _*).as("sig"))
+    val native = sh.select(col("doc_id"),
+      expr(s"minhash_sig(shingles, $perms)").as("sig"))
+    assert(native.join(expected, "doc_id")
+      .filter(native("sig") =!= expected("sig")).count() === 0)
+    assert(native.count() === expected.count())
+  }
+
+  test("simhash60 equals the aggregated tf-weighted fingerprint bit-for-bit") {
+    import graft.functions.TextFns
+    val bits = 60
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+    val tall = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val sums = (0 until bits).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i")) :+
+      count(lit(1)).as("n")
+    val expected = tall.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(i =>
+          when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+    val native = toks.select(col("doc_id"), expr("simhash60(w)").as("fp"))
+      .filter(col("fp").isNotNull)
+    assert(native.join(expected, "doc_id")
+      .filter(native("fp") =!= expected("fp")).count() === 0)
+    // the exploded form drops zero-token docs; the null filter above
+    // must leave exactly the same doc set
+    assert(native.count() === expected.count())
+  }
+
+  test("empty and all-NULL arrays yield NULL, not a bogus signature") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq[String](null)),
+      (3L, Seq("a b c", null))
+    ).toDF("id", "arr")
+    val out = df.select(col("id"),
+      expr("minhash_sig(arr, 4)").as("sig"), expr("simhash60(arr)").as("fp"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2))).toSet
+    // ids 1-2 have no hashable element -> NULL; id 3 skips the null
+    // element but signs the valid one
+    assert(out === Set((1L, true, true), (2L, true, true), (3L, false, false)))
+  }
+
+  test("minhash_sig rejects out-of-contract perms loudly") {
+    import spark.implicits._
+    val df = Seq(Seq("x")).toDF("arr")
+    val e = intercept[Exception] {
+      df.select(expr("minhash_sig(arr, 21)")).collect()
+    }
+    assert(e.getMessage.contains("perms") ||
+      Option(e.getCause).exists(_.getMessage.contains("perms")))
+  }
+
+  test("both are registered for plain SQL") {
+    docs.createOrReplaceTempView("docs_sig_sql")
+    val n = spark.sql(
+      """SELECT doc_id, minhash_sig(split(text, ' '), 8) sig,
+        |       simhash60(split(text, ' ')) fp
+        |FROM docs_sig_sql LIMIT 5""".stripMargin).count()
+    assert(n === 5)
+  }
+}
