@@ -169,7 +169,14 @@ object GraftOps {
     * rest as drops. Deterministic (min, not arrival order), so the
     * DuckDB oracle replays it exactly. Docs with no signature (< 3
     * tokens) are their own keeper — too short to shingle is too short to
-    * call a near-dup. Scale shape: one map-side signature pass, then
+    * call a near-dup. Precision caveat at corpus scale: signature
+    * equality is probabilistic — two docs sharing a fraction f of their
+    * shingle sets collide with probability ~f^perms (all 16 minimums
+    * drawn from the shared part), so a corpus of millions of docs
+    * templated over a common scaffold WILL merge a few scaffold-
+    * dominated classes (ScaleSpec demonstrates the rate). Raise `perms`
+    * or fall back to [[dedupNear]]'s verified-Jaccard path when that
+    * precision matters. Scale shape: one map-side signature pass, then
     * shuffles keyed by sig-key and doc id only (no pair expansion, no
     * array columns move) — the cheapest of the dedup family at 100 TB,
     * trading recall (signature-exact classes only) for a single-pass

@@ -596,6 +596,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dedupBySignature at 2M docs: one keeper per signature class, no pair stage") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 200k signature classes x 10 members. The point of the signature
+    // form is that this costs one map-side pass + doc-keyed shuffles —
+    // no candidate pair expansion exists to blow up, unlike the banded
+    // path where 10-member classes mean 45 pairs each (9M pairs total).
+    // Every token carries the class id: with NO cross-class shingles the
+    // only way classes merge is a genuine 16x42-bit hash collision. (A
+    // scaffold fixture sharing half its shingles across classes DOES
+    // merge a few per 200k — the documented shared-shingle-dominance
+    // precision caveat of signature equality, P=(1/2)^perms per class.)
+    val cls = pmod(col("id"), lit(200000L)).cast("string")
+    val docs = spark.range(0, 2000000L, 1, 32)
+      .select(col("id").as("doc_id"),
+        concat(lit("a"), cls, lit(" b"), cls, lit(" c"), cls,
+          lit(" d"), cls).as("text"))
+    val out = GraftOps.dedupBySignature(docs, col("doc_id"), col("text"))
+      .persist()
+    assert(out.count() === 2000000L)
+    assert(out.filter(col("keep") === 1).count() === 200000L)
+    // min-keeper election: the keeper of doc d is d % 200000 exactly
+    assert(out.filter(col("keeper_id") =!= pmod(col("doc_id"), lit(200000L)))
+      .count() === 0L)
+    out.unpersist()
+  }
+
   test("recursive CTE past the 1M-row default: session config lifts the cap") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // The round-9 sf1 rehearsal caught q_sql_recursive dying with
