@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, MinHashSig, SimHash60}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, GramMd5, GramStats, MinHashSig, SimHash60, WinnowSels}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,10 +29,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSig(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("gram_md5"),
+      new ExpressionInfo(classOf[GramMd5].getName, "gram_md5"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramMd5(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash60(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_stats"),
+      new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramStats(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_sels"),
+      new ExpressionInfo(classOf[WinnowSels].getName, "winnow_sels"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowSels(children(0), children(1), children(2))))
     // Plan-level optimization: constant-width range theta-joins become
     // banded equi-joins (no BroadcastNestedLoopJoin at scale).
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)

@@ -689,11 +689,15 @@ object GraftOps {
     */
   def dedupSubstrings(df: DataFrame, key: Column, text: Column,
                       window: Int): DataFrame = {
+    // window hashes from the native gram_md5 expression: one digest pass
+    // per window, versus window-1 chained interpreted zip_with passes
+    // that built every window string before hashing it (TextSigsSpec
+    // pins bit-parity with the composed explode(gramsN)+md5 form, so
+    // the DuckDB oracle's list_slice replay still hash-matches)
     val perDoc = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= window)
       .select(col("doc_id"),
-        explode(TextFns.gramsN(col("w"), window)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
+        explode(call_function("gram_md5", col("w"), lit(window))).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
       .persistOnce()
     val dupTotals = perDoc.groupBy(col("h")).agg(sum(col("c")).as("tot"))
@@ -1020,18 +1024,24 @@ object GraftOps {
     * established oracle-parity discipline.
     */
   def repetitionStats(df: DataFrame, key: Column, text: Column): DataFrame = {
-    val base = df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
+    // Per-order gram counts from the native gram_stats expression
+    // (sparkext/TextSigs.scala): the quantities are per-document, so the
+    // old explode -> groupBy(doc, gram) -> groupBy(doc) chain (two
+    // corpus-scale shuffles per gram order, plus a doc-keyed join to
+    // marry the orders) collapses to one map-side projection.
+    // Integer-only aggregates keep it bit-identical (TextSigsSpec).
+    df.select(key.as("doc_id"), TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= 3)
-    def gramStats(grams: Column, p: String) =
-      base.select(col("doc_id"), explode(grams).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as(s"${p}_tot"),
-          max(col("c")).as(s"${p}_top"),
-          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(s"${p}_dup"))
-    val s2 = gramStats(TextFns.grams2(col("w")), "g2")
-    val s3 = gramStats(TextFns.grams3(col("w")), "g3")
-    s2.join(s3, "doc_id")
+      .select(col("doc_id"),
+        call_function("gram_stats", col("w"), lit(2)).as("s2"),
+        call_function("gram_stats", col("w"), lit(3)).as("s3"))
+      // a null-bearing token array can zero out one gram order; the old
+      // inner join dropped such docs — replicate
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .select(col("doc_id"),
+        col("s2.tot").as("g2_tot"), col("s2.top").as("g2_top"),
+        col("s2.dup").as("g2_dup"), col("s3.dup").as("g3_dup"),
+        col("s3.tot").as("g3_tot"))
       .select(col("doc_id"),
         col("g2_tot").as("n_2grams"),
         round(col("g2_top").cast("double") / col("g2_tot"), 6)
@@ -3503,38 +3513,34 @@ object GraftOps {
                          gramN: Int = 3, window: Int = 4): DataFrame = {
     require(gramN >= 2 && window >= 1)
     val posCap = 1L << 20
-    val tall = docs.select(key.as("doc_id"),
-        posexplode(TextFns.gramsN(TextFns.tokens(text), gramN))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"),
-        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
-          * posCap + (lit(posCap - 1) - col("pos"))).as("key"))
-    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, window - 1)
-    val wDoc = Window.partitionBy(col("doc_id"))
-    tall.select(col("doc_id"),
-        min(col("key")).over(wSel).as("sel"),
-        count(lit(1)).over(wDoc).as("n_grams"))
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg(count_distinct(col("sel")).as("n_fp"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_set(col("sel"))),
-            x => x.cast("string")))).as("fp_sig"))
-      // packing-cap tripwire (the Tables.normalizeTs fail-loud
-      // discipline): max pos = n_grams - 1, so a doc over the cap is
-      // exactly n_grams > posCap — its fingerprints would be corrupt
-      // (pos bleeds negative into the hash field). Checked HERE on the
-      // per-DOC aggregate, not per gram: raise_error in the per-gram
-      // projection knocks the hot path out of whole-stage codegen
-      // (measured 1.2s -> 3.3s at sf0.1 for a guard that never fires).
-      .select(col("doc_id"),
-        when(col("n_grams") > posCap, raise_error(concat(
-          lit("winnowFingerprints: doc "), col("doc_id").cast("string"),
-          lit(s" exceeds $posCap grams — chunk upstream"))))
-          .otherwise(col("n_grams")).as("n_grams"), col("n_fp"),
-        round(col("n_fp").cast("double") / col("n_grams"), 6)
-          .as("fp_density"),
-        col("fp_sig"))
+    // The whole winnow derivation is per-document, so it runs inside the
+    // native winnow_sels expression (sparkext/TextSigs.scala): one
+    // map-side array pass per doc. The pipeline this replaces
+    // posexploded one row per corpus gram and paid a doc-partitioned
+    // window SORT plus a collect_set aggregate to reassemble what was
+    // per-doc data all along — at 100 TB that was the operator's only
+    // shuffle, and it is gone (TextSigsSpec pins bit-parity against the
+    // exploded derivation; the DuckDB oracle replay is unchanged).
+    val ws = docs.select(key.as("doc_id"),
+        call_function("winnow_sels",
+          TextFns.tokens(text), lit(gramN), lit(window)).as("wn"))
+      .filter(col("wn").isNotNull) // no grams -> no row, as when the
+      .select(col("doc_id"),       // exploded form emitted no group
+        col("wn.n_grams").as("n_grams"), col("wn.sels").as("sels"))
+    // packing-cap tripwire (the Tables.normalizeTs fail-loud
+    // discipline): max pos = n_grams - 1, so a doc over the cap is
+    // exactly n_grams > posCap — its fingerprints would be corrupt
+    // (pos bleeds negative into the hash field).
+    ws.select(col("doc_id"),
+      when(col("n_grams") > posCap, raise_error(concat(
+        lit("winnowFingerprints: doc "), col("doc_id").cast("string"),
+        lit(s" exceeds $posCap grams — chunk upstream"))))
+        .otherwise(col("n_grams")).as("n_grams"),
+      size(col("sels")).cast("long").as("n_fp"),
+      round(size(col("sels")).cast("double") / col("n_grams"), 6)
+        .as("fp_density"),
+      md5(concat_ws(" ",
+        transform(col("sels"), x => x.cast("string")))).as("fp_sig"))
   }
 
   // --------------------------------------------------------------- HITS

@@ -37,6 +37,16 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("l_orderkey"), s"filter not pushed: $pushed")
   }
 
+  test("x_winnow is single-pass map-side: zero Exchange, zero Sort") {
+    // the whole MOSS derivation is per-document and runs inside the
+    // native winnow_sels expression — the plan must be scan -> project,
+    // with none of the gram-explode shuffle/sort the composed form paid
+    val p = planOf(SparkEntry.queries("x_winnow")(spark, sf))
+    assert(!p.contains("Exchange"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Sort "), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("winnow_sels"))
+  }
+
   test("q_topk plans as TakeOrderedAndProject (bounded heap, no full sort)") {
     val p = SparkEntry.queries("q_topk")(spark, sf)
       .queryExecution.executedPlan.toString

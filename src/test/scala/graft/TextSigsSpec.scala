@@ -56,6 +56,89 @@ class TextSigsSpec extends SparkSpec {
     assert(native.count() === expected.count())
   }
 
+  test("gram_md5 equals the exploded gramsN+md5 derivation bit-for-bit") {
+    import graft.functions.TextFns
+    val n = 16
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+    val expected = toks.select(col("doc_id"),
+        explode(TextFns.gramsN(col("w"), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+    val native = toks.select(col("doc_id"),
+        explode(expr(s"gram_md5(w, $n)")).as("h"))
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+    assert(native.join(expected, "doc_id")
+      .filter(native("hs") =!= expected("hs")).count() === 0)
+    assert(native.count() === expected.count())
+  }
+
+  test("gram_md5 drops null-bearing windows and shorter-than-n arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),     // 3 full windows of 2
+      (2L, Seq("a", null, "c")),         // both windows touch the null
+      (3L, Seq("solo"))                  // shorter than n -> empty
+    ).toDF("id", "arr")
+    val out = df.select(col("id"), expr("gram_md5(arr, 2)").as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).length)).toMap
+    assert(out === Map(1L -> 3, 2L -> 0, 3L -> 0))
+  }
+
+  test("gram_stats equals the exploded groupBy derivation exactly") {
+    import graft.functions.TextFns
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val expected = base
+      .select(col("doc_id"), explode(TextFns.grams2(col("w"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("tot"), max(col("c")).as("top"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+    val native = base.select(col("doc_id"),
+        call_function("gram_stats", col("w"), lit(2)).as("s"))
+      .select(col("doc_id"), col("s.tot").as("tot"),
+        col("s.top").as("top"), col("s.dup").as("dup"))
+    assert(native.count() === expected.count())
+    assert(native.join(expected, "doc_id")
+      .filter(native("tot") =!= expected("tot") ||
+        native("top") =!= expected("top") ||
+        native("dup") =!= expected("dup")).count() === 0)
+  }
+
+  test("winnow_sels equals the exploded window-min derivation bit-for-bit") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.expressions.Window
+    val (gramN, window) = (3, 4)
+    val posCap = 1L << 20
+    // the pre-expression pipeline: posexplode grams, pack (hash, pos),
+    // doc-partitioned sliding min, distinct + sort
+    val tall = docs.select(col("doc_id"),
+        posexplode(TextFns.gramsN(TextFns.tokens(col("text")), gramN))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          * posCap + (lit(posCap - 1) - col("pos"))).as("key"))
+    val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val expected = tall.select(col("doc_id"),
+        min(col("key")).over(wSel).as("sel"),
+        count(lit(1)).over(wDoc).as("n_grams"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(array_sort(collect_set(col("sel"))).as("sels"))
+    val native = docs.select(col("doc_id"),
+        call_function("winnow_sels",
+          TextFns.tokens(col("text")), lit(gramN), lit(window)).as("wn"))
+      .filter(col("wn").isNotNull)
+      .select(col("doc_id"), col("wn.n_grams").as("n_grams"),
+        col("wn.sels").as("sels"))
+    assert(native.count() === expected.count())
+    assert(native.join(expected, "doc_id")
+      .filter(native("sels") =!= expected("sels") ||
+        native("n_grams") =!= expected("n_grams")).count() === 0)
+  }
+
   test("empty and all-NULL arrays yield NULL, not a bogus signature") {
     import spark.implicits._
     val df = Seq(
