@@ -47,6 +47,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("winnow_sels"))
   }
 
+  test("x_repetition is single-pass map-side: zero Exchange") {
+    // both gram orders come from the native gram_stats expression in
+    // one projection — no explode, no per-gram groupBy, no order join
+    val p = planOf(SparkEntry.queries("x_repetition")(spark, sf))
+    assert(!p.contains("Exchange"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("gram_stats"))
+  }
+
   test("q_topk plans as TakeOrderedAndProject (bounded heap, no full sort)") {
     val p = SparkEntry.queries("q_topk")(spark, sf)
       .queryExecution.executedPlan.toString
