@@ -622,6 +622,25 @@ class ScaleSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("winnowFingerprints at 100M grams stays map-side (no shuffle to grow)") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 200k docs x 500 tokens: the exploded form shuffled AND sorted all
+    // ~100M gram rows; the winnow_sels expression makes this a pure
+    // projection, so volume only scales the map pass. Invariants: one
+    // row per doc, exact n_grams (len - gramN + 1), density in (0, 1].
+    val doc = (0 until 500).map(i => s"w${i % 37}w").mkString(" ")
+    val out = GraftOps.winnowFingerprints(
+        spark.range(0, 200000L, 1, 32)
+          .select(col("id").as("doc_id"), lit(doc).as("text")),
+        col("doc_id"), col("text"))
+      .persist()
+    assert(out.count() === 200000L)
+    assert(out.filter(col("n_grams") =!= 498L).count() === 0L)
+    assert(out.filter(col("fp_density") <= 0.0 || col("fp_density") > 1.0)
+      .count() === 0L)
+    out.unpersist()
+  }
+
   test("recursive CTE past the 1M-row default: session config lifts the cap") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // The round-9 sf1 rehearsal caught q_sql_recursive dying with

@@ -161,6 +161,34 @@ class StreamingSpec extends SparkSpec {
       "one survivor per signature class; sig-less docs never dropped")
   }
 
+  test("s_curate: near-dedup + quality filter compose in one stream") {
+    // the streaming curation shape: arriving docs pass through bounded-
+    // state near-dedup, then the stateless quality gates — both
+    // transforms are the SAME code the batch tier gates (x_dedup_sig /
+    // x_quality oracles), composed on an unbounded source
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = ("the quick brown fox jumps over the lazy dog while the " +
+      "other animals watch the scene and wait for the show to end today")
+    val in = MemoryStream[Doc]
+    val q = graft.api.GraftOps.qualityScore(
+        StreamOps.dedupNearStream(in.toDF()), col("doc_id"), col("text"))
+      .filter(col("keep") === 1)
+      .writeStream.format("memory").queryName("curate_tbl")
+      .outputMode("append").start()
+    in.addData(
+      Doc(1, ts("10:00"), good),
+      Doc(2, ts("10:01"), good.toUpperCase),          // near-dup of 1
+      Doc(3, ts("10:01"), "way too short"),           // fails quality gates
+      Doc(4, ts("10:02"), good + " an entirely different closing stanza" +
+        " rounds the second document out nicely indeed"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("curate_tbl").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L),
+      "near-dup suppressed in-stream, low-quality gated, originals kept")
+  }
+
   test("s_join: stream-stream interval join equals the batch join") {
     val q = StreamOps.clickAttribution(StreamOps.readEventStream(spark, eventsDir))
       .writeStream.format("memory").queryName("join_tbl")
