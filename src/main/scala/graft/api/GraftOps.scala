@@ -145,26 +145,37 @@ object GraftOps {
       sh, threshold)
   }
 
-  /** Full-signature MinHash key of a text column as ONE map-side column:
-    * md5 over the "|"-joined `perms`-wide signature. Signature equality
-    * is the STREAMABLE near-dup relation — agreeing on all `perms`
-    * minimums means Jaccard ≈ 1 with overwhelming probability, and
-    * unlike the banded pair join it is a plain per-row key, so
-    * `dropDuplicatesWithinWatermark(sig_key)` turns it into bounded-state
-    * streaming near-dedup (StreamOps.dedupNearStream) while
-    * [[dedupBySignature]] gives the deterministic batch twin. NULL when
-    * the text has fewer than 3 tokens (no shingles — no signature);
-    * callers decide whether sig-less docs all survive (both callers do).
+  /** Adds a `sig_key` column: md5 over the "|"-joined `perms`-wide
+    * MinHash signature — the STREAMABLE near-dup relation (agreeing on
+    * all `perms` minimums means Jaccard ≈ 1 with overwhelming
+    * probability, and unlike the banded pair join it is a plain per-row
+    * key). Shared by [[dedupBySignature]] (batch, oracle-gated) and
+    * StreamOps.dedupNearStream (dropDuplicatesWithinWatermark). A doc
+    * with fewer than 3 tokens has no signature and gets a per-doc unique
+    * `"nosig:"` key — never groupable, so sig-less docs always survive.
+    *
+    * Built as STAGED projections, not one nested Column: tokens,
+    * signature and key each become an attribute before the next step
+    * references them (twice, in the null guard). CollapseProject only
+    * inlines single-use or cheap expressions, so nothing here is
+    * evaluated more than once per row — the one-Column form re-ran the
+    * whole tokenize+shingle+minhash pipeline per reference (measured
+    * 3.3s vs 0.9s for x_dedup_sig at sf0.1).
     */
-  def sigKey(text: Column, perms: Int = 16): Column = {
-    val sig = call_function("minhash_sig",
-      TextFns.shingles3(TextFns.tokens(text)), lit(perms))
-    when(sig.isNotNull,
-      md5(concat_ws("|", transform(sig, _.cast("string")))))
-  }
+  def withSigKey(df: DataFrame, key: Column, text: Column,
+                 perms: Int = 16): DataFrame =
+    df.withColumn("_w", TextFns.tokens(text))
+      .withColumn("_sig",
+        call_function("minhash_sig", TextFns.shingles3(col("_w")), lit(perms)))
+      .withColumn("sig_key",
+        coalesce(
+          when(col("_sig").isNotNull,
+            md5(concat_ws("|", transform(col("_sig"), _.cast("string"))))),
+          concat(lit("nosig:"), key.cast("string"))))
+      .drop("_w", "_sig")
 
   /** Signature-class dedup — the batch twin of streaming near-dedup
-    * (same [[sigKey]] relation): group docs by their FULL MinHash
+    * (same [[withSigKey]] relation): group docs by their FULL MinHash
     * signature, elect the minimum doc_id per class as keeper, flag the
     * rest as drops. Deterministic (min, not arrival order), so the
     * DuckDB oracle replays it exactly. Docs with no signature (< 3
@@ -185,16 +196,19 @@ object GraftOps {
     */
   def dedupBySignature(df: DataFrame, key: Column, text: Column,
                        perms: Int = 16): DataFrame = {
-    val keyed = df.select(key.as("doc_id"), sigKey(text, perms).as("skey"))
-      .filter(col("skey").isNotNull)
-    val cls = keyed.groupBy(col("skey")).agg(min(col("doc_id")).as("keeper_id"))
-    val flagged = keyed.join(cls, "skey").select(col("doc_id"), col("keeper_id"))
-    df.select(key.as("doc_id"))
-      .join(flagged, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"),
-        (coalesce(col("keeper_id"), col("doc_id")) === col("doc_id"))
-          .cast("int").as("keep"))
+    // One signature pass, ONE shuffle: the min-keeper election is a
+    // window over the signature key (sig-less docs carry unique
+    // "nosig:" keys, so they partition alone and keep themselves — no
+    // null-key skew partition exists). The earlier groupBy + join-back
+    // shape branched the plan and recomputed the signature projection
+    // per branch.
+    val keyed = withSigKey(df.select(key.as("doc_id"), text.as("_text")),
+      col("doc_id"), col("_text"), perms)
+    keyed.select(col("doc_id"),
+        min(col("doc_id"))
+          .over(Window.partitionBy(col("sig_key"))).as("keeper_id"))
+      .select(col("doc_id"), col("keeper_id"),
+        (col("keeper_id") === col("doc_id")).cast("int").as("keep"))
   }
 
   /** (doc_id, band, bkey) LSH band table of a shingle table — the

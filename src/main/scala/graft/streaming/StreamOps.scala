@@ -97,9 +97,7 @@ object StreamOps {
     * x_dedup_sig) — the two share the identical sigKey relation.
     */
   def dedupNearStream(docs: DataFrame, horizon: String = "10 minutes"): DataFrame =
-    docs.withColumn("sig_key",
-        coalesce(graft.api.GraftOps.sigKey(col("text")),
-          concat(lit("nosig:"), col("doc_id").cast("string"))))
+    graft.api.GraftOps.withSigKey(docs, col("doc_id"), col("text"))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("sig_key")
       .drop("sig_key")

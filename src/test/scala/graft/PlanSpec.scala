@@ -93,14 +93,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("x_repetition keeps both gram aggregations on the doc_id partitioning") {
-    val p = planOf(SparkEntry.queries("x_repetition")(spark, sf))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // per-(doc,gram) count -> per-doc agg -> join all hash on doc_id; the
-    // plan needs exchanges for the counts but none for the final join side
-    // beyond them (SortMergeJoin/ShuffledHashJoin on doc_id is fine).
-    assert(p.contains("HashAggregate"), "expected hash aggregation")
-  }
+  // the "gram aggregations share the doc_id partitioning" pin retired
+  // with the gram_stats fusion: x_repetition no longer aggregates at
+  // all — the zero-Exchange pin above is its strictly-stronger successor
 
   test("x_decontam broadcasts the benchmark set; corpus side never nested-loops") {
     val p = planOf(SparkEntry.queries("x_decontam")(spark, sf))
