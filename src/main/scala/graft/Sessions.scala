@@ -47,6 +47,19 @@ object Sessions {
       // 150k anchors x ~11 digit levels > 1M rows — caught by the
       // round-9 10x rehearsal, invisible at sf0.1).
       .config("spark.sql.cteRecursionRowLimit", "-1")
+      // Long-lived-driver hygiene: the status store retains per-execution
+      // plan strings (default 1000 executions, unbounded string length)
+      // even with the UI off. A driver that serves thousands of queries
+      // in one session — Verify's 235-query sweep, the full test suite,
+      // or a production endpoint — accumulates them until the heap dies
+      // (observed: OOM inside AQE's onUpdatePlan explainString after
+      // ~6000 stages at -Xmx8g). Keep a handful for debugging, cap any
+      // single plan string at 1 MiB, and drop finished job/stage entries
+      // sooner. Execution semantics are untouched.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.sql.maxPlanStringLength", "1048576")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
       .config("spark.sql.extensions", "graft.GraftExtensions")
     // cluster-mode settings (executor classpath/JVM opts for
     // local-cluster runs) land here without widening the signature for
