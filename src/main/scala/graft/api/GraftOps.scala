@@ -2456,7 +2456,82 @@ object GraftOps {
     * average. Exact-integer positions; the value midpoint is the only
     * float op, so a quantile_cont oracle replays it bit-for-bit.
     */
-  def groupMedian(df: DataFrame, group: Column, value: Column): DataFrame = {
+  /** The shared second phase of every exact per-group quantile walk:
+    * given a (grp, x, c) distribution table and the 0-based POSITIONS
+    * each caller needs (SQL exprs over the per-group total `n`), return
+    * the distribution rows that can carry a position crossing, annotated
+    * with their exact global-within-group cumulative count `cum` and
+    * total `n` — WITHOUT ever pulling a whole group through one task.
+    *
+    * A cumulative window keyed on the group alone serializes each group
+    * into a single partition: with a handful of groups over a billion-row
+    * distribution that is a single-threaded sort of everything — the one
+    * scale flaw of the classic distribution-walk shape. Here the
+    * distribution is range-partitioned on (grp, x) so partition
+    * boundaries respect per-group value order; per-slice subtotals (a
+    * bounded partitions×groups table) yield each slice's exclusive
+    * prefix `off` and the group total, tiny windows over THAT table
+    * locate, per wanted position, the one slice whose cumulative end
+    * first passes it, and only those slices' rows — broadcast-semi-joined
+    * so the big table never reshuffles — pay the ordered walk. A row in
+    * a later slice can also satisfy `cum > pos`, but it carries a larger
+    * x, so the callers' min(when(cum > pos, x)) aggregates are unchanged
+    * by the reduction; rows in earlier slices can never satisfy it.
+    * Positions ≥ n select no slice and fall out as the same NULL the
+    * full walk produced.
+    */
+  /** The classic one-shuffle cumulative walk: exact, partial-agg
+    * friendly, and perfectly parallel when the distribution has MANY
+    * groups (each group is one window partition). Its one flaw is the
+    * few-huge-groups corner [[crossingRows]] exists for; measured at
+    * fixture scale the windowed form wins by ~0.5-1s of fixed overhead
+    * per call whenever the distribution is small (x_outlier_mad's
+    * back-to-back medians regressed 5x on the ranged path), so callers
+    * choose per shape via `parallelWalk`.
+    */
+  private def windowedCum(dist: DataFrame): DataFrame =
+    dist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+
+  private def crossingRows(dist: DataFrame,
+                           posExprs: Seq[String]): DataFrame = {
+    val p = dist.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = cacheOnce(dist
+      .repartitionByRange(p, col("grp"), col("x"))
+      .sortWithinPartitions(col("grp"), col("x"))
+      .withColumn("pid", spark_partition_id()))
+    val slices = ranged.groupBy(col("pid"), col("grp"))
+      .agg(sum(col("c")).as("pw"))
+      .withColumn("cend", sum(col("pw")).over(
+        Window.partitionBy(col("grp")).orderBy(col("pid"))))
+      .withColumn("off", col("cend") - col("pw"))
+      .withColumn("n", sum(col("pw")).over(Window.partitionBy(col("grp"))))
+    val positions = slices.select(col("grp"), col("n")).distinct()
+      .select(col("grp").as("_pgrp"),
+        explode(array(posExprs.map(e => expr(e).cast("long")): _*)).as("pos"))
+      .distinct()
+    // first slice whose cumulative end passes the position holds its
+    // crossing (cend is monotone in pid within a group)
+    val needed = positions.join(slices,
+        col("_pgrp") <=> slices("grp") && col("cend") > col("pos"))
+      .groupBy(col("_pgrp"), col("pos")).agg(min(col("pid")).as("_npid"))
+      .select(col("_pgrp"), col("_npid")).distinct()
+      .join(slices,
+        col("_npid") === slices("pid") && col("_pgrp") <=> slices("grp"))
+      .select(col("_npid"), col("_pgrp"), col("off"), col("n"))
+    val localW = Window.partitionBy(col("pid"), col("grp"))
+      .orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+    ranged.join(broadcast(needed),
+        ranged("pid") === col("_npid") && ranged("grp") <=> col("_pgrp"))
+      .withColumn("cum", sum(col("c")).over(localW) + col("off"))
+      .select(col("grp"), col("x"), col("c"), col("cum"), col("n"))
+  }
+
+  def groupMedian(df: DataFrame, group: Column, value: Column,
+                  parallelWalk: Boolean = false): DataFrame = {
     // NULLs are excluded like percentile_cont/quantile_cont exclude them —
     // an unfiltered NULL would sort first and shift every position. A
     // group with ONLY nulls must still emit its (grp, NULL) row (that is
@@ -2465,12 +2540,10 @@ object GraftOps {
     val src = df.select(group.as("grp"), value.cast("double").as("x"))
     val dist = src.filter(col("x").isNotNull)
       .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
-    val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val allW = Window.partitionBy(col("grp"))
-    val walked = dist
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .withColumn("n", sum(col("c")).over(allW))
+    val withCum =
+      if (parallelWalk) crossingRows(dist, Seq("(n - 1) div 2", "n div 2"))
+      else windowedCum(dist)
+    val walked = withCum
       // first row whose cumulative count exceeds position p covers p
       .groupBy(col("grp"))
       .agg(((min(when(col("cum") > expr("(n - 1) div 2"), col("x")))
@@ -2504,11 +2577,43 @@ object GraftOps {
       floor(weight.cast("double")).cast("long").as("w"))
     val dist = src.filter(col("v").isNotNull)
       .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
+    // Two-phase ranged walk instead of Window.partitionBy(grp): a
+    // cumulative window keyed on the group alone serializes each group
+    // into ONE task — with a handful of groups over a billion-row
+    // distribution that is a single-threaded sort of everything. Here
+    // the distribution is range-partitioned on (grp, v) so every task
+    // holds an ordered slice; per-slice totals (a bounded P×G table)
+    // locate the single slice where each group's cumulative weight
+    // crosses half, and only THAT slice — 1/P of the group, joined via
+    // broadcast so the big table never reshuffles — pays the exact
+    // ordered walk. All threshold math stays in integer weight units.
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = cacheOnce(dist
+      .repartitionByRange(p, col("grp"), col("v"))
+      .sortWithinPartitions(col("grp"), col("v"))
+      .withColumn("pid", spark_partition_id()))
+    val offW = Window.partitionBy(col("grp")).orderBy(col("pid"))
+    val slices = ranged.groupBy(col("pid"), col("grp"))
+      .agg(sum(col("w")).as("pw"))
+      .withColumn("cend", sum(col("pw")).over(offW))
+      .withColumn("off", col("cend") - col("pw"))
+      .withColumn("tw", sum(col("pw")).over(Window.partitionBy(col("grp"))))
+    // first slice whose cumulative END reaches half the total holds the
+    // lower weighted median (cend is monotone in pid within a group)
+    val target = slices.filter(col("cend") * 2 >= col("tw"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(col("pid"))))
+      .filter(col("rk") === 1)
+      .select(col("pid").as("_tpid"), col("grp").as("_tgrp"),
+        col("off"), col("tw"))
     val cumW = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val walked = dist
-      .withColumn("cw", sum(col("w")).over(cumW))
-      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("grp"))))
+    // <=> on the group key: a NULL group must keep its computed median
+    // (equi-join semantics would silently drop it — the joinOnGroupKey
+    // contract, applied to the slice join too)
+    val walked = ranged.join(broadcast(target),
+        ranged("pid") === col("_tpid") && ranged("grp") <=> col("_tgrp"))
+      .withColumn("cw", sum(col("w")).over(cumW) + col("off"))
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy(col("grp"))
       .agg(min(col("v")).as("wmedian"))
@@ -2549,7 +2654,8 @@ object GraftOps {
     * left join exists to re-emit all-NULL groups, not to fan out).
     */
   def groupQuantileTable(df: DataFrame, group: Column, value: Column,
-                         quantiles: Seq[(String, Int, Int)]): DataFrame = {
+                         quantiles: Seq[(String, Int, Int)],
+                         parallelWalk: Boolean = false): DataFrame = {
     require(quantiles.nonEmpty &&
       quantiles.forall { case (_, num, den) => num >= 0 && num <= den && den > 0 })
     // NULL values are excluded, matching percentile_cont semantics (a
@@ -2559,12 +2665,17 @@ object GraftOps {
     val src = df.select(group.as("grp"), value.cast("double").as("x"))
     val dist = src.filter(col("x").isNotNull)
       .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
-    val cumW = Window.partitionBy(col("grp")).orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val allW = Window.partitionBy(col("grp"))
-    val withCum = dist
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .withColumn("n", sum(col("c")).over(allW))
+    // each quantile needs its two bracketing positions lo and lo+1 —
+    // with parallelWalk, crossingRows reduces the walk to the slices
+    // that can carry them (see its doc for the few-huge-groups shape
+    // it exists for; windowedCum for why it is not the default)
+    val withCum =
+      if (parallelWalk)
+        crossingRows(dist, quantiles.flatMap { case ((_, num, den)) =>
+          Seq(s"CAST(((n - 1) * $num) div $den AS BIGINT)",
+            s"CAST(((n - 1) * $num) div $den + 1 AS BIGINT)")
+        })
+      else windowedCum(dist)
     // value[i] = min x whose cumulative count exceeds 0-based position i
     // CAST wrapper: a bare trailing `... div 4` inside expr() parses `div`
     // as a column ALIAS (singleExpression permits one) and errors on the
@@ -2586,9 +2697,11 @@ object GraftOps {
   }
 
   def groupQuantiles(df: DataFrame, group: Column, value: Column,
-                     quantiles: Seq[(String, Int, Int)]): DataFrame = {
+                     quantiles: Seq[(String, Int, Int)],
+                     parallelWalk: Boolean = false): DataFrame = {
     val src = df.select(group.as("grp"), value.cast("double").as("x"))
-    joinOnGroupKey(src, groupQuantileTable(df, group, value, quantiles))
+    joinOnGroupKey(src,
+      groupQuantileTable(df, group, value, quantiles, parallelWalk))
   }
 
   /** Exact GLOBAL quantiles for an unbounded value domain — the

@@ -106,6 +106,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map("g1" -> Some(1.0), "g2" -> None))
   }
 
+  test("parallelWalk law: ranged crossing walk is bit-identical to the window walk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // few huge groups (the shape crossingRows exists for) + a NULL group
+    // + ties; values drawn from a small domain so crossings hit tied runs
+    val rows = Seq.tabulate(5000) { i =>
+      val g: Option[String] =
+        if (i % 97 == 0) None else Some(s"g${i % 3}")
+      (g, rnd.nextInt(40).toDouble)
+    }
+    val df = rows.toDF("g", "v")
+    val qs = Seq(("p25", 1, 4), ("med", 1, 2), ("p90", 9, 10))
+    def key(r: org.apache.spark.sql.Row) =
+      (0 until r.length).map(i => if (r.isNullAt(i)) "-" else r.get(i).toString)
+        .mkString("|")
+    val win = GraftOps.groupQuantiles(df, col("g"), col("v"), qs)
+      .collect().map(key).sorted
+    val par = GraftOps.groupQuantiles(df, col("g"), col("v"), qs,
+      parallelWalk = true).collect().map(key).sorted
+    assert(par === win, "quantile walks diverged")
+    val winM = GraftOps.groupMedian(df, col("g"), col("v"))
+      .collect().map(key).sorted
+    val parM = GraftOps.groupMedian(df, col("g"), col("v"),
+      parallelWalk = true).collect().map(key).sorted
+    assert(parM === winM, "median walks diverged")
+  }
+
   test("groupQuantiles/groupMedian: all-NULL groups keep their NULL row") {
     import spark.implicits._
     // percentile_cont drops NULL VALUES but still emits the group row;
