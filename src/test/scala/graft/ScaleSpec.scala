@@ -661,4 +661,36 @@ class ScaleSpec extends SparkSpec {
     assert(n > 1000000L,
       "the recursion must complete past the 1M-row default cap")
   }
+
+  test("weighted median at 20M rows x 3 groups: ranged walk, exact crossings") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // The shape the two-phase ranged walk exists for: a huge distribution
+    // under a HANDFUL of groups, where a Window.partitionBy(grp) walk
+    // serializes each group into one task. Weights are constructed so the
+    // exact crossing is hand-computable: within each group g (ids ≡ g mod
+    // 3), value v = id div 3 carries weight 1, except v = 1000 carries
+    // weight equal to everything else combined plus one — the lower
+    // weighted median of every group is exactly 1000.0.
+    import spark.implicits._
+    val n = 20000000L
+    val perGroup = n / 3
+    val dist = spark.range(0, n, 1, 32).select(
+      pmod(col("id"), lit(3L)).cast("string").as("g"),
+      (col("id") / 3).cast("long").cast("double").as("v"),
+      when((col("id") / 3).cast("long") === 1000L, lit(perGroup + 1))
+        .otherwise(lit(1L)).as("w"))
+    val got = GraftOps.weightedMedian(dist, col("g"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("0" -> 1000.0, "1" -> 1000.0, "2" -> 1000.0))
+    // the parallelWalk quantile path agrees with the windowed walk on a
+    // group this size (median position = perGroup div 2 within unit
+    // weights when the whale value is excluded)
+    val uni = dist.filter(col("v") =!= 1000.0)
+    val win = GraftOps.groupMedian(uni, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val par = GraftOps.groupMedian(uni, col("g"), col("v"),
+      parallelWalk = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(par === win, "parallel and windowed medians diverged at 20M")
+  }
 }
