@@ -2705,10 +2705,11 @@ object GraftOps {
   }
 
   /** Exact GLOBAL quantiles for an unbounded value domain — the
-    * two-phase distributed prefix sum that [[groupQuantileTable]]'s
-    * single-group walk cannot provide (its cum-count window would pull
-    * the whole distribution table through one partition; fine when the
-    * distinct-value DOMAIN is bounded, wrong when it isn't). Phase 1:
+    * driver-offset variant of the two-phase distributed prefix sum
+    * ([[groupQuantileTable]]'s windowed walk would pull the whole
+    * distribution through one partition here; its `parallelWalk` path
+    * is the fully-distributed grouped generalization of this same
+    * idea via [[crossingRows]]). Phase 1:
     * the (distinct value, weight) table is range-partitioned and sorted
     * on the value, so partition boundaries respect global order; the
     * per-partition weight totals (one bounded row per partition) come
