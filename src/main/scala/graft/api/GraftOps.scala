@@ -632,17 +632,25 @@ object GraftOps {
     val tall = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("s"))
     val dfreq = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df").asc, col("s").asc)
+    // rarest-first rank via a per-doc array sort, not a
+    // Window.partitionBy(doc_id): the groupBy shuffles each shingle row
+    // once and sorts each doc's OWN list (s log s per array), where the
+    // window form paid a partition-wide sort of the whole tall table
+    // (the fuzzyJoin prefix discipline). Arrays are doc-bounded by
+    // construction. struct(df, s) sorts exactly like (df asc, s asc).
+    // BIGINT before multiplying in plen: sz is a 32-bit size() and ppm
+    // is up to 10^6, so `sz * ppm` overflows Int at ~2.7k shingles — a
+    // big but realistic document — and Spark 4's default ANSI mode turns
+    // that wrap into a runtime ARITHMETIC_OVERFLOW.
     val prefix = tall.join(dfreq, "s")
-      .withColumn("rnk", row_number().over(w))
-      // BIGINT before multiplying: sz is a 32-bit size() and ppm is up to
-      // 10^6, so `sz * ppm` overflows Int at ~2.7k shingles — a big but
-      // realistic document — and Spark 4's default ANSI mode turns that
-      // wrap into a runtime ARITHMETIC_OVERFLOW.
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ss"))
       .withColumn("plen",
         expr(s"sz - ((CAST(sz AS BIGINT) * $ppm + 999999) div 1000000) + 1"))
-      .filter(col("rnk") <= col("plen"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(ss, 1, plen)")).as(Seq("p0", "e")))
+      .select(col("doc_id"), col("sz"), col("e.s").as("s"),
+        (col("p0") + 1).as("rnk"))
     // Pair expansion carries (size, prefix position) so the two other
     // lossless AllPairs/PPJoin prunes can run BEFORE the array-carrying
     // verification join — the verify shuffle moves two full shingle
