@@ -576,4 +576,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0,
       "no buckets emitted — the chained aggregation is not progressing")
   }
+
+  test("state budget: watermark eviction bounds window-agg and dedup state") {
+    // The TUNING.md §7 claim, observed instead of asserted on faith: run
+    // 40 batches whose event time advances 10 minutes each (80 distinct
+    // 5-minute windows, 200 distinct dedup keys ingested over the run)
+    // and read the state store's own row counts from the progress
+    // metrics. With a 10-minute watermark the stores may only retain the
+    // un-closed tail — a constant — so max rows across the whole run
+    // must sit far below the ingested-key total, or state grows with
+    // stream lifetime and a 100-TB deployment OOMs on day two.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = ts("10:00").getTime
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+    val inW = MemoryStream[Ev]
+    val qw = StreamOps.tumblingWithWatermark(inW.toDF())
+      .writeStream.format("memory").queryName("budget_w_tbl")
+      .outputMode("append").start()
+    val inD = MemoryStream[Ev]
+    val qd = StreamOps.dedupStream(inD.toDF())
+      .writeStream.format("memory").queryName("budget_d_tbl")
+      .outputMode("append").start()
+    for (i <- 0 until 40) {
+      val evs = (0 until 5).map { j =>
+        Ev(i * 5L + j, new Timestamp(base + i * 10L * 60 * 1000 + j * 1000),
+          j.toLong, "click", 1.0, "{}")
+      }
+      inW.addData(evs); qw.processAllAvailable()
+      inD.addData(evs); qd.processAllAvailable()
+    }
+    val wRows = stateRows(qw)
+    val dRows = stateRows(qd)
+    qw.stop(); qd.stop()
+    // 80 windows ingested; the 10-min horizon covers ~3 un-closed ones.
+    assert(wRows > 0 && wRows <= 10,
+      s"window state held $wRows rows — watermark eviction is not bounding it")
+    // 200 unique event_ids ingested; only the horizon-deep tail may remain.
+    assert(dRows > 0 && dRows <= 30,
+      s"dedup state held $dRows rows — watermark eviction is not bounding it")
+  }
 }
