@@ -109,6 +109,23 @@ object ScalarQueries extends QueryPack {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))),
 
+    // Variant family (Spark 4): parse the JSON payload ONCE into the
+    // binary Variant encoding, then extract typed paths from the parsed
+    // value — the parse-once-access-many discipline for semi-structured
+    // columns at scale, where per-access get_json_object re-parses the
+    // string every time. try_variant_get on a missing path is NULL (the
+    // schema-drift tolerance a dynamic payload column needs), never an
+    // error.
+    "q_scalar_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("try_variant_get(v, '$.missing', 'int')").as("absent_val"),
+          expr("CAST(variant_get(v, '$.k', 'double') >= 50.0 AS INT)")
+            .as("k_high"))),
+
     // Map family: dynamic qualifiers as MapType + map_filter + explode.
     "q_map_ops" -> ((s, d) =>
       Tables.events(s, d)
@@ -183,6 +200,13 @@ object ScalarQueries extends QueryPack {
     "q_scalar_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_scalar_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(NULL AS INTEGER) AS absent_val,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50.0
+        |    AS INTEGER) AS k_high
         |FROM events ORDER BY event_id""".stripMargin,
     "q_map_ops" ->
       """SELECT event_id, 'type' AS qual, event_type AS val
