@@ -392,6 +392,38 @@ class StreamingSpec extends SparkSpec {
         s"store would emit (7,1), a replayed batch a duplicate): $all")
   }
 
+  test("state source: a checkpoint's state store is readable offline") {
+    // The ops tool a stateful deployment leans on when a job misbehaves:
+    // read the checkpointed state store itself as a batch DataFrame
+    // (format "statestore") and see exactly what the job believes —
+    // without touching the running query. Proven here: after a
+    // checkpointed running-count aggregation, the offline read returns
+    // the same per-user counts the stream computed.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_state_source").toString
+    val in = MemoryStream[Ev]
+    val q = in.toDF().groupBy(col("user_id")).count()
+      .writeStream.format("memory").queryName("state_src_tbl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    in.addData(Ev(1, ts("10:00"), 7, "click", 1.0, "{}"),
+      Ev(2, ts("10:01"), 7, "click", 1.0, "{}"),
+      Ev(3, ts("10:02"), 9, "buy", 2.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+    // schema: key struct (grouping cols), value struct (agg buffer);
+    // address the buffer positionally so the test doesn't depend on the
+    // internal aggregate alias
+    val valueField = state.select(col("value.*")).columns.head
+    val got = state
+      .select(col("key.user_id"), col(s"value.`$valueField`").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((7L, 2L), (9L, 1L)),
+      s"offline state read must equal the stream's belief: $got")
+  }
+
   test("s_restart: transformWithState RocksDB state survives a checkpoint restart") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
