@@ -812,13 +812,20 @@ object GraftOps {
     * id of the component), cluster_size, is_canonical (doc == cluster_id).
     */
   def clusterPairs(pairs: DataFrame): DataFrame = {
-    // both orientations from ONE explode, not a self-union: the pair table
-    // is usually the output of a whole near-dup pipeline, and a union of
-    // two selects over it would execute that pipeline twice.
+    // both orientations + a self-loop per endpoint from ONE explode, not
+    // a self-union: the pair table is usually the output of a whole
+    // near-dup pipeline, and a union of two selects over it would
+    // execute that pipeline twice. The self-loops make every node's
+    // neighbor-min include its OWN label, so each round is one join +
+    // one aggregate — the keep-own-label unionByName + second groupBy
+    // the loop used to pay per round disappears (distinct collapses the
+    // repeated self-loops).
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("es"), col("doc_b").as("ed")),
-        struct(col("doc_b").as("es"), col("doc_a").as("ed")))).as("e"))
+        struct(col("doc_b").as("es"), col("doc_a").as("ed")),
+        struct(col("doc_a").as("es"), col("doc_a").as("ed")),
+        struct(col("doc_b").as("es"), col("doc_b").as("ed")))).as("e"))
       .select(col("e.es").as("es"), col("e.ed").as("ed"))
       .distinct()
       .persistOnce()
@@ -826,13 +833,12 @@ object GraftOps {
     // is the materializing action anyway, so an eager checkpoint would
     // just spend one extra job per round on the same work.
     // Initial labels FUSE the first propagation round: label(v) =
-    // min(v, direct neighbors) falls out of the same groupBy that would
-    // otherwise just enumerate the nodes, so the loop starts one hop ahead
-    // (identity labels would make round 1's neighbor-min join a no-op
-    // lookup of exactly this value).
-    var labels = edges.groupBy(col("es")).agg(min(col("ed")).as("nmin"))
-      .select(col("es").as("doc_id"),
-        least(col("es"), col("nmin")).as("lbl"))
+    // min(v, direct neighbors) IS the neighbor-min over the self-looped
+    // edge table, so the loop starts one hop ahead (identity labels
+    // would make round 1's neighbor-min join a no-op lookup of exactly
+    // this value).
+    var labels = edges.groupBy(col("es")).agg(min(col("ed")).as("lbl"))
+      .select(col("es").as("doc_id"), col("lbl"))
       .truncateLineage(eager = false)
     // coalesce: an empty pair table (nothing to cluster) must yield an
     // empty result, not a null-aggregate NPE
@@ -842,11 +848,11 @@ object GraftOps {
     var total = labelSum(labels)
     var rounds = 0
     while (total != prevTotal && rounds < 60) {
-      val nbrMin = edges.join(labels, edges("ed") === labels("doc_id"))
+      // self-loops put each node's own label in the min, so this single
+      // join+aggregate is the whole hop
+      val hopped = edges.join(labels, edges("ed") === labels("doc_id"))
         .groupBy(col("es")).agg(min(col("lbl")).as("lbl"))
         .select(col("es").as("doc_id"), col("lbl"))
-      val hopped = labels.unionByName(nbrMin)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
       // pointer jump: lbl := label(lbl). Every label IS a node id, so the
       // lookup is a total inner join.
       val jump = hopped.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
