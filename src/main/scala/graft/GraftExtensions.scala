@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, GramMd5, GramStats, MinHashSig, SimHash60, WinnowSels}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, GramMd5, GramOcc, GramStats, MinHashSig, SimHash60, WinnowSels}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GramMd5].getName, "gram_md5"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GramMd5(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_occ"),
+      new ExpressionInfo(classOf[GramOcc].getName, "gram_occ"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GramOcc(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),

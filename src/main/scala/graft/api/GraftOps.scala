@@ -3089,18 +3089,15 @@ object GraftOps {
     val names = df.select(key.as("id"), text.as("s"))
       .filter(length(col("s")) >= (k + 1) * q)
       .persistOnce()
-    // Occurrence index computed LOCALLY inside the gram array (a repeated
-    // gram's i-th copy gets occ = i): O(L²) codegen'd comparisons per
-    // string replace a 900k-row Window.partitionBy(id, gram) shuffle+sort.
-    // The earlier window form cost two full sorts (it fed both the
-    // frequency table and the prefix join, unpersisted) — measured at
-    // sf0.1 the local form takes the whole operator 4.1s → ~2s warm.
+    // Occurrence index computed LOCALLY per string (a repeated gram's
+    // i-th copy gets occ = i) by the native gram_occ expression: one
+    // O(L) hash-map pass per row. Lineage of this stage: a 900k-row
+    // Window.partitionBy(id, gram) shuffle+sort (4.1s) → local
+    // transform+slice+filter lambdas, O(L²) interpreted per string
+    // (~2s) → gram_occ (stage probe: ~1s of the cold path removed;
+    // TextSigsSpec pins bit-parity with the composed lambda form).
     val grams = names.select(col("id"), length(col("s")).as("len"),
-        expr(s"transform(sequence(1, length(s) - $q + 1), " +
-          s"i -> substring(s, i, $q))").as("ga"))
-      .select(col("id"), col("len"), explode(expr(
-        "transform(ga, (g, i) -> struct(g AS gram, " +
-          "size(filter(slice(ga, 1, i), x -> x = g)) + 1 AS occ))")).as("go"))
+        explode(expr(s"gram_occ(s, $q)")).as("go"))
       .select(col("id"), col("len"),
         col("go.gram").as("gram"), col("go.occ").as("occ"))
       // cheap to persist now that no window rides on it (the earlier

@@ -272,6 +272,36 @@ object TextSigKernels {
     }
     java.lang.Long.valueOf(fp)
   }
+
+  /** One-pass indexed character q-grams: every q-char window of `s` as
+    * (gram, occ) where occ numbers repeated grams 1, 2, … in position
+    * order — bit-identical to the composed
+    * `transform(grams, (g, i) -> (g, size(filter(slice(grams, 1, i),
+    * x -> x = g)) + 1))` form, whose interpreted slice+filter lambdas
+    * were O(L²) per string (the measured hot stage of the fuzzy-join
+    * gram index). Here a per-row hash map makes it O(L). Fewer than q
+    * chars yields an empty array.
+    */
+  def gramOcc(s: org.apache.spark.unsafe.types.UTF8String,
+              q: Int): ArrayData = {
+    val n = s.numChars()
+    if (n < q)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](n - q + 1)
+    val seen =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    var i = 0
+    while (i + q <= n) {
+      val g = s.substringSQL(i + 1, q)
+      val occ = seen.getOrDefault(g, 0) + 1
+      seen.put(g, occ)
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](g, occ))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** Codegen'd whole-signature MinHash (SURVEY.md §2.9 dedup tier, §2.10
@@ -356,6 +386,49 @@ case class GramMd5(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GramMd5 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd indexed character q-grams: `gram_occ(s, q)` →
+  * array<struct<gram: string, occ: int>>, occ numbering repeated grams
+  * in position order. Replaces the fuzzy-join gram index's O(L²)
+  * interpreted slice+filter occurrence counting with one O(L) pass (see
+  * [[TextSigKernels.gramOcc]] — bit-identical output).
+  */
+case class GramOcc(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("occ", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "gram_occ"
+
+  private def checkQ(q: Int): Int = {
+    require(q >= 1, s"gram_occ q must be >= 1, got $q")
+    q
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextSigKernels.gramOcc(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      checkQ(b.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($b < 1) {
+         |  throw new IllegalArgumentException(
+         |    "gram_occ q must be >= 1, got " + $b);
+         |}
+         |${ev.value} = org.apache.spark.sql.graft.TextSigKernels.gramOcc($a, $b);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramOcc =
     copy(left = newLeft, right = newRight)
 }
 

@@ -73,6 +73,31 @@ class TextSigsSpec extends SparkSpec {
     assert(native.count() === expected.count())
   }
 
+  test("gram_occ equals the composed transform+slice+filter derivation bit-for-bit") {
+    val q = 4
+    val names = docs.select(col("doc_id"),
+        substring(col("text"), 1, 60).as("s"))
+      .filter(length(col("s")) >= q)
+    val expected = names.select(col("doc_id"),
+        expr(s"transform(sequence(1, length(s) - $q + 1), " +
+          s"i -> substring(s, i, $q))").as("ga"))
+      .select(col("doc_id"), explode(expr(
+        "transform(ga, (g, i) -> struct(g AS gram, " +
+          "size(filter(slice(ga, 1, i), x -> x = g)) + 1 AS occ))")).as("go"))
+      .select(col("doc_id"), col("go.gram").as("gram"), col("go.occ").as("occ"))
+    val native = names.select(col("doc_id"),
+        explode(expr(s"gram_occ(s, $q)")).as("go"))
+      .select(col("doc_id"), col("go.gram").as("gram"), col("go.occ").as("occ"))
+    assert(native.exceptAll(expected).isEmpty
+        && expected.exceptAll(native).isEmpty,
+      "native gram_occ diverged from the composed lambda derivation")
+    // shorter-than-q strings yield an empty array (no rows)
+    import spark.implicits._
+    val short = Seq((1L, "abc")).toDF("id", "s")
+      .select(col("id"), explode(expr("gram_occ(s, 4)")))
+    assert(short.count() === 0)
+  }
+
   test("gram_md5 drops null-bearing windows and shorter-than-n arrays") {
     import spark.implicits._
     val df = Seq(
