@@ -126,6 +126,17 @@ def main():
               f"{old_path}")
         return 1
 
+    # Box-speed calibration: a fixed CPU-bound workload timed inside each
+    # bench run. A calib ratio far from 1.0 means the BOX changed speed
+    # between the runs (VM host drift — round 9 measured 1.36x uniform on
+    # identical code), so per-query ratios are NORMALIZED by the calib
+    # ratio before the gate: the round-9 recert spent a week of bisection
+    # proving nine >2x raw "regressions" were all box drift that the
+    # calib-divided ratio clears mechanically. Raw ratios stay in the
+    # printout so a genuinely slower box is still visible.
+    c_new, c_old = load_calib(new_path), load_calib(old_path)
+    calib_ratio = (c_new / c_old) if (c_new and c_old) else 1.0
+
     rows, broke = [], []
     for q in shared:
         o, n = old[q], new[q]
@@ -134,7 +145,7 @@ def main():
             continue
         if o <= 0 or n <= 0:  # failed in the reference too; no ratio
             continue
-        rows.append((n / o, q, o, n))
+        rows.append((n / o / calib_ratio, q, o, n))
     rows.sort(reverse=True)
 
     # Baseline-scaled delta floor next to the ratio: sub-second queries
@@ -148,10 +159,14 @@ def main():
     # 0.5s keeps real big-query regressions failing. Genuine sub-second
     # jitter that still trips gets re-measured with warm reps by bench.sh
     # (bench_triage) before anyone believes the number.
+    # The delta floor is applied on the calib-adjusted new time so a box
+    # that is uniformly 1.5x slower doesn't push every small query over
+    # its own floor.
     MIN_DELTA, ABS_CAP, NOISE_K = 0.02, 0.5, 2.0
     regressed = [r for r in rows
                  if r[0] > threshold and
-                 (r[3] - r[2]) > max(MIN_DELTA, min(ABS_CAP, NOISE_K * r[2]))]
+                 (r[3] / calib_ratio - r[2]) >
+                 max(MIN_DELTA, min(ABS_CAP, NOISE_K * r[2]))]
     new_total = sum(n for _, _, _, n in rows)
     old_total = sum(o for _, _, o, _ in rows)
     if not rows:
@@ -161,33 +176,32 @@ def main():
         return 1
     print(f"bench_diff: {new_path} vs {old_path} — {len(rows)} shared "
           f"queries, total {old_total:.1f}s -> {new_total:.1f}s "
-          f"({new_total / old_total:.2f}x)")
-    # Box-speed calibration: a fixed CPU-bound workload timed inside each
-    # bench run. A calib ratio far from 1.0 means the BOX changed speed
-    # between the runs (VM host drift — round 9 measured 1.36x uniform on
-    # identical code), and per-query ratios near that calib ratio are the
-    # box, not the code.
-    c_new, c_old = load_calib(new_path), load_calib(old_path)
+          f"({new_total / old_total:.2f}x raw, "
+          f"{new_total / old_total / calib_ratio:.2f}x calib-normalized)")
     if c_new and c_old:
         print(f"bench_diff: box calibration {c_old:.2f}s -> {c_new:.2f}s "
-              f"({c_new / c_old:.2f}x) — query ratios near this are box "
-              f"drift, not code")
+              f"({calib_ratio:.2f}x) — per-query ratios are divided by "
+              f"this before the >{threshold}x gate")
     elif c_new:
         print(f"bench_diff: note — new run calib_sec={c_new:.2f}s; "
-              f"reference has no calibration (pre-round-9 artifact)")
+              f"reference has no calibration (pre-round-9 artifact); "
+              f"gating on RAW ratios")
     if broke:
         print(f"bench_diff: FAIL — newly FAILING queries (passed in "
               f"{old_path}): {', '.join(broke)}")
         return 1
-    for ratio, q, o, n in rows[:8]:
-        tag = " <-- REGRESSED" if ratio > threshold else ""
-        print(f"  {q:24s} {o:7.3f}s -> {n:7.3f}s  {ratio:5.2f}x{tag}")
+    for norm, q, o, n in rows[:8]:
+        tag = " <-- REGRESSED" if norm > threshold else ""
+        print(f"  {q:24s} {o:7.3f}s -> {n:7.3f}s  raw {n / o:5.2f}x  "
+              f"norm {norm:5.2f}x{tag}")
     if regressed:
         print(f"bench_diff: FAIL — {len(regressed)} queries regressed "
-              f">{threshold}x (noise on this box is ~2x; re-run on an idle "
-              f"box before believing either number)")
+              f">{threshold}x after box-calibration normalization "
+              f"(calib ratio {calib_ratio:.2f}x already divided out; "
+              f"re-run warm reps via bench_triage before believing it)")
         return 1
-    print(f"bench_diff: OK — no query regressed >{threshold}x")
+    print(f"bench_diff: OK — no query regressed >{threshold}x "
+          f"(calib-normalized)")
     return 0
 
 
