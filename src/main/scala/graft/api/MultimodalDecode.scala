@@ -15,11 +15,13 @@ case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
   * weights) across every row of the partition instead of paying it per
   * row.
   *
-  * The decoder body is a DETERMINISTIC STUB (this container ships no
-  * imaging/audio libraries): it fakes width/height from content bytes.
-  * Swapping in a real decoder changes ONLY `decodeOne`; the Spark-side
-  * plumbing — typed schema in/out, per-partition batching, partition
-  * sizing guidance — is the real, tested surface.
+  * Image payloads (mime `image/...`) take a REAL decode path: `ImageIO`
+  * ships with the JDK, so width/height/ok come from actually parsing the
+  * image bytes (undecodable bytes → ok=false, zero dims — never a thrown
+  * partition). Non-image mimes (audio/video stand-ins) keep a documented
+  * deterministic byte-fake: no JDK codec exists for them, and the fake
+  * keeps the plumbing — typed schema in/out, per-partition batching,
+  * corrupt-row handling — exercised end to end.
   *
   * 100-TB note: decode is pure map work — no shuffle. Size input
   * partitions by payload bytes (spark.sql.files.maxPartitionBytes), not
@@ -28,26 +30,65 @@ case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
   */
 object MultimodalDecode {
 
-  /** STUB standing in for e.g. a JNI image decoder. Deterministic: fakes
-    * dimensions from the first content bytes.
+  /** Decode one payload. Image mimes go through ImageIO (real parse);
+    * other mimes get deterministic byte-derived dims (no JDK codec).
     */
   private def decodeOne(in: MediaIn): MediaMeta = {
     // NULL payload = corrupt feed row: decode "fails" loudly (ok=false,
     // zero bytes) instead of NPE-ing the partition
     val c = if (in.content == null) Array.emptyByteArray else in.content
-    val b0 = if (c.nonEmpty) c(0) & 0xff else 0
-    val b1 = if (c.length > 1) c(1) & 0xff else 0
-    MediaMeta(in.doc_id, in.mime, c.length.toLong,
-      width = 64 + b0 * 4, height = 64 + b1 * 4, ok = c.nonEmpty)
+    if (in.mime != null && in.mime.startsWith("image/")) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      if (img == null)
+        MediaMeta(in.doc_id, in.mime, c.length.toLong, 0, 0, ok = false)
+      else
+        MediaMeta(in.doc_id, in.mime, c.length.toLong,
+          img.getWidth, img.getHeight, ok = true)
+    } else {
+      val b0 = if (c.nonEmpty) c(0) & 0xff else 0
+      val b1 = if (c.length > 1) c(1) & 0xff else 0
+      MediaMeta(in.doc_id, in.mime, c.length.toLong,
+        width = 64 + b0 * 4, height = 64 + b1 * 4, ok = c.nonEmpty)
+    }
   }
 
   /** Decode a payload Dataset partition-at-a-time. */
   def decode(payloads: Dataset[MediaIn]): Dataset[MediaMeta] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { rows =>
-      // per-partition setup for a real decoder would happen HERE, once
+      // per-partition setup, paid once per task: disable ImageIO's
+      // temp-file cache so each decode is a pure in-memory parse
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map(decodeOne)
     }
+  }
+
+  /** Encode a small deterministic RGB raster as real PNG bytes — the
+    * fixture generator for the image-decode path. Pixel (x, y) carries a
+    * value mixed from (seed, x, y), so two distinct (w, h, seed) triples
+    * give distinct images and the same triple always gives the same
+    * raster. Java's PNG writer emits no timestamp chunks, so the bytes
+    * are stable for a given JDK.
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val m = seed * 31L + x * 7L + y * 131L
+        img.setRGB(x, y, (m & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Convenience: DataFrame in (doc_id, content, mime), metadata out. */

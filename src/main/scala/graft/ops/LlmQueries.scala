@@ -634,11 +634,12 @@ object LlmQueries extends QueryPack {
   }
 
   /** The multimodal media table: opaque binary payload + typed metadata as
-    * a struct column. The "decode" here is a DETERMINISTIC FAKE
-    * (md5-derived width/height) standing in for a real image decoder: this
-    * container has no imaging libs, so the real decode body is stubbed
-    * while the Spark-side plumbing — binary column, struct schema, per-row
-    * extraction, parquet round-trip (EtlSpec/LlmOpsSpec) — is real.
+    * a struct column. The width/height here are a DETERMINISTIC
+    * md5-derived stand-in (the payloads are text, not images — there is
+    * nothing to decode); the REAL image-decode path lives in
+    * [[mediaPngTable]]/[[mmDecode]], where genuine PNG payloads are
+    * parsed by ImageIO. This table keeps the metadata-arithmetic queries
+    * (resize planning, byte features) oracle-replayable over text.
     */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -671,10 +672,11 @@ object LlmQueries extends QueryPack {
     * min(1e6, 256e6 div max(w, h)) in EXACT integer ppm, new dims by
     * integer floor — the metadata side every image pipeline computes
     * before touching pixels. The payload transform is a deterministic
-    * CROP to new_w·new_h bytes standing in for the pixel resample (no
-    * imaging libs in this container — the MultimodalDecode stub
-    * contract); its md5 is gated, so the byte-level transform is
-    * hash-verified, not just the arithmetic. Pure map work, no shuffle.
+    * CROP to new_w·new_h bytes standing in for the pixel resample (the
+    * payloads here are text, so a real resample has no meaning; the real
+    * decode path is [[mmDecode]]); its md5 is gated, so the byte-level
+    * transform is hash-verified, not just the arithmetic. Pure map work,
+    * no shuffle.
     */
   def mmResize(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
@@ -705,6 +707,39 @@ object LlmQueries extends QueryPack {
     graft.api.MultimodalDecode.featuresDF(
       mediaTable(s, d).select(col("doc_id"),
         col("media.content").as("content"), col("media.mime").as("mime")))
+
+  /** The PNG media table: one GENUINE PNG payload per document
+    * (ImageIO.write of a small deterministic raster), dims a pure
+    * function of doc_id so the oracle can recompute them without
+    * decoding. Rows with doc_id % 97 == 0 are truncated to the 8-byte
+    * PNG signature — a corrupt feed row whose decode must fail loudly.
+    */
+  def mediaPngTable(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.api.MediaIn] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val png = graft.api.MultimodalDecode.encodePng(
+            4 + (id % 29).toInt, 4 + (id % 23).toInt, id)
+          val content = if (id % 97 == 0) png.take(8) else png
+          graft.api.MediaIn(id, content, "image/png")
+        }
+      }
+  }
+
+  /** x_mm_decode: REAL image decode through the batch harness — the
+    * payloads are genuine PNGs ([[mediaPngTable]]) and width/height come
+    * out of `javax.imageio.ImageIO` actually parsing the bytes, not from
+    * any stand-in arithmetic. The oracle recomputes the dims from the
+    * fixture's doc_id formula, so the hash gate proves the decoder
+    * extracted the true dimensions (and failed loudly, ok=0 with zero
+    * dims, on the truncated corrupt rows). Pure map work, no shuffle.
+    */
+  def mmDecode(s: SparkSession, d: String): DataFrame =
+    graft.api.MultimodalDecode.decode(mediaPngTable(s, d)).toDF()
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("ok").cast("int").as("ok"))
 
   /** x_dsir: DSIR importance weights over the documents table — target
     * slice = English docs, features = md5-hashed tokens in 1024 bins.
@@ -791,7 +826,8 @@ object LlmQueries extends QueryPack {
     "x_fingerprint" -> fingerprint,
     "x_multimodal" -> multimodal,
     "x_mm_resize" -> mmResize,
-    "x_mm_features" -> mmFeatures
+    "x_mm_features" -> mmFeatures,
+    "x_mm_decode" -> mmDecode
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -1953,6 +1989,19 @@ object LlmQueries extends QueryPack {
         |SELECT b.doc_id, CAST(b.b AS INT) AS bin,
         |  CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
         |FROM bins b
-        |LEFT JOIN cnt c ON b.doc_id = c.doc_id AND b.b = c.bin""".stripMargin
+        |LEFT JOIN cnt c ON b.doc_id = c.doc_id AND b.b = c.bin""".stripMargin,
+
+    // The engine DECODES real PNG bytes with ImageIO; the oracle replays
+    // the fixture's dimension formula arithmetically. Hash equality =
+    // the decoder extracted the true dims and failed loudly on the
+    // truncated (doc_id % 97 == 0) corrupt rows.
+    "x_mm_decode" ->
+      """SELECT doc_id, 'image/png' AS mime,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+        |            ELSE 4 + doc_id % 29 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+        |            ELSE 4 + doc_id % 23 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM documents""".stripMargin
   )
 }
