@@ -69,6 +69,33 @@ object GraftOps {
     */
   def cacheOnce(df: DataFrame): DataFrame = df.persistOnce()
 
+  /** Bounded per-invocation cache for operators that persist a fresh
+    * intermediate on EVERY call over changing inputs (the ranged
+    * quantile/median walks): like [[cacheOnce]], but each persisted
+    * frame is tracked in a small LRU registry, and once the registry
+    * exceeds its cap the least-recently-used frame is unpersisted — so
+    * a resident driver serving thousands of quantile calls cannot
+    * accumulate CacheManager entries and disk blocks without bound.
+    * Correctness is unaffected by eviction (a later action on an
+    * evicted frame just recomputes); keyed by semantic hash so a
+    * logically-equal re-invocation refreshes recency instead of
+    * double-tracking, mirroring CacheManager's own plan-equality key.
+    */
+  private val TrackedCacheCap = 64
+  private val trackedCaches =
+    new java.util.LinkedHashMap[Int, DataFrame](16, 0.75f, true)
+  private def trackedCache(df: DataFrame): DataFrame =
+    trackedCaches.synchronized {
+      val cached = cacheOnce(df)
+      trackedCaches.put(df.queryExecution.logical.semanticHash(), cached)
+      while (trackedCaches.size > TrackedCacheCap) {
+        val it = trackedCaches.entrySet().iterator()
+        it.next().getValue.unpersist(blocking = false)
+        it.remove()
+      }
+      cached
+    }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint: one row per distinct fingerprint
@@ -2459,17 +2486,22 @@ object GraftOps {
         col("rank").cast("long").as("rank"))
   }
 
-  /** Exact interpolated per-group median (percentile_cont(0.5) semantics)
-    * computed from the (group, value) distribution table — the 100-TB
-    * exact-median shape. Spark's `percentile` aggregate buffers every
-    * distinct value per group inside ONE aggregation buffer; fine at
-    * fixture scale, an OOM risk for a billion-row group. Here the buffer
-    * never exists: groupBy (grp, x) counts (partial-agg friendly,
-    * distribution-sized output), a cumulative-count window locates the
-    * two 0-based positions (n-1) div 2 and n div 2, and their values
-    * average. Exact-integer positions; the value midpoint is the only
-    * float op, so a quantile_cont oracle replays it bit-for-bit.
+  /** The classic one-shuffle cumulative walk: exact, partial-agg
+    * friendly, and perfectly parallel when the distribution has MANY
+    * groups (each group is one window partition). Its one flaw is the
+    * few-huge-groups corner [[crossingRows]] exists for; measured at
+    * fixture scale the windowed form wins by ~0.5-1s of fixed overhead
+    * per call whenever the distribution is small (x_outlier_mad's
+    * back-to-back medians regressed 5x on the ranged path), so callers
+    * choose per shape via `parallelWalk`.
     */
+  private def windowedCum(dist: DataFrame): DataFrame =
+    dist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+
   /** The shared second phase of every exact per-group quantile walk:
     * given a (grp, x, c) distribution table and the 0-based POSITIONS
     * each caller needs (SQL exprs over the per-group total `n`), return
@@ -2494,26 +2526,10 @@ object GraftOps {
     * Positions ≥ n select no slice and fall out as the same NULL the
     * full walk produced.
     */
-  /** The classic one-shuffle cumulative walk: exact, partial-agg
-    * friendly, and perfectly parallel when the distribution has MANY
-    * groups (each group is one window partition). Its one flaw is the
-    * few-huge-groups corner [[crossingRows]] exists for; measured at
-    * fixture scale the windowed form wins by ~0.5-1s of fixed overhead
-    * per call whenever the distribution is small (x_outlier_mad's
-    * back-to-back medians regressed 5x on the ranged path), so callers
-    * choose per shape via `parallelWalk`.
-    */
-  private def windowedCum(dist: DataFrame): DataFrame =
-    dist
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy(col("grp")).orderBy(col("x"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
-
   private def crossingRows(dist: DataFrame,
                            posExprs: Seq[String]): DataFrame = {
     val p = dist.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = cacheOnce(dist
+    val ranged = trackedCache(dist
       .repartitionByRange(p, col("grp"), col("x"))
       .sortWithinPartitions(col("grp"), col("x"))
       .withColumn("pid", spark_partition_id()))
@@ -2544,6 +2560,19 @@ object GraftOps {
       .select(col("grp"), col("x"), col("c"), col("cum"), col("n"))
   }
 
+  /** Exact interpolated per-group median (percentile_cont(0.5) semantics)
+    * computed from the (group, value) distribution table — the 100-TB
+    * exact-median shape. Spark's `percentile` aggregate buffers every
+    * distinct value per group inside ONE aggregation buffer; fine at
+    * fixture scale, an OOM risk for a billion-row group. Here the buffer
+    * never exists: groupBy (grp, x) counts (partial-agg friendly,
+    * distribution-sized output), a cumulative-count walk locates the
+    * two 0-based positions (n-1) div 2 and n div 2, and their values
+    * average. Exact-integer positions; the value midpoint is the only
+    * float op, so a quantile_cont oracle replays it bit-for-bit.
+    * `parallelWalk` picks the few-huge-groups [[crossingRows]] phase
+    * over the default [[windowedCum]] (see their docs for the trade).
+    */
   def groupMedian(df: DataFrame, group: Column, value: Column,
                   parallelWalk: Boolean = false): DataFrame = {
     // NULLs are excluded like percentile_cont/quantile_cont exclude them —
@@ -2583,54 +2612,32 @@ object GraftOps {
     * that distinction matters).
     */
   def weightedMedian(df: DataFrame, group: Column, value: Column,
-                     weight: Column): DataFrame = {
+                     weight: Column,
+                     parallelWalk: Boolean = false): DataFrame = {
     // floor() before the long conversion: a bare cast truncates in Spark
     // but ROUNDS in DuckDB's CAST — floor is the one conversion both
     // engines (and any SQL oracle) agree on for fractional weights
     val src = df.select(group.as("grp"), value.as("v"),
       floor(weight.cast("double")).cast("long").as("w"))
+    // the weighted distribution IS a (grp, x, c) distribution with the
+    // summed weight as the count, so both walk phases are shared with
+    // the unweighted quantile family: the classic windowed walk by
+    // default (many-groups shape, no fixed ranged-walk overhead), the
+    // two-phase ranged [[crossingRows]] when one group's distribution
+    // could swamp a single task. All threshold math stays in integer
+    // weight units.
     val dist = src.filter(col("v").isNotNull)
-      .groupBy(col("grp"), col("v")).agg(sum(col("w")).as("w"))
-    // Two-phase ranged walk instead of Window.partitionBy(grp): a
-    // cumulative window keyed on the group alone serializes each group
-    // into ONE task — with a handful of groups over a billion-row
-    // distribution that is a single-threaded sort of everything. Here
-    // the distribution is range-partitioned on (grp, v) so every task
-    // holds an ordered slice; per-slice totals (a bounded P×G table)
-    // locate the single slice where each group's cumulative weight
-    // crosses half, and only THAT slice — 1/P of the group, joined via
-    // broadcast so the big table never reshuffles — pays the exact
-    // ordered walk. All threshold math stays in integer weight units.
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = cacheOnce(dist
-      .repartitionByRange(p, col("grp"), col("v"))
-      .sortWithinPartitions(col("grp"), col("v"))
-      .withColumn("pid", spark_partition_id()))
-    val offW = Window.partitionBy(col("grp")).orderBy(col("pid"))
-    val slices = ranged.groupBy(col("pid"), col("grp"))
-      .agg(sum(col("w")).as("pw"))
-      .withColumn("cend", sum(col("pw")).over(offW))
-      .withColumn("off", col("cend") - col("pw"))
-      .withColumn("tw", sum(col("pw")).over(Window.partitionBy(col("grp"))))
-    // first slice whose cumulative END reaches half the total holds the
-    // lower weighted median (cend is monotone in pid within a group)
-    val target = slices.filter(col("cend") * 2 >= col("tw"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy(col("grp")).orderBy(col("pid"))))
-      .filter(col("rk") === 1)
-      .select(col("pid").as("_tpid"), col("grp").as("_tgrp"),
-        col("off"), col("tw"))
-    val cumW = Window.partitionBy(col("grp")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // <=> on the group key: a NULL group must keep its computed median
-    // (equi-join semantics would silently drop it — the joinOnGroupKey
-    // contract, applied to the slice join too)
-    val walked = ranged.join(broadcast(target),
-        ranged("pid") === col("_tpid") && ranged("grp") <=> col("_tgrp"))
-      .withColumn("cw", sum(col("w")).over(cumW) + col("off"))
-      .filter(col("cw") * 2 >= col("tw"))
-      .groupBy(col("grp"))
-      .agg(min(col("v")).as("wmedian"))
+      .groupBy(col("grp"), col("v").as("x")).agg(sum(col("w")).as("c"))
+    // lower weighted median = first x with 2·cum ≥ n, i.e. the 0-based
+    // weight position (n+1) div 2 - 1 crossed. Integer-only so the
+    // expression replays identically in Spark and DuckDB; for an
+    // all-zero-weight group the position is -1, every row satisfies
+    // cum > -1, and min(x) keeps the previous smallest-value behavior.
+    val pos = "(n + 1) div 2 - 1"
+    val withCum =
+      if (parallelWalk) crossingRows(dist, Seq(pos)) else windowedCum(dist)
+    val walked = withCum.groupBy(col("grp"))
+      .agg(min(when(col("cum") > expr(pos), col("x"))).as("wmedian"))
     // all-NULL groups keep their (grp, NULL) row — the groupMedian
     // contract, NULL-safe on the group key
     joinOnGroupKey(src, walked)
@@ -2747,7 +2754,7 @@ object GraftOps {
     val dist = df.select(value.cast("double").as("x"))
       .filter(col("x").isNotNull)
       .groupBy(col("x")).agg(count(lit(1)).as("w"))
-    val ranged = cacheOnce(dist.repartitionByRange(partitions, col("x"))
+    val ranged = trackedCache(dist.repartitionByRange(partitions, col("x"))
       .sortWithinPartitions(col("x"))
       .withColumn("pid", spark_partition_id()))
     // bounded: one row per partition

@@ -39,9 +39,11 @@ object AggQueries extends QueryPack {
 
     // Exact weighted median (lower convention) per return flag — price
     // weighted by quantity, all threshold math in integer weight units.
+    // parallelWalk: 3 return flags over billions of lineitems is exactly
+    // the few-huge-groups shape the two-phase ranged walk exists for.
     "q_agg_wmedian" -> ((s, d) =>
       GraftOps.weightedMedian(Tables.lineitem(s, d), col("l_returnflag"),
-        col("l_extendedprice"), col("l_quantity"))),
+        col("l_extendedprice"), col("l_quantity"), parallelWalk = true)),
 
     // Incremental materialized-view refresh: the base MV (pre-cutoff
     // partial aggregates) merges with the delta batch's partials by

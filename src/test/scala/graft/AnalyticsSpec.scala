@@ -131,6 +131,15 @@ class AnalyticsSpec extends SparkSpec {
     val parM = GraftOps.groupMedian(df, col("g"), col("v"),
       parallelWalk = true).collect().map(key).sorted
     assert(parM === winM, "median walks diverged")
+    // weighted median shares both walk phases; include a zero-weight
+    // value (floors out) and weight ties at the crossing
+    val wdf = df.withColumn("w",
+      (col("v") % 3 + lit(1)).cast("double"))
+    val winW = GraftOps.weightedMedian(wdf, col("g"), col("v"), col("w"))
+      .collect().map(key).sorted
+    val parW = GraftOps.weightedMedian(wdf, col("g"), col("v"), col("w"),
+      parallelWalk = true).collect().map(key).sorted
+    assert(parW === winW, "weighted-median walks diverged")
   }
 
   test("groupQuantiles/groupMedian: all-NULL groups keep their NULL row") {

@@ -679,7 +679,8 @@ class ScaleSpec extends SparkSpec {
       (col("id") / 3).cast("long").cast("double").as("v"),
       when((col("id") / 3).cast("long") === 1000L, lit(perGroup + 1))
         .otherwise(lit(1L)).as("w"))
-    val got = GraftOps.weightedMedian(dist, col("g"), col("v"), col("w"))
+    val got = GraftOps.weightedMedian(dist, col("g"), col("v"), col("w"),
+        parallelWalk = true)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got === Map("0" -> 1000.0, "1" -> 1000.0, "2" -> 1000.0))
     // the parallelWalk quantile path agrees with the windowed walk on a

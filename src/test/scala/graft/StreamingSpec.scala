@@ -643,11 +643,18 @@ class StreamingSpec extends SparkSpec {
     val wRows = stateRows(qw)
     val dRows = stateRows(qd)
     qw.stop(); qd.stop()
-    // 80 windows ingested; the 10-min horizon covers ~3 un-closed ones.
-    assert(wRows > 0 && wRows <= 10,
-      s"window state held $wRows rows — watermark eviction is not bounding it")
+    // Relative bounds, not exact internals: the horizon-deep tail is a
+    // few windows / a few batches of keys, so anything under a quarter
+    // of the ingested totals proves eviction is bounding state, without
+    // pinning Spark's exact state-accounting or eviction timing (which
+    // an upgrade may legally shift by a batch or two).
+    // 80 windows ingested; only the un-closed tail may remain.
+    assert(wRows > 0 && wRows < 20,
+      s"window state held $wRows of 80 ingested windows — watermark " +
+        "eviction is not bounding it")
     // 200 unique event_ids ingested; only the horizon-deep tail may remain.
-    assert(dRows > 0 && dRows <= 30,
-      s"dedup state held $dRows rows — watermark eviction is not bounding it")
+    assert(dRows > 0 && dRows < 50,
+      s"dedup state held $dRows of 200 ingested keys — watermark " +
+        "eviction is not bounding it")
   }
 }

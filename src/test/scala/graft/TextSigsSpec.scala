@@ -98,6 +98,31 @@ class TextSigsSpec extends SparkSpec {
     assert(short.count() === 0)
   }
 
+  test("n=1 behavior: unigram path pinned (no gramsN counterpart exists)") {
+    // The SQL surface accepts n/q = 1 while the composed Scala form
+    // (TextFns.gramsN) starts at n = 2, so the unigram case has no
+    // bit-parity twin — pin its behavior directly: windows of one token
+    // hash the token, single-char q-grams index the characters.
+    import spark.implicits._
+    val df = Seq((1L, Seq("ab", "cd", "ab"))).toDF("id", "arr")
+    val md5s = df.select(expr("gram_md5(arr, 1)").as("hs"))
+      .select(explode(col("hs")).as("h")).collect().map(_.getString(0))
+    val direct = df.select(explode(col("arr")).as("t"))
+      .select(md5(col("t"))).collect().map(_.getString(0))
+    assert(md5s.toSeq === direct.toSeq,
+      "gram_md5(w, 1) must hash each token in order")
+    // gram_stats(w, 1): tot = token count, top/dup over token counts
+    val st = df.select(expr("gram_stats(arr, 1)").as("s"))
+      .select(col("s.tot"), col("s.top"), col("s.dup")).head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) === ((3L, 2L, 2L)))
+    // gram_occ(s, 1): one struct per character with occurrence numbering
+    val occ = Seq((1L, "aba")).toDF("id", "s")
+      .select(explode(expr("gram_occ(s, 1)")).as("go"))
+      .select(col("go.gram"), col("go.occ"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(occ.toSeq === Seq(("a", 1), ("b", 1), ("a", 2)))
+  }
+
   test("gram_md5 drops null-bearing windows and shorter-than-n arrays") {
     import spark.implicits._
     val df = Seq(
