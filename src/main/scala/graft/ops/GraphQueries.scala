@@ -159,7 +159,12 @@ object GraphQueries extends QueryPack {
         .filter(col("sa") < col("sb"))
         .groupBy(col("sa"), col("sb"))
         .agg(count(lit(1)).as("common"))
-        .filter(col("common") >= 5)
+        // same observability treatment as the hub cap: the MinCommon
+        // floor's effect is metered, never silent
+        .observe(s"graft_min:common:$MinCommon",
+          count(lit(1)).as("total_pairs"),
+          count(when(col("common") >= MinCommon, lit(1))).as("kept_pairs"))
+        .filter(col("common") >= MinCommon)
       common
         .join(deg.select(col("v").as("sa"), col("deg").as("da")), "sa")
         .join(deg.select(col("v").as("sb"), col("deg").as("db")), "sb")
@@ -182,6 +187,15 @@ object GraphQueries extends QueryPack {
     */
   private val MinSupport = 3
 
+  /** Common-neighbor floor for the q_common_nbrs pair table: pairs
+    * sharing fewer than this many customers are projection noise. ONE
+    * definition site — the query filter, its observe() metric name, and
+    * the oracle's HAVING all interpolate from here (the MaxBasketSize
+    * discipline), so engine and oracle can never desync on the
+    * threshold.
+    */
+  private val MinCommon = 5
+
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     // basketPairs' map-side expansion shape, not a lineitem self-join:
     // ONE shuffle builds each order's sorted supplier set (collect_set
@@ -198,6 +212,13 @@ object GraphQueries extends QueryPack {
         explode(expr("slice(items, i + 2, size(items) - i - 1)")).as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("support"))
+      // threshold observability, the capAnchors discipline: a production
+      // run records how many pairs the support floor dropped instead of
+      // silently reshaping the projection; the name derives from the one
+      // constant so rebuilt plans stay CacheManager-equal
+      .observe(s"graft_min:support:$MinSupport",
+        count(lit(1)).as("total_pairs"),
+        count(when(col("support") >= MinSupport, lit(1))).as("kept_pairs"))
       .filter(col("support") >= MinSupport)
       .select(col("a"), col("b"))
   }
@@ -300,12 +321,12 @@ object GraphQueries extends QueryPack {
     // tuple per triangle, but the same triangle SET, so the per-node
     // explode/count agrees exactly.
     "q_triangles" ->
-      """WITH pairs0 AS (
+      s"""WITH pairs0 AS (
         |  SELECT DISTINCT a.l_orderkey AS ok, a.l_suppkey AS s1, b.l_suppkey AS s2
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
         |pairs AS (
-        |  SELECT s1, s2 FROM pairs0 GROUP BY 1, 2 HAVING count(*) >= 3),
+        |  SELECT s1, s2 FROM pairs0 GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
         |tri AS (
         |  SELECT p1.s1 AS x, p1.s2 AS y, p2.s2 AS z
         |  FROM pairs p1
@@ -357,7 +378,7 @@ object GraphQueries extends QueryPack {
         |pairs AS (
         |  SELECT a.v AS sa, b.v AS sb, count(*) AS common
         |  FROM e a JOIN e b ON a.c = b.c AND a.v < b.v
-        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |  GROUP BY 1, 2 HAVING count(*) >= $MinCommon)
         |SELECT sa, sb, common,
         |  CAST(common * 1000000 // (da.d + db.d - common) AS BIGINT)
         |    AS jac_ppm

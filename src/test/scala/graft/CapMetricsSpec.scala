@@ -17,7 +17,8 @@ class CapMetricsSpec extends SparkSpec {
   /** Harvest graft_cap: observed metrics from every successful query
     * execution while `body` runs; listener delivery is async, so poll.
     */
-  private def withCapMetrics[A](body: => A): (A, Seq[Row]) = {
+  private def withCapMetrics[A](body: => A,
+      prefix: String = "graft_cap:"): (A, Seq[Row]) = {
     val captured =
       new java.util.concurrent.ConcurrentLinkedQueue[(String, Row)]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -25,7 +26,7 @@ class CapMetricsSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (k, v) =>
-          if (k.startsWith("graft_cap:")) captured.add(k -> v)
+          if (k.startsWith(prefix)) captured.add(k -> v)
         }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -116,5 +117,31 @@ class CapMetricsSpec extends SparkSpec {
     // sf0.001 has no whales past the 4096 default — the metric must say so
     assert(metrics.last.getAs[Long]("capped_keys") === 0L)
     assert(metrics.last.getAs[Long]("total_keys") > 0L)
+  }
+
+  test("threshold floors are observable: q_common_nbrs meters MinCommon") {
+    // The MinCommon floor got the MaxBasketSize treatment: one constant,
+    // interpolated into the oracle, surfaced as a graft_min: observe()
+    // metric. kept_pairs must equal the query's actual output size.
+    val (out, metrics) = withCapMetrics(
+      SparkEntry.queries("q_common_nbrs")(spark, sf).collect(),
+      prefix = "graft_min:common:")
+    assert(metrics.nonEmpty,
+      "the MinCommon floor must surface a graft_min: metric")
+    val m = metrics.last
+    assert(m.getAs[Long]("kept_pairs") === out.length.toLong,
+      "metered kept_pairs must equal the emitted pair count")
+    assert(m.getAs[Long]("total_pairs") >= m.getAs[Long]("kept_pairs"))
+  }
+
+  test("threshold floors are observable: q_triangles meters MinSupport") {
+    val (_, metrics) = withCapMetrics(
+      SparkEntry.queries("q_triangles")(spark, sf).collect(),
+      prefix = "graft_min:support:")
+    assert(metrics.nonEmpty,
+      "the MinSupport floor must surface a graft_min: metric")
+    val m = metrics.last
+    assert(m.getAs[Long]("total_pairs") >= m.getAs[Long]("kept_pairs"))
+    assert(m.getAs[Long]("kept_pairs") > 0L)
   }
 }
