@@ -126,6 +126,38 @@ object ScalarQueries extends QueryPack {
           expr("CAST(variant_get(v, '$.k', 'double') >= 50.0 AS INT)")
             .as("k_high"))),
 
+    // Variant introspection (Spark 4): schema_of_variant reports the
+    // INFERRED type of each parsed payload (the schema-discovery pass a
+    // dynamic column needs before promotion to typed columns), and
+    // is_variant_null distinguishes a JSON null VALUE from an absent
+    // path — get_json_object conflates the two, variant does not.
+    "q_variant_ops" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          expr("schema_of_variant(v)").as("vschema"),
+          expr("CAST(is_variant_null(try_variant_get(v, '$.k', 'variant'))" +
+            " AS INT)").as("k_is_null"),
+          expr("CAST(is_variant_null(parse_json('null')) AS INT)")
+            .as("null_lit_is_null"))),
+
+    // Variant 1→N: variant_explode unrolls each parsed object into
+    // (pos, key, value) rows — the generator that turns a dynamic
+    // payload column into a tall typed table without a schema up front.
+    // It is a table-valued generator (FROM-clause only), so this query
+    // rides the SQL surface with a LATERAL join, like q_sql_lateral.
+    "q_variant_explode" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .createOrReplaceTempView("graft_variant_v")
+      s.sql(
+        """SELECT event_id, f.pos AS pos, f.key AS key,
+          |  variant_get(f.value, '$', 'int') AS val
+          |FROM graft_variant_v,
+          |LATERAL variant_explode(v) AS f""".stripMargin)
+    }),
+
     // Map family: dynamic qualifiers as MapType + map_filter + explode.
     "q_map_ops" -> ((s, d) =>
       Tables.events(s, d)
@@ -210,6 +242,18 @@ object ScalarQueries extends QueryPack {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_map_ops" ->
       """SELECT event_id, 'type' AS qual, event_type AS val
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Every props payload is {"k": <int>}: the inferred schema is the
+    // constant OBJECT<k: BIGINT>, k is never a JSON null, and the null
+    // literal always is — the oracle replays those invariants, so a
+    // drifted inference or null-conflation fails the hash.
+    "q_variant_ops" ->
+      """SELECT event_id, 'OBJECT<k: BIGINT>' AS vschema,
+        |  0 AS k_is_null, 1 AS null_lit_is_null
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_variant_explode" ->
+      """SELECT event_id, 0 AS pos, 'k' AS key,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS val
         |FROM events ORDER BY event_id""".stripMargin
   )
 }
