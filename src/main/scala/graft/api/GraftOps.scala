@@ -2486,6 +2486,31 @@ object GraftOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Per-node top-k truncation of a canonical (sa < sb) scored pair
+    * table — the bounded-output form of a similarity projection. A full
+    * pair table is inherently Θ(pairs) OUTPUT (~n²/2 on a dense
+    * projection) regardless of plan shape; real link-prediction serving
+    * needs each node's k best neighbors, an n·k table. Symmetrize, then
+    * rank per node by score descending with the neighbor id as the
+    * deterministic tie-break. The rank-filter idiom compiles to
+    * WindowGroupLimit (partial mode before the exchange), so each map
+    * task forwards at most k rows per node and the truncation rides the
+    * node shuffle instead of adding a stage.
+    */
+  def topKNeighbors(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"topKNeighbors k must be >= 1, got $k")
+    val sym = pairs.select(col("sa").as("node"), col("sb").as("nbr"),
+        col("common"), col("jac_ppm"))
+      .unionByName(pairs.select(col("sb").as("node"), col("sa").as("nbr"),
+        col("common"), col("jac_ppm")))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("jac_ppm").desc, col("nbr").asc)
+    sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("node"), col("nbr"), col("common"), col("jac_ppm"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** The classic one-shuffle cumulative walk: exact, partial-agg
     * friendly, and perfectly parallel when the distribution has MANY
     * groups (each group is one window partition). Its one flaw is the

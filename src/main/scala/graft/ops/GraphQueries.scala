@@ -148,30 +148,50 @@ object GraphQueries extends QueryPack {
     // the SAME capped edge set so inclusion-exclusion stays exact, and
     // the oracle replays the identical HAVING filter (interpolated from
     // the same constant).
-    "q_common_nbrs" -> ((s, d) => {
-      val e0 = rawTradePairs(s, d)
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("v"))
-      val e = GraftOps.cacheOnce(
-        GraftOps.capAnchors(e0, "c", "v", GraftOps.MaxBasketSize))
-      val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val common = e.select(col("c"), col("v").as("sa"))
-        .join(e.select(col("c"), col("v").as("sb")), Seq("c"))
-        .filter(col("sa") < col("sb"))
-        .groupBy(col("sa"), col("sb"))
-        .agg(count(lit(1)).as("common"))
-        // same observability treatment as the hub cap: the MinCommon
-        // floor's effect is metered, never silent
-        .observe(s"graft_min:common:$MinCommon",
-          count(lit(1)).as("total_pairs"),
-          count(when(col("common") >= MinCommon, lit(1))).as("kept_pairs"))
-        .filter(col("common") >= MinCommon)
-      common
-        .join(deg.select(col("v").as("sa"), col("deg").as("da")), "sa")
-        .join(deg.select(col("v").as("sb"), col("deg").as("db")), "sb")
-        .select(col("sa"), col("sb"), col("common"),
-          expr("common * 1000000 div (da + db - common)").as("jac_ppm"))
-    })
+    "q_common_nbrs" -> commonNbrPairs,
+
+    // Bounded-output companion: the full pair table is inherently
+    // Θ(pairs) — on a dense projection that is ~n²/2 rows no matter how
+    // well the plan shuffles (499,500 at sf0.1's 1000 suppliers; a
+    // scale-killer as OUTPUT at 100× nodes). Per-node top-k keeps the
+    // same expansion + scoring shuffle but truncates to n·k rows via a
+    // rank window — Spark's WindowGroupLimit pushes the limit into a
+    // partial top-k BEFORE the node shuffle, so the truncation rides
+    // the same exchange instead of adding one. Deterministic tie-break
+    // on the neighbor id. ScaleSpec stresses it at 100k nodes where
+    // materializing the full pair table would be infeasible.
+    "q_common_nbrs_topk" -> ((s, d) =>
+      GraftOps.topKNeighbors(commonNbrPairs(s, d), NbrTopK))
   )
+
+  /** Per-node truncation size for q_common_nbrs_topk — single-sourced
+    * into the oracle like [[MinCommon]].
+    */
+  private val NbrTopK = 5
+
+  private def commonNbrPairs(s: SparkSession, d: String): DataFrame = {
+    val e0 = rawTradePairs(s, d)
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("v"))
+    val e = GraftOps.cacheOnce(
+      GraftOps.capAnchors(e0, "c", "v", GraftOps.MaxBasketSize))
+    val deg = e.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val common = e.select(col("c"), col("v").as("sa"))
+      .join(e.select(col("c"), col("v").as("sb")), Seq("c"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("common"))
+      // same observability treatment as the hub cap: the MinCommon
+      // floor's effect is metered, never silent
+      .observe(s"graft_min:common:$MinCommon",
+        count(lit(1)).as("total_pairs"),
+        count(when(col("common") >= MinCommon, lit(1))).as("kept_pairs"))
+      .filter(col("common") >= MinCommon)
+    common
+      .join(deg.select(col("v").as("sa"), col("deg").as("da")), "sa")
+      .join(deg.select(col("v").as("sb"), col("deg").as("db")), "sb")
+      .select(col("sa"), col("sb"), col("common"),
+        expr("common * 1000000 div (da + db - common)").as("jac_ppm"))
+  }
 
   /** Supplier pairs co-occurring in ≥ MinSupport distinct orders,
     * id-canonical (`a < b`) — the projection of the bipartite
@@ -385,6 +405,39 @@ object GraphQueries extends QueryPack {
         |FROM pairs
         |JOIN deg da ON sa = da.v
         |JOIN deg db ON sb = db.v""".stripMargin,
+
+    // Same pair derivation, then the per-node rank truncation: both
+    // MinCommon and NbrTopK interpolate from the engine's constants,
+    // and the ORDER BY replays the deterministic nbr-id tie-break.
+    "q_common_nbrs_topk" ->
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |keep AS (SELECT c FROM e0 GROUP BY 1 HAVING count(*) <= ${GraftOps.MaxBasketSize}),
+        |e AS (SELECT e0.* FROM e0 JOIN keep USING (c)),
+        |deg AS (SELECT v, count(*) AS d FROM e GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.v AS sa, b.v AS sb, count(*) AS common
+        |  FROM e a JOIN e b ON a.c = b.c AND a.v < b.v
+        |  GROUP BY 1, 2 HAVING count(*) >= $MinCommon),
+        |scored AS (
+        |  SELECT sa, sb, common,
+        |    CAST(common * 1000000 // (da.d + db.d - common) AS BIGINT)
+        |      AS jac_ppm
+        |  FROM pairs
+        |  JOIN deg da ON sa = da.v
+        |  JOIN deg db ON sb = db.v),
+        |sym AS (
+        |  SELECT sa AS node, sb AS nbr, common, jac_ppm FROM scored
+        |  UNION ALL
+        |  SELECT sb AS node, sa AS nbr, common, jac_ppm FROM scored),
+        |ranked AS (
+        |  SELECT node, nbr, common, jac_ppm,
+        |    row_number() OVER (PARTITION BY node
+        |      ORDER BY jac_ppm DESC, nbr) AS rk
+        |  FROM sym)
+        |SELECT node, nbr, common, jac_ppm, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= $NbrTopK""".stripMargin,
 
     // Three unrolled BFS rounds: each d_r is the min-merge of d_{r-1}
     // with every neighbor's d_{r-1}+1 — identical to the engine's

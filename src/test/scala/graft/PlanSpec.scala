@@ -61,6 +61,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(3).mkString)
   }
 
+  test("q_common_nbrs_topk truncates map-side via WindowGroupLimit") {
+    // the rank-filter must compile to a partial WindowGroupLimit ahead
+    // of the node exchange — each map task forwards at most k rows per
+    // node, so the truncation rides the shuffle instead of adding one
+    val p = planOf(SparkEntry.queries("q_common_nbrs_topk")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("x_dedup_near contains no cartesian/nested-loop stage") {
     val p = planOf(SparkEntry.queries("x_dedup_near")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

@@ -662,6 +662,39 @@ class ScaleSpec extends SparkSpec {
       "the recursion must complete past the 1M-row default cap")
   }
 
+  test("topKNeighbors bounds a 100k-node dense projection to n·k output") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 100 clusters × 1000 nodes, every within-cluster pair scored: the
+    // full pair table is ~50M rows — collecting or serving it is the
+    // scale-killer the top-k companion exists for; the truncated output
+    // is exactly n·k. Scores depend only on index distance, so each
+    // node's best neighbors are its nearest indices (tie-broken by id).
+    import spark.implicits._
+    val m = 1000L
+    val nodes = spark.range(0, 100000L, 1, 32)
+      .select(col("id"), (col("id") / m).cast("long").as("cl"),
+        pmod(col("id"), lit(m)).as("ix"))
+    val pairs = nodes.as("a")
+      .join(nodes.as("b"), col("a.cl") === col("b.cl")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("sa"), col("b.id").as("sb"),
+        lit(7L).as("common"),
+        (lit(1000000L) - (col("b.ix") - col("a.ix"))).as("jac_ppm"))
+    val top = GraftOps.topKNeighbors(pairs, 3)
+    assert(top.count() === 300000L,
+      "every node must emit exactly k rows, never the full pair fan-out")
+    // node 0 (cluster edge): nearest indices ascending, ties impossible
+    val n0 = top.filter(col("node") === 0L).orderBy(col("rk"))
+      .select(col("nbr")).collect().map(_.getLong(0)).toSeq
+    assert(n0 === Seq(1L, 2L, 3L))
+    // an interior node: distance-1 neighbors tie at the top score and
+    // break by the lower id, then the next distance's lower id
+    val n500 = top.filter(col("node") === 500L).orderBy(col("rk"))
+      .select(col("nbr")).collect().map(_.getLong(0)).toSeq
+    assert(n500 === Seq(499L, 501L, 498L),
+      "rank must follow jac desc with the nbr-asc tie-break")
+  }
+
   test("weighted median at 20M rows x 3 groups: ranged walk, exact crossings") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // The shape the two-phase ranged walk exists for: a huge distribution
