@@ -129,7 +129,117 @@ object MultimodalDecode {
     import df.sparkSession.implicits._
     features(df.as[MediaIn]).toDF()
   }
+
+  /** REAL pixel resample: decode the image, aspect-fit it into a
+    * `box`×`box` target with the same exact-integer ppm arithmetic the
+    * planning query uses (scale_ppm = min(1e6, box·1e6 div max(w, h)),
+    * downscale only), draw through Graphics2D onto a fresh raster,
+    * re-encode as PNG, and DECODE THE RESULT AGAIN — the reported
+    * out_w/out_h come from the re-decoded output bytes, so the gate
+    * proves the whole decode→resample→encode→decode chain, not just the
+    * arithmetic. Undecodable input → ok=false, zero dims, empty output.
+    */
+  def resampleOne(in: MediaIn, box: Int): MediaResample = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null)
+      return MediaResample(in.doc_id, 0, 0, 0, 0, 0L, ok = false)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val scalePpm = math.min(1000000L, box * 1000000L / math.max(w, h))
+    val nw = math.max(1L, w * scalePpm / 1000000L).toInt
+    val nh = math.max(1L, h * scalePpm / 1000000L).toInt
+    val out = new java.awt.image.BufferedImage(
+      nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try g.drawImage(img, 0, 0, nw, nh, null)
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    val bytes = bos.toByteArray
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    MediaResample(in.doc_id, w, h, back.getWidth, back.getHeight,
+      bytes.length.toLong, ok = true)
+  }
+
+  /** Resample a payload Dataset partition-at-a-time (the [[decode]]
+    * harness shape; a real pipeline would also carry the output bytes —
+    * here only their size is kept so the result stays oracle-sortable).
+    */
+  def resample(payloads: Dataset[MediaIn], box: Int): Dataset[MediaResample] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(resampleOne(_, box))
+    }
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` ships with the JDK, so
+    * WAV payloads yield their true sample rate / channel count / frame
+    * length from actually parsing the RIFF stream. Undecodable bytes →
+    * ok=false, zeros — never a thrown partition.
+    */
+  def decodeAudioOne(in: MediaIn): AudioMeta = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val st =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(c))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => null
+      }
+    if (st == null)
+      AudioMeta(in.doc_id, in.mime, c.length.toLong, 0, 0, 0L, ok = false)
+    else {
+      val f = st.getFormat
+      AudioMeta(in.doc_id, in.mime, c.length.toLong,
+        f.getSampleRate.toInt, f.getChannels, st.getFrameLength, ok = true)
+    }
+  }
+
+  def decodeAudio(payloads: Dataset[MediaIn]): Dataset[AudioMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map(decodeAudioOne))
+  }
+
+  /** Encode deterministic 16-bit mono PCM as real WAV bytes — the
+    * fixture generator for the audio-decode path. Sample i is a pure
+    * function of (seed, i), so the same (frames, seed) always gives the
+    * same RIFF payload.
+    */
+  def encodeWav(frames: Int, seed: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = ((seed * 31L + i * 2654435761L) & 0xffffL).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val st = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(st,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 }
 
 /** One histogram-bin feature row leaving the feature stage. */
 case class MediaFeat(doc_id: Long, bin: Int, cnt: Long)
+
+/** One resample result row: source dims, RE-DECODED output dims, and the
+  * re-encoded payload size.
+  */
+case class MediaResample(doc_id: Long, src_w: Int, src_h: Int,
+                         out_w: Int, out_h: Int, n_bytes_out: Long,
+                         ok: Boolean)
+
+/** Decoded audio metadata: true format values parsed from the payload. */
+case class AudioMeta(doc_id: Long, mime: String, n_bytes: Long,
+                     sample_rate: Int, channels: Int, n_frames: Long,
+                     ok: Boolean)

@@ -741,6 +741,49 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("mime"), col("width"), col("height"),
         col("ok").cast("int").as("ok"))
 
+  /** x_mm_resample: REAL pixel resample — each genuine PNG payload is
+    * decoded, aspect-fit into a 16×16 box through Graphics2D, re-encoded
+    * as PNG, and the OUTPUT bytes decoded again; the gated out_w/out_h
+    * come from that re-decode, so the hash gate proves the full
+    * decode→resample→encode→decode chain against the oracle's integer
+    * dimension arithmetic (x_mm_resize's planning formula, now executed
+    * on real pixels). Corrupt payloads fail loudly. Pure map work.
+    */
+  def mmResample(s: SparkSession, d: String): DataFrame =
+    graft.api.MultimodalDecode.resample(mediaPngTable(s, d), box = 16).toDF()
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+        col("out_w"), col("out_h"), col("ok").cast("int").as("ok"))
+
+  /** The WAV media table: one genuine RIFF/WAV payload per document
+    * (16-bit mono PCM via javax.sound.sampled), frame count a pure
+    * function of doc_id; doc_id % 89 == 0 rows truncate to 8 bytes — a
+    * corrupt feed row whose decode must fail loudly.
+    */
+  def mediaWavTable(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.api.MediaIn] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val wav = graft.api.MultimodalDecode.encodeWav(
+            800 + (id % 1600).toInt, id)
+          val content = if (id % 89 == 0) wav.take(8) else wav
+          graft.api.MediaIn(id, content, "audio/wav")
+        }
+      }
+  }
+
+  /** x_audio_decode: REAL audio decode — sample rate / channels / frame
+    * length parsed from the actual RIFF stream by the JDK's
+    * javax.sound.sampled, gated against the fixture's frame formula.
+    * The audio analog of [[mmDecode]]; video stays a documented
+    * byte-fake (no JDK codec exists).
+    */
+  def audioDecode(s: SparkSession, d: String): DataFrame =
+    graft.api.MultimodalDecode.decodeAudio(mediaWavTable(s, d)).toDF()
+      .select(col("doc_id"), col("mime"), col("sample_rate"),
+        col("channels"), col("n_frames"), col("ok").cast("int").as("ok"))
+
   /** x_dsir: DSIR importance weights over the documents table — target
     * slice = English docs, features = md5-hashed tokens in 1024 bins.
     * The data-selection pass that upsamples target-like raw documents.
@@ -827,7 +870,9 @@ object LlmQueries extends QueryPack {
     "x_multimodal" -> multimodal,
     "x_mm_resize" -> mmResize,
     "x_mm_features" -> mmFeatures,
-    "x_mm_decode" -> mmDecode
+    "x_mm_decode" -> mmDecode,
+    "x_mm_resample" -> mmResample,
+    "x_audio_decode" -> audioDecode
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2002,6 +2047,48 @@ object LlmQueries extends QueryPack {
         |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0
         |            ELSE 4 + doc_id % 23 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM documents""".stripMargin,
+
+    // The engine resamples real pixels (decode -> Graphics2D aspect-fit
+    // -> PNG encode -> re-decode); the oracle replays only the integer
+    // dimension arithmetic over the fixture's doc_id formulas. Hash
+    // equality = the re-decoded OUTPUT image carries exactly the planned
+    // dimensions, for every payload, including the loud corrupt rows.
+    "x_mm_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 29 AS INT) AS w,
+        |    CAST(4 + doc_id % 23 AS INT) AS h,
+        |    doc_id % 97 = 0 AS corrupt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h, corrupt,
+        |    least(1000000, 16000000 // greatest(w, h)) AS scale_ppm
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE w END AS INT) AS src_w,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE h END AS INT) AS src_h,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |            ELSE greatest(1, w * scale_ppm // 1000000) END AS INT)
+        |    AS out_w,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |            ELSE greatest(1, h * scale_ppm // 1000000) END AS INT)
+        |    AS out_h,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM r""".stripMargin,
+
+    // Real RIFF parse vs the fixture's frame formula: 16-bit mono PCM at
+    // 8 kHz with n_frames = 800 + doc_id % 1600; every 89th payload is
+    // truncated and must fail loudly with zeroed format values.
+    "x_audio_decode" ->
+      """SELECT doc_id, 'audio/wav' AS mime,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 8000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 END AS INT)
+        |    AS channels,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0
+        |            ELSE 800 + doc_id % 1600 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 END AS INT) AS ok
         |FROM documents""".stripMargin
   )
 }

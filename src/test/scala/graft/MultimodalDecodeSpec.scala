@@ -65,6 +65,42 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("resample really transforms pixels: re-decoded output has fit dims") {
+    import spark.implicits._
+    val in = Seq(
+      graft.api.MediaIn(1L, MultimodalDecode.encodePng(32, 8, 5L), "image/png"),
+      graft.api.MediaIn(2L, MultimodalDecode.encodePng(6, 4, 5L), "image/png"),
+      graft.api.MediaIn(3L, "garbage".getBytes, "image/png")).toDS()
+    val out = MultimodalDecode.resample(in, box = 16).collect()
+      .map(m => m.doc_id -> m).toMap
+    // 32x8 -> scale 0.5 -> 16x4, verified on the RE-DECODED bytes
+    assert(out(1L).ok && out(1L).src_w === 32 && out(1L).out_w === 16
+      && out(1L).out_h === 4)
+    assert(out(1L).n_bytes_out > 0)
+    // 6x4 fits already: downscale-only keeps it untouched
+    assert(out(2L).ok && out(2L).out_w === 6 && out(2L).out_h === 4)
+    assert(!out(3L).ok && out(3L).out_w === 0 && out(3L).n_bytes_out === 0L)
+  }
+
+  test("audio: a real WAV round-trips through javax.sound.sampled") {
+    import spark.implicits._
+    val wav = MultimodalDecode.encodeWav(frames = 1234, seed = 9L)
+    // genuine RIFF signature
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    val in = Seq(
+      graft.api.MediaIn(1L, wav, "audio/wav"),
+      graft.api.MediaIn(2L, wav.take(8), "audio/wav"),
+      graft.api.MediaIn(3L, null, "audio/wav")).toDS()
+    val out = MultimodalDecode.decodeAudio(in).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).ok && out(1L).sample_rate === 8000
+      && out(1L).channels === 1 && out(1L).n_frames === 1234L)
+    Seq(2L, 3L).foreach { id =>
+      assert(!out(id).ok && out(id).n_frames === 0L,
+        s"corrupt audio payload $id must fail loudly")
+    }
+  }
+
   test("encodePng is deterministic; distinct seeds give distinct bytes") {
     val a = MultimodalDecode.encodePng(8, 5, 7L)
     val b = MultimodalDecode.encodePng(8, 5, 7L)
