@@ -282,7 +282,14 @@ object PlanDump {
     "q_window_ratio" -> ("Ratio-to-report — unbounded-frame window sum, " +
       "exact cents/ppm"),
     "q_concurrency" -> ("Temporal overlap aggregation — map-side bucket " +
-      "explode + one count shuffle")
+      "explode + one count shuffle"),
+    "q_common_nbrs_topk" -> ("Bounded-output similarity serving — " +
+      "partial WindowGroupLimit truncates to k rows per node BEFORE " +
+      "the exchange; never materializes the quadratic pair table"),
+    "x_mm_decode" -> ("REAL image decode — typed mapPartitions, zero " +
+      "shuffle; ImageIO parses genuine PNG payloads"),
+    "q_variant_explode" -> ("Variant 1→N — lateral table-valued " +
+      "generator inside whole-stage codegen, zero shuffle")
   )
 
   def main(args: Array[String]): Unit = {
