@@ -66,7 +66,16 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) sec else -sec
     }
-    val measured = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional arg: comma-separated query-name subset — the targeted
+    // scale-rehearsal loop (e.g. the new-operator spot check at sf1).
+    // The driver always runs the 0-arg full sweep.
+    val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
+    val measured = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map {
       case (name, fn) =>
         spark.catalog.clearCache()
         val times = (1 to 2).map(_ => timeOnce(fn))

@@ -286,8 +286,9 @@ object PlanDump {
     "q_common_nbrs_topk" -> ("Bounded-output similarity serving — " +
       "partial WindowGroupLimit truncates to k rows per node BEFORE " +
       "the exchange; never materializes the quadratic pair table"),
-    "x_mm_decode" -> ("REAL image decode — typed mapPartitions, zero " +
-      "shuffle; ImageIO parses genuine PNG payloads"),
+    "x_mm_decode" -> ("REAL image decode — ImageIO parses genuine PNG " +
+      "payloads; one id repartition parallelizes the single-split " +
+      "fixture, decode itself map-only"),
     "q_variant_explode" -> ("Variant 1→N — lateral table-valued " +
       "generator inside whole-stage codegen, zero shuffle")
   )

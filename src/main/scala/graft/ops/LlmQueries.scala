@@ -717,7 +717,13 @@ object LlmQueries extends QueryPack {
   def mediaPngTable(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[graft.api.MediaIn] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // repartition the id scan BEFORE the per-row-expensive codec map:
+    // the documents table often reads as a single split (one small
+    // parquet file), which would serialize every encode onto one task —
+    // the round-9 single-split lesson, re-caught by the round-10 sf1
+    // rehearsal on x_audio_decode (14x at 10x data before this shuffle)
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val png = graft.api.MultimodalDecode.encodePng(
@@ -762,7 +768,10 @@ object LlmQueries extends QueryPack {
   def mediaWavTable(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[graft.api.MediaIn] = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    // same single-split guard as mediaPngTable — WAV synthesis is the
+    // most expensive per-row codec here (~3 KB PCM per doc)
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val wav = graft.api.MultimodalDecode.encodeWav(
