@@ -2499,9 +2499,15 @@ object GraftOps {
     */
   def topKNeighbors(pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"topKNeighbors k must be >= 1, got $k")
-    val sym = pairs.select(col("sa").as("node"), col("sb").as("nbr"),
+    // cache before the symmetrizing union: it references the scored-pair
+    // subtree twice, and uncached that recomputes the whole upstream
+    // expansion per branch (the uncached-self-reference trap basketPairs
+    // documents; measured 4.3s -> 1.2s warm at sf0.1). Tracked, so a
+    // resident driver serving changing inputs stays bounded.
+    val p = trackedCache(pairs)
+    val sym = p.select(col("sa").as("node"), col("sb").as("nbr"),
         col("common"), col("jac_ppm"))
-      .unionByName(pairs.select(col("sb").as("node"), col("sa").as("nbr"),
+      .unionByName(p.select(col("sb").as("node"), col("sa").as("nbr"),
         col("common"), col("jac_ppm")))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("jac_ppm").desc, col("nbr").asc)
