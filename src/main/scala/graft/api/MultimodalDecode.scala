@@ -125,13 +125,61 @@ object MultimodalDecode {
     while (y < height) {
       var x = 0
       while (x < width) {
-        val m = seed * 31L + x * 7L + y * 131L
-        img.setRGB(x, y, (m & 0xffffffL).toInt)
+        // multiply-mix so the pixel field is pseudorandom PER SEED: a
+        // plain linear ramp would give every seed the same adjacent-
+        // pixel gradient sign, collapsing all perceptual hashes to one
+        val m = (seed * 31L + x * 7L + y * 131L) * 2654435761L
+        img.setRGB(x, y, ((m >>> 16) & 0xffffffL).toInt)
         x += 1
       }
       y += 1
     }
     writePng(img)
+  }
+
+  /** 64-bit difference hash (dHash) over the REAL decoded pixels: the
+    * raster is aspect-ignoring resampled to 9×8 through Graphics2D,
+    * converted to average-RGB brightness, and each bit records whether
+    * a pixel is darker than its right neighbor — the standard
+    * perceptual fingerprint for image near-dup detection (identical
+    * images hash identically; a small local edit flips only the bits
+    * whose comparison windows it touches). Returns None for
+    * undecodable payloads.
+    */
+  def dHash64(c: Array[Byte]): Option[Long] = {
+    val img = readImage(if (c == null) Array.emptyByteArray else c)
+    if (img == null) return None
+    val small = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try g.drawImage(img, 0, 0, 9, 8, null)
+    finally g.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val p = small.getRGB(x, y)
+      ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        bits = (bits << 1) | (if (lum(x, y) < lum(x + 1, y)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bits)
+  }
+
+  /** Perceptual-hash a payload Dataset partition-at-a-time. */
+  def phash(payloads: Dataset[MediaIn]): Dataset[MediaHash] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map { in =>
+      dHash64(in.content) match {
+        case Some(h) => MediaHash(in.doc_id, h, ok = true)
+        case None    => MediaHash(in.doc_id, 0L, ok = false)
+      }
+    })
   }
 
   /** Convenience: DataFrame in (doc_id, content, mime), metadata out. */
@@ -276,6 +324,9 @@ case class MediaFeat(doc_id: Long, bin: Int, cnt: Long)
 case class MediaResample(doc_id: Long, src_w: Int, src_h: Int,
                          out_w: Int, out_h: Int, n_bytes_out: Long,
                          ok: Boolean)
+
+/** One perceptual-hash row: 64-bit dHash of the decoded pixels. */
+case class MediaHash(doc_id: Long, phash: Long, ok: Boolean)
 
 /** Decoded audio metadata: true format values parsed from the payload. */
 case class AudioMeta(doc_id: Long, mime: String, n_bytes: Long,

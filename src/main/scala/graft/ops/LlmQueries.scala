@@ -760,6 +760,39 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("src_w"), col("src_h"),
         col("out_w"), col("out_h"), col("ok").cast("int").as("ok"))
 
+  /** x_mm_phash_dedup: image-content dedup by perceptual hash — every
+    * payload is a genuine PNG whose (w, h, seed) triple derives from
+    * doc_id mod three coprime bases, so ids congruent mod 140 carry
+    * BYTE-IDENTICAL images (the planted duplicate classes). The engine
+    * decodes real pixels, dHash-64s them ([[graft.api.MultimodalDecode
+    * .dHash64]]), and groups by the hash; the oracle predicts the
+    * cluster representatives and sizes purely arithmetically from
+    * doc_id % 140. Hash equality proves (a) identical pixels hash
+    * identically through the whole decode→resample→fingerprint chain
+    * and (b) the 255 distinct pixel fields of the fixture never
+    * collide — a real dedup-by-content gate with no pixel value ever
+    * leaving the engine. Near-dup behavior (small edit → small hamming
+    * distance) is pinned in MultimodalDecodeSpec, where a pixel-level
+    * oracle is possible.
+    */
+  def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val png = graft.api.MultimodalDecode.encodePng(
+            4 + (id % 5).toInt, 4 + (id % 4).toInt, id % 7)
+          graft.api.MediaIn(id, png, "image/png")
+        }
+      }
+    graft.api.MultimodalDecode.phash(payloads).toDF()
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_rep"), col("n_members"))
+  }
+
   /** The WAV media table: one genuine RIFF/WAV payload per document
     * (16-bit mono PCM via javax.sound.sampled), frame count a pure
     * function of doc_id; doc_id % 89 == 0 rows truncate to 8 bytes — a
@@ -881,7 +914,8 @@ object LlmQueries extends QueryPack {
     "x_mm_features" -> mmFeatures,
     "x_mm_decode" -> mmDecode,
     "x_mm_resample" -> mmResample,
-    "x_audio_decode" -> audioDecode
+    "x_audio_decode" -> audioDecode,
+    "x_mm_phash_dedup" -> mmPhashDedup
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2089,6 +2123,16 @@ object LlmQueries extends QueryPack {
     // Real RIFF parse vs the fixture's frame formula: 16-bit mono PCM at
     // 8 kHz with n_frames = 800 + doc_id % 1600; every 89th payload is
     // truncated and must fail loudly with zeroed format values.
+    // Ids congruent mod 140 (= lcm of the coprime 5/4/7 dim-and-seed
+    // bases) carry byte-identical PNGs; the oracle groups ids by that
+    // class while the engine groups by the dHash of the real decoded
+    // pixels — equality proves content-identical images fingerprint
+    // together and the fixture's distinct pixel fields never collide.
+    "x_mm_phash_dedup" ->
+      """SELECT min(doc_id) AS cluster_rep,
+        |  count(*) AS n_members
+        |FROM documents GROUP BY doc_id % 140""".stripMargin,
+
     "x_audio_decode" ->
       """SELECT doc_id, 'audio/wav' AS mime,
         |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 8000 END AS INT)

@@ -101,6 +101,30 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("dHash64: identical pixels hash equal, a small edit stays near") {
+    val a = MultimodalDecode.encodePng(24, 18, seed = 3L)
+    val b = MultimodalDecode.encodePng(24, 18, seed = 3L)
+    assert(MultimodalDecode.dHash64(a) === MultimodalDecode.dHash64(b),
+      "byte-identical images must fingerprint identically")
+    // corrupt bytes have no hash
+    assert(MultimodalDecode.dHash64("junk".getBytes).isEmpty)
+    // near-dup: flip ONE source pixel and re-encode — only the hash bits
+    // whose 9x8 comparison windows cover that pixel may move
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    img.setRGB(5, 5, 0xffffff ^ img.getRGB(5, 5))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val near = MultimodalDecode.dHash64(bos.toByteArray).get
+    val base = MultimodalDecode.dHash64(a).get
+    val ham = java.lang.Long.bitCount(base ^ near)
+    assert(ham <= 6, s"one-pixel edit moved $ham dHash bits — not local")
+    // a different seed is a different image: hashes far apart
+    val other = MultimodalDecode.dHash64(
+      MultimodalDecode.encodePng(24, 18, seed = 4L)).get
+    assert(java.lang.Long.bitCount(base ^ other) > 10,
+      "unrelated images must not fingerprint near each other")
+  }
+
   test("encodePng is deterministic; distinct seeds give distinct bytes") {
     val a = MultimodalDecode.encodePng(8, 5, 7L)
     val b = MultimodalDecode.encodePng(8, 5, 7L)
