@@ -63,7 +63,8 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "x_sim_brute",     // custom codegen CosineSim + typed TopKByScore
     "x_dedup_near",    // MinHash/LSH over xxhash64 permutations
     "x_dedup_cluster", // pointer-jumping loop, lineage truncation
-    "x_multimodal")    // typed mapPartitions decode harness
+    "x_multimodal",    // typed mapPartitions decode harness
+    "x_mm_phash_dedup") // thread-local ImageIO codecs on executor JVMs
 
   private val parityQueries: Seq[String] =
     if (fullSweep) SparkEntry.queries.keys.toSeq.sorted
