@@ -125,11 +125,15 @@ object MultimodalDecode {
     while (y < height) {
       var x = 0
       while (x < width) {
-        // multiply-mix so the pixel field is pseudorandom PER SEED: a
-        // plain linear ramp would give every seed the same adjacent-
-        // pixel gradient sign, collapsing all perceptual hashes to one
-        val m = (seed * 31L + x * 7L + y * 131L) * 2654435761L
-        img.setRGB(x, y, ((m >>> 16) & 0xffffffL).toInt)
+        // murmur-style finalizer so the pixel field is genuinely
+        // pseudorandom per (seed, x, y): any MULTIPLICATIVE mix of a
+        // linear ramp keeps adjacent-pixel differences nearly constant
+        // across seeds, which correlates every image's perceptual hash
+        // (measured: 140 distinct fields, pairwise dHash hamming 1-10)
+        var m = seed * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+          y * 0x165667B19E3779F9L
+        m ^= m >>> 33; m *= 0xFF51AFD7ED558CCDL; m ^= m >>> 33
+        img.setRGB(x, y, (m & 0xffffffL).toInt)
         x += 1
       }
       y += 1

@@ -781,8 +781,11 @@ object LlmQueries extends QueryPack {
       .repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
+          // 16+ px sources so the 9x8 fingerprint DOWNSCALES (averaging
+          // mixes pixels, full comparison entropy); upscaled tiny images
+          // duplicate rows/columns and share forced-zero hash bits
           val png = graft.api.MultimodalDecode.encodePng(
-            4 + (id % 5).toInt, 4 + (id % 4).toInt, id % 7)
+            16 + (id % 5).toInt, 16 + (id % 4).toInt, id % 140)
           graft.api.MediaIn(id, png, "image/png")
         }
       }
@@ -791,6 +794,54 @@ object LlmQueries extends QueryPack {
       .agg(min(col("doc_id")).as("cluster_rep"),
         count(lit(1)).as("n_members"))
       .select(col("cluster_rep"), col("n_members"))
+  }
+
+  /** x_mm_phash_near: near-duplicate IMAGE detection at scale — the
+    * banded-hash join ([[dedupSimhash]]'s shape) applied to the
+    * perceptual dHash of real decoded pixels. The fixture is the
+    * byte-dedup evasion case: ids congruent mod 140 carry
+    * pixel-identical PNGs whose BYTES all differ (a unique per-id
+    * trailer rides after the IEND chunk, which every decoder ignores),
+    * so exact content hashing finds nothing while the pixel
+    * fingerprint pairs them all. 4×16-bit bands bucket the candidates
+    * (pigeonhole: hamming ≤ 3 leaves ≥ 1 band intact — never an
+    * all-pairs join), exact bit_count verifies. The oracle predicts
+    * the full within-class pair set arithmetically; every pair's
+    * hamming is exactly 0 because the pixels are identical.
+    */
+  def mmPhashNear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          // 16+ px sources so the 9x8 fingerprint DOWNSCALES (averaging
+          // mixes pixels, full comparison entropy); upscaled tiny images
+          // duplicate rows/columns and share forced-zero hash bits
+          val png = graft.api.MultimodalDecode.encodePng(
+            16 + (id % 5).toInt, 16 + (id % 4).toInt, id % 140)
+          // unique post-IEND trailer: same pixels, different bytes
+          val trailer = java.nio.ByteBuffer.allocate(8).putLong(id).array()
+          graft.api.MediaIn(id, png ++ trailer, "image/png")
+        }
+      }
+    val hashed = GraftOps.cacheOnce(
+      graft.api.MultimodalDecode.phash(payloads).toDF()
+        .filter(col("ok")).select(col("doc_id"), col("phash")))
+    val banded = hashed
+      .select(col("doc_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bkey",
+        expr("shiftright(phash, cast(b * 16 as int)) & 65535"))
+    banded.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+        col("b"), col("bkey"))
+      .join(banded.select(col("doc_id").as("doc_b"),
+        col("phash").as("hb"), col("b"), col("bkey")), Seq("b", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(ha ^ hb) as int)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
   }
 
   /** The WAV media table: one genuine RIFF/WAV payload per document
@@ -915,7 +966,8 @@ object LlmQueries extends QueryPack {
     "x_mm_decode" -> mmDecode,
     "x_mm_resample" -> mmResample,
     "x_audio_decode" -> audioDecode,
-    "x_mm_phash_dedup" -> mmPhashDedup
+    "x_mm_phash_dedup" -> mmPhashDedup,
+    "x_mm_phash_near" -> mmPhashNear
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2132,6 +2184,14 @@ object LlmQueries extends QueryPack {
       """SELECT min(doc_id) AS cluster_rep,
         |  count(*) AS n_members
         |FROM documents GROUP BY doc_id % 140""".stripMargin,
+
+    // Pixel-identical payloads (same mod-140 class) with all-different
+    // bytes must pair at hamming exactly 0; nothing else may pair.
+    "x_mm_phash_near" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id % 140 = b.doc_id % 140 AND a.doc_id < b.doc_id""".stripMargin,
 
     "x_audio_decode" ->
       """SELECT doc_id, 'audio/wav' AS mime,
