@@ -609,6 +609,33 @@ class StreamingSpec extends SparkSpec {
       "no buckets emitted — the chained aggregation is not progressing")
   }
 
+  test("s_media: the typed decode harness runs unchanged on a stream") {
+    // the multimodal decode stage is pure map work, so the SAME
+    // MultimodalDecode.decode call that serves batch must compose into
+    // readStream -> decode -> sink with no code change — the
+    // streaming-ingest path of a media pipeline (decode on arrival,
+    // metadata to the sink, corrupt payloads flagged not thrown)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[graft.api.MediaIn]
+    val q = graft.api.MultimodalDecode.decode(in.toDS())
+      .writeStream.format("memory").queryName("media_tbl")
+      .outputMode("append").start()
+    val png = graft.api.MultimodalDecode.encodePng(12, 7, seed = 1L)
+    in.addData(
+      graft.api.MediaIn(1L, png, "image/png"),
+      graft.api.MediaIn(2L, "corrupt".getBytes, "image/png"))
+    q.processAllAvailable()
+    in.addData(graft.api.MediaIn(3L, png.take(8), "image/png"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("media_tbl")
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getInt(4),
+        r.getBoolean(5))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 12, 7, true), (2L, 0, 0, false),
+      (3L, 0, 0, false)),
+      "streamed decode must match batch semantics incl. loud failures")
+  }
+
   test("state budget: watermark eviction bounds window-agg and dedup state") {
     // The TUNING.md §7 claim, observed instead of asserted on faith: run
     // 40 batches whose event time advances 10 minutes each (80 distinct
