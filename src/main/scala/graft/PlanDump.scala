@@ -290,7 +290,10 @@ object PlanDump {
       "payloads; one id repartition parallelizes the single-split " +
       "fixture, decode itself map-only"),
     "q_variant_explode" -> ("Variant 1→N — lateral table-valued " +
-      "generator inside whole-stage codegen, zero shuffle")
+      "generator inside whole-stage codegen, zero shuffle"),
+    "x_mm_phash_near" -> ("Banded perceptual-hash near-dup join — " +
+      "4-band bucket equi-join over the pixel fingerprints, exact " +
+      "bit_count verify; never an all-pairs image comparison")
   )
 
   def main(args: Array[String]): Unit = {
