@@ -294,6 +294,51 @@ object MultimodalDecode {
     payloads.mapPartitions(_.map(decodeAudioOne))
   }
 
+  /** REAL audio feature extraction: decode the WAV, read the WHOLE PCM
+    * body (not just the header), and compute the classic first-pass DSP
+    * features in exact integers — sample count, energy as the raw sum
+    * of squares, and the zero-crossing count (sign flip between
+    * consecutive samples; zero counts as non-negative). Exact integers
+    * so an oracle that knows the waveform can replay bit-for-bit;
+    * undecodable payloads fail loudly with zeros.
+    */
+  def audioFeaturesOne(in: MediaIn): AudioFeat = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val st =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(c))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => null
+      }
+    if (st == null || st.getFormat.getSampleSizeInBits != 16)
+      return AudioFeat(in.doc_id, 0L, 0L, 0L, ok = false)
+    val pcm =
+      try st.readAllBytes()
+      catch { case _: java.io.IOException =>
+        return AudioFeat(in.doc_id, 0L, 0L, 0L, ok = false)
+      }
+    val n = pcm.length / 2
+    var sumSq = 0L
+    var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      sumSq += s.toLong * s
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    AudioFeat(in.doc_id, n.toLong, sumSq, zc, ok = true)
+  }
+
+  def audioFeatures(payloads: Dataset[MediaIn]): Dataset[AudioFeat] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map(audioFeaturesOne))
+  }
+
   /** Encode deterministic 16-bit mono PCM as real WAV bytes — the
     * fixture generator for the audio-decode path. Sample i is a pure
     * function of (seed, i), so the same (frames, seed) always gives the
@@ -336,3 +381,7 @@ case class MediaHash(doc_id: Long, phash: Long, ok: Boolean)
 case class AudioMeta(doc_id: Long, mime: String, n_bytes: Long,
                      sample_rate: Int, channels: Int, n_frames: Long,
                      ok: Boolean)
+
+/** Exact-integer first-pass DSP features from the decoded PCM body. */
+case class AudioFeat(doc_id: Long, n_samples: Long, sum_sq: Long,
+                     n_zero_cross: Long, ok: Boolean)

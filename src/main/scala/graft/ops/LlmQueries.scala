@@ -877,6 +877,18 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("mime"), col("sample_rate"),
         col("channels"), col("n_frames"), col("ok").cast("int").as("ok"))
 
+  /** x_audio_features: REAL PCM feature extraction — the engine decodes
+    * each WAV and computes sample count, energy (exact sum of squares)
+    * and zero-crossing count from the ACTUAL payload body, while the
+    * oracle replays the fixture's sample-generator formula in SQL. Hash
+    * equality proves the decoder returned every PCM byte bit-exactly —
+    * the gate [[audioDecode]] (header metadata only) cannot give.
+    */
+  def audioFeatures(s: SparkSession, d: String): DataFrame =
+    graft.api.MultimodalDecode.audioFeatures(mediaWavTable(s, d)).toDF()
+      .select(col("doc_id"), col("n_samples"), col("sum_sq"),
+        col("n_zero_cross"), col("ok").cast("int").as("ok"))
+
   /** x_dsir: DSIR importance weights over the documents table — target
     * slice = English docs, features = md5-hashed tokens in 1024 bins.
     * The data-selection pass that upsamples target-like raw documents.
@@ -967,7 +979,8 @@ object LlmQueries extends QueryPack {
     "x_mm_resample" -> mmResample,
     "x_audio_decode" -> audioDecode,
     "x_mm_phash_dedup" -> mmPhashDedup,
-    "x_mm_phash_near" -> mmPhashNear
+    "x_mm_phash_near" -> mmPhashNear,
+    "x_audio_features" -> audioFeatures
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2192,6 +2205,34 @@ object LlmQueries extends QueryPack {
         |  CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 140 = b.doc_id % 140 AND a.doc_id < b.doc_id""".stripMargin,
+
+    // The engine decodes the WHOLE PCM body and computes exact-integer
+    // features; the oracle regenerates the waveform from the fixture's
+    // sample formula s_i = (id*31 + i*2654435761) mod 2^16 as signed
+    // int16. Equality proves every PCM byte round-tripped bit-exactly.
+    "x_audio_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, 800 + doc_id % 1600 AS n,
+        |    doc_id % 89 = 0 AS corrupt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, corrupt,
+        |    [CASE WHEN (doc_id*31 + i*2654435761) % 65536 >= 32768
+        |          THEN (doc_id*31 + i*2654435761) % 65536 - 65536
+        |          ELSE (doc_id*31 + i*2654435761) % 65536 END
+        |     for i in range(0, CAST(n AS INT))] AS smp
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE n END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE list_aggregate(list_transform(smp, x -> x*x), 'sum')
+        |       END AS BIGINT) AS sum_sq,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE len([i for i in range(1, len(smp))
+        |                 if (smp[i] < 0) <> (smp[i+1] < 0)])
+        |       END AS BIGINT) AS n_zero_cross,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM s""".stripMargin,
 
     "x_audio_decode" ->
       """SELECT doc_id, 'audio/wav' AS mime,

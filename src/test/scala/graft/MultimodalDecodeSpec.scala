@@ -101,6 +101,32 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("audio features read the PCM body exactly (hand-computed waveform)") {
+    import spark.implicits._
+    // 3 hand samples: encode them as PCM, round-trip through the WAV
+    // container, and the features must match the by-hand arithmetic
+    val pcm = Array[Short](100, -200, 300)
+    val bytes = new Array[Byte](6)
+    pcm.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val st = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, 3L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(st,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val in = Seq(graft.api.MediaIn(1L, bos.toByteArray, "audio/wav"),
+      graft.api.MediaIn(2L, "nope".getBytes, "audio/wav")).toDS()
+    val out = MultimodalDecode.audioFeatures(in).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out(1L).ok && out(1L).n_samples === 3L)
+    assert(out(1L).sum_sq === (100L * 100 + 200L * 200 + 300L * 300))
+    assert(out(1L).n_zero_cross === 2L, "sign flips at both transitions")
+    assert(!out(2L).ok && out(2L).sum_sq === 0L)
+  }
+
   test("dHash64: identical pixels hash equal, a small edit stays near") {
     val a = MultimodalDecode.encodePng(24, 18, seed = 3L)
     val b = MultimodalDecode.encodePng(24, 18, seed = 3L)
