@@ -159,6 +159,36 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(!java.util.Arrays.equals(a, c))
   }
 
+  test("every byte-truncation of real payloads decodes loudly, never throws") {
+    // the dirty-feed contract for codecs: a feed can cut a payload at
+    // ANY byte; every prefix must yield ok=false (or ok=true for the
+    // full payload) — never a thrown partition. Exhaustive over a whole
+    // PNG and a whole WAV, plus the resample and feature paths.
+    val png = MultimodalDecode.encodePng(10, 6, seed = 11L)
+    (0 until png.length).foreach { n =>
+      val m = graft.api.MediaIn(n.toLong, png.take(n), "image/png")
+      val r = MultimodalDecode.resampleOne(m, box = 8) // must not throw
+      // prefixes inside the signature/IHDR region can never decode;
+      // longer ones MAY (ImageIO tolerates a truncated IEND once every
+      // IDAT byte is present — found by this very sweep), but any
+      // successful decode must report the true dims
+      if (n <= 40) assert(!r.ok, s"PNG prefix of $n bytes decoded")
+      else if (r.ok) assert(r.src_w === 10 && r.src_h === 6)
+    }
+    assert(MultimodalDecode.resampleOne(
+      graft.api.MediaIn(0L, png, "image/png"), box = 8).ok)
+    val wav = MultimodalDecode.encodeWav(frames = 64, seed = 11L)
+    (0 until wav.length).foreach { n =>
+      val m = graft.api.MediaIn(n.toLong, wav.take(n), "audio/wav")
+      val f = MultimodalDecode.audioFeaturesOne(m)
+      // a truncated RIFF may still parse its header; the contract is
+      // only no-throw + self-consistent output, never a crash
+      assert(f.n_samples >= 0L)
+    }
+    assert(MultimodalDecode.audioFeaturesOne(
+      graft.api.MediaIn(1L, wav, "audio/wav")).ok)
+  }
+
   test("decode is deterministic and map-only (no shuffle)") {
     val a = MultimodalDecode.decodeDF(payloads)
     val b = MultimodalDecode.decodeDF(payloads)
