@@ -42,6 +42,34 @@ class QueryPackSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() === 6)
   }
 
+  test("topKNeighbors laws: k-monotone subset, symmetric closure, rank sane") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    // deterministic scored pairs with ties (jac depends on sum mod 4)
+    val pairs = (for (a <- 0L until 30L; b <- (a + 1) until 30L
+                      if (a + b) % 3 != 0)
+      yield (a, b, (a + b) % 7 + 1, ((a * b) % 4 + 1) * 1000L))
+      .toDF("sa", "sb", "common", "jac_ppm")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    val k3 = GraftOps.topKNeighbors(pairs, 3).collect().map(key).toSet
+    val k5 = GraftOps.topKNeighbors(pairs, 5).collect().map(key).toSet
+    // k-monotone: the k=3 table is exactly the rank<=3 slice of k=5
+    assert(k3 === k5.filter(_._4 <= 3L), "k=3 must be the k=5 prefix")
+    // symmetric closure: every node sees each qualifying pair from its
+    // own side before truncation — rank 1 exists for every node present
+    val byNode = GraftOps.topKNeighbors(pairs, 3).collect()
+      .groupBy(_.getLong(0))
+    byNode.foreach { case (n, rows) =>
+      val rks = rows.map(_.getLong(4)).sorted
+      assert(rks === (1L to rks.length).toArray.toSeq,
+        s"node $n ranks must be a dense 1..k prefix")
+    }
+    // determinism under ties: two runs agree exactly
+    val again = GraftOps.topKNeighbors(pairs, 3).collect().map(key).toSet
+    assert(again === k3, "tie-break must make the result deterministic")
+  }
+
   test("q_join_salted equals the unsalted join bit-for-bit") {
     // the salt is an execution-layout device only — any visible effect
     // (dropped bucket, modulo mismatch, dim under-replication) is a bug
