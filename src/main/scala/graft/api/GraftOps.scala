@@ -87,7 +87,15 @@ object GraftOps {
   private def trackedCache(df: DataFrame): DataFrame =
     trackedCaches.synchronized {
       val cached = cacheOnce(df)
-      trackedCaches.put(df.queryExecution.logical.semanticHash(), cached)
+      val prev =
+        trackedCaches.put(df.queryExecution.logical.semanticHash(), cached)
+      // the 32-bit semanticHash key can collide between DISTINCT plans;
+      // a displaced entry that is not semantically the new plan would
+      // otherwise stay persisted forever (orphaned from the registry —
+      // the slow-leak case the cap exists to bound), so unpersist it now
+      if (prev != null && !prev.queryExecution.logical
+            .sameResult(cached.queryExecution.logical))
+        prev.unpersist(blocking = false)
       while (trackedCaches.size > TrackedCacheCap) {
         val it = trackedCaches.entrySet().iterator()
         it.next().getValue.unpersist(blocking = false)
@@ -163,9 +171,21 @@ object GraftOps {
     */
   def dedupNear(df: DataFrame, key: Column, text: Column,
                 perms: Int = 16, bands: Int = 8,
-                threshold: Double = 0.8): DataFrame = {
-    val sh = shingleTable(df, key, text)
-      .persistOnce()
+                threshold: Double = 0.8): DataFrame =
+    dedupNearOnShingles(shingleTable(df, key, text), perms, bands, threshold)
+
+  /** [[dedupNear]] over a PREBUILT [[shingleTable]] — the subtree-sharing
+    * entry point: a pipeline that needs both the LSH pairs and another
+    * shingle consumer (e.g. [[jaccardJoinOnShingles]] in the recall
+    * harness) builds and caches the (doc, shingles) table once and feeds
+    * both, instead of each operator re-deriving the tokenize+shingle
+    * scan. persistOnce is idempotent, so passing an already-cached table
+    * never double-registers it.
+    */
+  def dedupNearOnShingles(shingles: DataFrame, perms: Int = 16,
+                          bands: Int = 8,
+                          threshold: Double = 0.8): DataFrame = {
+    val sh = shingles.persistOnce()
     verifyJaccard(
       bucketPairs(bandTable(sh, perms, bands),
         Seq(col("band"), col("bkey"))),
@@ -652,10 +672,16 @@ object GraftOps {
     * ratio), so float rounding can never shrink a prefix and lose a pair.
     */
   def jaccardJoin(df: DataFrame, key: Column, text: Column,
-                  threshold: Double): DataFrame = {
+                  threshold: Double): DataFrame =
+    jaccardJoinOnShingles(shingleTable(df, key, text), threshold)
+
+  /** [[jaccardJoin]] over a PREBUILT [[shingleTable]] — see
+    * [[dedupNearOnShingles]] for the subtree-sharing rationale.
+    */
+  def jaccardJoinOnShingles(shingles: DataFrame,
+                            threshold: Double): DataFrame = {
     val ppm = math.round(threshold * 1000000)
-    val sh = shingleTable(df, key, text)
-      .persistOnce()
+    val sh = shingles.persistOnce()
     val tall = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("s"))
     val dfreq = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -18,10 +18,12 @@ case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
   * Image payloads (mime `image/...`) take a REAL decode path: `ImageIO`
   * ships with the JDK, so width/height/ok come from actually parsing the
   * image bytes (undecodable bytes → ok=false, zero dims — never a thrown
-  * partition). Non-image mimes (audio/video stand-ins) keep a documented
-  * deterministic byte-fake: no JDK codec exists for them, and the fake
-  * keeps the plumbing — typed schema in/out, per-partition batching,
-  * corrupt-row handling — exercised end to end.
+  * partition). Video payloads (mime `video/...`) take the REAL
+  * MP4/ISO-BMFF box walk ([[probeVideoOne]]) — track dims out of tkhd.
+  * Audio metadata has its own typed surface ([[decodeAudioOne]] —
+  * dimensions are meaningless for it); any other mime keeps a documented
+  * deterministic byte-fake that exercises the plumbing — typed schema
+  * in/out, per-partition batching, corrupt-row handling — end to end.
   *
   * 100-TB note: decode is pure map work — no shuffle. Size input
   * partitions by payload bytes (spark.sql.files.maxPartitionBytes), not
@@ -92,6 +94,10 @@ object MultimodalDecode {
       else
         MediaMeta(in.doc_id, in.mime, c.length.toLong,
           img.getWidth, img.getHeight, ok = true)
+    } else if (in.mime != null && in.mime.startsWith("video/")) {
+      val v = probeVideoOne(in)
+      MediaMeta(in.doc_id, in.mime, c.length.toLong,
+        v.width, v.height, v.ok)
     } else {
       val b0 = if (c.nonEmpty) c(0) & 0xff else 0
       val b1 = if (c.length > 1) c(1) & 0xff else 0
@@ -142,32 +148,60 @@ object MultimodalDecode {
   }
 
   /** 64-bit difference hash (dHash) over the REAL decoded pixels: the
-    * raster is aspect-ignoring resampled to 9×8 through Graphics2D,
-    * converted to average-RGB brightness, and each bit records whether
-    * a pixel is darker than its right neighbor — the standard
-    * perceptual fingerprint for image near-dup detection (identical
-    * images hash identically; a small local edit flips only the bits
-    * whose comparison windows it touches). Returns None for
-    * undecodable payloads.
+    * raster is aspect-ignoring reduced to a 9×8 brightness grid by
+    * EXACT-INTEGER average pooling — cell (cx, cy) averages the pixel
+    * box [cx·w/9, (cx+1)·w/9) × [cy·h/8, (cy+1)·h/8) (floor division,
+    * boxes forced non-empty) — and each bit records whether a cell is
+    * darker than its right neighbor: the standard perceptual
+    * fingerprint for image near-dup detection (identical images hash
+    * identically; a small local edit flips only the bits whose
+    * comparison windows it touches). Hand-rolled pooling, NOT
+    * Graphics2D `drawImage` scaling, because the latter's resample
+    * kernel is implementation-defined — a JDK upgrade could legally
+    * shift every fingerprint and flip the gated no-near-collision
+    * property of the fixtures; this arithmetic depends only on the
+    * decoded pixel values. Returns None for undecodable payloads.
     */
   def dHash64(c: Array[Byte]): Option[Long] = {
     val img = readImage(if (c == null) Array.emptyByteArray else c)
     if (img == null) return None
-    val small = new java.awt.image.BufferedImage(
-      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = small.createGraphics()
-    try g.drawImage(img, 0, 0, 9, 8, null)
-    finally g.dispose()
-    def lum(x: Int, y: Int): Int = {
-      val p = small.getRGB(x, y)
-      ((p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)) / 3
+    val (w, h) = (img.getWidth, img.getHeight)
+    // lum(cx, cy) = sum(r+g+b over box) / (3 * |box|), exact integers.
+    // cx·w/9 < w always, so forcing x1 >= x0+1 never exceeds w (and a
+    // source narrower than the grid just repeats cells — forced-equal
+    // neighbors compare as 0 bits, same as any tiny-image fingerprint).
+    val lum = new Array[Int](8 * 9)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sum += (p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        lum(cy * 9 + cx) = (sum / (3L * (x1 - x0) * (y1 - y0))).toInt
+        cx += 1
+      }
+      cy += 1
     }
     var bits = 0L
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        bits = (bits << 1) | (if (lum(x, y) < lum(x + 1, y)) 1L else 0L)
+        bits = (bits << 1) |
+          (if (lum(y * 9 + x) < lum(y * 9 + x + 1)) 1L else 0L)
         x += 1
       }
       y += 1
@@ -250,8 +284,14 @@ object MultimodalDecode {
     finally g.dispose()
     val bytes = writePng(out)
     val back = readImage(bytes)
-    MediaResample(in.doc_id, w, h, back.getWidth, back.getHeight,
-      bytes.length.toLong, ok = true)
+    // the re-decode of our own fresh PNG "cannot" fail, but if it ever
+    // does (codec bug, OOM-truncated buffer) the row reports ok=false
+    // like every other corrupt payload — never a thrown partition
+    if (back == null)
+      MediaResample(in.doc_id, w, h, 0, 0, 0L, ok = false)
+    else
+      MediaResample(in.doc_id, w, h, back.getWidth, back.getHeight,
+        bytes.length.toLong, ok = true)
   }
 
   /** Resample a payload Dataset partition-at-a-time (the [[decode]]
@@ -311,7 +351,12 @@ object MultimodalDecode {
         case _: javax.sound.sampled.UnsupportedAudioFileException |
              _: java.io.IOException => null
       }
-    if (st == null || st.getFormat.getSampleSizeInBits != 16)
+    // gate on the EXACT layout the little-endian mono decode below
+    // assumes: a big-endian or multi-channel 16-bit stream would
+    // otherwise silently yield wrong energy and cross-channel
+    // zero-crossing counts instead of failing loudly
+    if (st == null || st.getFormat.getSampleSizeInBits != 16 ||
+        st.getFormat.isBigEndian || st.getFormat.getChannels != 1)
       return AudioFeat(in.doc_id, 0L, 0L, 0L, ok = false)
     val pcm =
       try st.readAllBytes()
@@ -362,6 +407,175 @@ object MultimodalDecode {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  // ------------------------------------------------------------ video (MP4)
+
+  /** REAL video container metadata parse: no JDK video CODEC exists, but
+    * an MP4/ISO-BMFF container is a pure byte format — length-prefixed
+    * boxes — so duration, timescale and track dimensions come from an
+    * actual `moov`/`mvhd`/`trak`/`tkhd` box walk over the payload, the
+    * same real-vs-stub footing the image (ImageIO) and audio
+    * (javax.sound.sampled) paths have. Handles 32-bit and 64-bit
+    * (`size == 1` largesize) boxes, `size == 0` (to end of enclosing),
+    * and both mvhd/tkhd versions (0: 32-bit times; 1: 64-bit). Any
+    * malformed structure — truncated box, size < 8, child overrunning
+    * its parent, zero timescale, missing moov/mvhd/tkhd — fails loudly
+    * (ok=false, zeros); never a thrown partition.
+    */
+  def probeVideoOne(in: MediaIn): VideoMeta = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val bad = VideoMeta(in.doc_id, in.mime, c.length.toLong,
+      0L, 0, 0, 0, ok = false)
+
+    def u32(off: Int): Long =
+      ((c(off) & 0xffL) << 24) | ((c(off + 1) & 0xffL) << 16) |
+        ((c(off + 2) & 0xffL) << 8) | (c(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String =
+      new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the boxes in [start, end), returning (type -> (bodyStart,
+      * bodyEnd)) for the FIRST box of each type; None on any structural
+      * fault. bodyStart points past the size+type (+largesize) header.
+      */
+    def walk(start: Int, end: Int): Option[Map[String, (Int, Int)]] = {
+      var off = start
+      val found = scala.collection.mutable.Map.empty[String, (Int, Int)]
+      while (off < end) {
+        if (off + 8 > end) return None
+        val sz32 = u32(off)
+        val typ = fourcc(off + 4)
+        var bodyStart = off + 8
+        val boxEnd: Long =
+          if (sz32 == 0L) end.toLong // last box: extends to enclosing end
+          else if (sz32 == 1L) { // 64-bit largesize follows the type
+            if (off + 16 > end) return None
+            bodyStart = off + 16
+            off + u64(off + 8)
+          } else off + sz32
+        if (boxEnd < bodyStart || boxEnd > end) return None
+        if (!found.contains(typ)) found(typ) = (bodyStart, boxEnd.toInt)
+        off = boxEnd.toInt
+      }
+      Some(found.toMap)
+    }
+
+    try {
+      val top = walk(0, c.length).getOrElse(return bad)
+      val (moovS, moovE) = top.getOrElse("moov", return bad)
+      val moov = walk(moovS, moovE).getOrElse(return bad)
+      val (mvhdS, mvhdE) = moov.getOrElse("mvhd", return bad)
+      // mvhd: version(1) flags(3), then v0: creation u32, modification
+      // u32, timescale u32, duration u32; v1: the times are u64
+      val mv = c(mvhdS) & 0xff
+      val (timescale, duration) =
+        if (mv == 0) {
+          if (mvhdS + 20 > mvhdE) return bad
+          (u32(mvhdS + 12), u32(mvhdS + 16))
+        } else if (mv == 1) {
+          if (mvhdS + 32 > mvhdE) return bad
+          (u32(mvhdS + 20), u64(mvhdS + 24))
+        } else return bad
+      if (timescale <= 0L || timescale > Int.MaxValue || duration < 0L)
+        return bad
+      val (trakS, trakE) = moov.getOrElse("trak", return bad)
+      val trak = walk(trakS, trakE).getOrElse(return bad)
+      val (tkhdS, tkhdE) = trak.getOrElse("tkhd", return bad)
+      // tkhd: version(1) flags(3), then v0 fixed fields span 72 bytes
+      // (v1: 84) before width/height as 16.16 fixed point
+      val tv = c(tkhdS) & 0xff
+      val dimOff = tkhdS + 4 + (if (tv == 0) 72 else if (tv == 1) 84
+                                else return bad)
+      if (dimOff + 8 > tkhdE) return bad
+      val w = (u32(dimOff) >> 16).toInt    // integer part of 16.16
+      val h = (u32(dimOff + 4) >> 16).toInt
+      VideoMeta(in.doc_id, in.mime, c.length.toLong,
+        duration * 1000L / timescale, timescale.toInt, w, h, ok = true)
+    } catch {
+      case _: IndexOutOfBoundsException => bad
+    }
+  }
+
+  /** Probe a video payload Dataset partition-at-a-time ([[decode]]'s
+    * harness shape). Pure map work, no shuffle.
+    */
+  def probeVideo(payloads: Dataset[MediaIn]): Dataset[VideoMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map(probeVideoOne))
+  }
+
+  /** Encode a minimal deterministic MP4/ISO-BMFF container — the fixture
+    * writer for the video-probe path (the [[encodePng]]/[[encodeWav]]
+    * pattern): real ftyp + moov{mvhd, trak{tkhd}} byte layout, duration
+    * in mvhd units of `timescale`, track dims as 16.16 fixed point.
+    * `version1` exercises the 64-bit-time mvhd/tkhd variants the parser
+    * must also handle. Pure ByteBuffer layout — bit-stable everywhere.
+    */
+  def encodeMp4(durationUnits: Long, timescale: Int, width: Int, height: Int,
+                version1: Boolean = false): Array[Byte] = {
+    require(timescale > 0 && durationUnits >= 0 && width >= 0 && height >= 0,
+      "encodeMp4 fixture fields must be non-negative with timescale > 0")
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(typ: String)(body: => Unit): Unit = {
+      val at = bb.position()
+      bb.putInt(0) // size backpatched below
+      bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      body
+      bb.putInt(at, bb.position() - at)
+    }
+    box("ftyp") {
+      bb.put("isom".getBytes); bb.putInt(0x200); bb.put("isommp41".getBytes)
+    }
+    box("moov") {
+      box("mvhd") {
+        if (version1) {
+          bb.putInt(0x01000000)            // version 1, flags 0
+          bb.putLong(0L); bb.putLong(0L)   // creation/modification (u64)
+          bb.putInt(timescale)
+          bb.putLong(durationUnits)
+        } else {
+          bb.putInt(0)                     // version 0, flags 0
+          bb.putInt(0); bb.putInt(0)       // creation/modification (u32)
+          bb.putInt(timescale)
+          bb.putInt(durationUnits.toInt)
+        }
+        bb.putInt(0x00010000)              // rate 1.0
+        bb.putShort(0x0100)                // volume 1.0
+        bb.putShort(0); bb.putLong(0L)     // reserved
+        // identity matrix
+        bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+        bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+        bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+        (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+        bb.putInt(2)                       // next_track_ID
+      }
+      box("trak") {
+        box("tkhd") {
+          if (version1) {
+            bb.putInt(0x01000007)          // version 1, flags: enabled
+            bb.putLong(0L); bb.putLong(0L) // creation/modification (u64)
+            bb.putInt(1); bb.putInt(0)     // track_ID, reserved
+            bb.putLong(durationUnits)
+          } else {
+            bb.putInt(0x00000007)          // version 0, flags: enabled
+            bb.putInt(0); bb.putInt(0)     // creation/modification (u32)
+            bb.putInt(1); bb.putInt(0)     // track_ID, reserved
+            bb.putInt(durationUnits.toInt)
+          }
+          bb.putLong(0L)                   // reserved
+          bb.putShort(0); bb.putShort(0)   // layer, alternate_group
+          bb.putShort(0); bb.putShort(0)   // volume (video: 0), reserved
+          bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+          bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+          bb.putInt(width << 16)           // 16.16 fixed point
+          bb.putInt(height << 16)
+        }
+      }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
 }
 
 /** One histogram-bin feature row leaving the feature stage. */
@@ -385,3 +599,11 @@ case class AudioMeta(doc_id: Long, mime: String, n_bytes: Long,
 /** Exact-integer first-pass DSP features from the decoded PCM body. */
 case class AudioFeat(doc_id: Long, n_samples: Long, sum_sq: Long,
                      n_zero_cross: Long, ok: Boolean)
+
+/** Video container metadata parsed from a real MP4/ISO-BMFF box walk:
+  * duration_ms = mvhd duration · 1000 / timescale (integer floor),
+  * width/height the integer part of tkhd's 16.16 fixed-point dims.
+  */
+case class VideoMeta(doc_id: Long, mime: String, n_bytes: Long,
+                     duration_ms: Long, timescale: Int,
+                     width: Int, height: Int, ok: Boolean)

@@ -385,10 +385,15 @@ object LlmQueries extends QueryPack {
     */
   def lshRecall(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val exact = GraftOps.jaccardJoin(docs, col("doc_id"), col("text"),
+    // ONE cached (doc, shingles) table feeds both legs — the exact leg
+    // and the LSH leg each need it twice internally, so the shared cache
+    // replaces four tokenize+shingle derivations with one
+    val sh = GraftOps.cacheOnce(
+      GraftOps.shingleTable(docs, col("doc_id"), col("text")))
+    val exact = GraftOps.jaccardJoinOnShingles(sh,
         threshold = JaccardThreshold)
       .select(col("doc_a").as("ta"), col("doc_b").as("tb"))
-    val lsh = GraftOps.dedupNear(docs, col("doc_id"), col("text"),
+    val lsh = GraftOps.dedupNearOnShingles(sh,
         perms = MinhashPerms, bands = Bands, threshold = JaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
     exact.join(lsh,
@@ -869,8 +874,8 @@ object LlmQueries extends QueryPack {
   /** x_audio_decode: REAL audio decode — sample rate / channels / frame
     * length parsed from the actual RIFF stream by the JDK's
     * javax.sound.sampled, gated against the fixture's frame formula.
-    * The audio analog of [[mmDecode]]; video stays a documented
-    * byte-fake (no JDK codec exists).
+    * The audio analog of [[mmDecode]]; video has its own real container
+    * parse ([[videoProbe]]).
     */
   def audioDecode(s: SparkSession, d: String): DataFrame =
     graft.api.MultimodalDecode.decodeAudio(mediaWavTable(s, d)).toDF()
@@ -888,6 +893,53 @@ object LlmQueries extends QueryPack {
     graft.api.MultimodalDecode.audioFeatures(mediaWavTable(s, d)).toDF()
       .select(col("doc_id"), col("n_samples"), col("sum_sq"),
         col("n_zero_cross"), col("ok").cast("int").as("ok"))
+
+  /** The MP4 media table: one genuine ISO-BMFF container per document
+    * (real ftyp/moov/mvhd/trak/tkhd byte layout via
+    * [[graft.api.MultimodalDecode.encodeMp4]]); duration, timescale and
+    * track dims are pure functions of doc_id so the oracle replays them
+    * without parsing. Every 11th row uses the version-1 (64-bit-time)
+    * box variant, so BOTH parser paths are gated. doc_id % 83 == 0 rows
+    * truncate to 12 bytes — a corrupt feed row whose parse must fail
+    * loudly.
+    */
+  def mediaMp4Table(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.api.MediaIn] = {
+    import s.implicits._
+    // same single-split guard as mediaPngTable/mediaWavTable
+    Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val mp4 = graft.api.MultimodalDecode.encodeMp4(
+            durationUnits = 3000L + id % 9000,
+            timescale = 600 + (id % 5).toInt * 150,
+            width = 320 + (id % 8).toInt * 80,
+            height = 240 + (id % 6).toInt * 60,
+            version1 = id % 11 == 0)
+          val content = if (id % 83 == 0) mp4.take(12) else mp4
+          graft.api.MediaIn(id, content, "video/mp4")
+        }
+      }
+  }
+
+  /** x_video_probe: REAL video container metadata parse — each payload
+    * is a genuine MP4/ISO-BMFF byte layout and duration_ms / timescale /
+    * track dims come out of an actual moov/mvhd/trak/tkhd box walk
+    * ([[graft.api.MultimodalDecode.probeVideoOne]]), not any stand-in
+    * arithmetic; the oracle replays the fixture's field formulas
+    * (including the integer-floor duration-to-ms conversion), so the
+    * hash gate proves the parser extracted the true box values from
+    * both the 32-bit and 64-bit (version 1) time layouts — and failed
+    * loudly (ok=0, zeros) on the truncated corrupt rows. Completes the
+    * media tier: images (ImageIO), audio (javax.sound.sampled) and now
+    * video all parse real payload bytes. Pure map work, no shuffle.
+    */
+  def videoProbe(s: SparkSession, d: String): DataFrame =
+    graft.api.MultimodalDecode.probeVideo(mediaMp4Table(s, d)).toDF()
+      .select(col("doc_id"), col("mime"), col("duration_ms"),
+        col("timescale"), col("width"), col("height"),
+        col("ok").cast("int").as("ok"))
 
   /** x_dsir: DSIR importance weights over the documents table — target
     * slice = English docs, features = md5-hashed tokens in 1024 bins.
@@ -980,7 +1032,8 @@ object LlmQueries extends QueryPack {
     "x_audio_decode" -> audioDecode,
     "x_mm_phash_dedup" -> mmPhashDedup,
     "x_mm_phash_near" -> mmPhashNear,
-    "x_audio_features" -> audioFeatures
+    "x_audio_features" -> audioFeatures,
+    "x_video_probe" -> videoProbe
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2243,6 +2296,24 @@ object LlmQueries extends QueryPack {
         |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0
         |            ELSE 800 + doc_id % 1600 END AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 END AS INT) AS ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // Replays the MP4 fixture's field formulas, including the parser's
+    // integer-floor units→ms conversion (duration * 1000 // timescale).
+    // Corrupt rows (doc_id % 83 = 0, truncated container) → zeros, ok=0.
+    "x_video_probe" ->
+      """WITH f AS (SELECT doc_id, doc_id % 83 = 0 AS corrupt,
+        |    3000 + doc_id % 9000 AS dur_units,
+        |    600 + (doc_id % 5) * 150 AS ts,
+        |    320 + (doc_id % 8) * 80 AS w,
+        |    240 + (doc_id % 6) * 60 AS h
+        |  FROM documents)
+        |SELECT doc_id, 'video/mp4' AS mime,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |            ELSE dur_units * 1000 // ts END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE ts END AS INT) AS timescale,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE w END AS INT) AS width,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE h END AS INT) AS height,
+        |  CAST(NOT corrupt AS INT) AS ok
+        |FROM f""".stripMargin
   )
 }

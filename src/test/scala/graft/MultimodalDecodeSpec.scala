@@ -189,6 +189,97 @@ class MultimodalDecodeSpec extends SparkSpec {
       graft.api.MediaIn(1L, wav, "audio/wav")).ok)
   }
 
+  test("video: a real MP4 box walk extracts mvhd/tkhd fields (both versions)") {
+    import spark.implicits._
+    val v0 = MultimodalDecode.encodeMp4(
+      durationUnits = 4500L, timescale = 900, width = 640, height = 360)
+    val v1 = MultimodalDecode.encodeMp4(
+      durationUnits = 7200L, timescale = 600, width = 1280, height = 720,
+      version1 = true)
+    // genuine ISO-BMFF: the first box is ftyp, length-prefixed
+    assert(new String(v0.slice(4, 8), "US-ASCII") === "ftyp")
+    val in = Seq(
+      graft.api.MediaIn(1L, v0, "video/mp4"),
+      graft.api.MediaIn(2L, v1, "video/mp4"),
+      graft.api.MediaIn(3L, v0.take(12), "video/mp4"),   // truncated
+      graft.api.MediaIn(4L, "not a container".getBytes, "video/mp4"),
+      graft.api.MediaIn(5L, null, "video/mp4")).toDS()
+    val out = MultimodalDecode.probeVideo(in).collect()
+      .map(m => m.doc_id -> m).toMap
+    // 4500 units at timescale 900 = 5000 ms exactly
+    assert(out(1L).ok && out(1L).duration_ms === 5000L
+      && out(1L).timescale === 900 && out(1L).width === 640
+      && out(1L).height === 360)
+    // version-1 (64-bit time) layout parses identically
+    assert(out(2L).ok && out(2L).duration_ms === 12000L
+      && out(2L).timescale === 600 && out(2L).width === 1280
+      && out(2L).height === 720)
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(!out(id).ok && out(id).duration_ms === 0L
+        && out(id).width === 0,
+        s"corrupt video payload $id must fail loudly with zeros")
+    }
+    // integer-floor ms conversion: 1000 units at timescale 600 -> 1666 ms
+    val floorCase = MultimodalDecode.probeVideoOne(graft.api.MediaIn(9L,
+      MultimodalDecode.encodeMp4(1000L, 600, 320, 240), "video/mp4"))
+    assert(floorCase.duration_ms === 1666L)
+    // the generic decode harness routes video/* through the same parser
+    val meta = MultimodalDecode.decode(in).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(1L).ok && meta(1L).width === 640 && meta(1L).height === 360)
+    assert(!meta(4L).ok && meta(4L).width === 0)
+  }
+
+  test("video: malformed box structures fail loudly, never throw") {
+    def probe(bytes: Array[Byte]): graft.api.VideoMeta =
+      MultimodalDecode.probeVideoOne(graft.api.MediaIn(0L, bytes, "video/mp4"))
+    val good = MultimodalDecode.encodeMp4(3000L, 1000, 320, 240)
+    // every byte-truncation of a real container: ok only for the full one
+    (0 until good.length).foreach { n =>
+      assert(!probe(good.take(n)).ok, s"truncated container of $n bytes parsed")
+    }
+    assert(probe(good).ok)
+    // a box whose declared size overruns the payload
+    val overrun = good.clone()
+    overrun(0) = 0x7f.toByte // ftyp size becomes huge
+    assert(!probe(overrun).ok)
+    // a box size below the 8-byte header minimum (not the to-EOF 0 or
+    // the largesize 1 escapes) makes the walk non-advancing -> reject
+    val tiny = good.clone()
+    tiny(3) = 4.toByte
+    assert(!probe(tiny).ok)
+    // moov present but mvhd renamed away -> missing required child
+    val noMvhd = good.clone()
+    val mvhdAt = {
+      var i = 0
+      while (!(noMvhd(i) == 'm' && noMvhd(i + 1) == 'v' &&
+        noMvhd(i + 2) == 'h' && noMvhd(i + 3) == 'd')) i += 1
+      i
+    }
+    noMvhd(mvhdAt) = 'x'.toByte
+    assert(!probe(noMvhd).ok)
+    // an unknown mvhd version byte
+    val badVer = good.clone()
+    badVer(mvhdAt + 4) = 5.toByte
+    assert(!probe(badVer).ok)
+  }
+
+  test("encodeMp4 is deterministic; size==0 (to-EOF) final box parses") {
+    val a = MultimodalDecode.encodeMp4(3000L, 1000, 320, 240)
+    val b = MultimodalDecode.encodeMp4(3000L, 1000, 320, 240)
+    assert(java.util.Arrays.equals(a, b))
+    // rewrite the top-level moov size to 0 = "extends to end of file":
+    // the spec-legal last-box form the walker must also accept
+    val ftypEnd = ((a(0) & 0xff) << 24) | ((a(1) & 0xff) << 16) |
+      ((a(2) & 0xff) << 8) | (a(3) & 0xff)
+    val toEof = a.clone()
+    toEof(ftypEnd) = 0; toEof(ftypEnd + 1) = 0
+    toEof(ftypEnd + 2) = 0; toEof(ftypEnd + 3) = 0
+    val m = MultimodalDecode.probeVideoOne(
+      graft.api.MediaIn(0L, toEof, "video/mp4"))
+    assert(m.ok && m.timescale === 1000 && m.width === 320)
+  }
+
   test("decode is deterministic and map-only (no shuffle)") {
     val a = MultimodalDecode.decodeDF(payloads)
     val b = MultimodalDecode.decodeDF(payloads)

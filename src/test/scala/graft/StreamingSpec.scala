@@ -636,6 +636,47 @@ class StreamingSpec extends SparkSpec {
       "streamed decode must match batch semantics incl. loud failures")
   }
 
+  test("s_media_restart: the codec path survives a checkpointed restart") {
+    // The thread-local ImageIO reader/writer pools are per-executor-
+    // thread state that NO checkpoint carries — a resumed stream gets
+    // fresh task threads and must lazily re-create its codecs. Prove it:
+    // run the real decode+phash path through a checkpointed parquet-sink
+    // query, stop it mid-stream, restart from the checkpoint, and the
+    // post-restart batch must decode (and fingerprint) bit-identically
+    // to the pre-restart one — with no duplicate or lost rows across the
+    // failure point.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_restart_media").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_restart_media_out").toString
+    val in = MemoryStream[graft.api.MediaIn]
+    def decoded = graft.api.MultimodalDecode.phash(in.toDS()).toDF()
+    val png = graft.api.MultimodalDecode.encodePng(20, 14, seed = 6L)
+    val expectedHash = graft.api.MultimodalDecode.dHash64(png).get
+    val q1 = decoded.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in.addData(graft.api.MediaIn(1L, png, "image/png"),
+      graft.api.MediaIn(2L, "corrupt".getBytes, "image/png"))
+    q1.processAllAvailable(); q1.stop() // simulated failure/stop
+    val q2 = decoded.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // same payload after the restart: the resumed query's fresh task
+    // threads must rebuild their codec pools and hash identically
+    in.addData(graft.api.MediaIn(3L, png, "image/png"),
+      graft.api.MediaIn(4L, null, "image/png"))
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, expectedHash, true), (2L, 0L, false),
+      (3L, expectedHash, true), (4L, 0L, false)),
+      s"resumed stream must re-create codec state and fingerprint " +
+        s"identically across the restart: ${got.toSeq}")
+  }
+
   test("state budget: watermark eviction bounds window-agg and dedup state") {
     // The TUNING.md §7 claim, observed instead of asserted on faith: run
     // 40 batches whose event time advances 10 minutes each (80 distinct

@@ -91,13 +91,17 @@ def _compare_one(args):
         return (name, "fail",
                 [f"  FAIL  {name}: spark-side pandas canon error: {e}"])
     s_cols = sorted(s_df.columns)
-    if oracle_sql is None:
+    # an override may carry its own oracle (sf-scale replacement) or be
+    # result_where-only (reuse the base oracle on a filtered result); the
+    # WEAK rows-only path applies only when NEITHER source has an oracle
+    eff_oracle = (ov or {}).get("oracle", oracle_sql)
+    if eff_oracle is None:
         lines = [f"  WEAK  {name}: rows={len(s_rows)} (no oracle, rows-only)"]
         if len(s_rows) == 0:
             lines.append("        ^^ WARNING: zero rows")
         return (name, "weak", lines)
     try:
-        o_df = con.sql(ov["oracle"] if ov else oracle_sql).df()
+        o_df = con.sql(eff_oracle).df()
         o_rows = canon(o_df)
     except Exception as e:
         return (name, "fail", [f"  FAIL  {name}: oracle error: {e}"])
