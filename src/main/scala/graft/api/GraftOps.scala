@@ -1207,6 +1207,77 @@ object GraftOps {
         sum(col("rh")).as("membership_digest"))
   }
 
+  /** Leakage-safe train/val/test split — the contamination audit on top
+    * of [[datasetSplit]]: a doc-keyed split sends near-duplicate
+    * documents to DIFFERENT splits (train/test leakage, the classic
+    * eval-inflation bug), while keying the split hash on the near-dup
+    * CLASS (the full-MinHash [[withSigKey]] signature) co-assigns every
+    * member of a class by construction. This operator runs both
+    * assignments and reports the straddle counts over the multi-member
+    * classes: the doc-keyed count is the leakage a naive split would
+    * ship; the class-keyed count is structurally zero — gated as such.
+    * Scale shape: one signature pass (map-side), one sig-key shuffle,
+    * one count aggregate — [[dedupBySignature]]'s cost plus a 1-row agg.
+    */
+  def splitLeakage(df: DataFrame, key: Column, text: Column,
+                   valPct: Int = 25, testPct: Int = 25,
+                   perms: Int = 16): DataFrame = {
+    require(valPct >= 1 && testPct >= 1 && valPct + testPct < 100)
+    val keyed = withSigKey(df.select(key.as("doc_id"), text.as("_text")),
+      col("doc_id"), col("_text"), perms)
+    def splitOf(c: Column): Column = {
+      val bucket = pmod(
+        conv(substring(md5(c), 1, 12), 16, 10).cast("long"), lit(100L))
+      when(bucket < lit(100L - valPct - testPct), lit("train"))
+        .when(bucket < lit(100L - testPct), lit("val"))
+        .otherwise(lit("test"))
+    }
+    keyed.select(col("sig_key"),
+        splitOf(col("doc_id").cast("string")).as("doc_split"),
+        splitOf(col("sig_key")).as("class_split"))
+      .groupBy(col("sig_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_split")).as("nsp_doc"),
+        countDistinct(col("class_split")).as("nsp_class"))
+      .filter(col("n_docs") >= 2)
+      .agg(count(lit(1)).as("n_multi_classes"),
+        sum((col("nsp_doc") > 1).cast("long")).as("n_straddle_dockeyed"),
+        sum((col("nsp_class") > 1).cast("long")).as("n_straddle_classkeyed"))
+  }
+
+  /** Per-group token-distribution drift vs the whole corpus — the
+    * monitoring readout a pipeline checks when a new crawl snapshot or
+    * source lands: KL(P_group ‖ P_corpus) over unigram distributions,
+    * plus Jensen-Shannon-style symmetry via the reverse component. Every
+    * group term exists in the corpus by construction, so no smoothing is
+    * needed and the divergence is exact. Shape: one (group, term) tf
+    * aggregate, a term-total aggregate over it, corpus totals a 1-row
+    * broadcast — two shuffles regardless of corpus size, output one row
+    * per group. Follows the perplexity family's float discipline
+    * (ln sums rounded at 6).
+    */
+  def klDrift(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val tf = df.select(group.as("grp"), explode(TextFns.tokens(text)).as("term"))
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val corp = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val tot = corp.agg(sum(col("ctf")).as("n"), count(lit(1)).as("vocab"))
+    tf.join(corp, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("ns_", sum(col("tf")).over(Window.partitionBy(col("grp"))))
+      // p = tf/ns, q = ctf/n; term contribution p·ln(p/q)
+      .withColumn("contrib",
+        (col("tf").cast("double") / col("ns_")) *
+          log((col("tf").cast("double") * col("n")) /
+            (col("ctf").cast("double") * col("ns_"))))
+      .groupBy(col("grp"))
+      .agg(max(col("ns_")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        round(sum(col("contrib")), 6).as("kl_vs_corpus"))
+      .select(col("grp").as("source"), col("n_tokens"), col("n_terms"),
+        col("kl_vs_corpus"))
+  }
+
   /** Fixed-size token chunking with overlap — the sequence-preparation
     * step between curation and training: each document's token stream
     * splits into windows of `chunkSize` tokens every `stride` tokens

@@ -134,6 +134,22 @@ object CurateQueries extends QueryPack {
   def datasetSplit(s: SparkSession, d: String): DataFrame =
     GraftOps.datasetSplit(Tables.documents(s, d), col("doc_id"), col("text"))
 
+  /** x_split_nodup: the leakage-safe split audit ([[GraftOps
+    * .splitLeakage]]) — doc-keyed vs near-dup-class-keyed 50/25/25
+    * assignment over the MinHash signature classes; gates that the naive
+    * split DOES straddle duplicate classes (the eval-contamination bug,
+    * counted exactly) while the class-keyed split straddles zero.
+    */
+  def splitNodup(s: SparkSession, d: String): DataFrame =
+    GraftOps.splitLeakage(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  /** x_kl_drift: per-source unigram KL divergence vs the whole corpus
+    * ([[GraftOps.klDrift]]) — the distribution-shift monitor run when a
+    * new snapshot/source lands in the mix.
+    */
+  def klDriftQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.klDrift(Tables.documents(s, d), col("source"), col("text"))
+
   /** x_perplexity_kn: interpolated Kneser–Ney bigram perplexity — the
     * strongest classical n-gram smoothing, completing the LM-quality
     * tier (add-one unigram → add-one bigram → Jelinek–Mercer → KN).
@@ -573,7 +589,9 @@ object CurateQueries extends QueryPack {
     "x_sample_diverse" -> sampleDiverse,
     "x_shuffle_epochs" -> shuffleEpochs,
     "x_curriculum" -> curriculum,
-    "x_mix_temp" -> mixTemp
+    "x_mix_temp" -> mixTemp,
+    "x_split_nodup" -> splitNodup,
+    "x_kl_drift" -> klDriftQ
   )
 
   /** Explicit 1-based L2 term sum for the PQ oracles — the same
@@ -1575,6 +1593,66 @@ object CurateQueries extends QueryPack {
         |  round(1000000.0 / rate_ppm, 6) AS weight
         |FROM ws JOIN rt USING (domain)
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      * 1000000 < rate_ppm * (CAST(1 AS BIGINT) << 32)""".stripMargin
+        |      * 1000000 < rate_ppm * (CAST(1 AS BIGINT) << 32)""".stripMargin,
+    // Replays the full-signature class key (x_dedup_sig's sig CTE), both
+    // md5-bucket split assignments (50/25/25) and the straddle counts
+    // over multi-member classes. Docs too short to sign get per-doc
+    // 'nosig:' keys (singleton classes, filtered by n >= 2) — none exist
+    // in the fixtures, but the replay mirrors the engine's contract.
+    "x_split_nodup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |k AS (
+        |  SELECT d.doc_id,
+        |    coalesce(md5(array_to_string(list_transform(s.sig, x -> CAST(x AS VARCHAR)), '|')),
+        |             'nosig:' || CAST(d.doc_id AS VARCHAR)) skey
+        |  FROM documents d LEFT JOIN sig s USING (doc_id)),
+        |sp AS (
+        |  SELECT skey,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 50 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 75 THEN 'val'
+        |         ELSE 'test' END AS doc_split,
+        |    CASE WHEN CAST(('0x' || substr(md5(skey), 1, 12)) AS BIGINT) % 100 < 50 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(skey), 1, 12)) AS BIGINT) % 100 < 75 THEN 'val'
+        |         ELSE 'test' END AS class_split
+        |  FROM k),
+        |cls AS (
+        |  SELECT skey, count(*) AS n, count(DISTINCT doc_split) AS nd,
+        |    count(DISTINCT class_split) AS nc
+        |  FROM sp GROUP BY 1)
+        |SELECT count(*) AS n_multi_classes,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle_dockeyed,
+        |  CAST(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle_classkeyed
+        |FROM cls WHERE n >= 2""".stripMargin,
+    // Per-source unigram KL vs the corpus: p·ln(p/q) summed per source,
+    // round(6) — the perplexity family's ln-parity discipline.
+    "x_kl_drift" ->
+      """WITH toks AS (SELECT source, unnest([w for w in
+        |    string_split_regex(trim(lower(text)), '\s+') if w != '']) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |corp AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM corp),
+        |ns AS (SELECT source, CAST(sum(tf) AS BIGINT) AS ns,
+        |    count(*) AS n_terms FROM tf GROUP BY 1)
+        |SELECT t.source, ns.ns AS n_tokens, ns.n_terms,
+        |  round(sum((CAST(tf AS DOUBLE) / ns.ns)
+        |    * ln((CAST(tf AS DOUBLE) * n) / (CAST(ctf AS DOUBLE) * ns.ns))), 6)
+        |    AS kl_vs_corpus
+        |FROM tf t JOIN corp USING (term) JOIN ns USING (source), tot
+        |GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -650,6 +650,43 @@ class CurateOpsSpec extends SparkSpec {
     assert(again === m)
   }
 
+  test("splitLeakage: class-keyed split never straddles, doc-keyed counted") {
+    import spark.implicits._
+    // 5 planted duplicate classes of 4 byte-identical docs each (same
+    // text -> same full MinHash signature -> same class key) plus 10
+    // singletons; texts are >= 3 tokens so every doc signs
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"dup class ${i % 5} payload words here")
+    } ++ (100 until 110).map { i => (i.toLong, s"unique text $i with filler") }
+    val df = docs.toDF("doc_id", "text")
+    val r = GraftOps.splitLeakage(df, col("doc_id"), col("text")).head
+    val (multi, sdkDoc, sdkClass) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(multi === 5L, "exactly the 5 planted duplicate classes")
+    assert(sdkClass === 0L,
+      "class-keyed assignment must co-assign every class member")
+    assert(sdkDoc >= 0L && sdkDoc <= 5L)
+    // determinism: a rerun replays the same counts
+    val again = GraftOps.splitLeakage(df, col("doc_id"), col("text")).head
+    assert((again.getLong(0), again.getLong(1), again.getLong(2)) ===
+      ((multi, sdkDoc, sdkClass)))
+  }
+
+  test("klDrift matches the hand formula; identical distribution gives 0") {
+    import spark.implicits._
+    // src A tokens {a:2, b:1}, src B {a:1, b:2}; corpus {a:3, b:3}:
+    // KL(A) = (2/3)ln(4/3) + (1/3)ln(2/3) = 0.056633 (and B symmetric)
+    val docs = Seq(("A", "a a b"), ("B", "b b a")).toDF("source", "text")
+    val out = GraftOps.klDrift(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("A") === ((3L, 2L, 0.056633)))
+    assert(out("B") === ((3L, 2L, 0.056633)))
+    // a single source IS the corpus: divergence exactly 0
+    val one = Seq(("S", "x y z y")).toDF("source", "text")
+    val kl0 = GraftOps.klDrift(one, col("source"), col("text")).head.getDouble(3)
+    assert(kl0 === 0.0)
+  }
+
   test("perplexityKneserNey matches the textbook formula by hand") {
     import spark.implicits._
     // corpus: "a b", "a b", "a c" -> C(ab)=2, C(ac)=1; C(a·)=3,

@@ -544,6 +544,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-11 operators: video probe map-only; split/drift joins stay hashed") {
+    // x_video_probe: the box walk is pure map work — the only exchange
+    // allowed is the fixture synthesizer's single-split guard repartition
+    val pv = planOf(SparkEntry.queries("x_video_probe")(spark, sf))
+    assert(!pv.contains("CartesianProduct") && !pv.contains("SortMergeJoin"),
+      "video probe must not join or sort")
+    for (q <- Seq("x_split_nodup", "x_kl_drift")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // x_kl_drift's corpus-totals table is a 1-row broadcast, never a
+    // shuffled join against the (group, term) table
+    val pk = planOf(SparkEntry.queries("x_kl_drift")(spark, sf))
+    assert(pk.contains("BroadcastNestedLoopJoin") ||
+      pk.contains("BroadcastExchange"),
+      "corpus totals must broadcast")
+  }
+
   test("q_concurrency and q_unpivot expand map-side (no join in the explode path)") {
     val p = planOf(SparkEntry.queries("q_concurrency")(spark, sf))
     assert(!p.contains("Join"), "bucket expansion must not join")
