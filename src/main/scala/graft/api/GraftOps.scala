@@ -743,6 +743,74 @@ object GraftOps {
     verifyJaccard(cand, sh, threshold).distinct()
   }
 
+  /** Asymmetric containment join — the near-dup relation Jaccard
+    * structurally MISSES: a document whose shingle set sits inside a
+    * larger one (quoted article + commentary, doc + boilerplate frame,
+    * chunk re-shipped inside a bundle) has containment |A∩B|/|A| ≈ 1 but
+    * Jaccard ≈ |A|/|B|, far below any dedup threshold when B is big.
+    * Emits one DIRECTIONAL row per (contained, container) pair with
+    * exact-ppm containment and Jaccard plus the `jaccard_misses` flag
+    * (containment-caught, Jaccard-missed — the pairs this operator
+    * exists for).
+    *
+    * Blocking is the containment form of the AllPairs prefix filter:
+    * order each doc's shingles by global df (rarest first, shingle text
+    * tiebreak), keep the first s - ceil(t·s) + 1 as the CONTAINED-side
+    * prefix, and join it against the FULL inverted index — pigeonhole:
+    * at most (1-t)·s of A's shingles are absent from any container, so
+    * a prefix one longer must hit it. Unlike [[jaccardJoinOnShingles]]
+    * the container side cannot be prefix-filtered (a tiny doc hides in
+    * a huge one), but the prefix shingles are the globally RARE ones,
+    * so each posting list the prefix probes stays small; a |B| ≥ t·|A|
+    * size filter prunes before the array-carrying verify. Candidates
+    * dedupe BEFORE verification here (a contained doc shares its whole
+    * prefix with its container — every true pair would otherwise verify
+    * plen times). Exact integer ppm math throughout.
+    */
+  def containmentJoin(df: DataFrame, key: Column, text: Column,
+                      threshold: Double): DataFrame = {
+    require(threshold > 0.5 && threshold <= 1.0,
+      "containment threshold in (0.5, 1] — below that the prefix filter " +
+        "degenerates toward the full inverted index")
+    val ppm = math.round(threshold * 1000000)
+    val sh = shingleTable(df, key, text).persistOnce()
+    val tall = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("s"))
+    val dfreq = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = tall.join(dfreq, "s")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ss"))
+      .withColumn("plen",
+        expr(s"sz - ((CAST(sz AS BIGINT) * $ppm + 999999) div 1000000) + 1"))
+      .select(col("doc_id").as("doc_a"), col("sz").as("na"),
+        explode(expr("slice(ss, 1, plen)")).as("e"))
+      .select(col("doc_a"), col("na"), col("e.s").as("s"))
+    val cand = prefix
+      .join(tall.select(col("doc_id").as("doc_b"), col("sz").as("nb"),
+        col("s")), "s")
+      .filter(col("doc_a") =!= col("doc_b"))
+      // |A∩B| <= |B| and containment needs |A∩B| >= t|A|, so |B| >= t|A|
+      .filter(col("nb").cast("bigint") * 1000000L >=
+        col("na").cast("bigint") * ppm)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .filter(col("i").cast("bigint") * 1000000L >=
+        col("na").cast("bigint") * ppm)
+      .select(col("doc_a").as("doc_contained"),
+        col("doc_b").as("doc_container"),
+        expr("CAST(i AS BIGINT) * 1000000 div na").as("containment_ppm"),
+        expr("CAST(i AS BIGINT) * 1000000 div (na + nb - i)").as("jaccard_ppm"))
+      .withColumn("jaccard_misses",
+        (col("jaccard_ppm") < 800000L).cast("int"))
+  }
+
   /** Exact duplicate-SPAN detection — the substring-level dedup signal
     * (the "dedup at the span level, not the document level" move from the
     * train-data-dedup literature): slide a `window`-token window over

@@ -941,6 +941,32 @@ object LlmQueries extends QueryPack {
         col("timescale"), col("width"), col("height"),
         col("ok").cast("int").as("ok"))
 
+  /** Filler tail for the planted containment supersets: tokens outside
+    * the corpus vocabulary, so the extra shingles never cross-match.
+    */
+  private val ContainFiller =
+    " qq0 qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10 qq11"
+
+  /** x_dedup_contain: asymmetric containment dedup ([[GraftOps
+    * .containmentJoin]]) — the doc-inside-a-bigger-doc relation Jaccard
+    * structurally misses. The fixture plants it: every 11th document
+    * gains a superset twin (its own text plus an out-of-vocabulary
+    * filler tail), so the original's shingle set is fully contained in
+    * the twin while their Jaccard sits far below the 0.8 dedup line —
+    * the `jaccard_misses` rows are exactly those planted pairs, and the
+    * exact-dup classes surface as mutual 1.0-containment pairs. Oracle
+    * is a brute-force replay over the same augmented corpus, blocked on
+    * shared shingles (lossless for any threshold > 0).
+    */
+  def dedupContain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val sup = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(ContainFiller)).as("text"))
+    GraftOps.containmentJoin(docs.unionByName(sup), col("doc_id"),
+      col("text"), threshold = 0.9)
+  }
+
   /** x_dsir: DSIR importance weights over the documents table — target
     * slice = English docs, features = md5-hashed tokens in 1024 bins.
     * The data-selection pass that upsamples target-like raw documents.
@@ -1033,7 +1059,8 @@ object LlmQueries extends QueryPack {
     "x_mm_phash_dedup" -> mmPhashDedup,
     "x_mm_phash_near" -> mmPhashNear,
     "x_audio_features" -> audioFeatures,
-    "x_video_probe" -> videoProbe
+    "x_video_probe" -> videoProbe,
+    "x_dedup_contain" -> dedupContain
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2297,6 +2324,38 @@ object LlmQueries extends QueryPack {
         |            ELSE 800 + doc_id % 1600 END AS BIGINT) AS n_frames,
         |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 END AS INT) AS ok
         |FROM documents""".stripMargin,
+    // Brute-force containment over the SAME augmented corpus (base docs
+    // plus the planted filler-tail supersets), blocked on shared
+    // shingles — lossless for any positive threshold, so this IS the
+    // exhaustive answer, not an approximation.
+    "x_dedup_contain" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    text || ' qq0 qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10 qq11'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |ws AS (
+        |  SELECT doc_id, [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2]) for i in range(1, len(w)-1)]) s
+        |  FROM ws WHERE len(w) >= 3),
+        |tall AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM tall a JOIN tall b ON a.g = b.g AND a.doc_id <> b.doc_id),
+        |v AS (
+        |  SELECT da, db, len(list_intersect(x.s, y.s)) AS i,
+        |    len(x.s) AS na, len(y.s) AS nb
+        |  FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db)
+        |SELECT da AS doc_contained, db AS doc_container,
+        |  CAST(i * 1000000 // na AS BIGINT) AS containment_ppm,
+        |  CAST(i * 1000000 // (na + nb - i) AS BIGINT) AS jaccard_ppm,
+        |  CAST(CASE WHEN i * 1000000 // (na + nb - i) < 800000
+        |       THEN 1 ELSE 0 END AS INT) AS jaccard_misses
+        |FROM v WHERE i * 1000000 >= 900000 * na""".stripMargin,
     // Replays the MP4 fixture's field formulas, including the parser's
     // integer-floor units→ms conversion (duration * 1000 // timescale).
     // Corrupt rows (doc_id % 83 = 0, truncated container) → zeros, ok=0.

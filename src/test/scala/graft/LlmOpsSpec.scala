@@ -52,6 +52,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(brute.except(exact).isEmpty, "prefix filter lost a pair")
   }
 
+  test("containmentJoin prefix filter is lossless and catches Jaccard misses") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    // hand corpus: doc 2 = doc 1 + tail (full containment, low Jaccard),
+    // docs 3/4 byte-identical (mutual containment), doc 5 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau"),
+      (3L, "red green blue cyan magenta"),
+      (4L, "red green blue cyan magenta"),
+      (5L, "one two three four five")).toDF("doc_id", "text")
+    val out = GraftOps.containmentJoin(docs, col("doc_id"), col("text"), 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // doc 1 (3 shingles) inside doc 2 (17): containment 1.0,
+    // jaccard = 3/17 = 176470 ppm -> the Jaccard-missed flag fires
+    assert(out((1L, 2L)) === ((1000000L, 176470L, 1)))
+    // byte-identical docs: mutual containment, jaccard 1.0, flag off
+    assert(out((3L, 4L)) === ((1000000L, 1000000L, 0)))
+    assert(out((4L, 3L)) === ((1000000L, 1000000L, 0)))
+    // nothing else: no false pairs, and the big doc is NOT "contained"
+    // in the small one (direction matters)
+    assert(out.size === 3, s"unexpected pairs: ${out.keySet}")
+    // losslessness on the fixture corpus: equals brute-force containment
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextFns.shingles3(col("w")).as("shingles"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_contained"),
+        col("b.doc_id").as("doc_container"),
+        size(array_intersect(col("a.shingles"), col("b.shingles")))
+          .cast("bigint").as("i"),
+        size(col("a.shingles")).cast("bigint").as("na"))
+      .filter(col("i") * 1000000L >= col("na") * 900000L)
+      .select(col("doc_contained"), col("doc_container"))
+    val got = GraftOps.containmentJoin(Tables.documents(spark, sf),
+        col("doc_id"), col("text"), 0.9)
+      .select(col("doc_contained"), col("doc_container"))
+    assert(got.except(brute).isEmpty, "containment join emitted a false pair")
+    assert(brute.except(got).isEmpty, "containment prefix filter lost a pair")
+  }
+
   test("x_dedup_simhash pigeonhole blocking is lossless") {
     import graft.api.GraftOps
     val docs = Tables.documents(spark, sf)

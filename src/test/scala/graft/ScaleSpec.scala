@@ -224,6 +224,43 @@ class ScaleSpec extends SparkSpec {
       s"unexpectedly dense corpus: ${out.length} pairs")
   }
 
+  test("containmentJoin at 110k docs: prefix probes skip the shared-tail bucket") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 100k distinct 10-token docs + 10k planted supersets (doc text + a
+    // 14-token tail SHARED by every superset). The shared tail is the
+    // "the"-bucket hazard: its shingles have df = 10k, and a blocking
+    // scheme that probed them would generate 10k² candidates. The
+    // rarest-first prefix never touches them (a superset's 3-shingle
+    // prefix is its unique head shingles, df ≈ 2), so candidates stay
+    // linear and the answer is EXACTLY the planted directional pairs.
+    import spark.implicits._
+    val n = 100000L
+    val base = spark.range(0, n, 1, 32)
+      .select(col("id"), concat_ws(" ", (0 until 10).map { i =>
+        substring(concat(md5(col("id").cast("string")),
+          md5(concat(col("id").cast("string"), lit("b")))),
+          i * 6 + 1, 6)
+      }: _*).as("text"))
+    val tail = (0 until 14).map(i => s"zz$i").mkString(" ", " ", "")
+    val planted = base.filter(col("id") % 10 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        concat(col("text"), lit(tail)).as("text"))
+    val out = GraftOps.containmentJoin(base.unionAll(planted),
+        col("id"), col("text"), threshold = 0.9)
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until n by 10L).map(i => (i, i + 10000000L)).toSet
+    assert((expected -- pairs).isEmpty,
+      s"containment blocking lost ${(expected -- pairs).size} planted pairs")
+    assert(pairs === expected,
+      s"beyond the ${expected.size} planted pairs got ${pairs.size} — " +
+        "either false pairs or the shared-tail bucket leaked into candidates")
+    // every planted row must carry the Jaccard-missed flag: that relation
+    // is the operator's reason to exist
+    assert(out.forall(_.getInt(4) == 1),
+      "planted superset pairs must sit below the 0.8 Jaccard line")
+  }
+
   test("pageRank over a 1M-edge hub graph: bounded mass, hub out-ranks") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // 500k spokes all bi-linked to 8 hubs (~1M directed edges, max
