@@ -774,8 +774,12 @@ object GraftOps {
         "degenerates toward the full inverted index")
     val ppm = math.round(threshold * 1000000)
     val sh = shingleTable(df, key, text).persistOnce()
+    // the tall (doc, shingle) index feeds THREE consumers here (df
+    // counts, prefix build, container-side probe) — persist it like the
+    // shingle table, or each consumer re-explodes the whole corpus
     val tall = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
-      explode(col("shingles")).as("s"))
+        explode(col("shingles")).as("s"))
+      .persistOnce()
     val dfreq = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = tall.join(dfreq, "s")
       .groupBy(col("doc_id"), col("sz"))
