@@ -422,48 +422,80 @@ object MultimodalDecode {
     * its parent, zero timescale, missing moov/mvhd/tkhd — fails loudly
     * (ok=false, zeros); never a thrown partition.
     */
-  def probeVideoOne(in: MediaIn): VideoMeta = {
-    val c = if (in.content == null) Array.emptyByteArray else in.content
-    val bad = VideoMeta(in.doc_id, in.mime, c.length.toLong,
-      0L, 0, 0, 0, ok = false)
-
-    def u32(off: Int): Long =
+  /** The ISO-BMFF byte walker shared by the whole-file probe and the
+    * per-track probe. All reads are bounds-checked via the walk result;
+    * any structural fault surfaces as None, never an exception.
+    */
+  private object Bmff {
+    def u32(c: Array[Byte], off: Int): Long =
       ((c(off) & 0xffL) << 24) | ((c(off + 1) & 0xffL) << 16) |
         ((c(off + 2) & 0xffL) << 8) | (c(off + 3) & 0xffL)
-    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
-    def fourcc(off: Int): String =
+    def u64(c: Array[Byte], off: Int): Long =
+      (u32(c, off) << 32) | u32(c, off + 4)
+    def fourcc(c: Array[Byte], off: Int): String =
       new String(c, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Walk the boxes in [start, end), returning (type -> (bodyStart,
-      * bodyEnd)) for the FIRST box of each type; None on any structural
-      * fault. bodyStart points past the size+type (+largesize) header.
+    /** Walk the boxes in [start, end) in order, returning every
+      * (type, bodyStart, bodyEnd); None on any structural fault.
+      * bodyStart points past the size+type (+largesize) header.
       */
-    def walk(start: Int, end: Int): Option[Map[String, (Int, Int)]] = {
+    def walkAll(c: Array[Byte], start: Int, end: Int)
+        : Option[Seq[(String, Int, Int)]] = {
       var off = start
-      val found = scala.collection.mutable.Map.empty[String, (Int, Int)]
+      val found = Seq.newBuilder[(String, Int, Int)]
       while (off < end) {
         if (off + 8 > end) return None
-        val sz32 = u32(off)
-        val typ = fourcc(off + 4)
+        val sz32 = u32(c, off)
+        val typ = fourcc(c, off + 4)
         var bodyStart = off + 8
         val boxEnd: Long =
           if (sz32 == 0L) end.toLong // last box: extends to enclosing end
           else if (sz32 == 1L) { // 64-bit largesize follows the type
             if (off + 16 > end) return None
             bodyStart = off + 16
-            off + u64(off + 8)
+            off + u64(c, off + 8)
           } else off + sz32
         if (boxEnd < bodyStart || boxEnd > end) return None
-        if (!found.contains(typ)) found(typ) = (bodyStart, boxEnd.toInt)
+        found += ((typ, bodyStart, boxEnd.toInt))
         off = boxEnd.toInt
       }
-      Some(found.toMap)
+      Some(found.result())
     }
 
+    /** First box of each type in [start, end). */
+    def walk(c: Array[Byte], start: Int, end: Int)
+        : Option[Map[String, (Int, Int)]] =
+      walkAll(c, start, end).map { boxes =>
+        boxes.groupBy(_._1).map { case (t, bs) =>
+          t -> ((bs.head._2, bs.head._3))
+        }
+      }
+
+    /** tkhd fields (track_id, width, height), both versions. */
+    def tkhdFields(c: Array[Byte], s: Int, e: Int): Option[(Long, Int, Int)] = {
+      // tkhd: version(1) flags(3); v0 puts track_ID 8 bytes in (after
+      // two u32 times) and the fixed fields span 72 bytes before the
+      // 16.16 width/height; v1 (u64 times) shifts those to 16 and 84
+      val tv = c(s) & 0xff
+      val (idOff, dimOff) =
+        if (tv == 0) (s + 4 + 8, s + 4 + 72)
+        else if (tv == 1) (s + 4 + 16, s + 4 + 84)
+        else return None
+      if (dimOff + 8 > e || idOff + 4 > e) return None
+      Some((u32(c, idOff),
+        (u32(c, dimOff) >> 16).toInt, (u32(c, dimOff + 4) >> 16).toInt))
+    }
+  }
+
+  def probeVideoOne(in: MediaIn): VideoMeta = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val bad = VideoMeta(in.doc_id, in.mime, c.length.toLong,
+      0L, 0, 0, 0, ok = false)
+    import Bmff._
     try {
-      val top = walk(0, c.length).getOrElse(return bad)
+      val top = walk(c, 0, c.length).getOrElse(return bad)
       val (moovS, moovE) = top.getOrElse("moov", return bad)
-      val moov = walk(moovS, moovE).getOrElse(return bad)
+      val moov = walk(c, moovS, moovE).getOrElse(return bad)
       val (mvhdS, mvhdE) = moov.getOrElse("mvhd", return bad)
       // mvhd: version(1) flags(3), then v0: creation u32, modification
       // u32, timescale u32, duration u32; v1: the times are u64
@@ -471,29 +503,67 @@ object MultimodalDecode {
       val (timescale, duration) =
         if (mv == 0) {
           if (mvhdS + 20 > mvhdE) return bad
-          (u32(mvhdS + 12), u32(mvhdS + 16))
+          (u32(c, mvhdS + 12), u32(c, mvhdS + 16))
         } else if (mv == 1) {
           if (mvhdS + 32 > mvhdE) return bad
-          (u32(mvhdS + 20), u64(mvhdS + 24))
+          (u32(c, mvhdS + 20), u64(c, mvhdS + 24))
         } else return bad
       if (timescale <= 0L || timescale > Int.MaxValue || duration < 0L)
         return bad
       val (trakS, trakE) = moov.getOrElse("trak", return bad)
-      val trak = walk(trakS, trakE).getOrElse(return bad)
+      val trak = walk(c, trakS, trakE).getOrElse(return bad)
       val (tkhdS, tkhdE) = trak.getOrElse("tkhd", return bad)
-      // tkhd: version(1) flags(3), then v0 fixed fields span 72 bytes
-      // (v1: 84) before width/height as 16.16 fixed point
-      val tv = c(tkhdS) & 0xff
-      val dimOff = tkhdS + 4 + (if (tv == 0) 72 else if (tv == 1) 84
-                                else return bad)
-      if (dimOff + 8 > tkhdE) return bad
-      val w = (u32(dimOff) >> 16).toInt    // integer part of 16.16
-      val h = (u32(dimOff + 4) >> 16).toInt
+      val (_, w, h) = tkhdFields(c, tkhdS, tkhdE).getOrElse(return bad)
       VideoMeta(in.doc_id, in.mime, c.length.toLong,
         duration * 1000L / timescale, timescale.toInt, w, h, ok = true)
     } catch {
       case _: IndexOutOfBoundsException => bad
     }
+  }
+
+  /** Per-TRACK container parse — the realistic shape of an MP4 (a video
+    * track plus an audio track, sometimes subtitles): one row per trak
+    * box with its track id, handler type out of the mdia/hdlr box
+    * ('vide'/'soun'/...), and the tkhd dims (zero for non-visual
+    * tracks). A corrupt container yields ONE loud row (ok=false, zeroed
+    * fields) rather than silently vanishing from the output — the same
+    * dirty-feed contract as every other codec path.
+    */
+  def probeVideoTracksOne(in: MediaIn): Seq[VideoTrack] = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val bad = Seq(VideoTrack(in.doc_id, 0L, "", 0, 0, ok = false))
+    import Bmff._
+    try {
+      val top = walk(c, 0, c.length).getOrElse(return bad)
+      val (moovS, moovE) = top.getOrElse("moov", return bad)
+      val boxes = walkAll(c, moovS, moovE).getOrElse(return bad)
+      val traks = boxes.filter(_._1 == "trak")
+      if (traks.isEmpty) return bad
+      val rows = traks.map { case (_, ts, te) =>
+        val trak = walk(c, ts, te).getOrElse(return bad)
+        val (tkhdS, tkhdE) = trak.getOrElse("tkhd", return bad)
+        val (id, w, h) = tkhdFields(c, tkhdS, tkhdE).getOrElse(return bad)
+        // handler type lives in trak/mdia/hdlr: version/flags(4),
+        // pre_defined(4), then the 4cc
+        val handler = trak.get("mdia").flatMap { case (ms, me) =>
+          walk(c, ms, me).flatMap(_.get("hdlr")).flatMap { case (hs, he) =>
+            if (hs + 12 > he) None else Some(fourcc(c, hs + 8))
+          }
+        }.getOrElse(return bad)
+        VideoTrack(in.doc_id, id, handler, w, h, ok = true)
+      }
+      rows
+    } catch {
+      case _: IndexOutOfBoundsException => bad
+    }
+  }
+
+  /** Probe per-track metadata partition-at-a-time (1→N generator shape:
+    * one input payload, one output row per track). Pure map work.
+    */
+  def probeVideoTracks(payloads: Dataset[MediaIn]): Dataset[VideoTrack] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.flatMap(probeVideoTracksOne))
   }
 
   /** Probe a video payload Dataset partition-at-a-time ([[decode]]'s
@@ -506,16 +576,19 @@ object MultimodalDecode {
 
   /** Encode a minimal deterministic MP4/ISO-BMFF container — the fixture
     * writer for the video-probe path (the [[encodePng]]/[[encodeWav]]
-    * pattern): real ftyp + moov{mvhd, trak{tkhd}} byte layout, duration
-    * in mvhd units of `timescale`, track dims as 16.16 fixed point.
-    * `version1` exercises the 64-bit-time mvhd/tkhd variants the parser
-    * must also handle. Pure ByteBuffer layout — bit-stable everywhere.
+    * pattern): real ftyp + moov{mvhd, trak{tkhd, mdia{hdlr}}} byte
+    * layout, duration in mvhd units of `timescale`, track dims as 16.16
+    * fixed point, handler types in real hdlr boxes. `version1`
+    * exercises the 64-bit-time mvhd/tkhd variants; `audioTrack` adds a
+    * second trak (handler 'soun', zero dims) — the realistic two-track
+    * shape. Pure ByteBuffer layout — bit-stable everywhere.
     */
   def encodeMp4(durationUnits: Long, timescale: Int, width: Int, height: Int,
-                version1: Boolean = false): Array[Byte] = {
+                version1: Boolean = false,
+                audioTrack: Boolean = false): Array[Byte] = {
     require(timescale > 0 && durationUnits >= 0 && width >= 0 && height >= 0,
       "encodeMp4 fixture fields must be non-negative with timescale > 0")
-    val bb = java.nio.ByteBuffer.allocate(512)
+    val bb = java.nio.ByteBuffer.allocate(1024)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     def box(typ: String)(body: => Unit): Unit = {
       val at = bb.position()
@@ -524,6 +597,39 @@ object MultimodalDecode {
       body
       bb.putInt(at, bb.position() - at)
     }
+    def trak(trackId: Int, handler: String, w: Int, h: Int): Unit =
+      box("trak") {
+        box("tkhd") {
+          if (version1) {
+            bb.putInt(0x01000007)          // version 1, flags: enabled
+            bb.putLong(0L); bb.putLong(0L) // creation/modification (u64)
+            bb.putInt(trackId); bb.putInt(0) // track_ID, reserved
+            bb.putLong(durationUnits)
+          } else {
+            bb.putInt(0x00000007)          // version 0, flags: enabled
+            bb.putInt(0); bb.putInt(0)     // creation/modification (u32)
+            bb.putInt(trackId); bb.putInt(0) // track_ID, reserved
+            bb.putInt(durationUnits.toInt)
+          }
+          bb.putLong(0L)                   // reserved
+          bb.putShort(0); bb.putShort(0)   // layer, alternate_group
+          bb.putShort(0); bb.putShort(0)   // volume (video: 0), reserved
+          bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
+          bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
+          bb.putInt(w << 16)               // 16.16 fixed point
+          bb.putInt(h << 16)
+        }
+        box("mdia") {
+          box("hdlr") {
+            bb.putInt(0)                   // version 0, flags 0
+            bb.putInt(0)                   // pre_defined
+            bb.put(handler.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            bb.putInt(0); bb.putInt(0); bb.putInt(0) // reserved
+            bb.put(0.toByte)               // empty null-terminated name
+          }
+        }
+      }
     box("ftyp") {
       bb.put("isom".getBytes); bb.putInt(0x200); bb.put("isommp41".getBytes)
     }
@@ -548,31 +654,10 @@ object MultimodalDecode {
         bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
         bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
         (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
-        bb.putInt(2)                       // next_track_ID
+        bb.putInt(if (audioTrack) 3 else 2) // next_track_ID
       }
-      box("trak") {
-        box("tkhd") {
-          if (version1) {
-            bb.putInt(0x01000007)          // version 1, flags: enabled
-            bb.putLong(0L); bb.putLong(0L) // creation/modification (u64)
-            bb.putInt(1); bb.putInt(0)     // track_ID, reserved
-            bb.putLong(durationUnits)
-          } else {
-            bb.putInt(0x00000007)          // version 0, flags: enabled
-            bb.putInt(0); bb.putInt(0)     // creation/modification (u32)
-            bb.putInt(1); bb.putInt(0)     // track_ID, reserved
-            bb.putInt(durationUnits.toInt)
-          }
-          bb.putLong(0L)                   // reserved
-          bb.putShort(0); bb.putShort(0)   // layer, alternate_group
-          bb.putShort(0); bb.putShort(0)   // volume (video: 0), reserved
-          bb.putInt(0x00010000); bb.putInt(0); bb.putInt(0)
-          bb.putInt(0); bb.putInt(0x00010000); bb.putInt(0)
-          bb.putInt(0); bb.putInt(0); bb.putInt(0x40000000)
-          bb.putInt(width << 16)           // 16.16 fixed point
-          bb.putInt(height << 16)
-        }
-      }
+      trak(1, "vide", width, height)
+      if (audioTrack) trak(2, "soun", 0, 0)
     }
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
@@ -607,3 +692,9 @@ case class AudioFeat(doc_id: Long, n_samples: Long, sum_sq: Long,
 case class VideoMeta(doc_id: Long, mime: String, n_bytes: Long,
                      duration_ms: Long, timescale: Int,
                      width: Int, height: Int, ok: Boolean)
+
+/** One track row from the per-trak MP4 parse: tkhd id/dims plus the
+  * mdia/hdlr handler type ('vide'/'soun'/...).
+  */
+case class VideoTrack(doc_id: Long, track_id: Long, handler: String,
+                      width: Int, height: Int, ok: Boolean)

@@ -916,7 +916,8 @@ object LlmQueries extends QueryPack {
             timescale = 600 + (id % 5).toInt * 150,
             width = 320 + (id % 8).toInt * 80,
             height = 240 + (id % 6).toInt * 60,
-            version1 = id % 11 == 0)
+            version1 = id % 11 == 0,
+            audioTrack = id % 3 == 0) // every 3rd container is two-track
           val content = if (id % 83 == 0) mp4.take(12) else mp4
           graft.api.MediaIn(id, content, "video/mp4")
         }
@@ -940,6 +941,18 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("mime"), col("duration_ms"),
         col("timescale"), col("width"), col("height"),
         col("ok").cast("int").as("ok"))
+
+  /** x_video_tracks: per-TRACK container parse — one row per trak box
+    * with its mdia/hdlr handler type ('vide'/'soun') and tkhd id/dims,
+    * through the 1→N generator shape ([[graft.api.MultimodalDecode
+    * .probeVideoTracks]]). Every 3rd fixture is a realistic two-track
+    * container; corrupt containers yield one loud ok=0 row instead of
+    * vanishing. The oracle replays the fixture's track layout exactly.
+    */
+  def videoTracks(s: SparkSession, d: String): DataFrame =
+    graft.api.MultimodalDecode.probeVideoTracks(mediaMp4Table(s, d)).toDF()
+      .select(col("doc_id"), col("track_id"), col("handler"),
+        col("width"), col("height"), col("ok").cast("int").as("ok"))
 
   /** Filler tail for the planted containment supersets: tokens outside
     * the corpus vocabulary, so the extra shingles never cross-match.
@@ -1060,6 +1073,7 @@ object LlmQueries extends QueryPack {
     "x_mm_phash_near" -> mmPhashNear,
     "x_audio_features" -> audioFeatures,
     "x_video_probe" -> videoProbe,
+    "x_video_tracks" -> videoTracks,
     "x_dedup_contain" -> dedupContain
   )
 
@@ -2373,6 +2387,29 @@ object LlmQueries extends QueryPack {
         |  CAST(CASE WHEN corrupt THEN 0 ELSE w END AS INT) AS width,
         |  CAST(CASE WHEN corrupt THEN 0 ELSE h END AS INT) AS height,
         |  CAST(NOT corrupt AS INT) AS ok
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // Replays the per-track layout: track 1 'vide' with the dim formula
+    // on every healthy container, track 2 'soun' (zero dims) on the
+    // two-track (doc_id % 3 = 0) fixtures, one zeroed ok=0 row per
+    // corrupt container.
+    "x_video_tracks" ->
+      """WITH f AS (SELECT doc_id, doc_id % 83 = 0 AS corrupt,
+        |    320 + (doc_id % 8) * 80 AS w,
+        |    240 + (doc_id % 6) * 60 AS h,
+        |    doc_id % 3 = 0 AS has_audio
+        |  FROM documents),
+        |rows AS (
+        |  SELECT doc_id, 0 AS track_id, '' AS handler, 0 AS w2, 0 AS h2,
+        |    0 AS ok
+        |  FROM f WHERE corrupt
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'vide', w, h, 1 FROM f WHERE NOT corrupt
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'soun', 0, 0, 1
+        |  FROM f WHERE NOT corrupt AND has_audio)
+        |SELECT doc_id, CAST(track_id AS BIGINT) AS track_id, handler,
+        |  CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+        |  CAST(ok AS INT) AS ok
+        |FROM rows""".stripMargin
   )
 }

@@ -230,6 +230,32 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(!meta(4L).ok && meta(4L).width === 0)
   }
 
+  test("video tracks: per-trak rows with real hdlr handlers, both versions") {
+    import spark.implicits._
+    val two = MultimodalDecode.encodeMp4(6000L, 1000, 854, 480,
+      audioTrack = true)
+    val oneV1 = MultimodalDecode.encodeMp4(3000L, 600, 426, 240,
+      version1 = true)
+    val in = Seq(
+      graft.api.MediaIn(1L, two, "video/mp4"),
+      graft.api.MediaIn(2L, oneV1, "video/mp4"),
+      graft.api.MediaIn(3L, two.take(12), "video/mp4")).toDS()
+    val got = MultimodalDecode.probeVideoTracks(in).collect()
+      .map(t => (t.doc_id, t.track_id, t.handler, t.width, t.height, t.ok))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, "vide", 854, 480, true),
+      (1L, 2L, "soun", 0, 0, true),
+      (2L, 1L, "vide", 426, 240, true),
+      (3L, 0L, "", 0, 0, false)),
+      s"unexpected track rows: $got")
+    // the whole-file probe still reads the FIRST (video) track's dims
+    // on a two-track container
+    val whole = MultimodalDecode.probeVideoOne(
+      graft.api.MediaIn(9L, two, "video/mp4"))
+    assert(whole.ok && whole.width === 854 && whole.height === 480)
+  }
+
   test("video: malformed box structures fail loudly, never throw") {
     def probe(bytes: Array[Byte]): graft.api.VideoMeta =
       MultimodalDecode.probeVideoOne(graft.api.MediaIn(0L, bytes, "video/mp4"))
