@@ -293,7 +293,20 @@ object PlanDump {
       "generator inside whole-stage codegen, zero shuffle"),
     "x_mm_phash_near" -> ("Banded perceptual-hash near-dup join — " +
       "4-band bucket equi-join over the pixel fingerprints, exact " +
-      "bit_count verify; never an all-pairs image comparison")
+      "bit_count verify; never an all-pairs image comparison"),
+    "x_video_probe" -> ("REAL MP4 container parse — pure map work over " +
+      "genuine ISO-BMFF payloads; one id repartition parallelizes the " +
+      "single-split fixture, the box walk itself never shuffles"),
+    "x_dedup_contain" -> ("Asymmetric containment join — contained-side " +
+      "rare-first prefix probes the full inverted index (pigeonhole-" +
+      "complete), container size-pruned before the array verify; the " +
+      "shared-tail \"the\"-bucket is never probed"),
+    "x_kl_drift" -> ("Distribution-drift KL — (group, term) tf " +
+      "aggregate, term totals equi-joined, corpus totals a 1-row " +
+      "broadcast; two shuffles at any corpus size"),
+    "x_split_nodup" -> ("Leakage-safe split audit — map-side signature, " +
+      "one sig-key shuffle, 1-row straddle aggregate; dedupBySignature's " +
+      "cost plus a count")
   )
 
   def main(args: Array[String]): Unit = {
