@@ -72,4 +72,35 @@ object TextFns {
     array_distinct(filter(w123, x => x.isNotNull))
   }
 
+  /** HTML → text extraction — step one of every crawl-curation pipeline:
+    * drop script/style blocks and comments WITH their contents, strip the
+    * remaining tags, decode the five core entities, collapse whitespace.
+    * A chain of codegen'd regexp/replace passes — no UDF, and every
+    * pattern is RE2-compatible so a DuckDB oracle replays it
+    * bit-for-bit. Entity order matters: `&amp;` decodes LAST, so the
+    * literal text "&amp;lt;" correctly yields "&lt;" and never
+    * double-decodes to "<". This is tag-level extraction, not a DOM
+    * parse — malformed nesting degrades to extra whitespace, never to an
+    * error (the dirty-feed contract).
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(
+              noTags, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
 }

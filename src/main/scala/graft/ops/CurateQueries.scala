@@ -150,6 +150,34 @@ object CurateQueries extends QueryPack {
   def klDriftQ(s: SparkSession, d: String): DataFrame =
     GraftOps.klDrift(Tables.documents(s, d), col("source"), col("text"))
 
+  /** x_html_strip: HTML → text extraction ([[TextFns.stripHtml]]) — the
+    * crawl pipeline's first transform. The fixture wraps each document
+    * in a deterministic page (head/title, a script block with markup-
+    * hostile content, a style block, entities, a comment), so the gate
+    * proves block removal, tag stripping, correctly-ordered entity
+    * decode and whitespace collapse against a DuckDB replay of the same
+    * construction and the same RE2-compatible passes. Pure map work,
+    * zero shuffles.
+    */
+  def htmlStrip(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script type=\"text/javascript\">var a = 1 && b < 2; " +
+        "// <p>not text</p></script><style>.x { color: red; }</style>" +
+        "</head><body><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><p>Tom &amp; Jerry say &quot;hi&quot; &lt;3 &gt; &#39;ok&#39; " +
+        "literal &amp;lt;</p><!-- hidden <b>comment</b> --></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_chars_raw"),
+        TextFns.stripHtml(col("html")).as("clean"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        length(col("clean")).cast("long").as("n_chars_clean"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
   /** x_perplexity_kn: interpolated Kneser–Ney bigram perplexity — the
     * strongest classical n-gram smoothing, completing the LM-quality
     * tier (add-one unigram → add-one bigram → Jelinek–Mercer → KN).
@@ -591,7 +619,8 @@ object CurateQueries extends QueryPack {
     "x_curriculum" -> curriculum,
     "x_mix_temp" -> mixTemp,
     "x_split_nodup" -> splitNodup,
-    "x_kl_drift" -> klDriftQ
+    "x_kl_drift" -> klDriftQ,
+    "x_html_strip" -> htmlStrip
   )
 
   /** Explicit 1-based L2 term sum for the PQ oracles — the same
@@ -1653,6 +1682,30 @@ object CurateQueries extends QueryPack {
         |    * ln((CAST(tf AS DOUBLE) * n) / (CAST(ctf AS DOUBLE) * ns.ns))), 6)
         |    AS kl_vs_corpus
         |FROM tf t JOIN corp USING (term) JOIN ns USING (source), tot
-        |GROUP BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Replays the page construction AND the strip passes with the same
+    // RE2-compatible patterns ('g' = replace-all, matching Spark's
+    // default) and the same entity decode order (&amp; last).
+    "x_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var a = 1 && b < 2; // <p>not text</p></script><style>.x { color: red; }</style></head><body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p><p>Tom &amp; Jerry say &quot;hi&quot; &lt;3 &gt; &#39;ok&#39; literal &amp;lt;</p><!-- hidden <b>comment</b> --></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_raw,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, n_chars_raw,
+        |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
+        |  md5(clean) AS clean_md5
+        |FROM c""".stripMargin
   )
 }

@@ -671,6 +671,27 @@ class CurateOpsSpec extends SparkSpec {
       ((multi, sdkDoc, sdkClass)))
   }
 
+  test("stripHtml: blocks dropped, tags stripped, entities decoded in order") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val cases = Seq(
+      // script/style contents vanish, even with markup inside
+      (1L, "<p>keep</p><script>drop <b>this</b></script><style>p{}</style>"),
+      // entity order: &amp;lt; is a LITERAL "&lt;", never double-decoded
+      (2L, "A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39; literal &amp;lt;"),
+      // comments with markup inside; whitespace collapses; malformed
+      // stray '<' without a closing '>' survives as text (no DOM error)
+      (3L, "x  <!-- <i>gone</i> -->  y < z"),
+      (4L, "")
+    ).toDF("id", "h")
+    val out = cases.select(col("id"), TextFns.stripHtml(col("h")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "keep")
+    assert(out(2L) === "A & B <ok> \"q\" 's' literal &lt;")
+    assert(out(3L) === "x y < z")
+    assert(out(4L) === "")
+  }
+
   test("klDrift matches the hand formula; identical distribution gives 0") {
     import spark.implicits._
     // src A tokens {a:2, b:1}, src B {a:1, b:2}; corpus {a:3, b:3}:
