@@ -1350,6 +1350,42 @@ object GraftOps {
         col("kl_vs_corpus"))
   }
 
+  /** Zipf-law fit per group — the corpus-health diagnostic next to
+    * [[klDrift]]: natural language shows ln(freq) ≈ a + b·ln(rank) with
+    * b ≈ −1 over the head of the vocabulary; machine-generated or
+    * template-heavy slices bend away from it. Least-squares over the
+    * top-`topK` terms (rank by tf desc, term asc — deterministic
+    * tiebreak), closed-form slope and R², perplexity-family float
+    * discipline (round 6). Shape: one (group, term) tf aggregate, a
+    * bounded per-group top-k window, a per-group 1-row fit — two
+    * shuffles, output one row per group, at any corpus size.
+    */
+  def zipfFit(df: DataFrame, group: Column, text: Column,
+              topK: Int = 30): DataFrame = {
+    require(topK >= 3, "a slope fit needs at least 3 rank points")
+    val tf = df.select(group.as("grp"), explode(TextFns.tokens(text)).as("term"))
+      .groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ranked = tf.withColumn("r", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("tf").desc, col("term"))))
+      .filter(col("r") <= topK)
+      .select(col("grp"), log(col("r").cast("double")).as("x"),
+        log(col("tf").cast("double")).as("y"))
+    ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("grp").as("source"), col("n").as("n_terms_fit"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+  }
+
   /** Fixed-size token chunking with overlap — the sequence-preparation
     * step between curation and training: each document's token stream
     * splits into windows of `chunkSize` tokens every `stride` tokens

@@ -150,6 +150,13 @@ object CurateQueries extends QueryPack {
   def klDriftQ(s: SparkSession, d: String): DataFrame =
     GraftOps.klDrift(Tables.documents(s, d), col("source"), col("text"))
 
+  /** x_zipf: per-source Zipf-law fit ([[GraftOps.zipfFit]]) — slope and
+    * R² of ln(freq) vs ln(rank) over each source's top-30 terms; the
+    * template/degenerate-slice diagnostic next to [[klDriftQ]].
+    */
+  def zipfQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.zipfFit(Tables.documents(s, d), col("source"), col("text"))
+
   /** x_html_strip: HTML → text extraction ([[TextFns.stripHtml]]) — the
     * crawl pipeline's first transform. The fixture wraps each document
     * in a deterministic page (head/title, a script block with markup-
@@ -620,7 +627,8 @@ object CurateQueries extends QueryPack {
     "x_mix_temp" -> mixTemp,
     "x_split_nodup" -> splitNodup,
     "x_kl_drift" -> klDriftQ,
-    "x_html_strip" -> htmlStrip
+    "x_html_strip" -> htmlStrip,
+    "x_zipf" -> zipfQ
   )
 
   /** Explicit 1-based L2 term sum for the PQ oracles — the same
@@ -1706,6 +1714,26 @@ object CurateQueries extends QueryPack {
         |SELECT doc_id, n_chars_raw,
         |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
         |  md5(clean) AS clean_md5
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // Closed-form least squares over ln(rank)/ln(tf), same deterministic
+    // (tf DESC, term) ranking and round(6) float discipline.
+    "x_zipf" ->
+      """WITH toks AS (SELECT source, unnest([w for w in
+        |    string_split_regex(trim(lower(text)), '\s+') if w != '']) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |rk AS (SELECT source, term, tf, row_number() OVER (
+        |    PARTITION BY source ORDER BY tf DESC, term) AS r FROM tf),
+        |pts AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+        |    ln(CAST(tf AS DOUBLE)) AS y
+        |  FROM rk WHERE r <= 30),
+        |s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT source, n AS n_terms_fit,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+        |  round(pow(n*sxy - sx*sy, 2)
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin
   )
 }

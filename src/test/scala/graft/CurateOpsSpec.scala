@@ -692,6 +692,19 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(4L) === "")
   }
 
+  test("zipfFit recovers an exact power law: slope -1, R² = 1") {
+    import spark.implicits._
+    // tf(r) = 12/r for ranks 1..3 (12, 6, 4) is EXACTLY Zipf with
+    // exponent 1: ln(tf) = ln 12 - ln(rank), so the least-squares fit
+    // must return slope -1 and a perfect R² (both exact after round 6)
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c")
+    val docs = Seq(("S", words.mkString(" "))).toDF("source", "text")
+    val r = GraftOps.zipfFit(docs, col("source"), col("text")).head
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === -1.0, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) === 1.0, s"r2 ${r.getDouble(3)}")
+  }
+
   test("klDrift matches the hand formula; identical distribution gives 0") {
     import spark.implicits._
     // src A tokens {a:2, b:1}, src B {a:1, b:2}; corpus {a:3, b:3}:

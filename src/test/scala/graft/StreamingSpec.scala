@@ -636,6 +636,29 @@ class StreamingSpec extends SparkSpec {
       "streamed decode must match batch semantics incl. loud failures")
   }
 
+  test("s_media: the MP4 track probe composes into a stream (1→N rows)") {
+    // same batch-code-unchanged claim the decode harness proved, now for
+    // the per-track generator shape: one arriving container can emit
+    // several sink rows, and a corrupt arrival emits its one loud row
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[graft.api.MediaIn]
+    val q = graft.api.MultimodalDecode.probeVideoTracks(in.toDS())
+      .writeStream.format("memory").queryName("vtracks_tbl")
+      .outputMode("append").start()
+    val two = graft.api.MultimodalDecode.encodeMp4(6000L, 1000, 640, 360,
+      audioTrack = true)
+    in.addData(graft.api.MediaIn(1L, two, "video/mp4"),
+      graft.api.MediaIn(2L, two.take(10), "video/mp4"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("vtracks_tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(5)))
+      .toSet
+    assert(got === Set((1L, 1L, "vide", true), (1L, 2L, "soun", true),
+      (2L, 0L, "", false)),
+      s"streamed track probe must match batch semantics: $got")
+  }
+
   test("s_media_restart: the codec path survives a checkpointed restart") {
     // The thread-local ImageIO reader/writer pools are per-executor-
     // thread state that NO checkpoint carries — a resumed stream gets
