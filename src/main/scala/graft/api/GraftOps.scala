@@ -682,8 +682,11 @@ object GraftOps {
                             threshold: Double): DataFrame = {
     val ppm = math.round(threshold * 1000000)
     val sh = shingles.persistOnce()
+    // two consumers (df counts, prefix build) — persist like the
+    // containment join's index, or each re-explodes the corpus
     val tall = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
-      explode(col("shingles")).as("s"))
+        explode(col("shingles")).as("s"))
+      .persistOnce()
     val dfreq = tall.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rarest-first rank via a per-doc array sort, not a
     // Window.partitionBy(doc_id): the groupBy shuffles each shingle row
