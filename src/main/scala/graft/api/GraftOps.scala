@@ -1397,6 +1397,34 @@ object GraftOps {
           .as("r2"))
   }
 
+  /** Heaps-law fit per group — [[zipfFit]]'s companion: vocabulary
+    * growth V(n) ≈ K·n^β across documents (each doc contributes one
+    * (ln n_tokens, ln n_distinct) point; natural text sits near
+    * β ≈ 0.5–0.8, template/degenerate slices collapse toward 0 and
+    * random noise pushes toward 1). Same closed-form least squares,
+    * same round(6) float discipline. Docs need ≥ 1 token; groups need
+    * ≥ 3 docs with VARYING sizes or the slope is undefined (emitted as
+    * null, never an error). One scan + one group aggregate — a single
+    * shuffle, one row per group at any corpus size.
+    */
+  def heapsFit(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val pts = df.select(group.as("grp"), TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("grp"),
+        log(size(col("w")).cast("double")).as("x"),
+        log(size(array_distinct(col("w"))).cast("double")).as("y"))
+    pts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("grp").as("source"), col("n").as("n_docs_fit"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("heaps_beta"))
+  }
+
   /** Fixed-size token chunking with overlap — the sequence-preparation
     * step between curation and training: each document's token stream
     * splits into windows of `chunkSize` tokens every `stride` tokens

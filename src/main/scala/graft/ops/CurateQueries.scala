@@ -157,6 +157,13 @@ object CurateQueries extends QueryPack {
   def zipfQ(s: SparkSession, d: String): DataFrame =
     GraftOps.zipfFit(Tables.documents(s, d), col("source"), col("text"))
 
+  /** x_heaps: per-source Heaps-law vocabulary-growth fit ([[GraftOps
+    * .heapsFit]]) — β of ln(distinct) vs ln(tokens) across each
+    * source's documents; [[zipfQ]]'s companion diagnostic.
+    */
+  def heapsQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.heapsFit(Tables.documents(s, d), col("source"), col("text"))
+
   /** x_html_strip: HTML → text extraction ([[TextFns.stripHtml]]) — the
     * crawl pipeline's first transform. The fixture wraps each document
     * in a deterministic page (head/title, a script block with markup-
@@ -628,7 +635,8 @@ object CurateQueries extends QueryPack {
     "x_split_nodup" -> splitNodup,
     "x_kl_drift" -> klDriftQ,
     "x_html_strip" -> htmlStrip,
-    "x_zipf" -> zipfQ
+    "x_zipf" -> zipfQ,
+    "x_heaps" -> heapsQ
   )
 
   /** Explicit 1-based L2 term sum for the PQ oracles — the same
@@ -1734,6 +1742,23 @@ object CurateQueries extends QueryPack {
         |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
         |  round(pow(n*sxy - sx*sy, 2)
         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
+    // Same least-squares replay over per-doc (ln tokens, ln distinct)
+    // points; degenerate (all-equal-size) groups yield NULL.
+    "x_heaps" ->
+      """WITH ws AS (SELECT source, [w for w in
+        |    string_split_regex(trim(lower(text)), '\s+') if w != ''] AS w
+        |  FROM documents),
+        |pts AS (SELECT source, ln(CAST(len(w) AS DOUBLE)) AS x,
+        |    ln(CAST(len(list_distinct(w)) AS DOUBLE)) AS y
+        |  FROM ws WHERE len(w) > 0),
+        |s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT source, n AS n_docs_fit,
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |    ELSE round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END
+        |    AS heaps_beta
         |FROM s""".stripMargin
   )
 }

@@ -705,6 +705,24 @@ class CurateOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0, s"r2 ${r.getDouble(3)}")
   }
 
+  test("heapsFit recovers an exact growth law; equal-size groups give null") {
+    import spark.implicits._
+    // (tokens, distinct) = (4,2), (16,4), (64,8): ln(distinct) is
+    // exactly 0.5·ln(tokens), so beta must be 0.5 after round 6
+    def doc(n: Int, d: Int): String =
+      (0 until n).map(i => "t" + (i % d)).mkString(" ")
+    val docs = Seq(("S", doc(4, 2)), ("S", doc(16, 4)), ("S", doc(64, 8)),
+      ("E", doc(8, 3)), ("E", doc(8, 5))) // E: no size variation
+      .toDF("source", "text")
+    val out = GraftOps.heapsFit(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(out("S") === ((3L, Some(0.5))))
+    assert(out("E") === ((2L, None)),
+      "a group with no token-count variation has no defined slope")
+  }
+
   test("klDrift matches the hand formula; identical distribution gives 0") {
     import spark.implicits._
     // src A tokens {a:2, b:1}, src B {a:1, b:2}; corpus {a:3, b:3}:
