@@ -1388,12 +1388,20 @@ object GraftOps {
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
       .select(col("grp").as("source"), col("n").as("n_terms_fit"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+        // a 1-term group (or an all-equal-tf group for r2) has no
+        // defined fit — NULL, never a NaN that breaks a hash gate
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
           .as("zipf_slope"),
-        round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        when((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 6))
           .as("r2"))
   }
 

@@ -1739,9 +1739,12 @@ object CurateQueries extends QueryPack {
         |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
         |  FROM pts GROUP BY 1)
         |SELECT source, n AS n_terms_fit,
-        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
-        |  round(pow(n*sxy - sx*sy, 2)
-        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |    ELSE round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END
+        |    AS zipf_slope,
+        |  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+        |    ELSE round(pow(n*sxy - sx*sy, 2)
+        |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
         |FROM s""".stripMargin,
     // Same least-squares replay over per-doc (ln tokens, ln distinct)
     // points; degenerate (all-equal-size) groups yield NULL.
