@@ -779,10 +779,15 @@ object GraftOps {
     * operator exists for.
     */
   def containmentJoin(df: DataFrame, key: Column, text: Column,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      jaccardLine: Double = 0.8): DataFrame = {
     require(threshold > 0.5 && threshold <= 1.0,
       "containment threshold in (0.5, 1] — below that the prefix filter " +
         "degenerates toward the full inverted index")
+    require(jaccardLine > 0.0 && jaccardLine <= 1.0,
+      "jaccardLine is the caller's OWN dedup threshold — the " +
+        "jaccard_misses flag marks pairs that dedup pass would miss")
+    val jaccardPpm = math.round(jaccardLine * 1000000)
     val ppm = math.round(threshold * 1000000)
     val sh = shingleTable(df, key, text).persistOnce()
     // the tall (doc, shingle) index feeds THREE consumers here (df
@@ -823,7 +828,7 @@ object GraftOps {
         expr("CAST(i AS BIGINT) * 1000000 div na").as("containment_ppm"),
         expr("CAST(i AS BIGINT) * 1000000 div (na + nb - i)").as("jaccard_ppm"))
       .withColumn("jaccard_misses",
-        (col("jaccard_ppm") < 800000L).cast("int"))
+        (col("jaccard_ppm") < jaccardPpm).cast("int"))
   }
 
   /** Exact duplicate-SPAN detection — the substring-level dedup signal
@@ -1381,22 +1386,30 @@ object GraftOps {
         Window.partitionBy(col("grp"))
           .orderBy(col("tf").desc, col("term"))))
       .filter(col("r") <= topK)
-      .select(col("grp"), log(col("r").cast("double")).as("x"),
+      .select(col("grp"), col("tf"),
+        log(col("r").cast("double")).as("x"),
         log(col("tf").cast("double")).as("y"))
+    // degeneracy is decided on EXACT INTEGER facts (point count, tf
+    // spread), never on a float variance term: n·Σx² − (Σx)² for an
+    // all-equal series is a catastrophic cancellation whose residual is
+    // ~1e-16-but-not-zero, and partial-aggregation order makes that
+    // residual engine-dependent — an ==0.0 guard would emit garbage
+    // exactly in the cases it documents as NULL
     ranked.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      .agg(count(lit(1)).as("n"), min(col("tf")).as("tf_min"),
+        max(col("tf")).as("tf_max"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
       .select(col("grp").as("source"), col("n").as("n_terms_fit"),
-        // a 1-term group (or an all-equal-tf group for r2) has no
-        // defined fit — NULL, never a NaN that breaks a hash gate
-        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0,
-          lit(null).cast("double"))
+        // ranks are distinct integers, so x varies whenever n >= 2:
+        // the slope is undefined only for a 1-point group
+        when(col("n") < 2, lit(null).cast("double"))
           .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 6))
           .as("zipf_slope"),
-        when((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")) === 0.0,
+        // r2 additionally needs y-variance: all-equal tf (a flat head)
+        // has none — exact integer min/max compare
+        when(col("n") < 2 || col("tf_min") === col("tf_max"),
           lit(null).cast("double"))
           .otherwise(round(
             pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
@@ -1418,15 +1431,20 @@ object GraftOps {
   def heapsFit(df: DataFrame, group: Column, text: Column): DataFrame = {
     val pts = df.select(group.as("grp"), TextFns.tokens(text).as("w"))
       .filter(size(col("w")) > 0)
-      .select(col("grp"),
+      .select(col("grp"), size(col("w")).as("nt"),
         log(size(col("w")).cast("double")).as("x"),
         log(size(array_distinct(col("w"))).cast("double")).as("y"))
+    // degeneracy on EXACT INTEGER facts (see zipfFit): a group whose
+    // docs all have the same token count has zero x-variance, and the
+    // float n·Σx² − (Σx)² residual of that case is engine-dependent
+    // cancellation noise, not a reliable zero
     pts.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      .agg(count(lit(1)).as("n"), min(col("nt")).as("nt_min"),
+        max(col("nt")).as("nt_max"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("y")).as("sxy"))
       .select(col("grp").as("source"), col("n").as("n_docs_fit"),
-        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0,
+        when(col("n") < 2 || col("nt_min") === col("nt_max"),
           lit(null).cast("double"))
           .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 6))

@@ -170,27 +170,53 @@ object MultimodalDecode {
     // cx·w/9 < w always, so forcing x1 >= x0+1 never exceeds w (and a
     // source narrower than the grid just repeats cells — forced-equal
     // neighbors compare as 0 bits, same as any tiny-image fingerprint).
+    // Pixels stream row-at-a-time through ONE bulk getRGB per row (same
+    // default-sRGB conversion as the scalar call, so fingerprints are
+    // unchanged): per-pixel getRGB pays a ColorModel dispatch per call —
+    // ~8M calls on a 4K frame — on the decode hot path. Cell y-ranges
+    // may overlap when h < 8 (the forced-non-empty rule), so each row
+    // adds its per-column sums to EVERY cell row covering it.
+    val xr = Array.tabulate(9) { cx =>
+      val x0 = cx * w / 9; (x0, math.max(x0 + 1, (cx + 1) * w / 9))
+    }
+    val yr = Array.tabulate(8) { cy =>
+      val y0 = cy * h / 8; (y0, math.max(y0 + 1, (cy + 1) * h / 8))
+    }
+    val sums = new Array[Long](8 * 9)
+    val row = new Array[Int](w)
+    val colSum = new Array[Long](9)
+    var sy = 0
+    while (sy < h) {
+      img.getRGB(0, sy, w, 1, row, 0, w)
+      var cx = 0
+      while (cx < 9) {
+        var s = 0L
+        var x = xr(cx)._1
+        while (x < xr(cx)._2) {
+          val p = row(x)
+          s += (p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)
+          x += 1
+        }
+        colSum(cx) = s
+        cx += 1
+      }
+      var cy = 0
+      while (cy < 8) {
+        if (sy >= yr(cy)._1 && sy < yr(cy)._2) {
+          var k = 0
+          while (k < 9) { sums(cy * 9 + k) += colSum(k); k += 1 }
+        }
+        cy += 1
+      }
+      sy += 1
+    }
     val lum = new Array[Int](8 * 9)
     var cy = 0
     while (cy < 8) {
-      val y0 = cy * h / 8
-      val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
       var cx = 0
       while (cx < 9) {
-        val x0 = cx * w / 9
-        val x1 = math.max(x0 + 1, (cx + 1) * w / 9)
-        var sum = 0L
-        var y = y0
-        while (y < y1) {
-          var x = x0
-          while (x < x1) {
-            val p = img.getRGB(x, y)
-            sum += (p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        lum(cy * 9 + cx) = (sum / (3L * (x1 - x0) * (y1 - y0))).toInt
+        lum(cy * 9 + cx) = (sums(cy * 9 + cx) /
+          (3L * (xr(cx)._2 - xr(cx)._1) * (yr(cy)._2 - yr(cy)._1))).toInt
         cx += 1
       }
       cy += 1
@@ -508,12 +534,36 @@ object MultimodalDecode {
           if (mvhdS + 32 > mvhdE) return bad
           (u32(c, mvhdS + 20), u64(c, mvhdS + 24))
         } else return bad
-      if (timescale <= 0L || timescale > Int.MaxValue || duration < 0L)
+      // ISO-BMFF leaves box order unconstrained, so duration * 1000 must
+      // not overflow (a crafted u64 v1 duration would otherwise wrap to
+      // a negative duration_ms with ok=true)
+      if (timescale <= 0L || timescale > Int.MaxValue || duration < 0L ||
+          duration > Long.MaxValue / 1000L)
         return bad
-      val (trakS, trakE) = moov.getOrElse("trak", return bad)
-      val trak = walk(c, trakS, trakE).getOrElse(return bad)
-      val (tkhdS, tkhdE) = trak.getOrElse("tkhd", return bad)
-      val (_, w, h) = tkhdFields(c, tkhdS, tkhdE).getOrElse(return bad)
+      // dims come from the VIDEO track, not the first trak: muxers may
+      // put the audio track first, whose tkhd legally carries 0x0. Pick
+      // the first trak whose mdia/hdlr handler is 'vide'; fall back to
+      // the first trak for hdlr-less (legacy/minimal) files.
+      val traks = walkAll(c, moovS, moovE).getOrElse(return bad)
+        .filter(_._1 == "trak")
+      if (traks.isEmpty) return bad
+      val dims = traks.flatMap { case (_, ts, te) =>
+        walk(c, ts, te).flatMap { trak =>
+          trak.get("tkhd").flatMap { case (ks, ke) =>
+            tkhdFields(c, ks, ke).map { case (_, w, h) =>
+              val handler = trak.get("mdia").flatMap { case (ms, me) =>
+                walk(c, ms, me).flatMap(_.get("hdlr")).flatMap {
+                  case (hs, he) =>
+                    if (hs + 12 > he) None else Some(fourcc(c, hs + 8))
+                }
+              }
+              (handler, w, h)
+            }
+          }
+        }
+      }
+      if (dims.isEmpty) return bad
+      val (_, w, h) = dims.find(_._1.contains("vide")).getOrElse(dims.head)
       VideoMeta(in.doc_id, in.mime, c.length.toLong,
         duration * 1000L / timescale, timescale.toInt, w, h, ok = true)
     } catch {

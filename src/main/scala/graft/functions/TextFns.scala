@@ -84,10 +84,12 @@ object TextFns {
     * error (the dirty-feed contract).
     */
   def stripHtml(html: Column): Column = {
+    // (?i): HTML tag names are case-insensitive — <SCRIPT> blocks would
+    // otherwise leak their contents into the "clean" text
     val noScript =
-      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle =
-      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
     val ent = org.apache.spark.sql.functions.replace(

@@ -1712,8 +1712,8 @@ object CurateQueries extends QueryPack {
         |        regexp_replace(
         |          regexp_replace(
         |            regexp_replace(
-        |              regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |          '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]+>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
@@ -1732,17 +1732,18 @@ object CurateQueries extends QueryPack {
         |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |rk AS (SELECT source, term, tf, row_number() OVER (
         |    PARTITION BY source ORDER BY tf DESC, term) AS r FROM tf),
-        |pts AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+        |pts AS (SELECT source, tf, ln(CAST(r AS DOUBLE)) AS x,
         |    ln(CAST(tf AS DOUBLE)) AS y
         |  FROM rk WHERE r <= 30),
-        |s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |s AS (SELECT source, count(*) AS n, min(tf) AS tf_min,
+        |    max(tf) AS tf_max, sum(x) AS sx, sum(y) AS sy,
         |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
         |  FROM pts GROUP BY 1)
         |SELECT source, n AS n_terms_fit,
-        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |  CASE WHEN n < 2 THEN NULL
         |    ELSE round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END
         |    AS zipf_slope,
-        |  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN NULL
+        |  CASE WHEN n < 2 OR tf_min = tf_max THEN NULL
         |    ELSE round(pow(n*sxy - sx*sy, 2)
         |      / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS r2
         |FROM s""".stripMargin,
@@ -1752,14 +1753,16 @@ object CurateQueries extends QueryPack {
       """WITH ws AS (SELECT source, [w for w in
         |    string_split_regex(trim(lower(text)), '\s+') if w != ''] AS w
         |  FROM documents),
-        |pts AS (SELECT source, ln(CAST(len(w) AS DOUBLE)) AS x,
+        |pts AS (SELECT source, len(w) AS nt,
+        |    ln(CAST(len(w) AS DOUBLE)) AS x,
         |    ln(CAST(len(list_distinct(w)) AS DOUBLE)) AS y
         |  FROM ws WHERE len(w) > 0),
-        |s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |s AS (SELECT source, count(*) AS n, min(nt) AS nt_min,
+        |    max(nt) AS nt_max, sum(x) AS sx, sum(y) AS sy,
         |    sum(x*x) AS sxx, sum(x*y) AS sxy
         |  FROM pts GROUP BY 1)
         |SELECT source, n AS n_docs_fit,
-        |  CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |  CASE WHEN n < 2 OR nt_min = nt_max THEN NULL
         |    ELSE round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END
         |    AS heaps_beta
         |FROM s""".stripMargin

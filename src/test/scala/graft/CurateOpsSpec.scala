@@ -682,7 +682,10 @@ class CurateOpsSpec extends SparkSpec {
       // comments with markup inside; whitespace collapses; malformed
       // stray '<' without a closing '>' survives as text (no DOM error)
       (3L, "x  <!-- <i>gone</i> -->  y < z"),
-      (4L, "")
+      (4L, ""),
+      // tag names are case-insensitive in HTML: an uppercase block must
+      // drop its CONTENTS, not just its tags
+      (5L, "<SCRIPT>var leak = 1;</SCRIPT><Style>.y{}</Style>ok")
     ).toDF("id", "h")
     val out = cases.select(col("id"), TextFns.stripHtml(col("h")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -690,6 +693,7 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(2L) === "A & B <ok> \"q\" 's' literal &lt;")
     assert(out(3L) === "x y < z")
     assert(out(4L) === "")
+    assert(out(5L) === "ok", "uppercase script/style contents must drop")
   }
 
   test("zipfFit recovers an exact power law: slope -1, R² = 1") {

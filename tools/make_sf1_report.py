@@ -27,7 +27,9 @@ def main():
     q1, c1, t1 = load(sf1_path)
     calib_ratio = c1 / c01
     rows = []
-    for name in sorted(q01):
+    # union of BOTH runs' names: a query present only in the sf1 sweep
+    # (added/renamed between runs) must surface as MISSING, not vanish
+    for name in sorted(set(q01) | set(q1)):
         a, b = q01.get(name), q1.get(name)
         if a is None or b is None or a is False or b is False:
             rows.append((float("inf"), name, a, b, None))
