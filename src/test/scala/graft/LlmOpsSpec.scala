@@ -98,6 +98,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(brute.except(got).isEmpty, "containment prefix filter lost a pair")
   }
 
+  test("containmentJoin equals brute force on seeded random corpora") {
+    import graft.api.GraftOps
+    import spark.implicits._
+    // randomized losslessness at several densities: small vocabularies
+    // force heavy shingle sharing (the adversarial case for blocking),
+    // large ones scatter; prefixes must lose nothing either way
+    for (seed <- Seq(7, 23); vocab <- Seq(6, 40)) {
+      val rnd = new scala.util.Random(seed * 1000 + vocab)
+      val docs = (0 until 50).map { i =>
+        val n = 3 + rnd.nextInt(12)
+        (i.toLong, (0 until n).map(_ => "w" + rnd.nextInt(vocab)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = docs
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextFns.shingles3(col("w")).as("s"))
+      val brute = sh.as("a").join(sh.as("b"),
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_contained"),
+          col("b.doc_id").as("doc_container"),
+          size(array_intersect(col("a.s"), col("b.s")))
+            .cast("bigint").as("i"),
+          size(col("a.s")).cast("bigint").as("na"))
+        .filter(col("i") * 1000000L >= col("na") * 900000L)
+        .select(col("doc_contained"), col("doc_container"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = GraftOps.containmentJoin(docs, col("doc_id"), col("text"), 0.9)
+        .select(col("doc_contained"), col("doc_container"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === brute,
+        s"seed=$seed vocab=$vocab: blocking diverged from brute force " +
+          s"(missing ${brute -- got}, extra ${got -- brute})")
+    }
+  }
+
   test("x_dedup_simhash pigeonhole blocking is lossless") {
     import graft.api.GraftOps
     val docs = Tables.documents(spark, sf)

@@ -50,6 +50,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MP4 encode→probe round-trips every field across the whole domain") {
+    // the container codec is a pure byte function: whatever fields the
+    // writer laid out, the box walk must recover exactly — including the
+    // integer-floor ms conversion — for both time layouts and both
+    // track shapes, at u32 boundaries and v1's u64 range
+    val genFields = for {
+      dur <- Gen.oneOf(Gen.choose(0L, 4294967295L),
+        Gen.choose(0L, Long.MaxValue / 1000))
+      ts <- Gen.choose(1, 1000000000)
+      w <- Gen.choose(0, 32767)
+      h <- Gen.choose(0, 32767)
+      v1 <- Gen.oneOf(true, false)
+      au <- Gen.oneOf(true, false)
+    } yield (dur, ts, w, h, v1, au)
+    check("mp4-roundtrip", Prop.forAll(genFields) {
+      case (dur, ts, w, h, v1, au) =>
+        // v0 stores 32-bit times: clamp the generated duration there
+        val d = if (v1) dur else dur % 4294967296L
+        val bytes = graft.api.MultimodalDecode.encodeMp4(
+          d, ts, w, h, version1 = v1, audioTrack = au)
+        val m = graft.api.MultimodalDecode.probeVideoOne(
+          graft.api.MediaIn(0L, bytes, "video/mp4"))
+        m.ok && m.timescale == ts && m.width == w && m.height == h &&
+          m.duration_ms == d * 1000L / ts
+    })
+  }
+
   test("band bucketing covers the range-join predicate exactly") {
     // q_join_range's rewrite: p in [s, s+50] => floor(p/50) is floor(s/50)
     // or floor(s/50)+1 — joining each s to its bucket and the next one
