@@ -46,6 +46,14 @@ object MultimodalDecode {
   private val pngWriterTl =
     ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
       javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  // JPEG gets its own pooled pair: a real crawl's images are mostly
+  // JPEG, and the registry-lookup contention is format-independent
+  private val jpegReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next())
+  private val jpegWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
 
   private val PngSig =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -53,21 +61,29 @@ object MultimodalDecode {
   private def looksPng(c: Array[Byte]): Boolean =
     c.length >= 8 && java.util.Arrays.equals(c, 0, 8, PngSig, 0, 8)
 
-  /** Decode image bytes to a raster, or null if undecodable. PNG bytes
-    * (the overwhelmingly common case) take the pooled contention-free
-    * reader; anything else falls back to the generic registry path.
+  /** JFIF/EXIF JPEG starts with the SOI marker FF D8 FF. */
+  private def looksJpeg(c: Array[Byte]): Boolean =
+    c.length >= 3 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 &&
+      (c(2) & 0xff) == 0xff
+
+  private def readPooled(r: javax.imageio.ImageReader,
+                         c: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(c))
+    try { r.setInput(iis, true, true); r.read(0) }
+    finally { r.setInput(null); iis.close() }
+  }
+
+  /** Decode image bytes to a raster, or null if undecodable. PNG and
+    * JPEG bytes (the overwhelmingly common cases) take the pooled
+    * contention-free readers, sniffed by signature; anything else falls
+    * back to the generic registry path.
     */
   private def readImage(c: Array[Byte]): java.awt.image.BufferedImage =
     try {
-      if (looksPng(c)) {
-        val r = pngReaderTl.get()
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(c))
-        try { r.setInput(iis, true, true); r.read(0) }
-        finally { r.setInput(null); iis.close() }
-      } else {
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
-      }
+      if (looksPng(c)) readPooled(pngReaderTl.get(), c)
+      else if (looksJpeg(c)) readPooled(jpegReaderTl.get(), c)
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
     } catch { case _: java.io.IOException | _: RuntimeException => null }
 
   /** Encode a raster as PNG bytes through the pooled writer. */
@@ -124,7 +140,8 @@ object MultimodalDecode {
     * raster. Java's PNG writer emits no timestamp chunks, so the bytes
     * are stable for a given JDK.
     */
-  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  private def fixtureRaster(width: Int, height: Int,
+                            seed: Long): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -144,7 +161,26 @@ object MultimodalDecode {
       }
       y += 1
     }
-    writePng(img)
+    img
+  }
+
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
+    writePng(fixtureRaster(width, height, seed))
+
+  /** Encode the same deterministic raster as real JPEG bytes — the
+    * fixture generator for the JPEG decode path (the format most crawl
+    * images arrive in). JPEG is lossy, so only structural facts (dims,
+    * decodability) are gate material — pixel values are NOT (they vary
+    * with the encoder's quantization); the oracle gates the dimension
+    * formula, exactly what survives a lossy round-trip.
+    */
+  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val w = jpegWriterTl.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { w.setOutput(ios); w.write(fixtureRaster(width, height, seed)) }
+    finally { w.setOutput(null); ios.close() }
+    bos.toByteArray
   }
 
   /** 64-bit difference hash (dHash) over the REAL decoded pixels: the

@@ -752,6 +752,32 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("mime"), col("width"), col("height"),
         col("ok").cast("int").as("ok"))
 
+  /** x_mm_decode_jpeg: REAL JPEG decode — the format most crawl images
+    * actually arrive in. Payloads are genuine JPEGs (pooled ImageIO
+    * writer over the deterministic raster), dims parsed back by the
+    * pooled signature-sniffed JPEG reader; corrupt rows truncate to the
+    * 3-byte SOI marker, so the POOLED path's failure handling (not just
+    * the registry fallback's) is what the ok=0 rows prove. Dims survive
+    * the lossy round-trip exactly, so the oracle replays the fixture's
+    * dimension formula like [[mmDecode]].
+    */
+  def mmDecodeJpeg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val jpg = graft.api.MultimodalDecode.encodeJpeg(
+            8 + (id % 25).toInt, 8 + (id % 19).toInt, id)
+          val content = if (id % 101 == 0) jpg.take(3) else jpg
+          graft.api.MediaIn(id, content, "image/jpeg")
+        }
+      }
+    graft.api.MultimodalDecode.decode(payloads).toDF()
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("ok").cast("int").as("ok"))
+  }
+
   /** x_mm_resample: REAL pixel resample — each genuine PNG payload is
     * decoded, aspect-fit into a 16×16 box through Graphics2D, re-encoded
     * as PNG, and the OUTPUT bytes decoded again; the gated out_w/out_h
@@ -1074,7 +1100,8 @@ object LlmQueries extends QueryPack {
     "x_audio_features" -> audioFeatures,
     "x_video_probe" -> videoProbe,
     "x_video_tracks" -> videoTracks,
-    "x_dedup_contain" -> dedupContain
+    "x_dedup_contain" -> dedupContain,
+    "x_mm_decode_jpeg" -> mmDecodeJpeg
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2370,6 +2397,16 @@ object LlmQueries extends QueryPack {
         |  CAST(CASE WHEN i * 1000000 // (na + nb - i) < 800000
         |       THEN 1 ELSE 0 END AS INT) AS jaccard_misses
         |FROM v WHERE i * 1000000 >= 900000 * na""".stripMargin,
+    // Dims survive the lossy JPEG round-trip exactly; corrupt rows are
+    // the 3-byte SOI truncations.
+    "x_mm_decode_jpeg" ->
+      """SELECT doc_id, 'image/jpeg' AS mime,
+        |  CAST(CASE WHEN doc_id % 101 = 0 THEN 0
+        |            ELSE 8 + doc_id % 25 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 101 = 0 THEN 0
+        |            ELSE 8 + doc_id % 19 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 101 = 0 THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM documents""".stripMargin,
     // Replays the MP4 fixture's field formulas, including the parser's
     // integer-floor units→ms conversion (duration * 1000 // timescale).
     // Corrupt rows (doc_id % 83 = 0, truncated container) → zeros, ok=0.

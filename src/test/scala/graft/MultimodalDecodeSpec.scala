@@ -82,6 +82,29 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(!out(3L).ok && out(3L).out_w === 0 && out(3L).n_bytes_out === 0L)
   }
 
+  test("image/jpeg payloads decode through the pooled JPEG reader") {
+    import spark.implicits._
+    val jpg = MultimodalDecode.encodeJpeg(21, 13, seed = 5L)
+    // genuine JFIF: SOI marker up front
+    assert((jpg(0) & 0xff) === 0xff && (jpg(1) & 0xff) === 0xd8)
+    val in = Seq(
+      graft.api.MediaIn(1L, jpg, "image/jpeg"),
+      graft.api.MediaIn(2L, jpg.take(3), "image/jpeg"), // SOI only:
+      // fails INSIDE the pooled reader path, not the registry fallback
+      graft.api.MediaIn(3L, null, "image/jpeg")).toDS()
+    val out = MultimodalDecode.decode(in).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out(1L).ok && out(1L).width === 21 && out(1L).height === 13)
+    assert(!out(2L).ok && out(2L).width === 0)
+    assert(!out(3L).ok)
+    // a JPEG also resamples and fingerprints through the same machinery
+    val rs = MultimodalDecode.resampleOne(
+      graft.api.MediaIn(9L, jpg, "image/jpeg"), box = 8)
+    // scale_ppm = floor(8e6/21) = 380952; 21·380952 div 1e6 = 7 (floor)
+    assert(rs.ok && rs.src_w === 21 && rs.out_w === 7 && rs.out_h === 4)
+    assert(MultimodalDecode.dHash64(jpg).isDefined)
+  }
+
   test("audio: a real WAV round-trips through javax.sound.sampled") {
     import spark.implicits._
     val wav = MultimodalDecode.encodeWav(frames = 1234, seed = 9L)
