@@ -224,6 +224,67 @@ class ScaleSpec extends SparkSpec {
       s"unexpectedly dense corpus: ${out.length} pairs")
   }
 
+  test("splitLeakage at 1M docs: 100k planted classes, class-keyed straddle 0") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 500k docs in 100k five-copy duplicate classes + 500k singletons;
+    // the audit must count exactly the planted classes, find real
+    // doc-keyed leakage, and prove the class-keyed split co-assigns
+    // every member — at a scale where the signature pass and the
+    // sig-key shuffle dominate, not fixture noise.
+    import spark.implicits._
+    val dups = spark.range(0, 500000L, 1, 32)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map { i =>
+          substring(md5(concat(lit("c"), expr("id div 5"))),
+            i * 4 + 1, 4)
+        }: _*).as("text"))
+    val singles = spark.range(1000000L, 1500000L, 1, 32)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map { i =>
+          substring(md5(concat(lit("u"), col("id").cast("string"))),
+            i * 4 + 1, 4)
+        }: _*).as("text"))
+    val r = GraftOps.splitLeakage(dups.unionAll(singles),
+      col("doc_id"), col("text")).head
+    assert(r.getLong(0) === 100000L,
+      s"expected the 100k planted classes, got ${r.getLong(0)}")
+    assert(r.getLong(2) === 0L,
+      "class-keyed assignment must co-assign every member at scale")
+    // with 5 members per class and a 50/25/25 split, ~94% of classes
+    // straddle under doc-keying — require the leakage signal is LOUD
+    assert(r.getLong(1) > 80000L,
+      s"doc-keyed straddle implausibly low: ${r.getLong(1)}")
+  }
+
+  test("klDrift at 2M docs: exact totals, biased source surfaces on top") {
+    assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
+    // 2M 10-token docs over 20 sources; source 0 draws from a narrow
+    // 4-term vocabulary, the rest from 1000 terms — its KL must
+    // dominate, totals must be exact, and KL must be non-negative
+    // everywhere (it is a divergence).
+    import spark.implicits._
+    val docs = spark.range(0, 2000000L, 1, 32)
+      .select(concat(lit("s"), pmod(col("id"), lit(20L))).as("source"),
+        concat_ws(" ", (0 until 10).map { i =>
+          when(pmod(col("id"), lit(20L)) === 0,
+            concat(lit("n"), pmod(xxhash64(col("id") + lit(i * 7)), lit(4L))))
+            .otherwise(
+              concat(lit("t"), pmod(xxhash64(col("id") + lit(i * 7)),
+                lit(1000L))))
+        }: _*).as("text"))
+    val rows = GraftOps.klDrift(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(rows.size === 20)
+    assert(rows.values.map(_._1).sum === 20000000L,
+      "token totals must be exact at scale")
+    assert(rows.values.forall(_._2 >= -1e-9),
+      "KL is a divergence - never negative")
+    val top = rows.maxBy(_._2._2)
+    assert(top._1 === "s0",
+      s"the narrow-vocabulary source must dominate the drift: $rows")
+  }
+
   test("containmentJoin at 110k docs: prefix probes skip the shared-tail bucket") {
     assume(enabled, "set GRAFT_SCALE_TEST=1 to run")
     // 100k distinct 10-token docs + 10k planted supersets (doc text + a
