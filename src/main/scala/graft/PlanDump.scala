@@ -302,8 +302,9 @@ object PlanDump {
       "complete), container size-pruned before the array verify; the " +
       "shared-tail \"the\"-bucket is never probed"),
     "x_kl_drift" -> ("Distribution-drift KL — (group, term) tf " +
-      "aggregate, term totals equi-joined, corpus totals a 1-row " +
-      "broadcast; two shuffles at any corpus size"),
+      "aggregate is the only corpus-proportional shuffle; term totals " +
+      "equi-joined, corpus totals a 1-row broadcast, per-group total " +
+      "folded into the final aggregate (no window pass)"),
     "x_split_nodup" -> ("Leakage-safe split audit — map-side signature, " +
       "one sig-key shuffle, 1-row straddle aggregate; dedupBySignature's " +
       "cost plus a count")

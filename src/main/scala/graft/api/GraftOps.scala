@@ -881,6 +881,189 @@ object GraftOps {
           .cast("int").as("flagged"))
   }
 
+  /** Distributed dense rank of an already-DISTINCT key table — the
+    * driver-offset zipWithIndex ([[rangedQuantileTable]]'s phase-1
+    * shape, generalized to any sort-key arity): range-partition on the
+    * keys so partition boundaries respect global order, count each
+    * partition (ONE bounded row per partition to the driver), broadcast
+    * the exclusive prefix sums back, and add them to the per-partition
+    * row_number. No single-partition window anywhere; ranks are global
+    * sorted positions, so they are partitioning-independent even though
+    * range boundaries come from sampling. Returns (keys + "rnk" column,
+    * total key count).
+    */
+  private def globalDenseRank(keys: DataFrame,
+                              partitions: Int): (DataFrame, Long) = {
+    val cols = keys.columns.map(col(_))
+    val ranged = trackedCache(keys.repartitionByRange(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("pid", spark_partition_id()))
+    val totals = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = totals.map(_._2).sum
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+    val w = Window.partitionBy(col("pid")).orderBy(cols: _*)
+    val ranked = ranged
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .join(offDf, "pid")
+      .withColumn("rnk", col("rn") + col("off"))
+      .drop("pid", "rn", "off")
+    (ranked, n)
+  }
+
+  /** Suffix-array substring dedup — the exact maximal-span upgrade over
+    * [[dedupSubstrings]]'s fixed windows (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for every token
+    * position, dup_len(pos) = the longest prefix of the suffix starting
+    * there that occurs ANYWHERE ELSE in the corpus (capped at `cap`),
+    * from which each document reports its longest duplicated span, the
+    * positions sitting inside a duplicated span of ≥ `minSpan` tokens,
+    * and the exact fraction of its tokens covered by such spans — the
+    * numbers a Lee-et-al substring dedup pass would actually remove.
+    *
+    * Construction is the DISTRIBUTED suffix array by prefix doubling:
+    * ceil(log2(cap)) rounds, each one range-sort + dense-rank of the
+    * (rank, rank-at-offset) pairs via [[globalDenseRank]] (bounded
+    * per-partition counts to the driver — the [[rangedQuantileTable]]
+    * discipline, never a single-partition window), then exact adjacent-
+    * class LCPs by the standard rank-table descent (log2(cap) more
+    * rounds of position-keyed equi-joins). Every round is linear in
+    * corpus tokens and the round COUNT is fixed by `cap`, not the
+    * corpus — the O(log) pattern this engine already proves in
+    * q_bfs/x_dedup_cluster. A unique per-document sentinel token
+    * (containing ' ', which the tokenizer can never emit) makes
+    * rank equality imply REAL token equality — two distinct positions
+    * can never agree on a block containing a sentinel — so the reported
+    * spans are exact, not hash-approximate, and a class that is still
+    * tied at the cap provably shares `cap` real tokens.
+    */
+  def dedupSuffix(df: DataFrame, key: Column, text: Column,
+                  minSpan: Int = 10, cap: Int = 64,
+                  partitions: Int = 32): DataFrame = {
+    require(minSpan >= 1 && cap >= minSpan && cap <= 4096 &&
+      Integer.bitCount(cap) == 1,
+      "dedupSuffix: need 1 <= minSpan <= cap <= 4096 with cap a power " +
+        "of two (the doubling levels and the LCP descent tile exactly)")
+    val base = trackedCache(df.select(key.as("doc_id"),
+        TextFns.tokens(text).as("w"))
+      .filter(size(col("w")) >= 1))
+    val docLen = base.select(col("doc_id"), size(col("w")).cast("long")
+      .as("n_tokens"))
+    // token stream + one unique per-doc sentinel past the end
+    val toks = base.select(col("doc_id"), posexplode(concat(col("w"),
+      array(concat(lit(" "), col("doc_id").cast("string"))))))
+      .toDF("doc_id", "pos", "term")
+    // level-0 ranks: dense rank of the single token
+    val (termRank, _) = globalDenseRank(toks.select(col("term")).distinct(),
+      partitions)
+    // each level's lineage is truncated (the pointer-jumping/bfs round
+    // discipline): the doubling self-references the previous level twice
+    // and the LCP descent re-joins every level, so an untruncated plan
+    // tree doubles per round
+    var level = toks.join(termRank, "term")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("rnk").as("r")).truncateLineage()
+    val levels = scala.collection.mutable.ArrayBuffer(level)
+    val nSuffix = level.count()
+    // prefix doubling: after the round with step 2^k, rank equality ==
+    // equality of the first 2^(k+1) tokens; stop early once every
+    // suffix is alone in its class (further rounds are the identity)
+    var step = 1L
+    var allDistinct = false
+    while (step < cap && !allDistinct) {
+      val shifted = level.select(col("doc_id"),
+        (col("pos") - step).as("pos"), col("r").as("r2"))
+      val paired = level.join(shifted, Seq("doc_id", "pos"), "left")
+        .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+      val (pairRank, nDistinct) = globalDenseRank(
+        paired.select(col("r"), col("r2")).distinct(), partitions)
+      level = paired.join(pairRank, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("rnk").as("r"))
+        .truncateLineage()
+      levels += level
+      allDistinct = nDistinct == nSuffix
+      step *= 2
+    }
+    // rank table for block length 2^k (identity beyond the last level
+    // once every class is a singleton)
+    def levelAt(k: Int): DataFrame = levels(math.min(k, levels.size - 1))
+    val levelK = level
+    val classes = trackedCache(
+      levelK.groupBy(col("r")).agg(count(lit(1)).as("csize")))
+    // adjacent-class LCP by rank-table descent: all members of a class
+    // share the identical capped prefix, so one representative per class
+    // carries the class's LCP with the next class exactly
+    val reps = levelK.groupBy(col("r"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .select(col("r"), col("rep.doc_id").as("d"), col("rep.pos").as("p"))
+    var pairs = reps
+      .join(reps.select((col("r") - 1L).as("r"), col("d").as("db"),
+        col("p").as("pb")), Seq("r"))
+      .select(col("r"), col("d").as("da"), col("p").as("pa"),
+        col("db"), col("pb"), lit(0L).as("acc"))
+    val maxK = 31 - Integer.numberOfLeadingZeros(cap)
+    var k = maxK - 1
+    while (k >= 0) {
+      val s = 1L << k
+      val lk = levelAt(k)
+      val la = lk.select(col("doc_id").as("_d1"), col("pos").as("_p1"),
+        col("r").as("_ra"))
+      val lb = lk.select(col("doc_id").as("_d2"), col("pos").as("_p2"),
+        col("r").as("_rb"))
+      pairs = pairs
+        .join(la, col("da") === col("_d1") && col("pa") === col("_p1"),
+          "left")
+        .join(lb, col("db") === col("_d2") && col("pb") === col("_p2"),
+          "left")
+        .withColumn("_adv", col("_ra").isNotNull && col("_rb").isNotNull &&
+          col("_ra") === col("_rb"))
+        .select(col("r"), col("da"),
+          when(col("_adv"), col("pa") + s).otherwise(col("pa")).as("pa"),
+          col("db"),
+          when(col("_adv"), col("pb") + s).otherwise(col("pb")).as("pb"),
+          when(col("_adv"), col("acc") + s).otherwise(col("acc")).as("acc"))
+      k -= 1
+    }
+    // lcpNext(r) = exact LCP between class r and class r+1 (capped)
+    val lcpNext = trackedCache(pairs.select(col("r"), col("acc")))
+    val classDup = classes
+      .join(lcpNext.select(col("r"), col("acc").as("lcp_next")),
+        Seq("r"), "left")
+      .join(lcpNext.select((col("r") + 1L).as("r"),
+        col("acc").as("lcp_prev")), Seq("r"), "left")
+      .select(col("r"),
+        when(col("csize") >= 2L, cap.toLong)
+          .otherwise(greatest(coalesce(col("lcp_next"), lit(0L)),
+            coalesce(col("lcp_prev"), lit(0L)))).as("dup_len"))
+    // per-position dup_len over REAL tokens (sentinel positions out),
+    // then the per-doc span stats: interval-union coverage via a
+    // running max of marked span ends — docs bound the window size
+    val perPos = levelK.join(classDup, "r")
+      .join(docLen, "doc_id")
+      .filter(col("pos") < col("n_tokens"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perPos
+      .withColumn("runend", max(when(col("dup_len") >= minSpan.toLong,
+        col("pos") + col("dup_len"))).over(wDoc))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(max(col("dup_len")).as("max_dup_span"),
+        sum((col("dup_len") >= minSpan.toLong).cast("long"))
+          .as("n_dup_positions"),
+        // runend is NULL until the first marked position — coalesce so
+        // a doc with no marked span reports 0, not NULL
+        sum(coalesce((col("runend") > col("pos")).cast("long"), lit(0L)))
+          .as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("max_dup_span"),
+        col("n_dup_positions"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_coverage"))
+  }
+
   /** Hyperplane count for an LSH bucketing sized to the corpus: the
     * smallest p in [2, 30] with 2^p buckets of expected size <=
     * `targetBucket`. Exact integer math (no float log2), so any oracle can
@@ -1338,32 +1521,37 @@ object GraftOps {
     * source lands: KL(P_group ‖ P_corpus) over unigram distributions,
     * plus Jensen-Shannon-style symmetry via the reverse component. Every
     * group term exists in the corpus by construction, so no smoothing is
-    * needed and the divergence is exact. Shape: one (group, term) tf
-    * aggregate, a term-total aggregate over it, corpus totals a 1-row
-    * broadcast — two shuffles regardless of corpus size, output one row
-    * per group. Follows the perplexity family's float discipline
-    * (ln sums rounded at 6).
+    * needed and the divergence is exact. Algebra: with p = tf/ns and
+    * q = ctf/n, Σ p·ln(p/q) = (Σ tf·ln(tf·n/ctf))/ns − ln(ns) since
+    * Σ tf = ns — so the per-group total folds into ONE aggregate and no
+    * per-group window pass exists. Shape: the only corpus-proportional
+    * shuffle is the (group, term) tf aggregate; everything after is
+    * vocabulary-sized (the term-total aggregate, the tf↔corpus-total
+    * equi-join on term, the per-group fold) with corpus totals a 1-row
+    * broadcast. Output one row per group. Follows the perplexity
+    * family's float discipline (ln sums rounded at 6).
     */
   def klDrift(df: DataFrame, group: Column, text: Column): DataFrame = {
     val tf = df.select(group.as("grp"), explode(TextFns.tokens(text)).as("term"))
       .groupBy(col("grp"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val corp = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
-    val tot = corp.agg(sum(col("ctf")).as("n"), count(lit(1)).as("vocab"))
+    val tot = corp.agg(sum(col("ctf")).as("n"))
     tf.join(corp, "term")
       .crossJoin(broadcast(tot))
-      .withColumn("ns_", sum(col("tf")).over(Window.partitionBy(col("grp"))))
-      // p = tf/ns, q = ctf/n; term contribution p·ln(p/q)
+      // unnormalized term contribution tf·ln(tf·n/ctf); the /ns and
+      // −ln(ns) factors apply once per group after the fold
       .withColumn("contrib",
-        (col("tf").cast("double") / col("ns_")) *
+        col("tf").cast("double") *
           log((col("tf").cast("double") * col("n")) /
-            (col("ctf").cast("double") * col("ns_"))))
+            col("ctf").cast("double")))
       .groupBy(col("grp"))
-      .agg(max(col("ns_")).as("n_tokens"),
+      .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_terms"),
-        round(sum(col("contrib")), 6).as("kl_vs_corpus"))
+        sum(col("contrib")).as("s_"))
       .select(col("grp").as("source"), col("n_tokens"), col("n_terms"),
-        col("kl_vs_corpus"))
+        round(col("s_") / col("n_tokens") -
+          log(col("n_tokens").cast("double")), 6).as("kl_vs_corpus"))
   }
 
   /** Zipf-law fit per group — the corpus-health diagnostic next to
@@ -2008,6 +2196,175 @@ object GraftOps {
           length(call_function("replace", col("seg"), lit("<"), lit(""))))
           .cast("long").as("n_bpe_tokens"),
         md5(col("seg")).as("seg_md5"))
+  }
+
+  /** Integer micro-log: round(ln(x)·1e6) half-away-from-zero — the ONE
+    * float operation in the unigram-LM tokenizer. Both engines round
+    * the same way (BigDecimal HALF_UP == DuckDB round()), and
+    * everything downstream of the resulting BIGINT weight — the Viterbi
+    * DP sums, argmax, tie-breaks — is exact integer arithmetic, so the
+    * segmentation can never flip on a float residual.
+    */
+  private def microLog(x: Double): Long =
+    BigDecimal(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Viterbi segmentation of one word under an integer piece-weight
+    * table, as a single Catalyst expression (no UDF): the classic
+    * unigram-LM DP — best[i] = max over piece lengths k of
+    * best[i−k] + w(word[i−k..i)) — folded left-to-right with
+    * `aggregate`, the weight table riding in as a bounded map literal.
+    * Scores are BIGINT micro-logs, so the argmax is exact; ties break
+    * on the lexicographically GREATEST segmentation string (struct
+    * comparison — the same rule a DuckDB list_sort-DESC replay applies,
+    * so engine and oracle agree structurally, not by luck). Returns the
+    * '<piece>' delimited segmentation, or NULL for a word containing a
+    * character outside the piece alphabet.
+    */
+  private def viterbiSeg(word: Column, wts: Map[String, Long],
+                         maxPieceLen: Int): Column = {
+    val wmap = typedlit(wts)
+    val stT = "struct<s:bigint,g:string>"
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("s"), lit("").as("g"))),
+      (acc, i) => array_append(acc,
+        array_max(filter(
+          transform(sequence(lit(1), least(lit(maxPieceLen), i)), { k =>
+            val piece = call_function("substr", word, i - k + lit(1), k)
+            val prev = element_at(acc, i - k + lit(1))
+            when(element_at(wmap, piece).isNotNull &&
+              prev.getField("s").isNotNull,
+              struct(
+                (prev.getField("s") + element_at(wmap, piece)).as("s"),
+                concat(prev.getField("g"), lit("<"), piece, lit(">"))
+                  .as("g")))
+              .otherwise(lit(null).cast(stT))
+          }),
+          c => c.isNotNull))),
+      acc => element_at(acc, length(word) + 1).getField("g"))
+  }
+
+  /** Split a '<p1><p2>…' segmentation back into its piece array — the
+    * shared decoding step between the E-step counts and the serve path.
+    */
+  private def segPieces(seg: Column): Column =
+    split(call_function("substr", seg, lit(2), length(seg) - 2), "><")
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the other
+    * dominant tokenizer next to [[bpeTrain]]: seed a piece vocabulary
+    * from substring counts, then `rounds` hard-EM (Viterbi) iterations
+    * — E-step segments the distinct-word table under the current piece
+    * weights and counts piece uses; M-step re-weights with add-one
+    * smoothing — and finally prune to `targetSize` pieces (every
+    * single character is always kept, so any corpus word stays
+    * segmentable). Same scale discipline as BPE: the corpus is scanned
+    * ONCE into the cached word-frequency table; each round costs one
+    * Viterbi pass over DISTINCT words (a bounded map literal carries
+    * the weights into codegen) plus a vocabulary-sized count aggregate
+    * collected to the driver — at 100 TB per-round work is proportional
+    * to the vocabulary, never the corpus. All scores are integer
+    * micro-logs ([[microLog]]), so segmentations are exact-arithmetic
+    * reproducible and a statically-unrolled SQL oracle can replay every
+    * round bit-for-bit. Preconditions (ENFORCED, one vocab-sized scan
+    * each, per the documented-require() contract): tokens must not
+    * contain the '<'/'>' delimiters and must be at most `maxWordLen`
+    * characters (the oracle's DP unrolls one step per position).
+    */
+  def unigramTrain(df: DataFrame, text: Column, rounds: Int = 2,
+                   maxPieceLen: Int = 4, seedMultis: Int = 24,
+                   targetSize: Int = 48,
+                   maxWordLen: Int = 10): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    require(maxPieceLen >= 2 && maxPieceLen <= 8 && seedMultis >= 1 &&
+      targetSize >= 1 && maxWordLen >= maxPieceLen,
+      "unigramTrain: need 2 <= maxPieceLen <= 8 <= sane seed/target sizes")
+    val spark = df.sparkSession
+    val wordFreq = cacheOnce(
+      df.select(explode(TextFns.tokens(text)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val nBad = wordFreq.filter(col("word").contains("<") ||
+      col("word").contains(">") || length(col("word")) > maxWordLen).count()
+    require(nBad == 0, s"unigramTrain: $nBad vocabulary tokens contain " +
+      "the '<'/'>' delimiters or exceed maxWordLen — symbol tracking " +
+      "or the unrolled oracle DP would corrupt; normalize the corpus")
+    // seed counts: every substring occurrence of length 1..maxPieceLen,
+    // weighted by word frequency (one vocabulary-sized expansion)
+    val seed = wordFreq.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + $maxPieceLen - 1)),
+           |    j -> substr(word, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val singles = seed.filter(_._1.length == 1)
+    val multis = seed.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(seedMultis)
+    val vocab = (singles ++ multis).map(_._1).sorted
+    val seedCnt = (singles ++ multis).toMap
+    val seedTotal = seedCnt.values.sum.toDouble
+    var weights: Map[String, Long] =
+      vocab.map(p => p -> microLog(seedCnt(p) / seedTotal)).toMap
+    var counts: Map[String, Long] = Map.empty
+    var r = 1
+    while (r <= rounds) {
+      val seg = wordFreq.select(col("freq"),
+        viterbiSeg(col("word"), weights, maxPieceLen).as("seg"))
+      val nNull = seg.filter(col("seg").isNull).count()
+      require(nNull == 0, s"unigramTrain: $nNull words not coverable by " +
+        "the piece alphabet (single characters must all be in vocab)")
+      // vocabulary-sized: pieces used ⊆ current vocab
+      counts = seg.select(col("freq"), explode(segPieces(col("seg")))
+          .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
+        .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+      val used = counts.values.sum.toDouble
+      val v = vocab.size.toDouble
+      weights = vocab.map(p =>
+        p -> microLog((counts.getOrElse(p, 0L) + 1L) / (used + v))).toMap
+      r += 1
+    }
+    // prune: all singles + the top multis by final-use count
+    val keepMultis = math.max(0, targetSize - singles.length)
+    val prunedMultis = multis.map(_._1)
+      .map(p => (p, counts.getOrElse(p, 0L)))
+      .sortBy { case (p, c) => (-c, p) }.take(keepMultis)
+    val pruned = (singles.map(p => (p._1, counts.getOrElse(p._1, 0L)))
+      ++ prunedMultis).sortBy { case (p, c) => (-c, p) }
+    val pTotal = pruned.map(_._2).sum.toDouble
+    val pV = pruned.size.toDouble
+    import spark.implicits._
+    pruned.zipWithIndex.map { case ((p, c), i) =>
+      (p, c, microLog((c + 1L) / (pTotal + pV)), (i + 1).toLong)
+    }.toSeq.toDF("piece", "n_uses", "wt_micro", "rank")
+  }
+
+  /** The serve path paired with [[unigramTrain]]: Viterbi-segment every
+    * document under the LEARNED piece weights. The DP runs ONCE PER
+    * DISTINCT WORD (vocabulary-bounded work at any corpus size), the
+    * per-word segmentations equi-join back to token positions, and each
+    * document reports its piece count plus an md5 of the full
+    * positional segmentation — a gate must agree on every piece
+    * boundary of every token, not just totals. Weights arrive as the
+    * bounded learned table ([[bpeApply]]'s merge-list discipline).
+    */
+  def unigramApply(df: DataFrame, key: Column, text: Column,
+                   pieces: Map[String, Long],
+                   maxPieceLen: Int = 4): DataFrame = {
+    require(pieces.nonEmpty, "unigramApply: empty piece table")
+    val toks = df.select(key.as("doc_id"),
+        posexplode(TextFns.tokens(text))).toDF("doc_id", "pos", "word")
+      .persistOnce()
+    val segs = toks.select(col("word")).distinct()
+      .withColumn("seg", viterbiSeg(col("word"), pieces, maxPieceLen))
+    toks.join(segs, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum((length(col("seg")) -
+          length(call_function("replace", col("seg"), lit("<"), lit(""))))
+          .cast("long")).as("n_pieces"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), "")).as("seg_md5"))
   }
 
   /** Windowed skip-gram co-occurrence counts — the corpus statistic a

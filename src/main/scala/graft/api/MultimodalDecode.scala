@@ -396,13 +396,18 @@ object MultimodalDecode {
     payloads.mapPartitions(_.map(decodeAudioOne))
   }
 
-  /** REAL audio feature extraction: decode the WAV, read the WHOLE PCM
-    * body (not just the header), and compute the classic first-pass DSP
-    * features in exact integers — sample count, energy as the raw sum
-    * of squares, and the zero-crossing count (sign flip between
-    * consecutive samples; zero counts as non-negative). Exact integers
-    * so an oracle that knows the waveform can replay bit-for-bit;
-    * undecodable payloads fail loudly with zeros.
+  /** REAL audio feature extraction: decode the stream, read the WHOLE
+    * PCM body (not just the header), and compute the classic first-pass
+    * DSP features in exact integers — frame count, energy as the raw
+    * sum of squares, and the zero-crossing count (sign flip between
+    * consecutive frames; zero counts as non-negative). Both endiannesses
+    * and any channel count are interpreted: a multi-channel stream is
+    * downmixed per frame to floorDiv(sum of channel samples, channels)
+    * — still exact integer arithmetic, so an oracle that knows the
+    * waveform replays bit-for-bit (mono is the identity downmix, so
+    * existing mono fixtures are unchanged). Only layouts the code
+    * genuinely cannot interpret (non-16-bit samples, undecodable
+    * containers) fail loudly with zeros.
     */
   def audioFeaturesOne(in: MediaIn): AudioFeat = {
     val c = if (in.content == null) Array.emptyByteArray else in.content
@@ -413,27 +418,35 @@ object MultimodalDecode {
         case _: javax.sound.sampled.UnsupportedAudioFileException |
              _: java.io.IOException => null
       }
-    // gate on the EXACT layout the little-endian mono decode below
-    // assumes: a big-endian or multi-channel 16-bit stream would
-    // otherwise silently yield wrong energy and cross-channel
-    // zero-crossing counts instead of failing loudly
     if (st == null || st.getFormat.getSampleSizeInBits != 16 ||
-        st.getFormat.isBigEndian || st.getFormat.getChannels != 1)
+        st.getFormat.getChannels < 1)
       return AudioFeat(in.doc_id, 0L, 0L, 0L, ok = false)
+    val ch = st.getFormat.getChannels
+    val be = st.getFormat.isBigEndian
     val pcm =
       try st.readAllBytes()
       catch { case _: java.io.IOException =>
         return AudioFeat(in.doc_id, 0L, 0L, 0L, ok = false)
       }
-    val n = pcm.length / 2
+    val n = pcm.length / (2 * ch)
     var sumSq = 0L
     var zc = 0L
     var prevNeg = false
     var i = 0
     while (i < n) {
-      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
-      sumSq += s.toLong * s
-      val neg = s < 0
+      var sum = 0L
+      var k = 0
+      while (k < ch) {
+        val off = 2 * (i * ch + k)
+        val s =
+          if (be) ((pcm(off + 1) & 0xff) | (pcm(off) << 8)).toShort.toInt
+          else ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort.toInt
+        sum += s
+        k += 1
+      }
+      val m = Math.floorDiv(sum, ch.toLong)
+      sumSq += m * m
+      val neg = m < 0
       if (i > 0 && neg != prevNeg) zc += 1
       prevNeg = neg
       i += 1
@@ -446,28 +459,60 @@ object MultimodalDecode {
     payloads.mapPartitions(_.map(audioFeaturesOne))
   }
 
-  /** Encode deterministic 16-bit mono PCM as real WAV bytes — the
-    * fixture generator for the audio-decode path. Sample i is a pure
-    * function of (seed, i), so the same (frames, seed) always gives the
-    * same RIFF payload.
+  /** Encode deterministic 16-bit PCM as real WAV bytes — the fixture
+    * generator for the audio-decode path. Interleaved sample slot
+    * j = frame * channels + channel is a pure function of (seed, j), so
+    * the same (frames, seed, channels) always gives the same RIFF
+    * payload; mono keeps the original one-slot-per-frame layout
+    * bit-for-bit. WAV is little-endian by spec — the big-endian fixture
+    * is [[encodeAiff]].
     */
-  def encodeWav(frames: Int, seed: Long, sampleRate: Int = 8000): Array[Byte] = {
-    val pcm = new Array[Byte](frames * 2)
-    var i = 0
-    while (i < frames) {
-      val s = ((seed * 31L + i * 2654435761L) & 0xffffL).toShort
-      pcm(2 * i) = (s & 0xff).toByte
-      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
-      true, false)
-    val st = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+  def encodeWav(frames: Int, seed: Long, sampleRate: Int = 8000,
+                channels: Int = 1): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(st,
+    javax.sound.sampled.AudioSystem.write(
+      pcmStream(frames, seed, sampleRate, channels, bigEndian = false),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Encode the SAME deterministic sample stream as real AIFF bytes —
+    * AIFF carries big-endian 16-bit PCM by spec, so this is the genuine
+    * big-endian fixture for the audio path (a "big-endian WAV" would be
+    * an out-of-spec file no real reader produces). Sample values match
+    * [[encodeWav]] exactly for equal (frames, seed, channels).
+    */
+  def encodeAiff(frames: Int, seed: Long, sampleRate: Int = 8000,
+                 channels: Int = 1): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      pcmStream(frames, seed, sampleRate, channels, bigEndian = true),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    bos.toByteArray
+  }
+
+  private def pcmStream(frames: Int, seed: Long, sampleRate: Int,
+                        channels: Int, bigEndian: Boolean)
+      : javax.sound.sampled.AudioInputStream = {
+    require(frames >= 0 && channels >= 1, "pcmStream: frames >= 0, channels >= 1")
+    val slots = frames * channels
+    val pcm = new Array[Byte](slots * 2)
+    var j = 0
+    while (j < slots) {
+      val s = ((seed * 31L + j * 2654435761L) & 0xffffL).toShort
+      if (bigEndian) {
+        pcm(2 * j) = ((s >> 8) & 0xff).toByte
+        pcm(2 * j + 1) = (s & 0xff).toByte
+      } else {
+        pcm(2 * j) = (s & 0xff).toByte
+        pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      }
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16,
+      channels, true, bigEndian)
+    new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
   }
 
   // ------------------------------------------------------------ video (MP4)
@@ -578,8 +623,11 @@ object MultimodalDecode {
         return bad
       // dims come from the VIDEO track, not the first trak: muxers may
       // put the audio track first, whose tkhd legally carries 0x0. Pick
-      // the first trak whose mdia/hdlr handler is 'vide'; fall back to
-      // the first trak for hdlr-less (legacy/minimal) files.
+      // the first trak whose mdia/hdlr handler is 'vide'; for hdlr-less
+      // (legacy/minimal) files prefer the first trak with NONZERO tkhd
+      // dims — an audio-first hdlr-less container would otherwise report
+      // the audio track's legal 0x0 with ok=true — before falling back
+      // to the first trak (all-zero dims: nothing better exists).
       val traks = walkAll(c, moovS, moovE).getOrElse(return bad)
         .filter(_._1 == "trak")
       if (traks.isEmpty) return bad
@@ -599,7 +647,9 @@ object MultimodalDecode {
         }
       }
       if (dims.isEmpty) return bad
-      val (_, w, h) = dims.find(_._1.contains("vide")).getOrElse(dims.head)
+      val (_, w, h) = dims.find(_._1.contains("vide"))
+        .orElse(dims.find(d => d._2 > 0 && d._3 > 0))
+        .getOrElse(dims.head)
       VideoMeta(in.doc_id, in.mime, c.length.toLong,
         duration * 1000L / timescale, timescale.toInt, w, h, ok = true)
     } catch {
@@ -667,11 +717,17 @@ object MultimodalDecode {
     * fixed point, handler types in real hdlr boxes. `version1`
     * exercises the 64-bit-time mvhd/tkhd variants; `audioTrack` adds a
     * second trak (handler 'soun', zero dims) — the realistic two-track
-    * shape. Pure ByteBuffer layout — bit-stable everywhere.
+    * shape. `writeHdlr = false` drops the mdia/hdlr boxes (the
+    * legacy/minimal hdlr-less layout) and `audioFirst` muxes the audio
+    * trak before the video trak — together they exercise the probe's
+    * nonzero-dims fallback. Pure ByteBuffer layout — bit-stable
+    * everywhere.
     */
   def encodeMp4(durationUnits: Long, timescale: Int, width: Int, height: Int,
                 version1: Boolean = false,
-                audioTrack: Boolean = false): Array[Byte] = {
+                audioTrack: Boolean = false,
+                writeHdlr: Boolean = true,
+                audioFirst: Boolean = false): Array[Byte] = {
     require(timescale > 0 && durationUnits >= 0 && width >= 0 && height >= 0,
       "encodeMp4 fixture fields must be non-negative with timescale > 0")
     val bb = java.nio.ByteBuffer.allocate(1024)
@@ -706,7 +762,7 @@ object MultimodalDecode {
           bb.putInt(w << 16)               // 16.16 fixed point
           bb.putInt(h << 16)
         }
-        box("mdia") {
+        if (writeHdlr) box("mdia") {
           box("hdlr") {
             bb.putInt(0)                   // version 0, flags 0
             bb.putInt(0)                   // pre_defined
@@ -742,8 +798,13 @@ object MultimodalDecode {
         (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
         bb.putInt(if (audioTrack) 3 else 2) // next_track_ID
       }
-      trak(1, "vide", width, height)
-      if (audioTrack) trak(2, "soun", 0, 0)
+      if (audioTrack && audioFirst) {
+        trak(2, "soun", 0, 0)
+        trak(1, "vide", width, height)
+      } else {
+        trak(1, "vide", width, height)
+        if (audioTrack) trak(2, "soun", 0, 0)
+      }
     }
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }

@@ -253,6 +253,20 @@ object CurateQueries extends QueryPack {
     GraftOps.dedupSubstrings(Tables.documents(s, d), col("doc_id"),
       col("text"), window = 16)
 
+  /** x_dedup_suffix: suffix-array substring dedup — the exact
+    * maximal-span Lee-et-al upgrade over [[dedupSubstr]]'s fixed
+    * windows: distributed prefix-doubling suffix array + adjacent-class
+    * LCP descent, reporting each document's longest duplicated span
+    * (any length, not window-quantized), its >= 10-token duplicated
+    * positions, and the exact token fraction covered by such spans.
+    * Oracle is a brute-force replay: for every position the longest
+    * m-gram (m <= 64) occurring >= 2 times corpus-wide, then the same
+    * interval-union coverage — identical semantics, exhaustive search.
+    */
+  def dedupSuffixQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupSuffix(Tables.documents(s, d), col("doc_id"),
+      col("text"), minSpan = 10, cap = 64)
+
   /** x_bpe_stats: tokenizer-prep corpus statistics — adjacent character
     * pairs weighted by word frequency (the first BPE merge decision),
     * enumerated over the distinct-word table so pair work is bounded by
@@ -621,6 +635,7 @@ object CurateQueries extends QueryPack {
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
+    "x_dedup_suffix" -> dedupSuffixQ,
     "x_bpe_stats" -> bpeStats,
     "x_bpe_train" -> bpeTrainQ,
     "x_bpe_apply" -> bpeApplyQ,
@@ -1201,6 +1216,46 @@ object CurateQueries extends QueryPack {
         |  round(coalesce(n_dup, 0) / CAST(nw - 15 AS DOUBLE), 6) AS dup_frac,
         |  CAST(coalesce(n_dup, 0) * 5 >= nw - 15 AS INT) AS flagged
         |FROM d LEFT JOIN dup USING (doc_id)""".stripMargin,
+    // Brute-force maximal-span replay: for EVERY position the longest
+    // m-gram (m <= 64, the engine's cap) occurring >= 2 times anywhere
+    // in the corpus — dup_len(pos) = max duplicated m — then the same
+    // running-max interval union the engine computes. Exhaustive over
+    // positions x lengths, so it IS the definitionally-exact answer the
+    // suffix array must reproduce.
+    "x_dedup_suffix" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) n FROM ws WHERE len(w) >= 1),
+        |g AS (
+        |  SELECT doc_id, i AS p, m,
+        |    md5(array_to_string(list_slice(w, i, i + m - 1), ' ')) h
+        |  FROM d, unnest(generate_series(1, n)) t(i),
+        |       unnest(generate_series(1, 64)) u(m)
+        |  WHERE i + m - 1 <= n),
+        |dup AS (SELECT m, h FROM g GROUP BY m, h HAVING count(*) >= 2),
+        |dl0 AS (SELECT g.doc_id, g.p, max(g.m) dl
+        |  FROM g JOIN dup USING (m, h) GROUP BY 1, 2),
+        |posn AS (SELECT doc_id, n, unnest(generate_series(1, n)) p FROM d),
+        |pp AS (
+        |  SELECT posn.doc_id, posn.n, posn.p, coalesce(dl0.dl, 0) dl
+        |  FROM posn LEFT JOIN dl0
+        |    ON dl0.doc_id = posn.doc_id AND dl0.p = posn.p),
+        |mk AS (
+        |  SELECT doc_id, n, p, dl,
+        |    max(CASE WHEN dl >= 10 THEN p + dl END) OVER
+        |      (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) rm
+        |  FROM pp)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(max(dl) AS BIGINT) AS max_dup_span,
+        |  CAST(coalesce(sum(CASE WHEN dl >= 10 THEN 1 END), 0) AS BIGINT)
+        |    AS n_dup_positions,
+        |  CAST(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0) AS BIGINT)
+        |    AS covered_tokens,
+        |  round(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0)
+        |    / CAST(n AS DOUBLE), 6) AS dup_coverage
+        |FROM mk GROUP BY doc_id, n""".stripMargin,
     "x_bpe_train" ->
       (bpeOracleCtes(BpeRounds) + "\n" +
         (1 to BpeRounds).map { i =>
@@ -1690,15 +1745,15 @@ object CurateQueries extends QueryPack {
         |  FROM documents),
         |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
         |corp AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM corp),
-        |ns AS (SELECT source, CAST(sum(tf) AS BIGINT) AS ns,
-        |    count(*) AS n_terms FROM tf GROUP BY 1)
-        |SELECT t.source, ns.ns AS n_tokens, ns.n_terms,
-        |  round(sum((CAST(tf AS DOUBLE) / ns.ns)
-        |    * ln((CAST(tf AS DOUBLE) * n) / (CAST(ctf AS DOUBLE) * ns.ns))), 6)
+        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM corp)
+        |SELECT t.source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_terms,
+        |  round(sum(CAST(tf AS DOUBLE)
+        |        * ln((CAST(tf AS DOUBLE) * n) / CAST(ctf AS DOUBLE)))
+        |      / sum(tf) - ln(CAST(sum(tf) AS DOUBLE)), 6)
         |    AS kl_vs_corpus
-        |FROM tf t JOIN corp USING (term) JOIN ns USING (source), tot
-        |GROUP BY 1, 2, 3""".stripMargin,
+        |FROM tf t JOIN corp USING (term), tot
+        |GROUP BY 1""".stripMargin,
     // Replays the page construction AND the strip passes with the same
     // RE2-compatible patterns ('g' = replace-all, matching Spark's
     // default) and the same entity decode order (&amp; last).

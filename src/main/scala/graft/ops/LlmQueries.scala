@@ -875,9 +875,12 @@ object LlmQueries extends QueryPack {
       .filter(col("hamming") <= 3)
   }
 
-  /** The WAV media table: one genuine RIFF/WAV payload per document
-    * (16-bit mono PCM via javax.sound.sampled), frame count a pure
-    * function of doc_id; doc_id % 89 == 0 rows truncate to 8 bytes — a
+  /** The audio media table: one genuine 16-bit PCM payload per document
+    * via javax.sound.sampled, frame count a pure function of doc_id.
+    * Every 5th row is STEREO WAV (exercises the exact-integer per-frame
+    * downmix) and every remaining 7th row is mono AIFF — big-endian by
+    * spec, so the byte-order path is gated on a real file format, not a
+    * hand-bent WAV. doc_id % 89 == 0 rows truncate to 8 bytes — a
     * corrupt feed row whose decode must fail loudly.
     */
   def mediaWavTable(s: SparkSession, d: String)
@@ -889,10 +892,18 @@ object LlmQueries extends QueryPack {
       .repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val wav = graft.api.MultimodalDecode.encodeWav(
-            800 + (id % 1600).toInt, id)
-          val content = if (id % 89 == 0) wav.take(8) else wav
-          graft.api.MediaIn(id, content, "audio/wav")
+          val frames = 800 + (id % 1600).toInt
+          val (bytes, mime) =
+            if (id % 5 == 0)
+              (graft.api.MultimodalDecode.encodeWav(frames, id, channels = 2),
+                "audio/wav")
+            else if (id % 7 == 0)
+              (graft.api.MultimodalDecode.encodeAiff(frames, id),
+                "audio/aiff")
+            else
+              (graft.api.MultimodalDecode.encodeWav(frames, id), "audio/wav")
+          val content = if (id % 89 == 0) bytes.take(8) else bytes
+          graft.api.MediaIn(id, content, mime)
         }
       }
   }
@@ -909,10 +920,12 @@ object LlmQueries extends QueryPack {
         col("channels"), col("n_frames"), col("ok").cast("int").as("ok"))
 
   /** x_audio_features: REAL PCM feature extraction — the engine decodes
-    * each WAV and computes sample count, energy (exact sum of squares)
-    * and zero-crossing count from the ACTUAL payload body, while the
-    * oracle replays the fixture's sample-generator formula in SQL. Hash
-    * equality proves the decoder returned every PCM byte bit-exactly —
+    * each payload (mono WAV, stereo WAV, big-endian AIFF) and computes
+    * frame count, energy (exact sum of squares) and zero-crossing count
+    * from the ACTUAL payload body, downmixing stereo per frame in exact
+    * integers, while the oracle replays the fixture's sample-generator
+    * formula and the same downmix in SQL. Hash equality proves the
+    * decoder returned every PCM byte bit-exactly in BOTH byte orders —
     * the gate [[audioDecode]] (header metadata only) cannot give.
     */
   def audioFeatures(s: SparkSession, d: String): DataFrame =
@@ -2331,18 +2344,30 @@ object LlmQueries extends QueryPack {
     // features; the oracle regenerates the waveform from the fixture's
     // sample formula s_i = (id*31 + i*2654435761) mod 2^16 as signed
     // int16. Equality proves every PCM byte round-tripped bit-exactly.
+    // Replays the generator formula per interleaved slot j, then the
+    // engine's exact-integer stereo downmix floorDiv(l + r, 2) as
+    // floor((l + r) / 2.0) — exact in double for 17-bit sums. AIFF rows
+    // carry the SAME sample values (byte order is the container's
+    // concern), so only the channel count branches.
     "x_audio_features" ->
       """WITH f AS (
         |  SELECT doc_id, 800 + doc_id % 1600 AS n,
-        |    doc_id % 89 = 0 AS corrupt
+        |    doc_id % 89 = 0 AS corrupt,
+        |    CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS ch
         |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, n, corrupt, ch,
+        |    [CASE WHEN (doc_id*31 + j*2654435761) % 65536 >= 32768
+        |          THEN (doc_id*31 + j*2654435761) % 65536 - 65536
+        |          ELSE (doc_id*31 + j*2654435761) % 65536 END
+        |     for j in range(0, CAST(n*ch AS INT))] AS rs
+        |  FROM f),
         |s AS (
         |  SELECT doc_id, n, corrupt,
-        |    [CASE WHEN (doc_id*31 + i*2654435761) % 65536 >= 32768
-        |          THEN (doc_id*31 + i*2654435761) % 65536 - 65536
-        |          ELSE (doc_id*31 + i*2654435761) % 65536 END
-        |     for i in range(0, CAST(n AS INT))] AS smp
-        |  FROM f)
+        |    CASE WHEN ch = 1 THEN rs
+        |         ELSE [CAST(floor((rs[2*i+1] + rs[2*i+2]) / 2.0) AS BIGINT)
+        |               for i in range(0, CAST(n AS INT))] END AS smp
+        |  FROM raw)
         |SELECT doc_id,
         |  CAST(CASE WHEN corrupt THEN 0 ELSE n END AS BIGINT) AS n_samples,
         |  CAST(CASE WHEN corrupt THEN 0
@@ -2355,11 +2380,16 @@ object LlmQueries extends QueryPack {
         |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
         |FROM s""".stripMargin,
 
+    // Mime/channels replay the fixture's format rule: every 5th row is
+    // stereo WAV, every remaining 7th row is mono (big-endian) AIFF.
     "x_audio_decode" ->
-      """SELECT doc_id, 'audio/wav' AS mime,
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0 THEN 'audio/aiff'
+        |       ELSE 'audio/wav' END AS mime,
         |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 8000 END AS INT)
         |    AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 1 END AS INT)
+        |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0
+        |            WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT)
         |    AS channels,
         |  CAST(CASE WHEN doc_id % 89 = 0 THEN 0
         |            ELSE 800 + doc_id % 1600 END AS BIGINT) AS n_frames,

@@ -174,6 +174,65 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(2).getDouble(3) === 1.0) // doc 3 is 100% duplicated spans
   }
 
+  test("dedupSuffix matches a brute-force maximal-span oracle exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),      // shares "a b c d e f g h"
+      (2L, "x y a b c d e f g h q r"),      //   ... with doc 1 (8 tokens)
+      (3L, "z z z q w"),                    // in-doc overlap: "z z" twice
+      (4L, "m n o"),                        // nothing duplicated
+      (5L, "a b c d e f g h i j k l")       // exact twin of doc 1
+    ).toDF("doc_id", "text")
+    val minSpan = 3
+    val cap = 8
+    // brute force over the same tokenization: dup_len(doc, pos) = the
+    // longest common prefix (capped) between this suffix and ANY other
+    // suffix in the corpus; then the same interval-union coverage
+    val toks = Seq(1L, 2L, 3L, 4L, 5L).zip(Seq(
+      "a b c d e f g h i j k l", "x y a b c d e f g h q r",
+      "z z z q w", "m n o", "a b c d e f g h i j k l")
+      .map(_.split(" ").toSeq)).toMap
+    val sufs = for {
+      (d, w) <- toks.toSeq; p <- w.indices
+    } yield (d, p)
+    def lcp(a: (Long, Int), b: (Long, Int)): Int = {
+      val (wa, wb) = (toks(a._1), toks(b._1))
+      var k = 0
+      while (k < cap && a._2 + k < wa.size && b._2 + k < wb.size &&
+        wa(a._2 + k) == wb(b._2 + k)) k += 1
+      k
+    }
+    val dupLen = sufs.map { s =>
+      s -> sufs.filter(_ != s).map(o => lcp(s, o)).max
+    }.toMap
+    val expected = toks.toSeq.map { case (d, w) =>
+      val dls = w.indices.map(p => dupLen((d, p)))
+      var covered = 0
+      var runEnd = -1
+      w.indices.foreach { p =>
+        if (dls(p) >= minSpan) runEnd = math.max(runEnd, p + dls(p))
+        if (runEnd > p) covered += 1
+      }
+      (d, w.size.toLong, dls.max.toLong,
+        dls.count(_ >= minSpan).toLong, covered.toLong,
+        BigDecimal(covered.toDouble / w.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val out = GraftOps.dedupSuffix(docs, col("doc_id"), col("text"),
+        minSpan = minSpan, cap = cap, partitions = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(out === expected)
+    // sanity on the planted structure: docs 1 and 5 are exact twins, so
+    // their whole 12 tokens duplicate but the cap clips spans at 8
+    assert(out.head._3 === cap.toLong && out.head._6 === 1.0)
+    // doc 3's "z z" overlap is below minSpan: positions counted, none
+    assert(out(2)._3 === 2L && out(2)._4 === 0L && out(2)._5 === 0L)
+    // doc 4 is fully unique
+    assert(out(3)._3 === 0L && out(3)._6 === 0.0)
+  }
+
   test("bpePairStats weights char pairs by corpus word frequency") {
     import spark.implicits._
     // wf: ab->3, cd->1, abc->1. pairs: 'ab' from both 'ab'(3) and

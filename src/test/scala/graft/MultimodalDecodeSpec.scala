@@ -336,4 +336,65 @@ class MultimodalDecodeSpec extends SparkSpec {
     val plan = a.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "decode stage must not shuffle")
   }
+
+  test("audio: stereo downmix is exact-integer floorDiv and AIFF carries " +
+      "the same samples big-endian") {
+    // replay the generator + downmix in plain integer Scala: slot j
+    // sample, frame i mono value = floorDiv(s(2i) + s(2i+1), 2)
+    def sample(seed: Long, j: Int): Int = {
+      val v = ((seed * 31L + j * 2654435761L) & 0xffffL).toInt
+      if (v >= 32768) v - 65536 else v
+    }
+    val (frames, seed) = (96, 17L)
+    val mix = (0 until frames).map(i =>
+      Math.floorDiv(sample(seed, 2 * i) + sample(seed, 2 * i + 1), 2))
+    var (e, zc) = (0L, 0L)
+    mix.indices.foreach { i =>
+      e += mix(i).toLong * mix(i)
+      if (i > 0 && (mix(i) < 0) != (mix(i - 1) < 0)) zc += 1
+    }
+    val st = MultimodalDecode.audioFeaturesOne(graft.api.MediaIn(1L,
+      MultimodalDecode.encodeWav(frames, seed, channels = 2), "audio/wav"))
+    assert(st.ok && st.n_samples === frames.toLong)
+    assert(st.sum_sq === e && st.n_zero_cross === zc)
+    // AIFF (big-endian by spec) with the same (frames, seed) must yield
+    // the bit-identical mono features the little-endian WAV yields
+    val wavF = MultimodalDecode.audioFeaturesOne(graft.api.MediaIn(2L,
+      MultimodalDecode.encodeWav(frames, seed), "audio/wav"))
+    val aifF = MultimodalDecode.audioFeaturesOne(graft.api.MediaIn(3L,
+      MultimodalDecode.encodeAiff(frames, seed), "audio/aiff"))
+    assert(aifF.ok && wavF.ok)
+    assert(aifF.sum_sq === wavF.sum_sq &&
+      aifF.n_zero_cross === wavF.n_zero_cross &&
+      aifF.n_samples === wavF.n_samples)
+    // stereo AIFF downmixes identically to stereo WAV
+    val aifS = MultimodalDecode.audioFeaturesOne(graft.api.MediaIn(4L,
+      MultimodalDecode.encodeAiff(frames, seed, channels = 2), "audio/aiff"))
+    assert(aifS.ok && aifS.sum_sq === st.sum_sq &&
+      aifS.n_zero_cross === st.n_zero_cross)
+    // header metadata reports the true channel count for both containers
+    val meta = MultimodalDecode.decodeAudioOne(graft.api.MediaIn(5L,
+      MultimodalDecode.encodeAiff(frames, seed, channels = 2), "audio/aiff"))
+    assert(meta.ok && meta.channels === 2 && meta.n_frames === frames.toLong)
+  }
+
+  test("video: hdlr-less audio-first container prefers the nonzero-dims " +
+      "trak over dims.head") {
+    // two traks, audio (0x0) first, NO mdia/hdlr boxes anywhere — the
+    // legacy/minimal layout where handler-based selection cannot work
+    val bytes = MultimodalDecode.encodeMp4(3000L, 600, 512, 288,
+      audioTrack = true, writeHdlr = false, audioFirst = true)
+    val m = MultimodalDecode.probeVideoOne(
+      graft.api.MediaIn(1L, bytes, "video/mp4"))
+    assert(m.ok, "hdlr-less container must still parse")
+    assert(m.width === 512 && m.height === 288,
+      s"expected the video trak's dims, got ${m.width}x${m.height}")
+    // all-audio hdlr-less container: nothing nonzero exists — first trak
+    // (legal 0x0) is the honest answer, still ok=true
+    val audioOnly = MultimodalDecode.encodeMp4(3000L, 600, 0, 0,
+      writeHdlr = false)
+    val a = MultimodalDecode.probeVideoOne(
+      graft.api.MediaIn(2L, audioOnly, "video/mp4"))
+    assert(a.ok && a.width === 0 && a.height === 0)
+  }
 }

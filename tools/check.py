@@ -92,9 +92,15 @@ def _compare_one(args):
                 [f"  FAIL  {name}: spark-side pandas canon error: {e}"])
     s_cols = sorted(s_df.columns)
     # an override may carry its own oracle (sf-scale replacement) or be
-    # result_where-only (reuse the base oracle on a filtered result); the
-    # WEAK rows-only path applies only when NEITHER source has an oracle
+    # result_where-only — then the SAME filter wraps the base oracle, so
+    # both sides of the compare see the identical subset (a filter on
+    # the Spark result alone would guarantee a rowcount FAIL); the WEAK
+    # rows-only path applies only when NEITHER source has an oracle
     eff_oracle = (ov or {}).get("oracle", oracle_sql)
+    if (ov and ov.get("result_where") and "oracle" not in ov
+            and oracle_sql is not None):
+        eff_oracle = (f"SELECT * FROM ({oracle_sql}) "
+                      f"WHERE {ov['result_where']}")
     if eff_oracle is None:
         lines = [f"  WEAK  {name}: rows={len(s_rows)} (no oracle, rows-only)"]
         if len(s_rows) == 0:
