@@ -267,6 +267,42 @@ object CurateQueries extends QueryPack {
     GraftOps.dedupSuffix(Tables.documents(s, d), col("doc_id"),
       col("text"), minSpan = 10, cap = 64)
 
+  /** Unigram-LM tokenizer constants, shared between the gated queries
+    * and the unrolled oracle generator so a knob change cannot desync
+    * the gate. maxWordLen bounds the oracle's DP unroll (one CTE per
+    * character position); the fixture vocabulary tops out at 8.
+    */
+  private val UniRounds = 2
+  private val UniMaxPiece = 4
+  private val UniSeedMultis = 24
+  private val UniTarget = 48
+  private val UniMaxWordLen = 10
+
+  /** x_unigram_train: unigram-LM (SentencePiece-style) tokenizer
+    * training — the missing half of the tokenizer tier next to
+    * [[bpeTrainQ]]: substring-seeded vocabulary, two hard-EM (Viterbi)
+    * rounds over the distinct-word table, pruned to the target size.
+    * All Viterbi arithmetic is integer micro-logs, so the unrolled
+    * DuckDB oracle replays every segmentation decision exactly.
+    */
+  def unigramTrainQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.unigramTrain(Tables.documents(s, d), col("text"),
+      rounds = UniRounds, maxPieceLen = UniMaxPiece,
+      seedMultis = UniSeedMultis, targetSize = UniTarget,
+      maxWordLen = UniMaxWordLen)
+
+  /** x_unigram_apply: the tokenizer serve path — Viterbi segmentation
+    * of every document under the LEARNED piece table (one DP per
+    * distinct word, vocabulary-bounded), gated on per-doc piece counts
+    * plus an md5 over the full positional segmentation.
+    */
+  def unigramApplyQ(s: SparkSession, d: String): DataFrame = {
+    val pieces = unigramTrainQ(s, d).select(col("piece"), col("wt_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    GraftOps.unigramApply(Tables.documents(s, d), col("doc_id"),
+      col("text"), pieces, maxPieceLen = UniMaxPiece)
+  }
+
   /** x_bpe_stats: tokenizer-prep corpus statistics — adjacent character
     * pairs weighted by word frequency (the first BPE merge decision),
     * enumerated over the distinct-word table so pair work is bounded by
@@ -636,6 +672,8 @@ object CurateQueries extends QueryPack {
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
     "x_dedup_suffix" -> dedupSuffixQ,
+    "x_unigram_train" -> unigramTrainQ,
+    "x_unigram_apply" -> unigramApplyQ,
     "x_bpe_stats" -> bpeStats,
     "x_bpe_train" -> bpeTrainQ,
     "x_bpe_apply" -> bpeApplyQ,
@@ -736,6 +774,116 @@ object CurateQueries extends QueryPack {
         |  FROM w${i - 1})""".stripMargin)
     }
     sb.toString
+  }
+
+  /** Statically-unrolled Viterbi DP for the unigram-LM oracles: one CTE
+    * per character position (up to [[UniMaxWordLen]]) carrying a sliding
+    * window of the last [[UniMaxPiece]] DP states; candidate pieces are
+    * LEFT-JOIN lookups against the round's integer weight table and the
+    * best candidate comes out of a struct sort (score DESC, then the
+    * lexicographically greatest segmentation — the engine's array_max
+    * tie-break, mirrored structurally). Emits d{tag}_0..N plus
+    * seg{tag}(word, freq, g); every score is a BIGINT micro-log, so the
+    * replay is exact integer arithmetic.
+    */
+  private def uniDp(tag: String, wTbl: String): String = {
+    val zero =
+      s"""d${tag}_0 AS MATERIALIZED (
+         |  SELECT word, freq, len(word) n, CAST(0 AS BIGINT) sc, '' gc,
+         |    CAST(NULL AS BIGINT) s1, CAST(NULL AS VARCHAR) g1,
+         |    CAST(NULL AS BIGINT) s2, CAST(NULL AS VARCHAR) g2,
+         |    CAST(NULL AS BIGINT) s3, CAST(NULL AS VARCHAR) g3
+         |  FROM wf)""".stripMargin
+    val steps = (1 to UniMaxWordLen).map { i =>
+      val ks = 1 to math.min(UniMaxPiece, i)
+      val joins = ks.map(k =>
+        s"    LEFT JOIN $wTbl p$k ON p$k.piece = substr(v.word, ${i - k + 1}, $k)")
+        .mkString("\n")
+      val cands = ks.map { k =>
+        val (ps, pg) =
+          if (k == 1) ("v.sc", "v.gc") else (s"v.s${k - 1}", s"v.g${k - 1}")
+        s"CASE WHEN p$k.wt IS NOT NULL AND $ps IS NOT NULL THEN " +
+          s"{'s': $ps + p$k.wt, " +
+          s"'g': $pg || '<' || substr(v.word, ${i - k + 1}, $k) || '>'} END"
+      }.mkString(",\n        ")
+      s"""d${tag}_$i AS MATERIALIZED (
+         |  SELECT word, freq, n, best['s'] sc, best['g'] gc,
+         |    psc s1, pgc g1, ps1 s2, pg1 g2, ps2 s3, pg2 g3
+         |  FROM (
+         |    SELECT v.word, v.freq, v.n,
+         |      list_sort([c for c in [
+         |        $cands
+         |      ] if c IS NOT NULL], 'DESC')[1] best,
+         |      v.sc psc, v.gc pgc, v.s1 ps1, v.g1 pg1, v.s2 ps2, v.g2 pg2
+         |    FROM d${tag}_${i - 1} v
+         |$joins
+         |  ))""".stripMargin
+    }
+    val seg = s"seg$tag AS MATERIALIZED (\n  " +
+      (1 to UniMaxWordLen).map(i =>
+        s"SELECT word, freq, gc g FROM d${tag}_$i WHERE n = $i")
+        .mkString("\n  UNION ALL ") + ")"
+    (zero +: steps :+ seg).mkString(",\n")
+  }
+
+  /** Shared unigram-LM oracle prefix: tokenize → distinct-word
+    * frequencies → substring-seeded vocabulary v0 + initial micro-log
+    * weights w0 → [[UniRounds]] unrolled hard-EM rounds (DP, piece
+    * counts, add-one re-weighting) → the pruned final table `pr` and
+    * its smoothing denominator `den`. Generated so the knobs live in
+    * ONE place next to the gated queries.
+    */
+  private def uniCommon: String = {
+    val rounds = (1 to UniRounds).map { r =>
+      val w = if (r == 1) "w0" else s"w${r - 1}"
+      uniDp(s"r$r", w) +
+        s""",
+           |cntr$r AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) c FROM (
+           |  SELECT freq,
+           |    unnest(string_split(substr(g, 2, len(g) - 2), '><')) piece
+           |  FROM segr$r) GROUP BY 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT v0.piece,
+           |    CAST(round(ln((coalesce(c.c, 0) + 1) /
+           |      ((SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM cntr$r)
+           |        + (SELECT count(*) FROM v0))) * 1000000, 0) AS BIGINT) wt
+           |  FROM v0 LEFT JOIN cntr$r c USING (piece))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    [w for w in string_split_regex(trim(lower(text)), '\\s+') if w != ''] w
+       |  FROM documents),
+       |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) freq FROM (
+       |  SELECT unnest(w) word FROM ws) GROUP BY 1),
+       |seed AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) cnt FROM (
+       |  SELECT freq, substr(word, i, l) piece
+       |  FROM wf, unnest(generate_series(1, len(word))) t(i),
+       |       unnest(generate_series(1, $UniMaxPiece)) u(l)
+       |  WHERE i + l - 1 <= len(word)) GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM seed WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) rn
+       |    FROM seed WHERE len(piece) > 1) WHERE rn <= $UniSeedMultis),
+       |w0 AS MATERIALIZED (SELECT piece,
+       |  CAST(round(ln(CAST(cnt AS DOUBLE) /
+       |    (SELECT CAST(sum(cnt) AS DOUBLE) FROM v0)) * 1000000, 0) AS BIGINT) wt
+       |  FROM v0),
+       |$rounds,
+       |pr AS MATERIALIZED (
+       |  SELECT v0.piece, coalesce(c.c, 0) c
+       |  FROM v0 LEFT JOIN cntr$UniRounds c USING (piece)
+       |  WHERE len(v0.piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (
+       |    SELECT v0.piece, coalesce(c.c, 0) c,
+       |      row_number() OVER (ORDER BY coalesce(c.c, 0) DESC, v0.piece) rn
+       |    FROM v0 LEFT JOIN cntr$UniRounds c USING (piece)
+       |    WHERE len(v0.piece) > 1)
+       |  WHERE rn <= $UniTarget -
+       |    (SELECT count(*) FROM v0 WHERE len(piece) = 1)),
+       |den AS MATERIALIZED (SELECT CAST(sum(c) AS DOUBLE) + count(*) d FROM pr)""".stripMargin
   }
 
   /** Full NB prediction replay — shared by the x_nb_langid gate and
@@ -1256,6 +1404,34 @@ object CurateQueries extends QueryPack {
         |  round(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0)
         |    / CAST(n AS DOUBLE), 6) AS dup_coverage
         |FROM mk GROUP BY doc_id, n""".stripMargin,
+    // Unrolled hard-EM replay: the final pruned piece table with final
+    // counts, add-one micro-log weights and the (count desc, piece)
+    // rank — every Viterbi decision re-derived in exact integers.
+    "x_unigram_train" ->
+      (uniCommon + "\n" +
+        """SELECT piece, CAST(c AS BIGINT) AS n_uses,
+          |  CAST(round(ln((c + 1) / (SELECT d FROM den)) * 1000000, 0)
+          |    AS BIGINT) AS wt_micro,
+          |  CAST(row_number() OVER (ORDER BY c DESC, piece) AS BIGINT)
+          |    AS rank
+          |FROM pr""".stripMargin),
+    // Same training replay, then ONE more unrolled DP under the final
+    // pruned weights and the positional per-doc reassembly.
+    "x_unigram_apply" ->
+      (uniCommon + ",\n" +
+        """wfin AS MATERIALIZED (SELECT piece,
+          |  CAST(round(ln((c + 1) / (SELECT d FROM den)) * 1000000, 0)
+          |    AS BIGINT) wt
+          |  FROM pr),
+          |""".stripMargin + uniDp("fa", "wfin") + ",\n" +
+        """docw AS MATERIALIZED (SELECT doc_id, i p, w[i] word
+          |  FROM ws, unnest(generate_series(1, len(w))) t(i))
+          |SELECT doc_id,
+          |  CAST(sum(len(g) - len(replace(g, '<', ''))) AS BIGINT)
+          |    AS n_pieces,
+          |  md5(string_agg(g, '' ORDER BY p)) AS seg_md5
+          |FROM docw JOIN segfa USING (word)
+          |GROUP BY doc_id""".stripMargin),
     "x_bpe_train" ->
       (bpeOracleCtes(BpeRounds) + "\n" +
         (1 to BpeRounds).map { i =>

@@ -233,6 +233,127 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(3)._3 === 0L && out(3)._6 === 0.0)
   }
 
+  // ---- independent unigram-LM replay (plain Scala, no Spark) --------
+  private def uniMicroLog(x: Double): Long =
+    BigDecimal(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def uniViterbi(word: String, wts: Map[String, Long],
+                         maxLen: Int): (Long, String) = {
+    // dp(i) = best (score, seg) for the i-char prefix; ties prefer the
+    // lexicographically GREATEST seg — the engine's array_max rule
+    val dp = new Array[(Long, String)](word.length + 1)
+    dp(0) = (0L, "")
+    (1 to word.length).foreach { i =>
+      var best: (Long, String) = null
+      (1 to math.min(maxLen, i)).foreach { k =>
+        val piece = word.substring(i - k, i)
+        if (wts.contains(piece) && dp(i - k) != null) {
+          val c = (dp(i - k)._1 + wts(piece), dp(i - k)._2 + s"<$piece>")
+          if (best == null || c._1 > best._1 ||
+            (c._1 == best._1 && c._2 > best._2)) best = c
+        }
+      }
+      dp(i) = best
+    }
+    dp(word.length)
+  }
+
+  private def uniReplay(words: Map[String, Long], rounds: Int, maxLen: Int,
+                        seedMultis: Int, target: Int)
+      : (Seq[(String, Long, Long, Long)], Seq[Map[String, Long]]) = {
+    val seed = words.toSeq.flatMap { case (w, f) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(maxLen, w.length - i))
+        yield (w.substring(i, i + l), f)
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+    val singles = seed.filter(_._1.length == 1).toSeq
+    val multis = seed.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedMultis)
+    val vocab = (singles ++ multis).map(_._1).sorted
+    val seedTotal = (singles ++ multis).map(_._2).sum.toDouble
+    val seedCnt = (singles ++ multis).toMap
+    var wts = vocab.map(p => p -> uniMicroLog(seedCnt(p) / seedTotal)).toMap
+    var counts = Map.empty[String, Long]
+    val wtHistory = scala.collection.mutable.ArrayBuffer(wts)
+    (1 to rounds).foreach { _ =>
+      counts = words.toSeq.flatMap { case (w, f) =>
+        val seg = uniViterbi(w, wts, maxLen)._2
+        seg.substring(1, seg.length - 1).split("><").map(p => (p, f))
+      }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      val used = counts.values.sum.toDouble
+      val v = vocab.size.toDouble
+      wts = vocab.map(p =>
+        p -> uniMicroLog((counts.getOrElse(p, 0L) + 1L) / (used + v))).toMap
+      wtHistory += wts
+    }
+    val keepM = math.max(0, target - singles.length)
+    val prunedM = multis.map(_._1).map(p => (p, counts.getOrElse(p, 0L)))
+      .sortBy { case (p, c) => (-c, p) }.take(keepM)
+    val pruned = (singles.map(x => (x._1, counts.getOrElse(x._1, 0L)))
+      ++ prunedM).sortBy { case (p, c) => (-c, p) }
+    val pTot = pruned.map(_._2).sum.toDouble
+    val pV = pruned.size.toDouble
+    (pruned.zipWithIndex.map { case ((p, c), i) =>
+      (p, c, uniMicroLog((c + 1L) / (pTot + pV)), (i + 1).toLong)
+    }, wtHistory.toSeq)
+  }
+
+  test("unigramTrain matches an independent hard-EM replay exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab abab cd abab"),
+      (2L, "abab cd cd ab"),
+      (3L, "cdcd abab ab")).toDF("doc_id", "text")
+    val words = Map("abab" -> 5L, "cd" -> 3L, "ab" -> 2L, "cdcd" -> 1L)
+    val (expected, _) = uniReplay(words, rounds = 2, maxLen = 3,
+      seedMultis = 4, target = 8)
+    val out = GraftOps.unigramTrain(docs, col("text"), rounds = 2,
+        maxPieceLen = 3, seedMultis = 4, targetSize = 8, maxWordLen = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === expected)
+    // the planted dominant piece must win a multi-char slot
+    assert(expected.exists { case (p, c, _, _) => p == "ab" && c > 0 })
+  }
+
+  test("unigram hard-EM corpus likelihood is non-decreasing per round") {
+    val words = Map("abab" -> 5L, "cd" -> 3L, "ab" -> 2L, "cdcd" -> 1L,
+      "abcd" -> 2L, "dcba" -> 1L)
+    val (_, hist) = uniReplay(words, rounds = 4, maxLen = 3,
+      seedMultis = 6, target = 12)
+    // L(theta_r) = sum of freq * best-segmentation micro-log score; the
+    // E-step re-segments optimally and the M-step re-weights toward the
+    // chosen segmentation, so the Viterbi likelihood must not decrease
+    // across the post-seed rounds (the seed->round-1 step may reshape
+    // the objective: seed weights are occurrence-normalized, not
+    // segmentation-normalized)
+    val lik = hist.map(w =>
+      words.map { case (wd, f) => f * uniViterbi(wd, w, 3)._1 }.sum)
+    lik.sliding(2).drop(1).foreach { case Seq(a, b) =>
+      assert(b >= a, s"likelihood decreased: $lik")
+    }
+  }
+
+  test("unigramApply segments documents under the learned piece table") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab cd"), (2L, "ab abab")).toDF("doc_id", "text")
+    val (pieces, _) = uniReplay(Map("abab" -> 2L, "cd" -> 1L, "ab" -> 1L),
+      rounds = 2, maxLen = 3, seedMultis = 4, target = 8)
+    val wts = pieces.map(x => (x._1, x._3)).toMap
+    val out = GraftOps.unigramApply(docs, col("doc_id"), col("text"),
+        wts, maxPieceLen = 3)
+      .orderBy("doc_id").collect()
+    val md5Of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val seg1 = uniViterbi("abab", wts, 3)._2 + uniViterbi("cd", wts, 3)._2
+    val seg2 = uniViterbi("ab", wts, 3)._2 + uniViterbi("abab", wts, 3)._2
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq === Seq(
+      (1L, seg1.count(_ == '<').toLong, md5Of(seg1)),
+      (2L, seg2.count(_ == '<').toLong, md5Of(seg2))))
+  }
+
   test("bpePairStats weights char pairs by corpus word frequency") {
     import spark.implicits._
     // wf: ab->3, cd->1, abc->1. pairs: 'ab' from both 'ab'(3) and
