@@ -55,6 +55,29 @@ object MultimodalDecode {
     ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
       javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
 
+  // the remaining JDK-native still-image formats a real crawl carries:
+  // GIF/BMP/TIFF each get the same pooled reader treatment (and TIFF a
+  // pooled writer for the fixture side), so NO image format the JDK can
+  // decode ever falls to the contended generic registry path
+  private val gifReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+  private val bmpReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next())
+  private val tiffReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("tiff").next())
+  private val gifWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+  private val bmpWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next())
+  private val tiffWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next())
+
   private val PngSig =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -66,6 +89,21 @@ object MultimodalDecode {
     c.length >= 3 && (c(0) & 0xff) == 0xff && (c(1) & 0xff) == 0xd8 &&
       (c(2) & 0xff) == 0xff
 
+  /** GIF87a / GIF89a header. */
+  private def looksGif(c: Array[Byte]): Boolean =
+    c.length >= 6 && c(0) == 'G' && c(1) == 'I' && c(2) == 'F' &&
+      c(3) == '8' && (c(4) == '7' || c(4) == '9') && c(5) == 'a'
+
+  /** Windows bitmap: 'BM'. */
+  private def looksBmp(c: Array[Byte]): Boolean =
+    c.length >= 2 && c(0) == 'B' && c(1) == 'M'
+
+  /** TIFF: little-endian "II*\0" or big-endian "MM\0*". */
+  private def looksTiff(c: Array[Byte]): Boolean =
+    c.length >= 4 &&
+      ((c(0) == 'I' && c(1) == 'I' && c(2) == 0x2a && c(3) == 0) ||
+        (c(0) == 'M' && c(1) == 'M' && c(2) == 0 && c(3) == 0x2a))
+
   private def readPooled(r: javax.imageio.ImageReader,
                          c: Array[Byte]): java.awt.image.BufferedImage = {
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -74,15 +112,18 @@ object MultimodalDecode {
     finally { r.setInput(null); iis.close() }
   }
 
-  /** Decode image bytes to a raster, or null if undecodable. PNG and
-    * JPEG bytes (the overwhelmingly common cases) take the pooled
-    * contention-free readers, sniffed by signature; anything else falls
-    * back to the generic registry path.
+  /** Decode image bytes to a raster, or null if undecodable. Every
+    * JDK-native format — PNG, JPEG, GIF, BMP, TIFF — takes a pooled
+    * contention-free reader, sniffed by signature; only genuinely
+    * unknown bytes fall back to the generic registry path.
     */
   private def readImage(c: Array[Byte]): java.awt.image.BufferedImage =
     try {
       if (looksPng(c)) readPooled(pngReaderTl.get(), c)
       else if (looksJpeg(c)) readPooled(jpegReaderTl.get(), c)
+      else if (looksGif(c)) readPooled(gifReaderTl.get(), c)
+      else if (looksBmp(c)) readPooled(bmpReaderTl.get(), c)
+      else if (looksTiff(c)) readPooled(tiffReaderTl.get(), c)
       else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(c))
     } catch { case _: java.io.IOException | _: RuntimeException => null }
 
@@ -98,8 +139,9 @@ object MultimodalDecode {
 
   /** Decode one payload. Image mimes go through ImageIO (real parse);
     * other mimes get deterministic byte-derived dims (no JDK codec).
+    * Public like the other *One kernels so specs can drive single rows.
     */
-  private def decodeOne(in: MediaIn): MediaMeta = {
+  def decodeOne(in: MediaIn): MediaMeta = {
     // NULL payload = corrupt feed row: decode "fails" loudly (ok=false,
     // zero bytes) instead of NPE-ing the partition
     val c = if (in.content == null) Array.emptyByteArray else in.content
@@ -174,11 +216,34 @@ object MultimodalDecode {
     * with the encoder's quantization); the oracle gates the dimension
     * formula, exactly what survives a lossy round-trip.
     */
-  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
-    val w = jpegWriterTl.get()
+  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] =
+    writePooled(jpegWriterTl.get(), fixtureRaster(width, height, seed))
+
+  /** Encode the deterministic fixture raster in any pooled still-image
+    * format ("png", "jpeg", "gif", "bmp", "tiff") — the fixture writer
+    * for the multi-format decode gate. GIF quantizes to a 256-color
+    * palette and JPEG is lossy, so only structural facts (dims,
+    * decodability, sniffed format) are gate material across all five.
+    */
+  def encodeImage(format: String, width: Int, height: Int,
+                  seed: Long): Array[Byte] = {
+    val w = format match {
+      case "png"  => pngWriterTl.get()
+      case "jpeg" => jpegWriterTl.get()
+      case "gif"  => gifWriterTl.get()
+      case "bmp"  => bmpWriterTl.get()
+      case "tiff" => tiffWriterTl.get()
+      case other  => throw new IllegalArgumentException(
+        s"encodeImage: unsupported fixture format '$other'")
+    }
+    writePooled(w, fixtureRaster(width, height, seed))
+  }
+
+  private def writePooled(w: javax.imageio.ImageWriter,
+                          img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    try { w.setOutput(ios); w.write(fixtureRaster(width, height, seed)) }
+    try { w.setOutput(ios); w.write(img); ios.flush() }
     finally { w.setOutput(null); ios.close() }
     bos.toByteArray
   }
@@ -515,6 +580,117 @@ object MultimodalDecode {
       new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
   }
 
+  // ------------------------------------------------------------ audio (MP3)
+
+  /** MPEG-1 Layer III bitrate table, kbps by header index 1..14 (0 is
+    * "free format", 15 is forbidden — both rejected as malformed).
+    */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates by header index 0..2 (3 is reserved). */
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** REAL MP3/MPEG audio probe — the audio analog of the MP4 box walk:
+    * no JDK codec exists, but the MPEG frame header is a pure byte
+    * layout, so frame count, bitrate, sample rate and duration come
+    * from an actual frame-by-frame walk over the payload. Handles the
+    * common real-file shape: an optional ID3v2 tag (10-byte header +
+    * synchsafe 28-bit size) is skipped, then MPEG-1 Layer III frames
+    * are walked strictly — frame length floor(144000·kbps/rate) +
+    * padding, duration = frames·1152/rate. ANY malformation — bad
+    * sync, reserved version/layer/bitrate/rate bits, a truncated final
+    * frame, trailing garbage, zero frames — fails loudly (ok=false,
+    * zeros), the same dirty-feed contract as every other codec path.
+    * Bitrate is the FIRST frame's (the CBR readout; a VBR stream still
+    * walks correctly because each frame's length uses its own header).
+    */
+  def probeMp3One(in: MediaIn): Mp3Meta = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val bad = Mp3Meta(in.doc_id, in.mime, c.length.toLong, 0L, 0, 0, 0L,
+      ok = false)
+    var off = 0
+    // optional ID3v2 prefix: 'ID3', 2 version bytes, 1 flag byte, then
+    // a 4-byte synchsafe (7 bits per byte) tag size
+    if (c.length >= 10 && c(0) == 'I' && c(1) == 'D' && c(2) == '3') {
+      if ((c(6) | c(7) | c(8) | c(9)) < 0) return bad // synchsafe: high bit clear
+      val size = ((c(6) & 0x7f) << 21) | ((c(7) & 0x7f) << 14) |
+        ((c(8) & 0x7f) << 7) | (c(9) & 0x7f)
+      off = 10 + size
+      if (off > c.length) return bad
+    }
+    var frames = 0L
+    var kbps0 = 0
+    var rate0 = 0
+    while (off < c.length) {
+      if (off + 4 > c.length) return bad // truncated header
+      val b1 = c(off) & 0xff
+      val b2 = c(off + 1) & 0xff
+      val b3 = c(off + 2) & 0xff
+      // sync (11 set bits) + MPEG-1 (version bits 11) + Layer III
+      // (layer bits 01): 0xFF Ex/Fx with (b2 & 0x1e) == 0x1a
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return bad
+      if ((b2 & 0x18) != 0x18 || (b2 & 0x06) != 0x02) return bad
+      val bi = (b3 >> 4) & 0xf
+      val ri = (b3 >> 2) & 0x3
+      val pad = (b3 >> 1) & 0x1
+      if (bi == 0 || bi == 15 || ri == 3) return bad
+      val kbps = Mp3Bitrates(bi)
+      val rate = Mp3Rates(ri)
+      if (frames == 0L) { kbps0 = kbps; rate0 = rate }
+      val flen = 144000 * kbps / rate + pad
+      if (off + flen > c.length) return bad // truncated final frame
+      frames += 1L
+      off += flen
+    }
+    if (frames == 0L) bad
+    else Mp3Meta(in.doc_id, in.mime, c.length.toLong, frames, kbps0,
+      rate0, frames * 1152L * 1000L / rate0, ok = true)
+  }
+
+  def probeMp3(payloads: Dataset[MediaIn]): Dataset[Mp3Meta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map(probeMp3One))
+  }
+
+  /** Encode a deterministic MPEG-1 Layer III frame stream — the fixture
+    * writer for the MP3 probe (no JDK MP3 encoder exists, but the frame
+    * LAYOUT is pure bytes: real headers, deterministic filler bodies).
+    * `withId3` prepends a real ID3v2 tag with a synchsafe size. Frame
+    * body byte j of frame f is a pure function of (seed, f, j).
+    */
+  def encodeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int, seed: Long,
+                withId3: Boolean = false): Array[Byte] = {
+    require(frames >= 1 && bitrateIdx >= 1 && bitrateIdx <= 14 &&
+      rateIdx >= 0 && rateIdx <= 2, "encodeMp3: invalid fixture fields")
+    val kbps = Mp3Bitrates(bitrateIdx)
+    val rate = Mp3Rates(rateIdx)
+    val flen = 144000 * kbps / rate
+    val bos = new java.io.ByteArrayOutputStream()
+    if (withId3) {
+      val tagBody = 22
+      bos.write('I'); bos.write('D'); bos.write('3')
+      bos.write(3); bos.write(0); bos.write(0) // v2.3, no flags
+      bos.write(0); bos.write(0); bos.write(tagBody >> 7)
+      bos.write(tagBody & 0x7f)
+      var j = 0
+      while (j < tagBody) { bos.write(((seed + j) % 251).toInt); j += 1 }
+    }
+    var f = 0
+    while (f < frames) {
+      bos.write(0xff); bos.write(0xfb) // sync + MPEG-1 + Layer III
+      bos.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
+      bos.write(0)
+      var j = 4
+      while (j < flen) {
+        bos.write(((seed * 31 + f * 131 + j * 2654435761L) & 0xffL).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------ video (MP4)
 
   /** REAL video container metadata parse: no JDK video CODEC exists, but
@@ -836,6 +1012,11 @@ case class AudioFeat(doc_id: Long, n_samples: Long, sum_sq: Long,
   * duration_ms = mvhd duration · 1000 / timescale (integer floor),
   * width/height the integer part of tkhd's 16.16 fixed-point dims.
   */
+/** One MP3 probe row: frame walk totals + first-frame header readout. */
+case class Mp3Meta(doc_id: Long, mime: String, n_bytes: Long,
+                   n_frames: Long, bitrate_kbps: Int, sample_rate: Int,
+                   duration_ms: Long, ok: Boolean)
+
 case class VideoMeta(doc_id: Long, mime: String, n_bytes: Long,
                      duration_ms: Long, timescale: Int,
                      width: Int, height: Int, ok: Boolean)

@@ -778,6 +778,35 @@ object LlmQueries extends QueryPack {
         col("ok").cast("int").as("ok"))
   }
 
+  /** x_mm_decode_multi: one decode gate across EVERY JDK-native image
+    * format — each doc carries a genuine PNG/JPEG/GIF/BMP/TIFF payload
+    * (format chosen by doc_id mod 5, all five via [[graft.api
+    * .MultimodalDecode.encodeImage]]'s pooled writers) and dims come
+    * back through the signature-sniffed pooled reader for THAT format,
+    * so no fixture row ever touches the contended registry fallback.
+    * GIF palette quantization and JPEG loss leave dims exact, which is
+    * precisely what the oracle's formulas replay. Corrupt rows truncate
+    * to 5 bytes (inside every format's header) and must fail loudly.
+    */
+  def mmDecodeMulti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fmts = Array("png", "jpeg", "gif", "bmp", "tiff")
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val fmt = fmts((id % 5).toInt)
+          val img = graft.api.MultimodalDecode.encodeImage(
+            fmt, 8 + (id % 23).toInt, 8 + (id % 17).toInt, id)
+          val content = if (id % 97 == 0) img.take(5) else img
+          graft.api.MediaIn(id, content, s"image/$fmt")
+        }
+      }
+    graft.api.MultimodalDecode.decode(payloads).toDF()
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
+        col("ok").cast("int").as("ok"))
+  }
+
   /** x_mm_resample: REAL pixel resample — each genuine PNG payload is
     * decoded, aspect-fit into a 16×16 box through Graphics2D, re-encoded
     * as PNG, and the OUTPUT bytes decoded again; the gated out_w/out_h
@@ -932,6 +961,38 @@ object LlmQueries extends QueryPack {
     graft.api.MultimodalDecode.audioFeatures(mediaWavTable(s, d)).toDF()
       .select(col("doc_id"), col("n_samples"), col("sum_sq"),
         col("n_zero_cross"), col("ok").cast("int").as("ok"))
+
+  /** x_audio_probe_mp3: REAL MPEG frame-header probe — each payload is
+    * a genuine MPEG-1 Layer III frame stream (every 4th behind a real
+    * ID3v2 tag with synchsafe size), and frame count / bitrate / sample
+    * rate / duration come out of an actual frame-by-frame byte walk
+    * ([[graft.api.MultimodalDecode.probeMp3One]]), never a stand-in.
+    * The oracle replays the fixture's header formulas INCLUDING the
+    * n_bytes total (frames × floor(144000·kbps/rate) + tag), so the
+    * gate proves the walk hopped every frame length exactly; corrupt
+    * rows (7-byte truncation) fail loudly. Pure map work, no shuffle.
+    */
+  def audioProbeMp3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val mp3 = graft.api.MultimodalDecode.encodeMp3(
+            frames = 20 + (id % 30).toInt,
+            bitrateIdx = 1 + (id % 14).toInt,
+            rateIdx = (id % 3).toInt,
+            seed = id,
+            withId3 = id % 4 == 0)
+          val content = if (id % 73 == 0) mp3.take(7) else mp3
+          graft.api.MediaIn(id, content, "audio/mpeg")
+        }
+      }
+    graft.api.MultimodalDecode.probeMp3(payloads).toDF()
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("n_frames"),
+        col("bitrate_kbps"), col("sample_rate"), col("duration_ms"),
+        col("ok").cast("int").as("ok"))
+  }
 
   /** The MP4 media table: one genuine ISO-BMFF container per document
     * (real ftyp/moov/mvhd/trak/tkhd byte layout via
@@ -1114,7 +1175,9 @@ object LlmQueries extends QueryPack {
     "x_video_probe" -> videoProbe,
     "x_video_tracks" -> videoTracks,
     "x_dedup_contain" -> dedupContain,
-    "x_mm_decode_jpeg" -> mmDecodeJpeg
+    "x_mm_decode_jpeg" -> mmDecodeJpeg,
+    "x_mm_decode_multi" -> mmDecodeMulti,
+    "x_audio_probe_mp3" -> audioProbeMp3
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2437,6 +2500,54 @@ object LlmQueries extends QueryPack {
         |            ELSE 8 + doc_id % 19 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 101 = 0 THEN 0 ELSE 1 END AS INT) AS ok
         |FROM documents""".stripMargin,
+    // Dims are exact across all five formats (GIF quantizes colors and
+    // JPEG is lossy — neither touches dimensions); corrupt rows are the
+    // 5-byte truncations.
+    "x_mm_decode_multi" ->
+      """SELECT doc_id,
+        |  'image/' ||
+        |    (['png', 'jpeg', 'gif', 'bmp', 'tiff'])
+        |      [CAST(doc_id % 5 AS INT) + 1] AS mime,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+        |            ELSE 8 + doc_id % 23 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+        |            ELSE 8 + doc_id % 17 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM documents""".stripMargin,
+    // Replays the MPEG header arithmetic end to end: bitrate/rate from
+    // the fixture's index formulas, frame length floor(144000·kbps/rate),
+    // n_bytes = frames·flen (+32-byte ID3v2 on every 4th row), duration
+    // floor(frames·1152·1000/rate). Corrupt rows are the 7-byte
+    // truncations (zeros except the observed byte count, ok=0).
+    "x_audio_probe_mp3" ->
+      """WITH f AS (
+        |  SELECT doc_id, 20 + doc_id % 30 AS frames,
+        |    CAST(1 + doc_id % 14 AS INT) AS bi,
+        |    CAST(doc_id % 3 AS INT) AS ri,
+        |    doc_id % 73 = 0 AS corrupt,
+        |    CASE WHEN doc_id % 4 = 0 THEN 32 ELSE 0 END AS tag
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, frames, corrupt, tag,
+        |    ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi + 1]
+        |      AS kbps,
+        |    ([44100,48000,32000])[ri + 1] AS rate
+        |  FROM f)
+        |SELECT doc_id, 'audio/mpeg' AS mime,
+        |  CAST(CASE WHEN corrupt THEN 7
+        |       ELSE frames * (144000 * kbps // rate) + tag END AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE frames END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE kbps END AS INT)
+        |    AS bitrate_kbps,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE rate END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE frames * 1152 * 1000 // rate END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM t""".stripMargin,
     // Replays the MP4 fixture's field formulas, including the parser's
     // integer-floor units→ms conversion (duration * 1000 // timescale).
     // Corrupt rows (doc_id % 83 = 0, truncated container) → zeros, ok=0.

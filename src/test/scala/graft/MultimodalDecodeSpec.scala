@@ -337,6 +337,67 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "decode stage must not shuffle")
   }
 
+  test("images: GIF/BMP/TIFF round-trip dims through the pooled sniffed " +
+      "readers; truncations fail loudly") {
+    Seq("gif", "bmp", "tiff", "png", "jpeg").foreach { fmt =>
+      val bytes = MultimodalDecode.encodeImage(fmt, 13, 7, seed = 42L)
+      val m = MultimodalDecode.decodeOne(
+        graft.api.MediaIn(1L, bytes, s"image/$fmt"))
+      assert(m.ok && m.width === 13 && m.height === 7, s"format $fmt")
+      // every prefix must decode loudly or report true dims, never throw
+      (0 until math.min(bytes.length, 64)).foreach { n =>
+        val t = MultimodalDecode.decodeOne(
+          graft.api.MediaIn(2L, bytes.take(n), s"image/$fmt"))
+        if (t.ok) assert(t.width === 13 && t.height === 7)
+      }
+      assert(!MultimodalDecode.decodeOne(
+        graft.api.MediaIn(3L, bytes.take(5), s"image/$fmt")).ok)
+    }
+  }
+
+  test("mp3: the frame walk reads real headers, skips ID3v2, handles VBR " +
+      "and rejects malformations") {
+    // 6 frames at 128 kbps / 44100 Hz: flen = 417, duration 156 ms
+    val cbr = MultimodalDecode.encodeMp3(6, 9, 0, seed = 5L)
+    val m = MultimodalDecode.probeMp3One(
+      graft.api.MediaIn(1L, cbr, "audio/mpeg"))
+    assert(m.ok && m.n_frames === 6L && m.bitrate_kbps === 128 &&
+      m.sample_rate === 44100)
+    assert(m.n_bytes === 6L * (144000 * 128 / 44100))
+    assert(m.duration_ms === 6L * 1152 * 1000 / 44100)
+    // ID3v2-prefixed stream walks identically after the synchsafe skip
+    val tagged = MultimodalDecode.encodeMp3(6, 9, 0, seed = 5L,
+      withId3 = true)
+    val mt = MultimodalDecode.probeMp3One(
+      graft.api.MediaIn(2L, tagged, "audio/mpeg"))
+    assert(mt.ok && mt.n_frames === 6L && mt.duration_ms === m.duration_ms)
+    // VBR: frames of DIFFERENT bitrates — the walk must hop each
+    // frame's own length; reported bitrate is the first frame's
+    val vbr = MultimodalDecode.encodeMp3(2, 9, 0, seed = 7L) ++
+      MultimodalDecode.encodeMp3(3, 14, 0, seed = 7L)
+    val mv = MultimodalDecode.probeMp3One(
+      graft.api.MediaIn(3L, vbr, "audio/mpeg"))
+    assert(mv.ok && mv.n_frames === 5L && mv.bitrate_kbps === 128)
+    // malformations: every byte-truncation is loud, never a throw
+    (0 until cbr.length by 13).foreach { n =>
+      val t = MultimodalDecode.probeMp3One(
+        graft.api.MediaIn(4L, cbr.take(n), "audio/mpeg"))
+      assert(!t.ok, s"truncation at $n bytes must fail loudly")
+    }
+    // bad sync, reserved bitrate (0/15), reserved rate index
+    def corrupt(at: Int, v: Int): Boolean = {
+      val c = cbr.clone(); c(at) = v.toByte
+      MultimodalDecode.probeMp3One(
+        graft.api.MediaIn(5L, c, "audio/mpeg")).ok
+    }
+    assert(!corrupt(0, 0xfe) && !corrupt(1, 0xf3) &&
+      !corrupt(2, 0x00) && !corrupt(2, 0xf0) && !corrupt(2, 0x9c))
+    assert(!MultimodalDecode.probeMp3One(
+      graft.api.MediaIn(6L, Array[Byte](), "audio/mpeg")).ok)
+    assert(!MultimodalDecode.probeMp3One(
+      graft.api.MediaIn(7L, null, "audio/mpeg")).ok)
+  }
+
   test("audio: stereo downmix is exact-integer floorDiv and AIFF carries " +
       "the same samples big-endian") {
     // replay the generator + downmix in plain integer Scala: slot j
