@@ -307,7 +307,25 @@ object PlanDump {
       "folded into the final aggregate (no window pass)"),
     "x_split_nodup" -> ("Leakage-safe split audit — map-side signature, " +
       "one sig-key shuffle, 1-row straddle aggregate; dedupBySignature's " +
-      "cost plus a count")
+      "cost plus a count"),
+    "x_dedup_suffix" -> ("Suffix-array substring dedup — log2(cap) " +
+      "prefix-doubling rounds (range sort + driver-offset dense rank + " +
+      "equi-join, each LINEAR in tokens) + log2(cap) position-keyed LCP " +
+      "joins; round count fixed by cap, never by corpus size, and no " +
+      "single-partition window anywhere"),
+    "x_unigram_train" -> ("Unigram-LM tokenizer training — one corpus " +
+      "token scan into the cached word-frequency table, then per EM " +
+      "round one Viterbi map over DISTINCT words (weights as a bounded " +
+      "map literal inside codegen) + a vocab-sized count collect"),
+    "x_unigram_apply" -> ("Unigram tokenizer serve — one DP per " +
+      "DISTINCT word, segmentations equi-joined back to token " +
+      "positions; corpus-proportional work is the tokenize + one " +
+      "doc-key aggregate"),
+    "x_mm_decode_multi" -> ("Five-format image decode — pure map work " +
+      "through per-format pooled sniffed readers; one id repartition " +
+      "parallelizes the single-split fixture"),
+    "x_audio_probe_mp3" -> ("MPEG frame-header walk — pure map byte " +
+      "arithmetic, no JDK codec, no shuffle after the id repartition")
   )
 
   def main(args: Array[String]): Unit = {

@@ -85,6 +85,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x_dedup_suffix: every stage is an equi-join/range sort — no " +
+      "cartesian, no nested loop, no single-partition window") {
+    val p = planOf(SparkEntry.queries("x_dedup_suffix")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the final per-doc coverage window partitions by doc_id — a global
+    // (empty-partition-spec) window would pull the corpus through one task
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(doc_id"),
+      "unexpected window shape in the coverage pass")
+  }
+
+  test("x_unigram_apply: corpus-proportional work is tokenize + one " +
+      "doc-key aggregate; Viterbi runs on distinct words only") {
+    val p = planOf(SparkEntry.queries("x_unigram_apply")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x_sim_ivf: only the bounded centroid set nested-loops; the probe->corpus search is an equi-join") {
     val p = planOf(SparkEntry.queries("x_sim_ivf")(spark, sf))
     assert(!p.contains("CartesianProduct"), "unbounded cartesian in IVF")
