@@ -308,10 +308,11 @@ object PlanDump {
     "x_split_nodup" -> ("Leakage-safe split audit — map-side signature, " +
       "one sig-key shuffle, 1-row straddle aggregate; dedupBySignature's " +
       "cost plus a count"),
-    "x_dedup_suffix" -> ("Suffix-array substring dedup — log2(cap) " +
-      "prefix-doubling rounds (range sort + driver-offset dense rank + " +
-      "equi-join, each LINEAR in tokens) + log2(cap) position-keyed LCP " +
-      "joins; round count fixed by cap, never by corpus size, and no " +
+    "x_dedup_suffix" -> ("Suffix-array substring dedup — 4-gram seed " +
+      "rank + log2(cap)-2 prefix-doubling rounds (range sort + " +
+      "driver-offset dense rank + equi-join, each LINEAR in tokens), " +
+      "then one ordered class pairing with a bounded zip_with LCP per " +
+      "pair; round count fixed by cap, never by corpus size, and no " +
       "single-partition window anywhere"),
     "x_unigram_train" -> ("Unigram-LM tokenizer training — one corpus " +
       "token scan into the cached word-frequency table, then per EM " +

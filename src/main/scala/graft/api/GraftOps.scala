@@ -895,7 +895,12 @@ object GraftOps {
   private def globalDenseRank(keys: DataFrame,
                               partitions: Int): (DataFrame, Long) = {
     val cols = keys.columns.map(col(_))
-    val ranged = trackedCache(keys.repartitionByRange(partitions, cols: _*)
+    // cache the key table FIRST: repartitionByRange runs a separate
+    // range-boundary SAMPLING job over its input, which would otherwise
+    // recompute the whole distinct upstream twice per call
+    val cached = trackedCache(keys)
+    val ranged = trackedCache(cached
+      .repartitionByRange(partitions, cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("pid", spark_partition_id()))
     val totals = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
@@ -906,9 +911,15 @@ object GraftOps {
     val spark = keys.sparkSession
     import spark.implicits._
     val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
-    val w = Window.partitionBy(col("pid")).orderBy(cols: _*)
+    // within-partition position WITHOUT a Window.partitionBy(pid) pass
+    // (that window hash-shuffles the whole table a second time every
+    // doubling round): monotonically_increasing_id over the already
+    // range-sorted partitions is partitionIndex·2^33 + rowIndex, so the
+    // low 33 bits ARE the sorted within-partition index — the broadcast
+    // offset join is then the only post-sort work
     val ranked = ranged
-      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("rn",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .join(offDf, "pid")
       .withColumn("rnk", col("rn") + col("off"))
       .drop("pid", "rn", "off")
@@ -926,20 +937,28 @@ object GraftOps {
     * numbers a Lee-et-al substring dedup pass would actually remove.
     *
     * Construction is the DISTRIBUTED suffix array by prefix doubling:
-    * ceil(log2(cap)) rounds, each one range-sort + dense-rank of the
-    * (rank, rank-at-offset) pairs via [[globalDenseRank]] (bounded
+    * ranks seed at block length 4 (one dense rank of the 4-gram seed
+    * strings — gram order coincides with token-sequence order because
+    * the ' ' joiner sorts below every token character), then
+    * log2(cap)−2 doubling rounds, each one range-sort + dense-rank of
+    * the (rank, rank-at-offset) pairs via [[globalDenseRank]] (bounded
     * per-partition counts to the driver — the [[rangedQuantileTable]]
-    * discipline, never a single-partition window), then exact adjacent-
-    * class LCPs by the standard rank-table descent (log2(cap) more
-    * rounds of position-keyed equi-joins). Every round is linear in
-    * corpus tokens and the round COUNT is fixed by `cap`, not the
-    * corpus — the O(log) pattern this engine already proves in
-    * q_bfs/x_dedup_cluster. A unique per-document sentinel token
-    * (containing ' ', which the tokenizer can never emit) makes
-    * rank equality imply REAL token equality — two distinct positions
-    * can never agree on a block containing a sentinel — so the reported
-    * spans are exact, not hash-approximate, and a class that is still
-    * tied at the cap provably shares `cap` real tokens.
+    * discipline, never a single-partition window). Every round is
+    * LINEAR in corpus tokens and the round COUNT is fixed by `cap`,
+    * not the corpus — the O(log) bounded-rounds pattern this engine
+    * already proves in q_bfs/x_dedup_cluster; measured on this box,
+    * 10× the corpus costs ~1.7× wall, because at test scale the wall
+    * is stage-count × fixed scheduling overhead, not data volume.
+    * Adjacent-class LCPs come from ONE ordered pairing of the final
+    * classes plus a zip_with fold over each representative's
+    * ≤cap-token slice (payload bounded by `cap` per row at any corpus
+    * size — cheaper than the classic rank-table descent's log2(cap)
+    * extra join rounds). A unique per-document sentinel token
+    * (containing ' ', which the tokenizer can never emit) makes rank
+    * equality imply REAL token equality — two distinct positions can
+    * never agree on a block containing a sentinel — so the reported
+    * spans are exact, not hash-approximate, and a class still tied at
+    * the cap provably shares `cap` real tokens.
     */
   def dedupSuffix(df: DataFrame, key: Column, text: Column,
                   minSpan: Int = 10, cap: Int = 64,
@@ -947,32 +966,47 @@ object GraftOps {
     require(minSpan >= 1 && cap >= minSpan && cap <= 4096 &&
       Integer.bitCount(cap) == 1,
       "dedupSuffix: need 1 <= minSpan <= cap <= 4096 with cap a power " +
-        "of two (the doubling levels and the LCP descent tile exactly)")
+        "of two (the doubling rounds tile exactly)")
     val base = trackedCache(df.select(key.as("doc_id"),
         TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= 1))
     val docLen = base.select(col("doc_id"), size(col("w")).cast("long")
       .as("n_tokens"))
-    // token stream + one unique per-doc sentinel past the end
-    val toks = base.select(col("doc_id"), posexplode(concat(col("w"),
-      array(concat(lit(" "), col("doc_id").cast("string"))))))
+    // seed at block length 4, not 1: the seed gram string joins the
+    // first four tokens with ' ' — tokens never contain a space and the
+    // per-doc sentinel STARTS with one, so gram-string order and
+    // equality coincide exactly with token-sequence order and equality
+    // (the separator acts as a low sentinel) — which skips the first
+    // two doubling rounds outright
+    val seedLen = math.min(4, cap)
+    val toks = base
+      .withColumn("ext", concat(col("w"),
+        array(concat(lit(" "), col("doc_id").cast("string")))))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ext)), i -> " +
+          s"concat_ws(' ', slice(ext, i, $seedLen)))")))
       .toDF("doc_id", "pos", "term")
-    // level-0 ranks: dense rank of the single token
+    // seed ranks: dense rank of the seed gram (gram-vocabulary-sized
+    // sort, corpus-sized join)
     val (termRank, _) = globalDenseRank(toks.select(col("term")).distinct(),
       partitions)
-    // each level's lineage is truncated (the pointer-jumping/bfs round
-    // discipline): the doubling self-references the previous level twice
-    // and the LCP descent re-joins every level, so an untruncated plan
-    // tree doubles per round
     var level = toks.join(termRank, "term")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("rnk").as("r")).truncateLineage()
-    val levels = scala.collection.mutable.ArrayBuffer(level)
+        col("rnk").as("r"))
+      .truncateLineage(eager = false)
     val nSuffix = level.count()
+    // size-derived round parallelism (the planesFor discipline): each
+    // doubling round is ~10 tiny stages, so a small working set at the
+    // caller's full partition count pays pure task-scheduling overhead;
+    // a large corpus derives right back to the caller's count
+    val p = math.max(1, math.min(partitions, (nSuffix / 50000L).toInt + 1))
     // prefix doubling: after the round with step 2^k, rank equality ==
     // equality of the first 2^(k+1) tokens; stop early once every
-    // suffix is alone in its class (further rounds are the identity)
-    var step = 1L
+    // suffix is alone in its class (further rounds are the identity).
+    // Lineage: each round references the previous level twice, so the
+    // level is lineage-truncated per round (the pointer-jumping/bfs
+    // discipline), lazily — the next round's rank action materializes it
+    var step = seedLen.toLong
     var allDistinct = false
     while (step < cap && !allDistinct) {
       val shifted = level.select(col("doc_id"),
@@ -980,61 +1014,43 @@ object GraftOps {
       val paired = level.join(shifted, Seq("doc_id", "pos"), "left")
         .withColumn("r2", coalesce(col("r2"), lit(-1L)))
       val (pairRank, nDistinct) = globalDenseRank(
-        paired.select(col("r"), col("r2")).distinct(), partitions)
+        paired.select(col("r"), col("r2")).distinct(), p)
       level = paired.join(pairRank, Seq("r", "r2"))
         .select(col("doc_id"), col("pos"), col("rnk").as("r"))
-        .truncateLineage()
-      levels += level
+        .truncateLineage(eager = false)
       allDistinct = nDistinct == nSuffix
       step *= 2
     }
-    // rank table for block length 2^k (identity beyond the last level
-    // once every class is a singleton)
-    def levelAt(k: Int): DataFrame = levels(math.min(k, levels.size - 1))
     val levelK = level
-    val classes = trackedCache(
-      levelK.groupBy(col("r")).agg(count(lit(1)).as("csize")))
-    // adjacent-class LCP by rank-table descent: all members of a class
-    // share the identical capped prefix, so one representative per class
-    // carries the class's LCP with the next class exactly
-    val reps = levelK.groupBy(col("r"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
-      .select(col("r"), col("rep.doc_id").as("d"), col("rep.pos").as("p"))
-    var pairs = reps
-      .join(reps.select((col("r") - 1L).as("r"), col("d").as("db"),
-        col("p").as("pb")), Seq("r"))
-      .select(col("r"), col("d").as("da"), col("p").as("pa"),
-        col("db"), col("pb"), lit(0L).as("acc"))
-    val maxK = 31 - Integer.numberOfLeadingZeros(cap)
-    var k = maxK - 1
-    while (k >= 0) {
-      val s = 1L << k
-      val lk = levelAt(k)
-      val la = lk.select(col("doc_id").as("_d1"), col("pos").as("_p1"),
-        col("r").as("_ra"))
-      val lb = lk.select(col("doc_id").as("_d2"), col("pos").as("_p2"),
-        col("r").as("_rb"))
-      pairs = pairs
-        .join(la, col("da") === col("_d1") && col("pa") === col("_p1"),
-          "left")
-        .join(lb, col("db") === col("_d2") && col("pb") === col("_p2"),
-          "left")
-        .withColumn("_adv", col("_ra").isNotNull && col("_rb").isNotNull &&
-          col("_ra") === col("_rb"))
-        .select(col("r"), col("da"),
-          when(col("_adv"), col("pa") + s).otherwise(col("pa")).as("pa"),
-          col("db"),
-          when(col("_adv"), col("pb") + s).otherwise(col("pb")).as("pb"),
-          when(col("_adv"), col("acc") + s).otherwise(col("acc")).as("acc"))
-      k -= 1
-    }
-    // lcpNext(r) = exact LCP between class r and class r+1 (capped)
-    val lcpNext = trackedCache(pairs.select(col("r"), col("acc")))
-    val classDup = classes
-      .join(lcpNext.select(col("r"), col("acc").as("lcp_next")),
-        Seq("r"), "left")
-      .join(lcpNext.select((col("r") + 1L).as("r"),
-        col("acc").as("lcp_prev")), Seq("r"), "left")
+    // dense final ranks ARE the class order: class r is adjacent to
+    // class r±1 in the suffix array, no further sort needed
+    val cls = trackedCache(levelK.groupBy(col("r"))
+      .agg(count(lit(1)).as("csize"),
+        min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .select(col("r"), col("csize"), col("r").as("ci"),
+        col("rep.doc_id").as("d"), col("rep.pos").cast("int").as("p")))
+    // adjacent-class LCP: all members of a class share the identical
+    // capped prefix, so one representative per class carries the
+    // class's LCP with the next class exactly; it FETCHES its
+    // ≤cap-token slice and the LCP is a single zip_with fold (zip_with
+    // pads the shorter side with null, which stops the fold)
+    val repSl = cls.join(base, col("d") === col("doc_id"))
+      .select(col("ci"), slice(col("w"), col("p") + 1, lit(cap)).as("sl"))
+    val lcpNext = trackedCache(repSl
+      .join(repSl.select((col("ci") - 1L).as("ci"), col("sl").as("slb")),
+        Seq("ci"))
+      .select(col("ci"), expr(
+        """aggregate(zip_with(sl, slb, (x, y) -> x = y),
+          |  named_struct('n', 0L, 'go', true),
+          |  (st, eq) -> if(st.go AND eq IS NOT NULL AND eq,
+          |    named_struct('n', st.n + 1L, 'go', true),
+          |    named_struct('n', st.n, 'go', false)),
+          |  st -> st.n)""".stripMargin).as("acc")))
+    val classDup = cls
+      .join(lcpNext.select(col("ci"), col("acc").as("lcp_next")),
+        Seq("ci"), "left")
+      .join(lcpNext.select((col("ci") + 1L).as("ci"),
+        col("acc").as("lcp_prev")), Seq("ci"), "left")
       .select(col("r"),
         when(col("csize") >= 2L, cap.toLong)
           .otherwise(greatest(coalesce(col("lcp_next"), lit(0L)),
