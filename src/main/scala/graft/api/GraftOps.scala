@@ -905,6 +905,13 @@ object GraftOps {
       .withColumn("pid", spark_partition_id()))
     val totals = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // monotonically_increasing_id packs the within-partition index into
+    // 33 low bits; a partition at/above 2^33 rows would silently bleed
+    // into the partition-id bits and corrupt every rank — the counts are
+    // already on the driver, so fail loudly instead (the fix is more
+    // partitions, and the message says so)
+    require(totals.forall(_._2 < (1L << 33)),
+      "globalDenseRank: a partition holds >= 2^33 rows; raise `partitions`")
     val n = totals.map(_._2).sum
     val offsets = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
@@ -970,6 +977,14 @@ object GraftOps {
     val base = trackedCache(df.select(key.as("doc_id"),
         TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= 1))
+    // ENFORCED precondition (one id-sized aggregate): duplicate keys
+    // would silently multiply every (doc_id, pos) join each round, break
+    // the unique-sentinel exactness argument and inflate the coverage
+    // stats — fail loudly per the documented-require() contract
+    val nDupKey = base.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    require(nDupKey == 0, s"dedupSuffix: $nDupKey duplicate document " +
+      "keys — the suffix array requires a unique key per document")
     val docLen = base.select(col("doc_id"), size(col("w")).cast("long")
       .as("n_tokens"))
     // seed at block length 4, not 1: the seed gram string joins the
@@ -1011,8 +1026,12 @@ object GraftOps {
     while (step < cap && !allDistinct) {
       val shifted = level.select(col("doc_id"),
         (col("pos") - step).as("pos"), col("r").as("r2"))
-      val paired = level.join(shifted, Seq("doc_id", "pos"), "left")
-        .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+      // cached: `paired` feeds BOTH globalDenseRank's distinct and the
+      // rank equi-join below — uncached, the round's dominant
+      // corpus-sized join would run twice
+      val paired = trackedCache(
+        level.join(shifted, Seq("doc_id", "pos"), "left")
+          .withColumn("r2", coalesce(col("r2"), lit(-1L))))
       val (pairRank, nDistinct) = globalDenseRank(
         paired.select(col("r"), col("r2")).distinct(), p)
       level = paired.join(pairRank, Seq("r", "r2"))
@@ -2370,8 +2389,16 @@ object GraftOps {
     val toks = df.select(key.as("doc_id"),
         posexplode(TextFns.tokens(text))).toDF("doc_id", "pos", "word")
       .persistOnce()
-    val segs = toks.select(col("word")).distinct()
-      .withColumn("seg", viterbiSeg(col("word"), pieces, maxPieceLen))
+    val segs = cacheOnce(toks.select(col("word")).distinct()
+      .withColumn("seg", viterbiSeg(col("word"), pieces, maxPieceLen)))
+    // ENFORCED (one vocab-sized scan): a word not coverable by the
+    // piece table yields a NULL segmentation, which sum()/array_join()
+    // would silently SKIP — the output would pretend the word does not
+    // exist. Same loud contract as unigramTrain's nNull guard.
+    val nBad = segs.filter(col("seg").isNull).count()
+    require(nBad == 0, s"unigramApply: $nBad corpus words not coverable " +
+      "by the piece table (train and serve corpora must share the " +
+      "single-character alphabet)")
     toks.join(segs, "word")
       .groupBy(col("doc_id"))
       .agg(

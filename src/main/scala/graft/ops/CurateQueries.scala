@@ -265,7 +265,13 @@ object CurateQueries extends QueryPack {
     */
   def dedupSuffixQ(s: SparkSession, d: String): DataFrame =
     GraftOps.dedupSuffix(Tables.documents(s, d), col("doc_id"),
-      col("text"), minSpan = 10, cap = 64)
+      col("text"), minSpan = SufMinSpan, cap = SufCap)
+
+  /** Suffix-dedup knobs, shared between [[dedupSuffixQ]] and its oracle
+    * SQL so a tuning change cannot desync the gate (the Uni* pattern).
+    */
+  private val SufMinSpan = 10
+  private val SufCap = 64
 
   /** Unigram-LM tokenizer constants, shared between the gated queries
     * and the unrolled oracle generator so a knob change cannot desync
@@ -1371,16 +1377,16 @@ object CurateQueries extends QueryPack {
     // positions x lengths, so it IS the definitionally-exact answer the
     // suffix array must reproduce.
     "x_dedup_suffix" ->
-      """WITH ws AS (
+      s"""WITH ws AS (
         |  SELECT doc_id,
-        |    [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |    [w for w in string_split_regex(trim(lower(text)), '\\s+') if w != ''] w
         |  FROM documents),
         |d AS (SELECT doc_id, w, len(w) n FROM ws WHERE len(w) >= 1),
         |g AS (
         |  SELECT doc_id, i AS p, m,
         |    md5(array_to_string(list_slice(w, i, i + m - 1), ' ')) h
         |  FROM d, unnest(generate_series(1, n)) t(i),
-        |       unnest(generate_series(1, 64)) u(m)
+        |       unnest(generate_series(1, $SufCap)) u(m)
         |  WHERE i + m - 1 <= n),
         |dup AS (SELECT m, h FROM g GROUP BY m, h HAVING count(*) >= 2),
         |dl0 AS (SELECT g.doc_id, g.p, max(g.m) dl
@@ -1392,12 +1398,12 @@ object CurateQueries extends QueryPack {
         |    ON dl0.doc_id = posn.doc_id AND dl0.p = posn.p),
         |mk AS (
         |  SELECT doc_id, n, p, dl,
-        |    max(CASE WHEN dl >= 10 THEN p + dl END) OVER
+        |    max(CASE WHEN dl >= $SufMinSpan THEN p + dl END) OVER
         |      (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) rm
         |  FROM pp)
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
         |  CAST(max(dl) AS BIGINT) AS max_dup_span,
-        |  CAST(coalesce(sum(CASE WHEN dl >= 10 THEN 1 END), 0) AS BIGINT)
+        |  CAST(coalesce(sum(CASE WHEN dl >= $SufMinSpan THEN 1 END), 0) AS BIGINT)
         |    AS n_dup_positions,
         |  CAST(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0) AS BIGINT)
         |    AS covered_tokens,

@@ -334,6 +334,28 @@ class CurateOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupSuffix fails loudly on duplicate document keys") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (1L, "d e f"), (2L, "g h i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.dedupSuffix(docs, col("doc_id"), col("text"),
+        minSpan = 2, cap = 4, partitions = 2)
+    }
+    assert(e.getMessage.contains("duplicate document keys"))
+  }
+
+  test("unigramApply fails loudly when a word is not coverable") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab zz")).toDF("doc_id", "text")
+    // piece table lacks 'z': 'zz' has no segmentation path
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.unigramApply(docs, col("doc_id"), col("text"),
+        Map("a" -> -10L, "b" -> -10L), maxPieceLen = 3)
+    }
+    assert(e.getMessage.contains("not coverable"))
+  }
+
   test("unigramApply segments documents under the learned piece table") {
     import spark.implicits._
     val docs = Seq((1L, "abab cd"), (2L, "ab abab")).toDF("doc_id", "text")

@@ -90,10 +90,13 @@ class PlanSpec extends SparkSpec {
     val p = planOf(SparkEntry.queries("x_dedup_suffix")(spark, sf))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
-    // the final per-doc coverage window partitions by doc_id — a global
-    // (empty-partition-spec) window would pull the corpus through one task
-    assert(!p.contains("Window [") || p.contains("windowspecdefinition(doc_id"),
-      "unexpected window shape in the coverage pass")
+    // EVERY window in the plan must partition by doc_id — one global
+    // (empty-partition-spec) window would pull the corpus through one
+    // task, and a presence-check on the doc window alone could not
+    // catch a second global one sneaking in
+    val specs = p.split("windowspecdefinition\\(").drop(1)
+    assert(specs.nonEmpty && specs.forall(_.startsWith("doc_id")),
+      "non-doc_id-partitioned window in the x_dedup_suffix plan")
   }
 
   test("x_unigram_apply: corpus-proportional work is tokenize + one " +
