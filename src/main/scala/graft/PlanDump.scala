@@ -326,7 +326,26 @@ object PlanDump {
       "through per-format pooled sniffed readers; one id repartition " +
       "parallelizes the single-split fixture"),
     "x_audio_probe_mp3" -> ("MPEG frame-header walk — pure map byte " +
-      "arithmetic, no JDK codec, no shuffle after the id repartition")
+      "arithmetic, no JDK codec, no shuffle after the id repartition"),
+    "x_dedup_cdc" -> ("Content-defined chunking dedup — token-" +
+      "proportional posexplode, two doc-keyed windows (boundary gram + " +
+      "chunk id), one fingerprint-keyed rank; no pair expansion anywhere"),
+    "x_dedup_priority" -> ("Priority duplicate resolution — map-side " +
+      "MinHash signature, ONE sig-key shuffle shared by rank/count/min " +
+      "windows, bounded per-source rollup"),
+    "x_ngram_novelty" -> ("Marginal-novelty curve — persisted gram " +
+      "table feeds the min-doc aggregate and the probe join (both " +
+      "gram-keyed); buckets from a 1-row min/max broadcast, never a " +
+      "global ntile window"),
+    "x_skew_audit" -> ("Shuffle-skew pre-flight — one bucket-keyed " +
+      "aggregate per audited key + a 1-row total broadcast; output " +
+      "bounded by parts"),
+    "x_embed_health" -> ("Embedding health report — posexplode centroid " +
+      "aggregate (dim-bounded), centroids broadcast back, one per-label " +
+      "rollup over the persisted double-widened vectors"),
+    "q_ts_spike" -> ("Daily spike monitor — one (entity, day) count " +
+      "aggregate, then a per-entity ROWS window over day-bounded " +
+      "partitions; exact integer 2x-trailing-mean rule")
   )
 
   def main(args: Array[String]): Unit = {

@@ -4844,4 +4844,228 @@ object GraftOps {
       .drop("bf", "__bkh")
     (probed, keys.select(col("k")))
   }
+
+  // ------------------------------------------------------- round-12 tier
+
+  /** Content-defined chunking (CDC) dedup at token granularity — the
+    * storage-dedup idiom (Gear/FastCDC family) applied to text: a chunk
+    * boundary falls AFTER token i exactly when the `window`-token gram
+    * ending at i hashes to 0 mod `modulus`, so boundaries are anchored to
+    * CONTENT, not position. An insertion near a doc's head shifts every
+    * fixed-window chunk after it, but CDC boundaries downstream of the
+    * edit re-synchronize within ~`modulus` tokens — the property that
+    * makes chunk-level dedup robust to the small edits a crawl's
+    * re-scraped pages actually carry (contrast [[chunkDocs]]'s fixed
+    * windows, which this operator exists to complement).
+    *
+    * A chunk OCCURRENCE is a duplicate when an identical chunk appears
+    * earlier in the corpus — earlier = smaller (doc_id, start) under the
+    * row_number tiebreak, so the first occurrence is deterministic and
+    * the DuckDB oracle replays it exactly. Output one row per doc:
+    * chunk count, duplicate-chunk count, exact integer dup ppm.
+    *
+    * Scale shape: posexplode is token-proportional (the same tall table
+    * every tokenize op builds); the two windows are keyed per doc (doc-
+    * sized partitions) and the occurrence ranking shuffles on the chunk
+    * fingerprint — candidates never expand beyond the corpus's own chunk
+    * occurrences, so there is no pair blowup anywhere. Expected chunk
+    * length is `modulus` tokens; raise it for coarser chunks (fewer
+    * rows, less dedup recall inside long spans).
+    */
+  def cdcChunks(df: DataFrame, key: Column, text: Column,
+                window: Int = 4, modulus: Int = 8): DataFrame = {
+    val toks = df.select(key.as("doc_id"),
+      posexplode(TextFns.tokens(text)).as(Seq("pos0", "tok")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+    // the window-gram ending at this token; lag nulls at the doc head
+    // would shorten the gram under concat_ws's null-skip, so the
+    // boundary flag is gated on pos0 >= window-1 where every lag is real
+    val gram = concat_ws(" ",
+      ((window - 1) to 1 by -1).map(j => lag(col("tok"), j).over(byPos)) :+
+        col("tok"): _*)
+    val rolled = conv(substring(md5(gram), 1, 8), 16, 10).cast("long")
+    val flagged = toks.withColumn("b",
+      col("pos0") >= lit(window - 1) && rolled % lit(modulus) === 0)
+    val chunks = flagged
+      // a token's chunk = number of boundaries strictly before it
+      .withColumn("cid", coalesce(
+        sum(col("b").cast("long"))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(min(col("pos0")).as("st"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos0"), col("tok")))),
+          x => x.getField("tok"))).as("ctext"))
+      .withColumn("fp", md5(col("ctext")))
+    val byFirst = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("st"))
+    chunks
+      .withColumn("dup", (row_number().over(byFirst) > 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup_chunks"),
+        expr("sum(dup) * 1000000 div count(1)").as("dup_ppm"))
+  }
+
+  /** Priority-aware duplicate resolution — when the same page reaches the
+    * corpus through several sources, a real pipeline keeps the copy from
+    * the most trusted one, NOT the one that happened to arrive first.
+    * Duplicate classes are the full-MinHash signature classes of
+    * [[withSigKey]] (the [[dedupSignature]] relation); within each class
+    * the keeper is the minimum (priority, doc_id) under a row_number —
+    * deterministic, so the oracle replays it. Output one row per source:
+    * doc/kept/dropped counts plus `n_rescued`, the kept docs that the
+    * naive min-doc_id rule would have discarded in favor of a lower-
+    * priority copy — the exact benefit of priority resolution over
+    * [[dedupSignature]], gated as a count.
+    *
+    * Scale shape: one map-side signature pass, then both windows share
+    * ONE sig_key shuffle; no pair expansion, no text moves past the
+    * signature projection. The cheapest dedup-family plan, same as
+    * [[dedupSignature]], plus only the bounded per-source rollup.
+    */
+  def dedupPriority(df: DataFrame, key: Column, text: Column,
+                    source: Column, priority: Column): DataFrame = {
+    val keyed = withSigKey(
+      df.select(key.as("doc_id"), source.as("source"), priority.as("prio"),
+        text.as("_t")),
+      col("doc_id"), col("_t")).drop("_t")
+    val cls = Window.partitionBy(col("sig_key"))
+    val ranked = keyed
+      .withColumn("rn",
+        row_number().over(cls.orderBy(col("prio"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(cls))
+      .withColumn("min_id", min(col("doc_id")).over(cls))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rn") === 1).cast("long")).as("n_kept"),
+        sum((col("rn") > 1).cast("long")).as("n_dropped"),
+        sum((col("rn") === 1 && col("n") > 1 &&
+          col("doc_id") =!= col("min_id")).cast("long")).as("n_rescued"))
+  }
+
+  /** Marginal-novelty curve — how much NEW content each slice of the
+    * corpus contributes as it accumulates in doc_id (= arrival) order:
+    * a 3-gram occurrence is novel iff its gram's first corpus occurrence
+    * (min doc_id) is this doc. Docs bucket into `buckets` equal doc_id
+    * ranges off a 1-row min/max broadcast (exact integer arithmetic —
+    * never a global ntile window), and the readout is novel-occurrence
+    * ppm per bucket: the curve a curation run consults to decide whether
+    * the next crawl snapshot still adds anything. Note the first
+    * occurrence itself counts novel even when the gram repeats inside
+    * that same doc — novelty is "first seen HERE", per occurrence.
+    *
+    * Scale shape: the gram table is token-proportional and persisted
+    * because it feeds both the first-occurrence aggregate and the probe
+    * join (at cluster scale, materialize it once per corpus instead);
+    * both passes shuffle on the gram only, output is `buckets` rows.
+    */
+  def ngramNovelty(df: DataFrame, key: Column, text: Column,
+                   buckets: Int = 10): DataFrame = {
+    val occ = df.select(key.as("doc_id"),
+        explode(TextFns.grams3(TextFns.tokens(text))).as("gram"))
+      .persistOnce()
+    val first = occ.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val span = df.agg(min(key).as("lo"), max(key).as("hi"))
+    occ.join(first, "gram")
+      .crossJoin(broadcast(span))
+      .withColumn("bucket",
+        least(lit(buckets - 1),
+          expr(s"(doc_id - lo) * $buckets div (hi - lo + 1)")))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_occ"))
+  }
+
+  /** Shuffle-skew pre-flight — the histogram a 100-TB job reads BEFORE
+    * keying a shuffle: rows hash into `parts` buckets (md5-derived, so
+    * the oracle replays the placement exactly — a model of hash
+    * partitioning, not Spark's internal Murmur3, which is a JVM
+    * implementation detail) and each bucket reports its row count, key
+    * count, and exact share_ppm (perfectly balanced = 10^6 / parts).
+    * A bucket at many times that share means the planned key needs
+    * salting ([[q_join_salted]]'s move) or AQE skew handling; a bucket
+    * holding the share in ONE key means salting the join is the only
+    * fix — no repartition can split a single key. Empty buckets emit no
+    * row (both engines agree). One aggregate on the bucket id plus a
+    * 1-row total broadcast; output ≤ `parts` rows.
+    */
+  def skewAudit(df: DataFrame, key: Column, keyName: String,
+                parts: Int = 32): DataFrame = {
+    val k = df.select(key.cast("string").as("k")).filter(col("k").isNotNull)
+    val tot = k.agg(count(lit(1)).as("total"))
+    k.withColumn("bucket",
+        conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long") % parts)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_keys"))
+      .crossJoin(broadcast(tot))
+      .select(lit(keyName).as("key_name"), col("bucket"), col("n_rows"),
+        col("n_keys"), expr("n_rows * 1000000 div total").as("share_ppm"))
+  }
+
+  /** Embedding-corpus health report — the pre-flight every ANN/retrieval
+    * pipeline runs before trusting its vectors: per label, the vector
+    * count, dimensionality, norm spread (mean/min — a zero or wildly
+    * off-scale norm is an ingestion bug), the RAW-vector centroid norm
+    * (≈0 for an isotropic cloud; large = the anisotropy that sinks
+    * cosine retrieval), and mean cosine to that centroid (cluster
+    * concentration). Uses the corpus's native [[sparkext.CosineSim]]
+    * kernels; float→double widening matches the PQ oracles' discipline
+    * and every float readout rounds at 6 (the perplexity-family parity
+    * rule). Scale shape: one posexplode centroid aggregate (dim-bounded
+    * output), centroids broadcast back, one per-label rollup — output is
+    * one row per label.
+    */
+  def embedHealth(emb: DataFrame, key: Column, vec: Column,
+                  group: Column): DataFrame = {
+    val e = emb.select(key.as("vec_id"), group.as("label"),
+        VectorFns.toDoubles(vec).as("v"))
+      .persistOnce()
+    val cent = e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+        x => x.getField("m")).as("cv"))
+    e.withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+      .join(broadcast(cent), "label")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(size(col("v"))).as("dim"),
+        round(avg(col("nrm")), 6).as("mean_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(sqrt(expr("dot_product(cv, cv)"))), 6).as("centroid_norm"),
+        round(avg(expr("cosine_sim(v, cv)")), 6).as("mean_cos_centroid"))
+  }
+
+  /** Per-entity daily spike detection — the traffic-anomaly monitor over
+    * an event stream: daily counts per entity, each day compared against
+    * its own trailing window (`trail` PRESENT days under ROWS framing —
+    * both engines replay the identical frame, so day gaps cannot desync
+    * the gate), flagged when cnt · trail_n > factor · trail_sum, i.e.
+    * count above `factor`× the trailing mean in EXACT integer arithmetic
+    * — no float z-score whose rounding could flip a boundary row between
+    * engines. Days with an empty trailing frame (an entity's first day)
+    * never flag. Scale shape: one (entity, day) count aggregate, then a
+    * per-entity window over day-bounded partitions; output is the
+    * (entity, day) grid with the flag — the downstream alert join feeds
+    * off `spike = 1`.
+    */
+  def spikeDays(events: DataFrame, entity: Column, ts: Column,
+                trail: Int = 7, factor: Int = 2): DataFrame = {
+    val daily = events.select(entity.as("entity"), to_date(ts).as("day"))
+      .groupBy(col("entity"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("day"))
+      .rowsBetween(-trail, -1)
+    daily
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("spike",
+        (col("trail_n") > 0 &&
+          col("cnt") * col("trail_n") > lit(factor.toLong) * col("trail_sum"))
+          .cast("int"))
+  }
 }

@@ -260,7 +260,16 @@ object AnalyticsQueries extends QueryPack {
       expr("((recent + 1) * 1000000) div (early + 1)").as("growth_ppm"))
   }
 
+  /** q_ts_spike: per-user daily spike detection ([[GraftOps.spikeDays]])
+    * — each user-day's event count against its own 7-day trailing mean,
+    * flagged at 2× in exact integer arithmetic; the traffic-anomaly
+    * monitor a pipeline runs over its event stream.
+    */
+  def tsSpike(s: SparkSession, d: String): DataFrame =
+    GraftOps.spikeDays(Tables.events(s, d), col("user_id"), col("ts"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "q_ts_spike" -> tsSpike,
     "q_rfm" -> rfm,
     "q_basket" -> basket,
     "q_ab_test" -> abTest,
@@ -272,6 +281,21 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracle = Map(
+    // Spike replay: identical (entity, day) counts, identical ROWS-framed
+    // 7-preceding window, exact integer 2x-trailing-mean rule.
+    "q_ts_spike" ->
+      """WITH d AS (SELECT user_id entity, CAST(ts AS DATE) "day",
+        |    count(*) cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT entity, "day", cnt,
+        |  count(*) OVER w trail_n,
+        |  coalesce(CAST(sum(cnt) OVER w AS BIGINT), 0) trail_sum,
+        |  CAST(count(*) OVER w > 0 AND
+        |    cnt * (count(*) OVER w) > 2 * coalesce(sum(cnt) OVER w, 0)
+        |    AS INT) spike
+        |FROM d
+        |WINDOW w AS (PARTITION BY entity ORDER BY "day"
+        |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin,
     // Exact integer µs midpoint and add-one-smoothed ppm growth.
     "q_trending" ->
       """WITH li AS (

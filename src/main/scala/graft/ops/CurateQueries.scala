@@ -645,7 +645,25 @@ object CurateQueries extends QueryPack {
   private def pca(s: SparkSession, d: String): DataFrame =
     GraftOps.topComponent(Tables.embeddings(s, d), dim = 64, iters = 2)
 
+  /** x_ngram_novelty: marginal-novelty curve ([[GraftOps.ngramNovelty]])
+    * — novel-3-gram-occurrence ppm per doc_id-decile, the "does the next
+    * snapshot still add anything" readout.
+    */
+  def ngramNoveltyQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.ngramNovelty(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  /** x_embed_health: per-label embedding-corpus health report
+    * ([[GraftOps.embedHealth]]) — norm spread, raw-centroid norm
+    * (anisotropy), mean cosine to centroid; the pre-flight before any
+    * ANN build over these vectors.
+    */
+  def embedHealthQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.embedHealth(Tables.embeddings(s, d), col("vec_id"),
+      col("embedding"), col("label"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_ngram_novelty" -> ngramNoveltyQ,
+    "x_embed_health" -> embedHealthQ,
     "x_pca" -> pca,
     "x_bootstrap" -> bootstrap,
     "x_dp_counts" -> dpCounts,
@@ -933,6 +951,45 @@ object CurateQueries extends QueryPack {
       |FROM b JOIN pr USING (doc_id)""".stripMargin
 
   val oracle = Map(
+    // Novelty replay: identical 3-gram construction (duplicates
+    // preserved), min-doc_id first occurrence, exact integer decile off
+    // the corpus min/max, novel ppm per bucket.
+    "x_ngram_novelty" ->
+      raw"""WITH ws AS (SELECT doc_id,
+        |    [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] gram
+        |  FROM ws, unnest(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE len(w) >= 3),
+        |f AS (SELECT gram, min(doc_id) first_doc FROM g GROUP BY 1),
+        |span AS (SELECT min(doc_id) lo, max(doc_id) hi FROM documents)
+        |SELECT least(9, (doc_id - lo) * 10 // (hi - lo + 1)) bucket,
+        |  count(DISTINCT doc_id) n_docs, count(*) n_occ,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    n_novel,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) novelty_ppm
+        |FROM g JOIN f USING (gram) CROSS JOIN span
+        |GROUP BY 1""".stripMargin,
+    // Health replay: double-widened vectors (the PQ discipline), raw
+    // per-pos centroid means, list_dot_product norms/cosines, round(6).
+    "x_embed_health" ->
+      """WITH emb AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT label, list(m ORDER BY pos) cv FROM (
+        |    SELECT label, i pos, sum(v[i]) / count(*) m
+        |    FROM emb, unnest(generate_series(1, len(v))) t(i)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT label, count(*) n_vecs, max(len(v)) dim,
+        |  round(avg(sqrt(list_dot_product(v, v))), 6) mean_norm,
+        |  round(min(sqrt(list_dot_product(v, v))), 6) min_norm,
+        |  round(max(sqrt(list_dot_product(cv, cv))), 6) centroid_norm,
+        |  round(avg(list_dot_product(v, cv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))), 6)
+        |    mean_cos_centroid
+        |FROM emb JOIN cent USING (label) GROUP BY 1""".stripMargin,
     // Metrics rollup over the full NB replay (nested derived table):
     // bounded confusion counts, exact integer ppm, NULL when a class is
     // never predicted — identical CASE guards both engines.

@@ -353,7 +353,19 @@ object EtlQueries extends QueryPack {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents")),
       col("cents"), (1 to 7).map(i => (s"b$i", i, 8)))
 
+  /** x_skew_audit: shuffle-skew pre-flight ([[GraftOps.skewAudit]]) over
+    * the two planned event shuffle keys side by side — user_id (high
+    * cardinality, balanced) vs event_type (5 keys: most buckets empty,
+    * the hot ones unsplittable by repartitioning — the salting signal).
+    */
+  def skewAudit(s: SparkSession, d: String): DataFrame =
+    GraftOps.skewAudit(Tables.events(s, d), col("user_id"), "user_id")
+      .unionAll(
+        GraftOps.skewAudit(Tables.events(s, d), col("event_type"),
+          "event_type"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_skew_audit" -> skewAudit,
     "q_analyze_stats" -> analyzeStats,
     "q_histogram" -> histogram,
     "q_quantile_ranged" -> quantileRanged,
@@ -372,6 +384,29 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle = Map(
+    // Skew-audit replay: same md5-derived bucket (first 8 hex digits mod
+    // 32) over the key's string form, same count/distinct/share_ppm.
+    "x_skew_audit" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) k FROM events
+        |    WHERE user_id IS NOT NULL),
+        |t AS (SELECT count(*) total FROM k),
+        |a AS (SELECT 'user_id' key_name,
+        |    CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 32 bucket,
+        |    count(*) n_rows, count(DISTINCT k) n_keys
+        |  FROM k GROUP BY 2),
+        |k2 AS (SELECT event_type k FROM events WHERE event_type IS NOT NULL),
+        |t2 AS (SELECT count(*) total FROM k2),
+        |a2 AS (SELECT 'event_type' key_name,
+        |    CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 32 bucket,
+        |    count(*) n_rows, count(DISTINCT k) n_keys
+        |  FROM k2 GROUP BY 2)
+        |SELECT key_name, bucket, n_rows, n_keys,
+        |  CAST(n_rows * 1000000 // total AS BIGINT) share_ppm
+        |FROM a CROSS JOIN t
+        |UNION ALL
+        |SELECT key_name, bucket, n_rows, n_keys,
+        |  CAST(n_rows * 1000000 // total AS BIGINT) share_ppm
+        |FROM a2 CROSS JOIN t2""".stripMargin,
     "q_quantile_ranged" ->
       """WITH c AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) cents

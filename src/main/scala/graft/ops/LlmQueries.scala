@@ -1117,7 +1117,28 @@ object LlmQueries extends QueryPack {
     GraftOps.datasetCard(Tables.documents(s, d), col("source"),
       col("lang"), col("text"))
 
+  /** x_dedup_cdc: content-defined chunking dedup ([[GraftOps.cdcChunks]])
+    * — Gear/FastCDC-style boundaries anchored to a rolling 4-gram hash
+    * (mod 8), so chunk identity survives the insertions that shift every
+    * fixed window; per-doc duplicate-chunk ppm against the whole corpus.
+    */
+  def dedupCdc(s: SparkSession, d: String): DataFrame =
+    GraftOps.cdcChunks(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  /** x_dedup_priority: priority-aware duplicate resolution ([[GraftOps
+    * .dedupPriority]]) — within each MinHash signature class keep the
+    * copy from the most trusted source (here: the source's numeric rank,
+    * src0 best), and gate `n_rescued`, the keeps the naive min-doc_id
+    * rule would have discarded.
+    */
+  def dedupPriorityQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupPriority(Tables.documents(s, d), col("doc_id"),
+      col("text"), col("source"),
+      substring(col("source"), 4, 10).cast("int"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
+    "x_dedup_cdc" -> dedupCdc,
+    "x_dedup_priority" -> dedupPriorityQ,
     "x_dsir" -> dsir,
     "x_winnow" -> winnow,
     "x_cms" -> cms,
@@ -1213,6 +1234,68 @@ object LlmQueries extends QueryPack {
         |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracle = Map(
+    // CDC replay: same rolling 4-gram md5 boundary (first 8 hex digits
+    // mod 8), same strictly-before boundary count for the chunk id, same
+    // (doc_id, start) row_number first-occurrence tiebreak.
+    "x_dedup_cdc" ->
+      raw"""WITH ws AS (SELECT doc_id,
+        |    [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM documents),
+        |t AS (SELECT doc_id, i - 1 AS pos0, w[i] AS tok,
+        |    CASE WHEN i >= 4 THEN
+        |      (CAST(('0x' || substr(md5(w[i-3] || ' ' || w[i-2] || ' ' ||
+        |        w[i-1] || ' ' || w[i]), 1, 8)) AS BIGINT) % 8 = 0)
+        |    ELSE false END AS b
+        |  FROM ws, unnest(generate_series(1, len(w))) s(i)),
+        |c AS (SELECT doc_id, pos0, tok,
+        |    coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos0
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cid
+        |  FROM t),
+        |ch AS (SELECT doc_id, cid, min(pos0) st,
+        |    string_agg(tok, ' ' ORDER BY pos0) ctext
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id, st) rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) dup_ppm
+        |FROM r GROUP BY 1""".stripMargin,
+    // Priority-resolution replay: the split_nodup sig_key chain (full
+    // 16-perm MinHash signature + nosig fallback), then the identical
+    // (prio, doc_id) row_number keep rule and per-source rollup.
+    "x_dedup_priority" ->
+      raw"""WITH ws AS (SELECT doc_id,
+        |    [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2])
+        |      for i in range(1, len(w) - 1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |k AS (SELECT d.doc_id, d.source,
+        |    coalesce(md5(array_to_string(list_transform(s.sig, x -> CAST(x AS VARCHAR)), '|')),
+        |             'nosig:' || CAST(d.doc_id AS VARCHAR)) skey,
+        |    CAST(substr(d.source, 4) AS INT) prio
+        |  FROM documents d LEFT JOIN sig s USING (doc_id)),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY skey ORDER BY prio, doc_id) rn,
+        |    count(*) OVER (PARTITION BY skey) n,
+        |    min(doc_id) OVER (PARTITION BY skey) min_id
+        |  FROM k)
+        |SELECT source, count(*) n_docs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dropped,
+        |  CAST(sum(CASE WHEN rn = 1 AND n > 1 AND doc_id <> min_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) n_rescued
+        |FROM r GROUP BY 1""".stripMargin,
     // Hashed-token DSIR replay: same md5 12-hex-digit fold into 1024
     // bins, add-1 smoothing, ln ratio averaged per doc, round(6) — the
     // perplexity queries' ln-parity discipline. sum(CASE) is HUGEINT in

@@ -350,4 +350,30 @@ class AnalyticsSpec extends SparkSpec {
     // a frontier is never empty while the input isn't
     assert(got.nonEmpty)
   }
+
+  test("spikeDays: exact 2x-trailing-mean rule, empty first frame never " +
+    "flags, gaps use PRESENT days (ROWS framing)") {
+    import spark.implicits._
+    // u1: 2 events/day on days 1..8, then 5 on day 9 — 5·7 > 2·14 → spike.
+    // u2: one event on day 1 and day 20 (gap) — trailing frame of day 20
+    // is the PRESENT day 1 row, 1·1 > 2·1 is false → no spike.
+    val evs =
+      (for (d <- 1 to 8; _ <- 1 to 2) yield (1L, f"2024-03-$d%02d 10:00:00")) ++
+      Seq.fill(5)((1L, "2024-03-09 10:00:00")) ++
+      Seq((2L, "2024-03-01 10:00:00"), (2L, "2024-03-20 10:00:00"))
+    val df = evs.toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val out = GraftOps.spikeDays(df, col("user_id"), col("ts"))
+      .orderBy("entity", "day")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.head === ((1L, "2024-03-01", 2L, 0L, 0L, 0)))
+    assert(u1.last === ((1L, "2024-03-09", 5L, 7L, 14L, 1)))
+    // days 2..8 sit exactly AT the trailing mean — never above 2x it
+    assert(u1.drop(1).dropRight(1).forall(_._6 == 0))
+    val u2 = out.filter(_._1 == 2L)
+    assert(u2 === Seq((2L, "2024-03-01", 1L, 0L, 0L, 0),
+      (2L, "2024-03-20", 1L, 1L, 1L, 0)))
+  }
 }

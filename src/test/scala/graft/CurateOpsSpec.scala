@@ -1049,4 +1049,46 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(1L) === 3L)
     assert(out(2L) === 0L)
   }
+
+  test("ngramNovelty: first occurrence is novel, repeats are not, " +
+    "in-doc repeats of a first occurrence stay novel") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),      // grams "a b c","b c d" — both novel
+      (1L, "a b c"),        // "a b c" first seen in doc 0 — not novel
+      (2L, "x y z x y z"),  // 4 grams, all first seen here — all novel
+      (3L, "x y z")         // not novel
+    ).toDF("doc_id", "text")
+    val out = GraftOps.ngramNovelty(docs, col("doc_id"), col("text"),
+        buckets = 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // bucket 0 = docs {0,1}: 3 occurrences, doc 0's 2 are novel
+    // bucket 1 = docs {2,3}: 5 occurrences, doc 2's 4 are novel (the
+    // duplicated "x y z" inside doc 2 counts novel BOTH times — first
+    // seen HERE is a per-gram-per-doc fact)
+    assert(out === Seq(
+      (0L, 2L, 3L, 2L, 666666L),
+      (1L, 2L, 5L, 4L, 800000L)))
+  }
+
+  test("embedHealth: norms, raw centroid norm, and mean cosine by hand") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(3f, 4f), "a"), (2L, Seq(3f, 4f), "a"),
+      (3L, Seq(1f, 0f), "b"), (4L, Seq(0f, 1f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val out = GraftOps.embedHealth(emb, col("vec_id"), col("embedding"),
+        col("label"))
+      .orderBy("label").collect()
+    // label a: both vectors (3,4): norm 5, centroid (3,4), cos 1
+    assert(out(0).getLong(1) === 2L && out(0).getInt(2) === 2)
+    assert(out(0).getDouble(3) === 5.0 && out(0).getDouble(4) === 5.0)
+    assert(out(0).getDouble(5) === 5.0 && out(0).getDouble(6) === 1.0)
+    // label b: unit axes, centroid (0.5, 0.5): norm sqrt(.5), cos sqrt(.5)
+    assert(out(1).getDouble(3) === 1.0 && out(1).getDouble(4) === 1.0)
+    assert(out(1).getDouble(5) === 0.707107)
+    assert(out(1).getDouble(6) === 0.707107)
+  }
 }

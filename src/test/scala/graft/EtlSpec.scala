@@ -186,4 +186,27 @@ class EtlSpec extends SparkSpec {
         s"bucket $b depth $cnt far from ${n / 8}")
     }
   }
+
+  test("skewAudit: bucket placement replays md5 in plain Scala, totals " +
+    "are conserved, a hot key concentrates its share") {
+    import spark.implicits._
+    // 90 rows of one hot key + 10 distinct cold keys
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i"))
+      .toDF("k")
+    val out = graft.api.GraftOps.skewAudit(df, col("k"), "k", parts = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // row conservation and share_ppm arithmetic
+    assert(out.map(_._2).sum === 100L)
+    assert(out.forall(b => b._4 === b._2 * 1000000L / 100L))
+    assert(out.forall(b => b._1 >= 0 && b._1 < 8 && b._3 <= b._2))
+    // the hot key's bucket, replayed: first 8 md5 hex digits mod 8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("hot".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    val hotBucket = java.lang.Long.parseLong(hex, 16) % 8
+    val hot = out.find(_._1 == hotBucket).get
+    assert(hot._2 >= 90L, s"hot bucket holds ${hot._2} — placement wrong")
+    assert(hot._4 >= 900000L)
+  }
 }

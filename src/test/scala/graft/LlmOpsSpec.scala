@@ -882,4 +882,77 @@ class LlmOpsSpec extends SparkSpec {
     // neighbors at nprobe=3 >= 1, so recall can't be uniformly zero
     assert(out.map(_.getLong(1)).sum > 0L, "zero total recall — index broken")
   }
+
+  /** Plain-Scala replay of the CDC boundary rule: a boundary falls after
+    * 0-based token i (i >= window-1) when the first 8 md5 hex digits of
+    * the window-gram ending at i are ≡ 0 mod `modulus`; a boundary after
+    * the LAST token opens no chunk.
+    */
+  private def cdcChunkCount(text: String, window: Int = 4,
+                            modulus: Int = 8): Int = {
+    val w = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (w.isEmpty) return 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    1 + ((window - 1) to (w.length - 2)).count { i =>
+      val gram = w.slice(i - window + 1, i + 1).mkString(" ")
+      val hex = md.digest(gram.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % modulus == 0
+    }
+  }
+
+  test("cdcChunks: chunk counts replay in plain integer Scala; an exact " +
+    "duplicate doc is 100% dup chunks") {
+    import spark.implicits._
+    // distinct tokens — a cycling stream would legitimately create
+    // intra-doc duplicate chunks and muddy the zero-dup expectation
+    val t1 = (1 to 120).map(i => s"t$i").mkString(" ")
+    val t2 = (1 to 90).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+    val out = GraftOps.cdcChunks(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out(0)._2 === cdcChunkCount(t1).toLong)
+    assert(out(1)._2 === cdcChunkCount(t2).toLong)
+    // doc 3 = doc 1 verbatim: every chunk already seen at (1, st)
+    assert(out(2) === (3L, cdcChunkCount(t1).toLong,
+      cdcChunkCount(t1).toLong, 1000000L))
+    // doc 1 owns its own chunks (first occurrence) — zero dups
+    assert(out(0)._3 === 0L && out(0)._4 === 0L)
+  }
+
+  test("cdcChunks: boundaries re-synchronize after a head edit " +
+    "(the property fixed windows lack)") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"w${i * 11 % 29}").mkString(" ")
+    val edited = "inserted " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val out = GraftOps.cdcChunks(docs, col("doc_id"), col("text"))
+      .filter(col("doc_id") === 2L).collect().head
+    // content-anchored boundaries: downstream of the edit the chunk
+    // stream realigns, so most of the edited doc's chunks are dups of
+    // the original's — a 1-token prepend must not zero the dedup signal
+    assert(out.getLong(3) > 500000L,
+      s"dup_ppm ${out.getLong(3)} — CDC failed to re-synchronize")
+  }
+
+  test("dedupPriority: the trusted source's copy wins over the earlier " +
+    "doc_id, and the rescue is counted") {
+    import spark.implicits._
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, dup, "src5"), (2L, dup, "src2"), (3L, "unique text here", "src5")
+    ).toDF("doc_id", "text", "source")
+    val out = GraftOps.dedupPriority(docs, col("doc_id"), col("text"),
+        col("source"), substring(col("source"), 4, 10).cast("int"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // src2's doc 2 beats src5's doc 1 (priority 2 < 5) though doc 1
+    // arrived first → kept AND rescued; src5 keeps only its unique doc
+    assert(out === Seq(
+      ("src2", 1L, 1L, 0L, 1L),
+      ("src5", 2L, 1L, 1L, 0L)))
+  }
 }
