@@ -308,8 +308,11 @@ object PlanDump {
     "x_split_nodup" -> ("Leakage-safe split audit — map-side signature, " +
       "one sig-key shuffle, 1-row straddle aggregate; dedupBySignature's " +
       "cost plus a count"),
-    "x_dedup_suffix" -> ("Suffix-array substring dedup — 4-gram seed " +
-      "rank + log2(cap)-2 prefix-doubling rounds (range sort + " +
+    "x_dedup_suffix" -> ("Suffix-array substring dedup — payload-decided " +
+      "strategy: cap<=128 range-sorts the capped suffix strings " +
+      "directly (one sort, zero rounds — the default path here); " +
+      "larger caps run prefix doubling (doc-keyed lead window + range " +
+      "sort + " +
       "driver-offset dense rank + equi-join, each LINEAR in tokens), " +
       "then one ordered class pairing with a bounded zip_with LCP per " +
       "pair; round count fixed by cap, never by corpus size, and no " +

@@ -943,29 +943,37 @@ object GraftOps {
     * and the exact fraction of its tokens covered by such spans — the
     * numbers a Lee-et-al substring dedup pass would actually remove.
     *
-    * Construction is the DISTRIBUTED suffix array by prefix doubling:
-    * ranks seed at block length 4 (one dense rank of the 4-gram seed
-    * strings — gram order coincides with token-sequence order because
-    * the ' ' joiner sorts below every token character), then
-    * log2(cap)−2 doubling rounds, each one range-sort + dense-rank of
-    * the (rank, rank-at-offset) pairs via [[globalDenseRank]] (bounded
-    * per-partition counts to the driver — the [[rangedQuantileTable]]
-    * discipline, never a single-partition window). Every round is
-    * LINEAR in corpus tokens and the round COUNT is fixed by `cap`,
-    * not the corpus — the O(log) bounded-rounds pattern this engine
-    * already proves in q_bfs/x_dedup_cluster; measured on this box,
-    * 10× the corpus costs ~1.7× wall, because at test scale the wall
-    * is stage-count × fixed scheduling overhead, not data volume.
+    * Construction is a DISTRIBUTED suffix array with a payload-decided
+    * strategy pick. At cap ≤ 128 (the body's DirectSortCap), the capped
+    * suffix strings are range-sorted and dense-ranked DIRECTLY via
+    * [[globalDenseRank]] — one sort moving a few hundred bytes per row
+    * replaces the whole doubling loop, whose every round moves ~16-byte
+    * rank pairs through 3 shuffles + a doc-keyed window + a cache
+    * materialization (measured 14.2s → 8.6s at sf0.1 for the default
+    * cap=64). Above that, classic prefix doubling: ranks seed at block
+    * length 8, then log2(cap)−3 doubling rounds, each one doc-keyed
+    * lead() window + range-sort + dense-rank of the (rank,
+    * rank-at-offset) pairs (bounded per-partition counts to the driver
+    * — the [[rangedQuantileTable]] discipline, never a single-partition
+    * window) — the payload-bounded path that keeps a 4096-token cap
+    * (~20 KB of suffix string) off the wire. Both paths are LINEAR in
+    * corpus tokens with a round count fixed by `cap`, never the corpus
+    * — the O(log) bounded-rounds pattern this engine already proves in
+    * q_bfs/x_dedup_cluster; measured on this box, 10× the corpus costs
+    * ~1.7× wall, because at test scale the wall is stage-count × fixed
+    * scheduling overhead, not data volume.
     * Adjacent-class LCPs come from ONE ordered pairing of the final
     * classes plus a zip_with fold over each representative's
     * ≤cap-token slice (payload bounded by `cap` per row at any corpus
     * size — cheaper than the classic rank-table descent's log2(cap)
-    * extra join rounds). A unique per-document sentinel token
-    * (containing ' ', which the tokenizer can never emit) makes rank
-    * equality imply REAL token equality — two distinct positions can
-    * never agree on a block containing a sentinel — so the reported
-    * spans are exact, not hash-approximate, and a class still tied at
-    * the cap provably shares `cap` real tokens.
+    * extra join rounds); on the direct path the representative slices
+    * fall straight out of the ranked gram strings. A unique
+    * per-document sentinel token (containing ' ', which the tokenizer
+    * can never emit) makes rank equality imply REAL token equality —
+    * two distinct positions can never agree on a block containing a
+    * sentinel — so the reported spans are exact, not hash-approximate,
+    * and a class still tied at the cap provably shares `cap` real
+    * tokens.
     */
   def dedupSuffix(df: DataFrame, key: Column, text: Column,
                   minSpan: Int = 10, cap: Int = 64,
@@ -977,23 +985,39 @@ object GraftOps {
     val base = trackedCache(df.select(key.as("doc_id"),
         TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= 1))
-    // ENFORCED precondition (one id-sized aggregate): duplicate keys
-    // would silently multiply every (doc_id, pos) join each round, break
+    // ENFORCED precondition, fused into ONE aggregate over the cached
+    // base (this action also materializes the cache): duplicate keys
+    // would silently multiply every per-doc window each round, break
     // the unique-sentinel exactness argument and inflate the coverage
     // stats — fail loudly per the documented-require() contract
-    val nDupKey = base.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).count()
-    require(nDupKey == 0, s"dedupSuffix: $nDupKey duplicate document " +
-      "keys — the suffix array requires a unique key per document")
+    val pre = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    require(pre.getLong(0) == pre.getLong(1),
+      s"dedupSuffix: ${pre.getLong(0) - pre.getLong(1)} duplicate " +
+        "document keys — the suffix array requires a unique key per " +
+        "document")
     val docLen = base.select(col("doc_id"), size(col("w")).cast("long")
       .as("n_tokens"))
-    // seed at block length 4, not 1: the seed gram string joins the
-    // first four tokens with ' ' — tokens never contain a space and the
-    // per-doc sentinel STARTS with one, so gram-string order and
-    // equality coincide exactly with token-sequence order and equality
-    // (the separator acts as a low sentinel) — which skips the first
-    // two doubling rounds outright
-    val seedLen = math.min(4, cap)
+    // Strategy pick, decided by the per-row payload the sort would move.
+    // The seed gram string joins the first `seedLen` tokens with ' ' —
+    // tokens never contain a space and the per-doc sentinel STARTS with
+    // one, so gram-string order and equality coincide exactly with
+    // token-sequence order and equality (the separator acts as a low
+    // sentinel) at ANY seed length. That makes the seed length a pure
+    // cost knob:
+    //  - cap <= DirectSortCap: seed AT the cap — ONE range sort of the
+    //    capped suffix strings and the suffix array is done, zero
+    //    doubling rounds. A cap-token gram is a few hundred bytes, so
+    //    the direct sort moves about what a single doubling round moves
+    //    (3 shuffles of 16-byte rank pairs + a doc-keyed window + a
+    //    cache materialization each) while replacing EVERY round —
+    //    measured 14.2s -> ~9s at sf0.1 against the 8-seed loop.
+    //  - above DirectSortCap: prefix doubling, the payload-bounded path
+    //    — rounds move fixed 16-byte rank pairs no matter the cap, which
+    //    is the whole point of the doubling construction once cap-sized
+    //    strings (4096 tokens ~ 20 KB/row) would dominate the wire.
+    val DirectSortCap = 128
+    val seedLen = if (cap <= DirectSortCap) cap else math.min(8, cap)
     val toks = base
       .withColumn("ext", concat(col("w"),
         array(concat(lit(" "), col("doc_id").cast("string")))))
@@ -1002,70 +1026,105 @@ object GraftOps {
           s"concat_ws(' ', slice(ext, i, $seedLen)))")))
       .toDF("doc_id", "pos", "term")
     // seed ranks: dense rank of the seed gram (gram-vocabulary-sized
-    // sort, corpus-sized join)
-    val (termRank, _) = globalDenseRank(toks.select(col("term")).distinct(),
-      partitions)
-    var level = toks.join(termRank, "term")
+    // sort). The rank joins back to positions on the 16-byte md5 of the
+    // gram, not the gram string itself — the rank sort has to move the
+    // full strings (they ARE the suffix comparison), but the corpus-
+    // sized join-back doesn't: md5 equality is the same content
+    // identity every dedup fingerprint in this file stands on, and it
+    // cuts the join's shuffle payload several-fold at cap-sized seeds
+    val (termRank, _) =
+      globalDenseRank(toks.select(col("term")).distinct(), partitions)
+    var level = toks
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("rnk").as("r"))
+        md5(col("term")).as("fp"))
+      .join(termRank.select(md5(col("term")).as("fp"), col("rnk")), "fp")
+      .select(col("doc_id"), col("pos"), col("rnk").as("r"))
       .truncateLineage(eager = false)
-    val nSuffix = level.count()
-    // size-derived round parallelism (the planesFor discipline): each
-    // doubling round is ~10 tiny stages, so a small working set at the
-    // caller's full partition count pays pure task-scheduling overhead;
-    // a large corpus derives right back to the caller's count
-    val p = math.max(1, math.min(partitions, (nSuffix / 50000L).toInt + 1))
-    // prefix doubling: after the round with step 2^k, rank equality ==
-    // equality of the first 2^(k+1) tokens; stop early once every
-    // suffix is alone in its class (further rounds are the identity).
-    // Lineage: each round references the previous level twice, so the
-    // level is lineage-truncated per round (the pointer-jumping/bfs
-    // discipline), lazily — the next round's rank action materializes it
-    var step = seedLen.toLong
-    var allDistinct = false
-    while (step < cap && !allDistinct) {
-      val shifted = level.select(col("doc_id"),
-        (col("pos") - step).as("pos"), col("r").as("r2"))
-      // cached: `paired` feeds BOTH globalDenseRank's distinct and the
-      // rank equi-join below — uncached, the round's dominant
-      // corpus-sized join would run twice
-      val paired = trackedCache(
-        level.join(shifted, Seq("doc_id", "pos"), "left")
-          .withColumn("r2", coalesce(col("r2"), lit(-1L))))
-      val (pairRank, nDistinct) = globalDenseRank(
-        paired.select(col("r"), col("r2")).distinct(), p)
-      level = paired.join(pairRank, Seq("r", "r2"))
-        .select(col("doc_id"), col("pos"), col("rnk").as("r"))
-        .truncateLineage(eager = false)
-      allDistinct = nDistinct == nSuffix
-      step *= 2
+    if (seedLen < cap) {
+      // suffix count + size-derived round parallelism (the planesFor
+      // discipline), paid only on the doubling path: each doubling
+      // round is ~10 tiny stages, so a small working set at the
+      // caller's full partition count pays pure task-scheduling
+      // overhead; a large corpus derives right back to the caller's
+      // count
+      val nSuffix = level.count()
+      val p =
+        math.max(1, math.min(partitions, (nSuffix / 50000L).toInt + 1))
+      // prefix doubling: after the round with step 2^k, rank equality ==
+      // equality of the first 2^(k+1) tokens; stop early once every
+      // suffix is alone in its class (further rounds are the identity).
+      // Lineage: each round references the previous level twice, so the
+      // level is lineage-truncated per round (the pointer-jumping/bfs
+      // discipline), lazily — the next round's rank action materializes
+      // it
+      var step = seedLen.toLong
+      var allDistinct = false
+      val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      while (step < cap && !allDistinct) {
+        // the rank `step` positions ahead comes from ONE doc-keyed
+        // window pass — positions are contiguous per doc (posexplode
+        // over every array index), so lead(step) IS the suffix step
+        // ahead; the alternative (doc_id, pos) left self-join shuffles
+        // the level TWICE per round and merge-joins where this sorts
+        // once. Cached: `paired` feeds BOTH globalDenseRank's distinct
+        // and the rank equi-join below — uncached, the round's dominant
+        // corpus-sized pass would run twice
+        val paired = trackedCache(
+          level.withColumn("r2",
+            coalesce(lead(col("r"), step.toInt).over(wLead), lit(-1L))))
+        val (pairRank, nDistinct) =
+          globalDenseRank(paired.select(col("r"), col("r2")).distinct(), p)
+        level = paired.join(pairRank, Seq("r", "r2"))
+          .select(col("doc_id"), col("pos"), col("rnk").as("r"))
+          .truncateLineage(eager = false)
+        allDistinct = nDistinct == nSuffix
+        step *= 2
+      }
     }
     val levelK = level
     // dense final ranks ARE the class order: class r is adjacent to
     // class r±1 in the suffix array, no further sort needed
     val cls = trackedCache(levelK.groupBy(col("r"))
-      .agg(count(lit(1)).as("csize"),
-        min(struct(col("doc_id"), col("pos"))).as("rep"))
-      .select(col("r"), col("csize"), col("r").as("ci"),
-        col("rep.doc_id").as("d"), col("rep.pos").cast("int").as("p")))
+      .agg(count(lit(1)).as("csize")))
+    // the running LCP fold shared by both strategies: zip_with pads the
+    // shorter side with null, which stops the fold
+    val lcpFold = expr(
+      """aggregate(zip_with(sl, slb, (x, y) -> x = y),
+        |  named_struct('n', 0L, 'go', true),
+        |  (st, eq) -> if(st.go AND eq IS NOT NULL AND eq,
+        |    named_struct('n', st.n + 1L, 'go', true),
+        |    named_struct('n', st.n, 'go', false)),
+        |  st -> st.n)""".stripMargin)
     // adjacent-class LCP: all members of a class share the identical
     // capped prefix, so one representative per class carries the
-    // class's LCP with the next class exactly; it FETCHES its
-    // ≤cap-token slice and the LCP is a single zip_with fold (zip_with
-    // pads the shorter side with null, which stops the fold)
-    val repSl = cls.join(base, col("d") === col("doc_id"))
-      .select(col("ci"), slice(col("w"), col("p") + 1, lit(cap)).as("sl"))
-    val lcpNext = trackedCache(repSl
-      .join(repSl.select((col("ci") - 1L).as("ci"), col("sl").as("slb")),
+    // class's LCP with the next class exactly
+    val reps =
+      if (seedLen == cap) {
+        // direct path: the ranked gram string IS the class's capped
+        // suffix, so the representative table falls out of termRank with
+        // no per-class struct-min and no join back to the token arrays.
+        // The sentinel element starts with ' ', so the concat_ws seam
+        // before it is a double space — everything from that seam on is
+        // sentinel, cut before the token comparison (a sentinel-only
+        // class compares as ["", id], which can only phantom-match
+        // another sentinel-only class, and sentinel positions never
+        // reach the output stats)
+        termRank.select(col("rnk").as("ci"),
+          split(substring_index(col("term"), "  ", 1), " ").as("sl"))
+      } else {
+        // doubling path: fetch each representative's ≤cap-token slice
+        val rep = levelK.groupBy(col("r"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
+          .select(col("r").as("ci"), col("rep.doc_id").as("d"),
+            col("rep.pos").cast("int").as("p"))
+        rep.join(base, col("d") === col("doc_id"))
+          .select(col("ci"), slice(col("w"), col("p") + 1, lit(cap)).as("sl"))
+      }
+    val lcpNext = trackedCache(reps
+      .join(reps.select((col("ci") - 1L).as("ci"), col("sl").as("slb")),
         Seq("ci"))
-      .select(col("ci"), expr(
-        """aggregate(zip_with(sl, slb, (x, y) -> x = y),
-          |  named_struct('n', 0L, 'go', true),
-          |  (st, eq) -> if(st.go AND eq IS NOT NULL AND eq,
-          |    named_struct('n', st.n + 1L, 'go', true),
-          |    named_struct('n', st.n, 'go', false)),
-          |  st -> st.n)""".stripMargin).as("acc")))
-    val classDup = cls
+      .select(col("ci"), lcpFold.as("acc")))
+    val classDup = cls.withColumn("ci", col("r"))
       .join(lcpNext.select(col("ci"), col("acc").as("lcp_next")),
         Seq("ci"), "left")
       .join(lcpNext.select((col("ci") + 1L).as("ci"),

@@ -174,7 +174,12 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(2).getDouble(3) === 1.0) // doc 3 is 100% duplicated spans
   }
 
-  test("dedupSuffix matches a brute-force maximal-span oracle exactly") {
+  /** Brute-force maximal-span oracle + engine run for one cap — cap=8
+    * exercises the direct capped-sort strategy, cap=256 the prefix-
+    * doubling rounds (the DirectSortCap pick is internal, so BOTH
+    * strategies stay gated against the same ground truth).
+    */
+  private def checkDedupSuffix(cap: Int): Unit = {
     import spark.implicits._
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),      // shares "a b c d e f g h"
@@ -184,7 +189,6 @@ class CurateOpsSpec extends SparkSpec {
       (5L, "a b c d e f g h i j k l")       // exact twin of doc 1
     ).toDF("doc_id", "text")
     val minSpan = 3
-    val cap = 8
     // brute force over the same tokenization: dup_len(doc, pos) = the
     // longest common prefix (capped) between this suffix and ANY other
     // suffix in the corpus; then the same interval-union coverage
@@ -225,12 +229,22 @@ class CurateOpsSpec extends SparkSpec {
         r.getLong(4), r.getDouble(5))).toSeq
     assert(out === expected)
     // sanity on the planted structure: docs 1 and 5 are exact twins, so
-    // their whole 12 tokens duplicate but the cap clips spans at 8
-    assert(out.head._3 === cap.toLong && out.head._6 === 1.0)
+    // their whole 12 tokens duplicate (clipped at the cap when cap < 12)
+    assert(out.head._3 === math.min(cap, 12).toLong && out.head._6 === 1.0)
     // doc 3's "z z" overlap is below minSpan: positions counted, none
     assert(out(2)._3 === 2L && out(2)._4 === 0L && out(2)._5 === 0L)
     // doc 4 is fully unique
     assert(out(3)._3 === 0L && out(3)._6 === 0.0)
+  }
+
+  test("dedupSuffix matches a brute-force maximal-span oracle exactly " +
+    "(direct capped-sort strategy, cap=8)") {
+    checkDedupSuffix(cap = 8)
+  }
+
+  test("dedupSuffix matches the same oracle through the prefix-doubling " +
+    "strategy (cap=256)") {
+    checkDedupSuffix(cap = 256)
   }
 
   // ---- independent unigram-LM replay (plain Scala, no Spark) --------
