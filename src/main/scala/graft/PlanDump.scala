@@ -346,6 +346,9 @@ object PlanDump {
     "x_embed_health" -> ("Embedding health report — posexplode centroid " +
       "aggregate (dim-bounded), centroids broadcast back, one per-label " +
       "rollup over the persisted double-widened vectors"),
+    "x_dedup_soft" -> ("Soft dedup weighting — map-side signature, " +
+      "one sig-key shuffle for the class-size window, bounded " +
+      "per-source rollup"),
     "q_ts_spike" -> ("Daily spike monitor — one (entity, day) count " +
       "aggregate, then a per-entity ROWS window over day-bounded " +
       "partitions; exact integer 2x-trailing-mean rule")

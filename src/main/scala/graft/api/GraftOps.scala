@@ -5002,6 +5002,32 @@ object GraftOps {
           col("doc_id") =!= col("min_id")).cast("long")).as("n_rescued"))
   }
 
+  /** Soft dedup — the weighting alternative to hard drops: instead of
+    * discarding duplicates, every member of a near-dup class (the
+    * [[withSigKey]] MinHash signature relation) gets sampling weight
+    * 1/class_size, so each distinct CONTENT carries one unit of
+    * training mass no matter how many copies crawled in. The per-source
+    * rollup reports doc counts, duplicated-doc counts, and the exact
+    * integer effective-document mass Σ⌊10^6/csize⌋ — the number a
+    * mixture designer compares against raw doc counts to see how much
+    * of a source is really there. One map-side signature pass and one
+    * sig_key shuffle shared by both window aggregates ([[dedupPriority]]'s
+    * shape), then the bounded per-source rollup.
+    */
+  def dedupSoft(df: DataFrame, key: Column, text: Column,
+                source: Column): DataFrame = {
+    val keyed = withSigKey(
+      df.select(key.as("doc_id"), source.as("source"), text.as("_t")),
+      col("doc_id"), col("_t")).drop("_t")
+    keyed
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("sig_key"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("csize") > 1).cast("long")).as("n_dup_docs"),
+        sum(expr("1000000 div csize")).as("eff_docs_ppm"))
+  }
+
   /** Marginal-novelty curve — how much NEW content each slice of the
     * corpus contributes as it accumulates in doc_id (= arrival) order:
     * a 3-gram occurrence is novel iff its gram's first corpus occurrence

@@ -1136,9 +1136,18 @@ object LlmQueries extends QueryPack {
       col("text"), col("source"),
       substring(col("source"), 4, 10).cast("int"))
 
+  /** x_dedup_soft: soft dedup weighting ([[GraftOps.dedupSoft]]) — every
+    * near-dup class member weighted 1/class_size instead of dropped;
+    * per-source effective-document mass in exact integer ppm.
+    */
+  def dedupSoftQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupSoft(Tables.documents(s, d), col("doc_id"), col("text"),
+      col("source"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dedup_cdc" -> dedupCdc,
     "x_dedup_priority" -> dedupPriorityQ,
+    "x_dedup_soft" -> dedupSoftQ,
     "x_dsir" -> dsir,
     "x_winnow" -> winnow,
     "x_cms" -> cms,
@@ -1296,6 +1305,31 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(CASE WHEN rn = 1 AND n > 1 AND doc_id <> min_id
         |    THEN 1 ELSE 0 END) AS BIGINT) n_rescued
         |FROM r GROUP BY 1""".stripMargin,
+    // Soft-dedup replay: the sig_key chain, per-class sizes, exact
+    // integer floor(1e6/csize) mass summed per source.
+    "x_dedup_soft" ->
+      raw"""WITH ws AS (SELECT doc_id,
+        |    [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2])
+        |      for i in range(1, len(w) - 1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |k AS (SELECT d.doc_id, d.source,
+        |    coalesce(md5(array_to_string(list_transform(s.sig, x -> CAST(x AS VARCHAR)), '|')),
+        |             'nosig:' || CAST(d.doc_id AS VARCHAR)) skey
+        |  FROM documents d LEFT JOIN sig s USING (doc_id)),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY skey) csize FROM k)
+        |SELECT source, count(*) n_docs,
+        |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) n_dup_docs,
+        |  CAST(sum(1000000 // csize) AS BIGINT) eff_docs_ppm
+        |FROM c GROUP BY 1""".stripMargin,
     // Hashed-token DSIR replay: same md5 12-hex-digit fold into 1024
     // bins, add-1 smoothing, ln ratio averaged per doc, round(6) — the
     // perplexity queries' ln-parity discipline. sum(CASE) is HUGEINT in

@@ -937,6 +937,21 @@ class LlmOpsSpec extends SparkSpec {
       s"dup_ppm ${out.getLong(3)} — CDC failed to re-synchronize")
   }
 
+  test("dedupSoft: class members weigh 1/csize, mass conserved per class") {
+    import spark.implicits._
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, dup, "srcA"), (2L, dup, "srcB"), (3L, "unique text here", "srcA")
+    ).toDF("doc_id", "text", "source")
+    val out = GraftOps.dedupSoft(docs, col("doc_id"), col("text"),
+        col("source"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // srcA: the unique doc carries 10^6, its half of the dup class 5·10^5
+    assert(out === Seq(("srcA", 2L, 1L, 1500000L), ("srcB", 1L, 1L, 500000L)))
+  }
+
   test("dedupPriority: the trusted source's copy wins over the earlier " +
     "doc_id, and the rescue is counted") {
     import spark.implicits._
