@@ -666,29 +666,39 @@ object MultimodalDecode {
     val kbps = Mp3Bitrates(bitrateIdx)
     val rate = Mp3Rates(rateIdx)
     val flen = 144000 * kbps / rate
-    val bos = new java.io.ByteArrayOutputStream()
+    // exact-size array, not a ByteArrayOutputStream: the stream's
+    // per-byte write() is synchronized and its doubling growth recopies
+    // the payload — at the 10x rehearsal this writer generates ~1 GB of
+    // fixture bytes and was the suite's one superlinear query (17.5x
+    // raw) until the direct array writes (byte-identical output)
+    val tagLen = if (withId3) 32 else 0
+    val out = new Array[Byte](tagLen + frames * flen)
     if (withId3) {
       val tagBody = 22
-      bos.write('I'); bos.write('D'); bos.write('3')
-      bos.write(3); bos.write(0); bos.write(0) // v2.3, no flags
-      bos.write(0); bos.write(0); bos.write(tagBody >> 7)
-      bos.write(tagBody & 0x7f)
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'
+      out(3) = 3; out(4) = 0; out(5) = 0 // v2.3, no flags
+      out(6) = 0; out(7) = 0; out(8) = (tagBody >> 7).toByte
+      out(9) = (tagBody & 0x7f).toByte
       var j = 0
-      while (j < tagBody) { bos.write(((seed + j) % 251).toInt); j += 1 }
+      while (j < tagBody) {
+        out(10 + j) = ((seed + j) % 251).toByte; j += 1
+      }
     }
     var f = 0
     while (f < frames) {
-      bos.write(0xff); bos.write(0xfb) // sync + MPEG-1 + Layer III
-      bos.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
-      bos.write(0)
+      val base = tagLen + f * flen
+      out(base) = 0xff.toByte
+      out(base + 1) = 0xfb.toByte // sync + MPEG-1 + Layer III
+      out(base + 2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte // no pad
+      out(base + 3) = 0
       var j = 4
       while (j < flen) {
-        bos.write(((seed * 31 + f * 131 + j * 2654435761L) & 0xffL).toInt)
+        out(base + j) = (seed * 31 + f * 131 + j * 2654435761L).toByte
         j += 1
       }
       f += 1
     }
-    bos.toByteArray
+    out
   }
 
   // ------------------------------------------------------------ video (MP4)
