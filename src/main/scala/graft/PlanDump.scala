@@ -346,6 +346,9 @@ object PlanDump {
     "x_embed_health" -> ("Embedding health report — posexplode centroid " +
       "aggregate (dim-bounded), centroids broadcast back, one per-label " +
       "rollup over the persisted double-widened vectors"),
+    "x_dedup_onion" -> ("Onion span-removal — the suffix-array core " +
+      "plus one token-proportional equi-join for the token values; " +
+      "per-doc ordered reassembly, no new shuffle class"),
     "x_dedup_soft" -> ("Soft dedup weighting — map-side signature, " +
       "one sig-key shuffle for the class-size window, bounded " +
       "per-source rollup"),

@@ -978,6 +978,66 @@ object GraftOps {
   def dedupSuffix(df: DataFrame, key: Column, text: Column,
                   minSpan: Int = 10, cap: Int = 64,
                   partitions: Int = 32): DataFrame = {
+    val (marked, _) = suffixPositions(df, key, text, minSpan, cap, partitions)
+    marked
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(max(col("dup_len")).as("max_dup_span"),
+        sum((col("dup_len") >= minSpan.toLong).cast("long"))
+          .as("n_dup_positions"),
+        // runend is NULL until the first marked position — coalesce so
+        // a doc with no marked span reports 0, not NULL
+        sum(coalesce((col("runend") > col("pos")).cast("long"), lit(0L)))
+          .as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("max_dup_span"),
+        col("n_dup_positions"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_coverage"))
+  }
+
+  /** Onion (span-removal) dedup — the APPLY step of [[dedupSuffix]]:
+    * Lee et al. 2022 don't just MEASURE duplicated spans, they cut them
+    * out of the corpus. Every token covered by a duplicated span of ≥
+    * `minSpan` tokens (the identical interval union dedupSuffix gates)
+    * is removed; each doc reports its retained token count and the md5
+    * of the retained text, so the downstream training run consumes a
+    * corpus whose duplicated substrings appear ONCE... in first-
+    * occurrence position (the first copy's positions are themselves
+    * covered — onion removal drops every occurrence of a span that
+    * appears anywhere else, the aggressive variant the paper's
+    * dedup-both-copies setting uses). Cost on top of [[dedupSuffix]]:
+    * one token-proportional posexplode equi-join (the token VALUES —
+    * ranks alone cannot rebuild text) and the same per-doc aggregate.
+    * A fully-covered doc keeps zero tokens and reports md5("") — the
+    * row stays, so corpus accounting never loses a document.
+    */
+  def dedupOnion(df: DataFrame, key: Column, text: Column,
+                 minSpan: Int = 10, cap: Int = 64,
+                 partitions: Int = 32): DataFrame = {
+    val (marked, base) = suffixPositions(df, key, text, minSpan, cap,
+      partitions)
+    val toks = base.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "tok")))
+    marked
+      .withColumn("kept", !coalesce(col("runend") > col("pos"), lit(false)))
+      .join(toks, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("kept").cast("long")).as("kept_tokens"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")))).as("kept_md5"))
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"),
+        (col("n_tokens") - col("kept_tokens")).as("removed_tokens"),
+        col("kept_md5"))
+  }
+
+  /** The shared suffix-array core of [[dedupSuffix]]/[[dedupOnion]]:
+    * per-position dup_len plus the running interval-union end, and the
+    * cached token-array base for consumers that need token values.
+    */
+  private def suffixPositions(df: DataFrame, key: Column, text: Column,
+                              minSpan: Int, cap: Int,
+                              partitions: Int): (DataFrame, DataFrame) = {
     require(minSpan >= 1 && cap >= minSpan && cap <= 4096 &&
       Integer.bitCount(cap) == 1,
       "dedupSuffix: need 1 <= minSpan <= cap <= 4096 with cap a power " +
@@ -1141,21 +1201,10 @@ object GraftOps {
       .filter(col("pos") < col("n_tokens"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    perPos
+    val marked = perPos
       .withColumn("runend", max(when(col("dup_len") >= minSpan.toLong,
         col("pos") + col("dup_len"))).over(wDoc))
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(max(col("dup_len")).as("max_dup_span"),
-        sum((col("dup_len") >= minSpan.toLong).cast("long"))
-          .as("n_dup_positions"),
-        // runend is NULL until the first marked position — coalesce so
-        // a doc with no marked span reports 0, not NULL
-        sum(coalesce((col("runend") > col("pos")).cast("long"), lit(0L)))
-          .as("covered_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("max_dup_span"),
-        col("n_dup_positions"), col("covered_tokens"),
-        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
-          .as("dup_coverage"))
+    (marked, base)
   }
 
   /** Hyperplane count for an LSH bucketing sized to the corpus: the

@@ -267,11 +267,52 @@ object CurateQueries extends QueryPack {
     GraftOps.dedupSuffix(Tables.documents(s, d), col("doc_id"),
       col("text"), minSpan = SufMinSpan, cap = SufCap)
 
+  /** x_dedup_onion: the suffix dedup's APPLY step ([[GraftOps
+    * .dedupOnion]]) — remove every token inside a >= 10-token duplicated
+    * span and emit retained counts + the retained text's md5; the
+    * cleaned corpus a Lee-et-al substring pass actually ships.
+    */
+  def dedupOnionQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupOnion(Tables.documents(s, d), col("doc_id"),
+      col("text"), minSpan = SufMinSpan, cap = SufCap)
+
   /** Suffix-dedup knobs, shared between [[dedupSuffixQ]] and its oracle
     * SQL so a tuning change cannot desync the gate (the Uni* pattern).
     */
   private val SufMinSpan = 10
   private val SufCap = 64
+
+  /** Shared brute-force suffix-dedup CTE prefix (per-position longest
+    * duplicated m-gram + interval-union running end) — ONE copy feeding
+    * both the x_dedup_suffix and x_dedup_onion oracles, so a knob or
+    * semantics change cannot desync one of the two gates (the
+    * minhashCommon discipline).
+    */
+  private lazy val sufCommon =
+    s"""WITH ws AS (
+       |  SELECT doc_id,
+       |    [w for w in string_split_regex(trim(lower(text)), '\\s+') if w != ''] w
+       |  FROM documents),
+       |d AS (SELECT doc_id, w, len(w) n FROM ws WHERE len(w) >= 1),
+       |g AS (
+       |  SELECT doc_id, i AS p, m,
+       |    md5(array_to_string(list_slice(w, i, i + m - 1), ' ')) h
+       |  FROM d, unnest(generate_series(1, n)) t(i),
+       |       unnest(generate_series(1, $SufCap)) u(m)
+       |  WHERE i + m - 1 <= n),
+       |dup AS (SELECT m, h FROM g GROUP BY m, h HAVING count(*) >= 2),
+       |dl0 AS (SELECT g.doc_id, g.p, max(g.m) dl
+       |  FROM g JOIN dup USING (m, h) GROUP BY 1, 2),
+       |posn AS (SELECT doc_id, n, unnest(generate_series(1, n)) p FROM d),
+       |pp AS (
+       |  SELECT posn.doc_id, posn.n, posn.p, coalesce(dl0.dl, 0) dl
+       |  FROM posn LEFT JOIN dl0
+       |    ON dl0.doc_id = posn.doc_id AND dl0.p = posn.p),
+       |mk AS (
+       |  SELECT doc_id, n, p, dl,
+       |    max(CASE WHEN dl >= $SufMinSpan THEN p + dl END) OVER
+       |      (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) rm
+       |  FROM pp)""".stripMargin
 
   /** Unigram-LM tokenizer constants, shared between the gated queries
     * and the unrolled oracle generator so a knob change cannot desync
@@ -696,6 +737,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
     "x_dedup_suffix" -> dedupSuffixQ,
+    "x_dedup_onion" -> dedupOnionQ,
     "x_unigram_train" -> unigramTrainQ,
     "x_unigram_apply" -> unigramApplyQ,
     "x_bpe_stats" -> bpeStats,
@@ -1434,30 +1476,7 @@ object CurateQueries extends QueryPack {
     // positions x lengths, so it IS the definitionally-exact answer the
     // suffix array must reproduce.
     "x_dedup_suffix" ->
-      s"""WITH ws AS (
-        |  SELECT doc_id,
-        |    [w for w in string_split_regex(trim(lower(text)), '\\s+') if w != ''] w
-        |  FROM documents),
-        |d AS (SELECT doc_id, w, len(w) n FROM ws WHERE len(w) >= 1),
-        |g AS (
-        |  SELECT doc_id, i AS p, m,
-        |    md5(array_to_string(list_slice(w, i, i + m - 1), ' ')) h
-        |  FROM d, unnest(generate_series(1, n)) t(i),
-        |       unnest(generate_series(1, $SufCap)) u(m)
-        |  WHERE i + m - 1 <= n),
-        |dup AS (SELECT m, h FROM g GROUP BY m, h HAVING count(*) >= 2),
-        |dl0 AS (SELECT g.doc_id, g.p, max(g.m) dl
-        |  FROM g JOIN dup USING (m, h) GROUP BY 1, 2),
-        |posn AS (SELECT doc_id, n, unnest(generate_series(1, n)) p FROM d),
-        |pp AS (
-        |  SELECT posn.doc_id, posn.n, posn.p, coalesce(dl0.dl, 0) dl
-        |  FROM posn LEFT JOIN dl0
-        |    ON dl0.doc_id = posn.doc_id AND dl0.p = posn.p),
-        |mk AS (
-        |  SELECT doc_id, n, p, dl,
-        |    max(CASE WHEN dl >= $SufMinSpan THEN p + dl END) OVER
-        |      (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) rm
-        |  FROM pp)
+      (sufCommon + s"""
         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
         |  CAST(max(dl) AS BIGINT) AS max_dup_span,
         |  CAST(coalesce(sum(CASE WHEN dl >= $SufMinSpan THEN 1 END), 0) AS BIGINT)
@@ -1466,7 +1485,24 @@ object CurateQueries extends QueryPack {
         |    AS covered_tokens,
         |  round(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0)
         |    / CAST(n AS DOUBLE), 6) AS dup_coverage
-        |FROM mk GROUP BY doc_id, n""".stripMargin,
+        |FROM mk GROUP BY doc_id, n""".stripMargin),
+    // Onion replay: the same mk interval union, joined back to the
+    // token values; kept = NOT covered (NULL running end = kept), md5
+    // over the order-preserved retained text, '' for a fully-cut doc.
+    "x_dedup_onion" ->
+      (sufCommon + """,
+        |docw AS (SELECT doc_id, i p, w[i] tok
+        |  FROM d, unnest(generate_series(1, n)) t(i))
+        |SELECT mk.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(CASE WHEN NOT coalesce(rm > mk.p, false)
+        |    THEN 1 END), 0) AS BIGINT) AS kept_tokens,
+        |  CAST(n - coalesce(sum(CASE WHEN NOT coalesce(rm > mk.p, false)
+        |    THEN 1 END), 0) AS BIGINT) AS removed_tokens,
+        |  md5(coalesce(string_agg(tok, ' ' ORDER BY mk.p)
+        |    FILTER (WHERE NOT coalesce(rm > mk.p, false)), ''))
+        |    AS kept_md5
+        |FROM mk JOIN docw ON mk.doc_id = docw.doc_id AND mk.p = docw.p
+        |GROUP BY mk.doc_id, n""".stripMargin),
     // Unrolled hard-EM replay: the final pruned piece table with final
     // counts, add-one micro-log weights and the (count desc, piece)
     // rank — every Viterbi decision re-derived in exact integers.

@@ -242,6 +242,32 @@ class CurateOpsSpec extends SparkSpec {
     checkDedupSuffix(cap = 8)
   }
 
+  test("dedupOnion cuts exactly the covered spans and keeps the rest " +
+    "in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),      // twin of doc 5: fully cut
+      (2L, "x y a b c d e f g h q r"),      // shared middle cut
+      (3L, "z z z q w"),                    // overlaps below minSpan kept
+      (4L, "m n o"),                        // untouched
+      (5L, "a b c d e f g h i j k l")
+    ).toDF("doc_id", "text")
+    val md5Of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val out = GraftOps.dedupOnion(docs, col("doc_id"), col("text"),
+        minSpan = 3, cap = 8, partitions = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out === Seq(
+      (1L, 12L, 0L, 12L, md5Of("")),
+      (2L, 12L, 4L, 8L, md5Of("x y q r")),
+      (3L, 5L, 5L, 0L, md5Of("z z z q w")),
+      (4L, 3L, 3L, 0L, md5Of("m n o")),
+      (5L, 12L, 0L, 12L, md5Of(""))))
+  }
+
   test("dedupSuffix matches the same oracle through the prefix-doubling " +
     "strategy (cap=256)") {
     checkDedupSuffix(cap = 256)
