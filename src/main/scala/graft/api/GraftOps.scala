@@ -950,7 +950,13 @@ object GraftOps {
     * replaces the whole doubling loop, whose every round moves ~16-byte
     * rank pairs through 3 shuffles + a doc-keyed window + a cache
     * materialization (measured 14.2s → 8.6s at sf0.1 for the default
-    * cap=64). Above that, classic prefix doubling: ranks seed at block
+    * cap=64). The direct pick is additionally bounded by the corpus's
+    * max doc length (max_doc_tokens × cap ≤ 8M token slots, read off
+    * the precondition aggregate for free): its seed builds each doc's
+    * full gram array in one row before exploding, so a single
+    * 100k-token document at cap=128 would otherwise stage tens of MB
+    * in one row — past the bound the doubling path wins regardless of
+    * cap. Above that, classic prefix doubling: ranks seed at block
     * length 8, then log2(cap)−3 doubling rounds, each one doc-keyed
     * lead() window + range-sort + dense-rank of the (rank,
     * rank-at-offset) pairs (bounded per-partition counts to the driver
@@ -1051,11 +1057,13 @@ object GraftOps {
     // the unique-sentinel exactness argument and inflate the coverage
     // stats — fail loudly per the documented-require() contract
     val pre = base.agg(count(lit(1)).as("n"),
-      countDistinct(col("doc_id")).as("nd")).head()
+      countDistinct(col("doc_id")).as("nd"),
+      max(size(col("w"))).as("maxn")).head()
     require(pre.getLong(0) == pre.getLong(1),
       s"dedupSuffix: ${pre.getLong(0) - pre.getLong(1)} duplicate " +
         "document keys — the suffix array requires a unique key per " +
         "document")
+    val maxDocLen = pre.getInt(2).toLong
     val docLen = base.select(col("doc_id"), size(col("w")).cast("long")
       .as("n_tokens"))
     // Strategy pick, decided by the per-row payload the sort would move.
@@ -1076,8 +1084,19 @@ object GraftOps {
     //    — rounds move fixed 16-byte rank pairs no matter the cap, which
     //    is the whole point of the doubling construction once cap-sized
     //    strings (4096 tokens ~ 20 KB/row) would dominate the wire.
+    // The direct path's seed TRANSFORM materializes the whole per-doc
+    // gram array in one row before posexplode — O(n_tokens × cap)
+    // token slots — so it is additionally gated on the corpus's max
+    // doc length (known free from the precondition aggregate): past
+    // DirectRowTokens slots (~tens of MB per row at typical token
+    // widths) a single long document would put row-sized memory
+    // pressure on its task, and the doubling path's fixed 16-byte
+    // rows are the right trade even at small caps.
     val DirectSortCap = 128
-    val seedLen = if (cap <= DirectSortCap) cap else math.min(8, cap)
+    val DirectRowTokens = 8L << 20
+    val seedLen =
+      if (cap <= DirectSortCap && maxDocLen * cap <= DirectRowTokens) cap
+      else math.min(8, cap)
     val toks = base
       .withColumn("ext", concat(col("w"),
         array(concat(lit(" "), col("doc_id").cast("string")))))
@@ -2404,9 +2423,15 @@ object GraftOps {
     * segmentable). Same scale discipline as BPE: the corpus is scanned
     * ONCE into the cached word-frequency table; each round costs one
     * Viterbi pass over DISTINCT words (a bounded map literal carries
-    * the weights into codegen) plus a vocabulary-sized count aggregate
-    * collected to the driver — at 100 TB per-round work is proportional
-    * to the vocabulary, never the corpus. All scores are integer
+    * the weights into codegen) plus a piece-count aggregate whose rows
+    * are a subset of the current vocab. EVERY driver collect is
+    * knob-bounded: the seed stage takes its `seedMultis` multi-char
+    * pieces via a cluster-side orderBy+limit (TakeOrderedAndProject)
+    * over the substring-count table and its singles via an
+    * alphabet-bounded length-1 filter — the corpus-vocabulary-sized
+    * substring table itself never reaches the driver — so at 100 TB
+    * per-stage driver traffic is proportional to the vocabulary knobs,
+    * never the corpus. All scores are integer
     * micro-logs ([[microLog]]), so segmentations are exact-arithmetic
     * reproducible and a statically-unrolled SQL oracle can replay every
     * round bit-for-bit. Preconditions (ENFORCED, one vocab-sized scan
@@ -2432,16 +2457,28 @@ object GraftOps {
       "the '<'/'>' delimiters or exceed maxWordLen — symbol tracking " +
       "or the unrolled oracle DP would corrupt; normalize the corpus")
     // seed counts: every substring occurrence of length 1..maxPieceLen,
-    // weighted by word frequency (one vocabulary-sized expansion)
-    val seed = wordFreq.select(col("freq"), explode(expr(
+    // weighted by word frequency (one vocabulary-sized expansion). The
+    // substring-count TABLE is O(distinct_words × maxWordLen ×
+    // maxPieceLen) — corpus-vocabulary-sized, so it must never reach
+    // the driver whole. Both reads are knob-bounded instead: singles
+    // are the character alphabet (≤ maxWordLen chars per distinct
+    // word, in practice the script's alphabet), and multis go through
+    // a cluster-side orderBy+limit (TakeOrderedAndProject — per-
+    // partition top-k then a driver merge of seedMultis rows per
+    // partition, the q_topk shape) BEFORE the collect. Tie-break
+    // (cnt desc, piece asc) matches the prune stage so seeding is
+    // deterministic under any partitioning.
+    val seedCounts = cacheOnce(wordFreq.select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, length(word)), i ->
            |  transform(sequence(i, least(length(word), i + $maxPieceLen - 1)),
            |    j -> substr(word, i, j - i + 1))))""".stripMargin)).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")))
+    val singles = seedCounts.filter(length(col("piece")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val singles = seed.filter(_._1.length == 1)
-    val multis = seed.filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c, p) }.take(seedMultis)
+    val multis = seedCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedMultis)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    seedCounts.unpersist(blocking = false)
     val vocab = (singles ++ multis).map(_._1).sorted
     val seedCnt = (singles ++ multis).toMap
     val seedTotal = seedCnt.values.sum.toDouble
@@ -5077,6 +5114,48 @@ object GraftOps {
         sum(expr("1000000 div csize")).as("eff_docs_ppm"))
   }
 
+  /** Cross-modal caption-conflict report — the alignment screen an
+    * image-text training set runs before contrastive training: per
+    * IMAGE-identity class (any content key — a perceptual dHash, a
+    * pixel md5), how many DISTINCT captions describe the same image
+    * (same-image/different-caption: a conflicted positive that teaches
+    * the contrastive loss two captions are interchangeable when they
+    * may not be), and how many of the class's docs carry a caption that
+    * ALSO appears under a different image (same-caption/different-image:
+    * a false negative — the in-batch "negative" is actually described
+    * by the anchor's own caption). Caption identity is the md5 of the
+    * trim+lowercase text — byte-exact after case/edge-whitespace
+    * folding, the same normalization tier [[dedupNormalized]] starts
+    * from, so an oracle replays it verbatim. One row per image class:
+    * its min-doc_id representative, member/caption counts, a 0/1
+    * conflict flag, and the cross-image-caption doc count.
+    *
+    * Scale shape: the (doc, image_key, caption_key) projection is one
+    * map pass (no text moves past the md5); the caption-spread
+    * aggregate and its join-back shuffle on caption_key, the rollup
+    * shuffles on image_key — three key shuffles of fingerprint-width
+    * rows, no pair expansion anywhere (conflicts are COUNTED per class,
+    * never enumerated as pairs — a hub caption shared by a million
+    * images costs one aggregate row, not 10^12 pairs). Output is one
+    * bounded row per image class.
+    */
+  def captionConflict(df: DataFrame, key: Column, imageKey: Column,
+                      caption: Column): DataFrame = {
+    val pairs = df.select(key.as("doc_id"), imageKey.as("ikey"),
+      md5(trim(lower(caption))).as("ckey"))
+    val capSpread = pairs.groupBy(col("ckey"))
+      .agg(countDistinct(col("ikey")).as("n_images"))
+    pairs.join(capSpread, "ckey")
+      .groupBy(col("ikey"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("ckey")).as("n_captions"),
+        sum((col("n_images") > 1).cast("long")).as("n_crossimage_docs"))
+      .select(col("cluster_rep"), col("n_members"), col("n_captions"),
+        (col("n_captions") > 1).cast("int").as("caption_conflict"),
+        col("n_crossimage_docs"))
+  }
+
   /** Marginal-novelty curve — how much NEW content each slice of the
     * corpus contributes as it accumulates in doc_id (= arrival) order:
     * a 3-gram occurrence is novel iff its gram's first corpus occurrence
@@ -5103,8 +5182,14 @@ object GraftOps {
     occ.join(first, "gram")
       .crossJoin(broadcast(span))
       .withColumn("bucket",
+        // width-safe bucket arithmetic: hash-derived 64-bit keys can
+        // put (doc_id - lo) * buckets past Long.MaxValue, where bigint
+        // math would wrap silently while the DuckDB oracle promotes to
+        // HUGEINT — compute in decimal(38,0) (plenty for 20-digit
+        // spans × buckets) and let `div` return the bigint bucket
         least(lit(buckets - 1),
-          expr(s"(doc_id - lo) * $buckets div (hi - lo + 1)")))
+          expr(s"((cast(doc_id as decimal(38,0)) - lo) * $buckets) div " +
+            "(cast(hi as decimal(38,0)) - lo + 1)")))
       .groupBy(col("bucket"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -5123,11 +5208,15 @@ object GraftOps {
     * holding the share in ONE key means salting the join is the only
     * fix — no repartition can split a single key. Empty buckets emit no
     * row (both engines agree). One aggregate on the bucket id plus a
-    * 1-row total broadcast; output ≤ `parts` rows.
+    * 1-row total broadcast; the projected key column is persisted so
+    * the total and the bucket aggregate share ONE input scan (the
+    * audited table is exactly the kind of 100-TB input you don't read
+    * twice); output ≤ `parts` rows.
     */
   def skewAudit(df: DataFrame, key: Column, keyName: String,
                 parts: Int = 32): DataFrame = {
     val k = df.select(key.cast("string").as("k")).filter(col("k").isNotNull)
+      .persistOnce()
     val tot = k.agg(count(lit(1)).as("total"))
     k.withColumn("bucket",
         conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long") % parts)

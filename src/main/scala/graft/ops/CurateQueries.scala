@@ -276,19 +276,37 @@ object CurateQueries extends QueryPack {
     GraftOps.dedupOnion(Tables.documents(s, d), col("doc_id"),
       col("text"), minSpan = SufMinSpan, cap = SufCap)
 
+  /** x_dedup_suffix_deep: the SAME suffix-array operator through its
+    * OTHER strategy branch — cap=256 sits above DirectSortCap=128, so
+    * this query exercises the prefix-doubling loop (seed at 8 tokens,
+    * doc-keyed lead() rounds, driver-offset dense ranks) that the
+    * cap=64 registration never touches, against the same brute-force
+    * positions×lengths oracle at m ≤ 256. The fixture's longest doc is
+    * under the cap, so reported spans are EXACT (not cap-quantized)
+    * and the oracle's exhaustive search is still only n(n+1)/2 grams
+    * per doc. A doubling-branch regression now ships red, not green.
+    */
+  def dedupSuffixDeepQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupSuffix(Tables.documents(s, d), col("doc_id"),
+      col("text"), minSpan = SufMinSpan, cap = SufCapDeep)
+
   /** Suffix-dedup knobs, shared between [[dedupSuffixQ]] and its oracle
     * SQL so a tuning change cannot desync the gate (the Uni* pattern).
+    * SufCapDeep must stay > the engine's DirectSortCap (128) — its
+    * whole point is forcing the prefix-doubling branch.
     */
   private val SufMinSpan = 10
   private val SufCap = 64
+  private val SufCapDeep = 256
 
   /** Shared brute-force suffix-dedup CTE prefix (per-position longest
     * duplicated m-gram + interval-union running end) — ONE copy feeding
-    * both the x_dedup_suffix and x_dedup_onion oracles, so a knob or
-    * semantics change cannot desync one of the two gates (the
-    * minhashCommon discipline).
+    * the x_dedup_suffix, x_dedup_suffix_deep and x_dedup_onion oracles
+    * (parameterized only by the gram cap), so a knob or semantics
+    * change cannot desync one of the gates (the minhashCommon
+    * discipline).
     */
-  private lazy val sufCommon =
+  private def sufCommonFor(cap: Int) =
     s"""WITH ws AS (
        |  SELECT doc_id,
        |    [w for w in string_split_regex(trim(lower(text)), '\\s+') if w != ''] w
@@ -298,7 +316,7 @@ object CurateQueries extends QueryPack {
        |  SELECT doc_id, i AS p, m,
        |    md5(array_to_string(list_slice(w, i, i + m - 1), ' ')) h
        |  FROM d, unnest(generate_series(1, n)) t(i),
-       |       unnest(generate_series(1, $SufCap)) u(m)
+       |       unnest(generate_series(1, $cap)) u(m)
        |  WHERE i + m - 1 <= n),
        |dup AS (SELECT m, h FROM g GROUP BY m, h HAVING count(*) >= 2),
        |dl0 AS (SELECT g.doc_id, g.p, max(g.m) dl
@@ -313,6 +331,23 @@ object CurateQueries extends QueryPack {
        |    max(CASE WHEN dl >= $SufMinSpan THEN p + dl END) OVER
        |      (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) rm
        |  FROM pp)""".stripMargin
+
+  /** The per-doc span-stats select shared by the x_dedup_suffix and
+    * x_dedup_suffix_deep oracles — cap-independent by construction
+    * (the cap lives only in the g CTE), so both strategy branches are
+    * replayed under one copy of the semantics.
+    */
+  private lazy val sufSelect =
+    s"""
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(max(dl) AS BIGINT) AS max_dup_span,
+       |  CAST(coalesce(sum(CASE WHEN dl >= $SufMinSpan THEN 1 END), 0) AS BIGINT)
+       |    AS n_dup_positions,
+       |  CAST(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0) AS BIGINT)
+       |    AS covered_tokens,
+       |  round(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0)
+       |    / CAST(n AS DOUBLE), 6) AS dup_coverage
+       |FROM mk GROUP BY doc_id, n""".stripMargin
 
   /** Unigram-LM tokenizer constants, shared between the gated queries
     * and the unrolled oracle generator so a knob change cannot desync
@@ -737,6 +772,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
     "x_dedup_suffix" -> dedupSuffixQ,
+    "x_dedup_suffix_deep" -> dedupSuffixDeepQ,
     "x_dedup_onion" -> dedupOnionQ,
     "x_unigram_train" -> unigramTrainQ,
     "x_unigram_apply" -> unigramApplyQ,
@@ -1470,27 +1506,23 @@ object CurateQueries extends QueryPack {
         |  CAST(coalesce(n_dup, 0) * 5 >= nw - 15 AS INT) AS flagged
         |FROM d LEFT JOIN dup USING (doc_id)""".stripMargin,
     // Brute-force maximal-span replay: for EVERY position the longest
-    // m-gram (m <= 64, the engine's cap) occurring >= 2 times anywhere
+    // m-gram (m <= the engine's cap) occurring >= 2 times anywhere
     // in the corpus — dup_len(pos) = max duplicated m — then the same
     // running-max interval union the engine computes. Exhaustive over
     // positions x lengths, so it IS the definitionally-exact answer the
-    // suffix array must reproduce.
-    "x_dedup_suffix" ->
-      (sufCommon + s"""
-        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-        |  CAST(max(dl) AS BIGINT) AS max_dup_span,
-        |  CAST(coalesce(sum(CASE WHEN dl >= $SufMinSpan THEN 1 END), 0) AS BIGINT)
-        |    AS n_dup_positions,
-        |  CAST(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0) AS BIGINT)
-        |    AS covered_tokens,
-        |  round(coalesce(sum(CASE WHEN rm > p THEN 1 END), 0)
-        |    / CAST(n AS DOUBLE), 6) AS dup_coverage
-        |FROM mk GROUP BY doc_id, n""".stripMargin),
+    // suffix array must reproduce. ONE select body serves both caps so
+    // the two strategy branches are gated against literally the same
+    // semantics.
+    "x_dedup_suffix" -> (sufCommonFor(SufCap) + sufSelect),
+    // cap=256 > DirectSortCap: the identical oracle semantics replayed
+    // at the deep cap, gating the prefix-doubling branch the default
+    // registration never executes.
+    "x_dedup_suffix_deep" -> (sufCommonFor(SufCapDeep) + sufSelect),
     // Onion replay: the same mk interval union, joined back to the
     // token values; kept = NOT covered (NULL running end = kept), md5
     // over the order-preserved retained text, '' for a fully-cut doc.
     "x_dedup_onion" ->
-      (sufCommon + """,
+      (sufCommonFor(SufCap) + """,
         |docw AS (SELECT doc_id, i p, w[i] tok
         |  FROM d, unnest(generate_series(1, n)) t(i))
         |SELECT mk.doc_id, CAST(n AS BIGINT) AS n_tokens,

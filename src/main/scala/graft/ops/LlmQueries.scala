@@ -904,6 +904,40 @@ object LlmQueries extends QueryPack {
       .filter(col("hamming") <= 3)
   }
 
+  /** x_mm_caption_conflict: the cross-modal alignment screen
+    * ([[GraftOps.captionConflict]]) — x_mm_phash_dedup's pixel-identity
+    * classes (REAL decode → dHash-64 of every payload) joined against
+    * caption fingerprints (md5 of the doc's trim+lower text), reporting
+    * per image class the same-image/different-caption count and the
+    * docs whose caption also appears under a DIFFERENT image — the two
+    * label-noise modes a contrastive image-text run screens for. The
+    * oracle replays the planted mod-140 pixel classes arithmetically
+    * (the identity x_mm_phash_dedup's gate proves) and the caption md5s
+    * from the same text column, so the hash gate covers the whole
+    * decode→fingerprint→two-sided-rollup chain.
+    */
+  def mmCaptionConflict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          // same (w, h, seed) triple as x_mm_phash_dedup: ids congruent
+          // mod 140 carry byte-identical pixels (16+ px so the 9x8
+          // fingerprint downscales with full comparison entropy)
+          val png = graft.api.MultimodalDecode.encodePng(
+            16 + (id % 5).toInt, 16 + (id % 4).toInt, id % 140)
+          graft.api.MediaIn(id, png, "image/png")
+        }
+      }
+    val imgKeys = graft.api.MultimodalDecode.phash(payloads).toDF()
+      .filter(col("ok")).select(col("doc_id"), col("phash"))
+    val withCaptions = imgKeys.join(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+    GraftOps.captionConflict(withCaptions, col("doc_id"), col("phash"),
+      col("text"))
+  }
+
   /** The audio media table: one genuine 16-bit PCM payload per document
     * via javax.sound.sampled, frame count a pure function of doc_id.
     * Every 5th row is STEREO WAV (exercises the exact-integer per-frame
@@ -1134,7 +1168,10 @@ object LlmQueries extends QueryPack {
   def dedupPriorityQ(s: SparkSession, d: String): DataFrame =
     GraftOps.dedupPriority(Tables.documents(s, d), col("doc_id"),
       col("text"), col("source"),
-      substring(col("source"), 4, 10).cast("int"))
+      // slice to END of string, matching the oracle's substr(source, 4)
+      // exactly — a capped length here would silently desync the gate
+      // on a source label with a >10-char numeric suffix
+      col("source").substr(lit(4), length(col("source"))).cast("int"))
 
   /** x_dedup_soft: soft dedup weighting ([[GraftOps.dedupSoft]]) — every
     * near-dup class member weighted 1/class_size instead of dropped;
@@ -1201,6 +1238,7 @@ object LlmQueries extends QueryPack {
     "x_audio_decode" -> audioDecode,
     "x_mm_phash_dedup" -> mmPhashDedup,
     "x_mm_phash_near" -> mmPhashNear,
+    "x_mm_caption_conflict" -> mmCaptionConflict,
     "x_audio_features" -> audioFeatures,
     "x_video_probe" -> videoProbe,
     "x_video_tracks" -> videoTracks,
@@ -2519,6 +2557,27 @@ object LlmQueries extends QueryPack {
         |  CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b
         |  ON a.doc_id % 140 = b.doc_id % 140 AND a.doc_id < b.doc_id""".stripMargin,
+
+    // Caption-conflict replay: image class = the planted mod-140 pixel
+    // identity (x_mm_phash_dedup's gate proves the engine's dHash
+    // classes ARE these classes on this fixture), caption key = md5 of
+    // the trim+lower text — then the identical two-sided rollup: the
+    // caption-spread aggregate and the per-image-class report.
+    "x_mm_caption_conflict" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 140 AS ikey,
+        |    md5(trim(lower(text))) AS ckey
+        |  FROM documents),
+        |cs AS (SELECT ckey, count(DISTINCT ikey) AS n_images
+        |  FROM p GROUP BY 1)
+        |SELECT min(doc_id) AS cluster_rep,
+        |  count(*) AS n_members,
+        |  count(DISTINCT ckey) AS n_captions,
+        |  CAST(count(DISTINCT ckey) > 1 AS INT) AS caption_conflict,
+        |  CAST(coalesce(sum(CASE WHEN n_images > 1 THEN 1 END), 0)
+        |    AS BIGINT) AS n_crossimage_docs
+        |FROM p JOIN cs USING (ckey)
+        |GROUP BY ikey""".stripMargin,
 
     // The engine decodes the WHOLE PCM body and computes exact-integer
     // features; the oracle regenerates the waveform from the fixture's

@@ -356,6 +356,35 @@ class CurateOpsSpec extends SparkSpec {
     assert(expected.exists { case (p, c, _, _) => p == "ab" && c > 0 })
   }
 
+  test("unigram seed cluster-side top-k equals the driver-side top-k " +
+    "(orderBy+limit replay, ties included)") {
+    import spark.implicits._
+    // 'ababab' and 'cdcdcd' are frequency-tied, so several multi-char
+    // substrings tie on cnt and only the (cnt desc, piece asc) rule
+    // orders them — the case where a cluster-side TakeOrderedAndProject
+    // with a sloppy tie-break would silently diverge from the old
+    // driver-side sortBy((-c, p)).take(k)
+    val words = Seq(("ababab", 3L), ("cdcdcd", 3L), ("ab", 2L), ("cd", 2L))
+    val maxPieceLen = 3
+    val seedCounts = words.toDF("word", "freq")
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(i, least(length(word), i + $maxPieceLen - 1)),
+           |    j -> substr(word, i, j - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .repartition(8) // force multi-partition per-partition top-k
+    val k = 5
+    val clusterSide = seedCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val driverSide = seedCounts.filter(length(col("piece")) > 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, c) => (-c, p) }.take(k).toSeq
+    assert(clusterSide === driverSide)
+    // the fixture really has ties at the cut boundary
+    assert(driverSide.map(_._2).distinct.size < driverSide.size)
+  }
+
   test("unigram hard-EM corpus likelihood is non-decreasing per round") {
     val words = Map("abab" -> 5L, "cd" -> 3L, "ab" -> 2L, "cdcd" -> 1L,
       "abcd" -> 2L, "dcba" -> 1L)

@@ -970,4 +970,34 @@ class LlmOpsSpec extends SparkSpec {
       ("src2", 1L, 1L, 0L, 1L),
       ("src5", 2L, 1L, 1L, 0L)))
   }
+
+  test("captionConflict: both conflict directions counted per image " +
+    "class, caption identity is trim+lower") {
+    import spark.implicits._
+    val docs = Seq(
+      // image A (key 10): three docs, two DISTINCT captions — doc 3's
+      // caption equals doc 1's after trim+lower, pinning normalization
+      (1L, 10L, "cat on mat"),
+      (2L, 10L, "a cat"),
+      (3L, 10L, "  CAT on Mat "),
+      // image B (key 20): shares doc 1's caption (cross-image) plus one
+      // caption of its own
+      (4L, 20L, "cat on mat"),
+      (5L, 20L, "dog"),
+      // image C (key 30): a clean singleton — no conflict either way
+      (6L, 30L, "unique caption")
+    ).toDF("doc_id", "img", "cap")
+    val out = GraftOps.captionConflict(docs, col("doc_id"), col("img"),
+        col("cap"))
+      .orderBy("cluster_rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(out === Seq(
+      // A: 2 captions (conflict), docs 1+3 carry the caption that also
+      // lives under B → 2 cross-image docs
+      (1L, 3L, 2L, 1, 2L),
+      // B: 2 captions (conflict), doc 4 is the cross-image one
+      (4L, 2L, 2L, 1, 1L),
+      (6L, 1L, 1L, 0, 0L)))
+  }
 }

@@ -581,6 +581,13 @@ class PlanSpec extends SparkSpec {
     assert(pk.contains("BroadcastNestedLoopJoin") ||
       pk.contains("BroadcastExchange"),
       "corpus totals must broadcast")
+    // and the per-group KL total is FOLDED into the final aggregate
+    // (Σ tf·ln(tf·n/ctf) identity) — the docstring's no-window-pass
+    // claim, pinned so a refactor back to a per-group window total
+    // (one extra corpus-vocabulary-sized sort+shuffle) fails here
+    assert(!pk.contains("Window"),
+      "x_kl_drift must not plan a window pass — the per-group total " +
+        "folds into the aggregate")
   }
 
   test("q_concurrency and q_unpivot expand map-side (no join in the explode path)") {

@@ -132,6 +132,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_tbl").count() === 2)
   }
 
+  test("s_restart: dropDuplicatesWithinWatermark state survives a " +
+    "checkpoint restart") {
+    // the dedup tier's restart law, next to the transformWithState and
+    // fMGWS ones: a duplicate event_id arriving AFTER the restart must
+    // still be suppressed, because the seen-keys state came back from
+    // the checkpoint — a state store (or a Spark minor upgrade) that
+    // silently dropped dedup state would emit (1, 1, 2) here and
+    // double-deliver at every pipeline restart in production
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_restart_dedup").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_restart_dedup_out").toString
+    val in = MemoryStream[Ev]
+    def deduped = StreamOps.dedupStream(in.toDF())
+    val q1 = deduped.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in.addData(
+      Ev(1, ts("10:00"), 1, "click", 1.0, "{}"),
+      Ev(2, ts("10:01"), 2, "click", 1.0, "{}"))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = deduped.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    in.addData(Ev(1, ts("10:02"), 1, "click", 1.0, "{}")) // dup of batch 1
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(outDir).select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L),
+      s"restarted dedup must suppress the pre-restart key, got $ids")
+  }
+
   test("s_dedup_near: signature-equal docs emit once; short docs all survive") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
