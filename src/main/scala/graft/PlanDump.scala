@@ -354,7 +354,16 @@ object PlanDump {
       "per-source rollup"),
     "q_ts_spike" -> ("Daily spike monitor — one (entity, day) count " +
       "aggregate, then a per-entity ROWS window over day-bounded " +
-      "partitions; exact integer 2x-trailing-mean rule")
+      "partitions; exact integer 2x-trailing-mean rule"),
+    "x_dedup_suffix_deep" -> ("Suffix dedup via the prefix-doubling " +
+      "branch (cap=256 > DirectSortCap): 8-token seed ranks, then " +
+      "doubling rounds of doc-keyed lead window + range sort + " +
+      "driver-offset dense rank, early-stopped once every suffix is " +
+      "alone in its class; rounds move fixed 16-byte rank pairs"),
+    "x_mm_caption_conflict" -> ("Caption-conflict screen — map-side " +
+      "decode + dHash + caption md5, caption-spread aggregate and " +
+      "join-back on caption key, rollup on image key; three " +
+      "fingerprint-width shuffles, conflicts counted never paired")
   )
 
   def main(args: Array[String]): Unit = {

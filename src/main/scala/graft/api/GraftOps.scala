@@ -1094,6 +1094,16 @@ object GraftOps {
     // rows are the right trade even at small caps.
     val DirectSortCap = 128
     val DirectRowTokens = 8L << 20
+    // Doubling-path seed stays SMALL by a per-row wire-cost model, not
+    // a wall-clock one: growing the seed to 128 would cut the fixture
+    // wall 11.8s → 8.5s at sf0.1 (each absorbed round is ~10 scheduled
+    // stages), but a 128-token seed string moves ~2 KB/row through the
+    // distinct + range sort while the four rounds it replaces move
+    // ~400 B/row of fixed 16-byte rank pairs — at cluster scale the
+    // wire dominates and the small seed wins; the fixture-scale
+    // inversion is pure per-stage scheduling overhead, which 10×
+    // rehearsals show amortizing away (sub-linear scaling on exactly
+    // this query).
     val seedLen =
       if (cap <= DirectSortCap && maxDocLen * cap <= DirectRowTokens) cap
       else math.min(8, cap)
