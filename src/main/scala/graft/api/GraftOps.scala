@@ -2370,6 +2370,42 @@ object GraftOps {
         md5(col("seg")).as("seg_md5"))
   }
 
+  /** Tokenizer fertility report — the number every tokenizer evaluation
+    * leads with: pieces emitted per word occurrence, per source
+    * (training-token inflation: a source at fertility 2.4 costs 20%
+    * more compute per word than one at 2.0 under the same budget), plus
+    * the unsplit-word occurrence count (words the merge table already
+    * covers whole — the vocabulary-fit signal). Segmentation is
+    * [[bpeApply]]'s exact merge-fold, but run over the DISTINCT
+    * (source, word) table and weighted back by occurrence counts — the
+    * tokenizer-tier scale discipline: the per-word DP/fold cost is
+    * vocabulary-bounded, never corpus-bounded, and the only
+    * corpus-proportional work is the word-count aggregate. Fertility
+    * ships as exact integer ppm (the perplexity family's parity rule).
+    */
+  def bpeFertility(df: DataFrame, source: Column, text: Column,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val wf = df.select(source.as("source"),
+        explode(TextFns.tokens(text)).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("wf"))
+    val wrapped = regexp_replace(col("word"), "(\\S)", "<$1>")
+    val seg = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    wf.withColumn("pieces",
+        (length(seg) - length(call_function("replace", seg, lit("<"),
+          lit("")))).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("wf")).as("n_words"),
+        sum(col("wf") * col("pieces")).as("n_pieces"),
+        sum(when(col("pieces") === 1L, col("wf")).otherwise(lit(0L)))
+          .as("n_unsplit"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 div n_words").as("fertility_ppm"),
+        col("n_unsplit"))
+  }
+
   /** Integer micro-log: round(ln(x)·1e6) half-away-from-zero — the ONE
     * float operation in the unigram-LM tokenizer. Both engines round
     * the same way (BigDecimal HALF_UP == DuckDB round()), and
@@ -5124,6 +5160,61 @@ object GraftOps {
         sum(expr("1000000 div csize")).as("eff_docs_ppm"))
   }
 
+  /** URL canonicalization — the first dedup a crawl pipeline runs,
+    * BEFORE any content fetch: the same page arrives as
+    * `HTTPS://WWW.Site.COM:443/path/?utm_source=feed#frag` and
+    * `https://www.site.com/path`, and canonical-URL identity collapses
+    * them without touching a byte of content. Steps (each a codegen'd
+    * string/array expression, no UDF): lowercase the scheme and
+    * host:port authority, strip the scheme's default port (:80 http /
+    * :443 https), drop the fragment, drop tracking parameters
+    * (`utm_*`, `ref`, `fbclid`, `gclid`), sort the surviving query
+    * parameters (param ORDER is almost never semantic; sorting makes
+    * `?a=1&b=2` and `?b=2&a=1` one key), and strip a trailing slash
+    * from non-root paths. Path CASE is preserved — paths are
+    * case-significant on most origins, so folding them would merge
+    * distinct pages (precision loss), while everything stripped here
+    * is spec-insignificant (RFC 3986 §6) or tracking noise.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val authRaw = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val auth = when(scheme === "https", regexp_replace(authRaw, ":443$", ""))
+      .when(scheme === "http", regexp_replace(authRaw, ":80$", ""))
+      .otherwise(authRaw)
+    val pathRaw = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val pathAbs = when(pathRaw === "", lit("/")).otherwise(pathRaw)
+    val path = when(length(pathAbs) > 1, regexp_replace(pathAbs, "/$", ""))
+      .otherwise(pathAbs)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        !(p.startsWith("utm_") || p.startsWith("ref=") ||
+          p.startsWith("fbclid=") || p.startsWith("gclid=") ||
+          p === ""))), "&")
+    concat(scheme, lit("://"), auth, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** URL-identity dedup over [[canonicalizeUrl]] keys — one row per
+    * canonical URL with its min-key representative, member count, and
+    * the count of DISTINCT raw spellings that collapsed into it (the
+    * crawl-frontier savings readout: raw forms minus canonical keys is
+    * exactly the fetches canonicalization avoids). Scale shape: one
+    * map-side canonicalization pass, one canonical-key shuffle — no
+    * content column ever moves, which is the entire point of running
+    * this stage before fetch/content dedup at 100 TB.
+    */
+  def dedupUrl(df: DataFrame, key: Column, url: Column): DataFrame =
+    df.select(key.as("doc_id"), url.as("u"))
+      .withColumn("canon_url", canonicalizeUrl(col("u")))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("u")).as("n_raw_forms"))
+      .select(col("canon_url"), col("cluster_rep"), col("n_members"),
+        col("n_raw_forms"))
+
   /** Cross-modal caption-conflict report — the alignment screen an
     * image-text training set runs before contrastive training: per
     * IMAGE-identity class (any content key — a perceptual dHash, a
@@ -5300,5 +5391,40 @@ object GraftOps {
         (col("trail_n") > 0 &&
           col("cnt") * col("trail_n") > lit(factor.toLong) * col("trail_sum"))
           .cast("int"))
+  }
+
+  /** Seasonality-aware hourly anomaly detection — [[spikeDays]]'s
+    * calendar-profile complement: Monday 9am is compared against the
+    * baseline of ALL Monday-9am cells, not a trailing window, so a
+    * weekly rhythm (weekend troughs, business-hour peaks) is part of
+    * the expectation instead of a false alarm. Each (group, date, hour)
+    * cell is flagged when cnt · n_base_cells > factor · base_total —
+    * count above `factor`× its own (weekday, hour) mean in EXACT
+    * integer arithmetic (the [[spikeDays]] discipline: no float
+    * boundary an oracle could round differently). The baseline includes
+    * the cell itself, which both engines replay identically and which
+    * keeps single-occurrence (dow, hour) slots from dividing by zero.
+    * Scale shape: one (group, date, hour) count aggregate is the only
+    * corpus-proportional shuffle; the baseline is a second aggregate
+    * OVER THE CELL TABLE (bounded by groups × calendar cells, never by
+    * event volume) joined back broadcast-sized. Output is the full cell
+    * grid with the flag — bounded by the time span, not the corpus.
+    */
+  def seasonalHours(events: DataFrame, group: Column, ts: Column,
+                    factor: Int = 2): DataFrame = {
+    val cells = events.select(group.as("grp"), to_date(ts).as("ev_date"),
+        hour(ts).as("hod"), dayofweek(ts).as("dow"))
+      .groupBy(col("grp"), col("ev_date"), col("hod"), col("dow"))
+      .agg(count(lit(1)).as("n_events"))
+      .persistOnce()
+    val base = cells.groupBy(col("grp"), col("dow"), col("hod"))
+      .agg(sum(col("n_events")).as("base_total"),
+        count(lit(1)).as("n_base_cells"))
+    cells.join(broadcast(base), Seq("grp", "dow", "hod"))
+      .select(col("grp").as("event_type"),
+        col("ev_date").cast("string").as("ev_date"), col("hod"),
+        col("n_events"), col("base_total"), col("n_base_cells"),
+        (col("n_events") * col("n_base_cells") >
+          lit(factor.toLong) * col("base_total")).cast("int").as("flagged"))
   }
 }

@@ -701,6 +701,224 @@ object MultimodalDecode {
     out
   }
 
+  // ------------------------------------------------------------ audio (FLAC)
+
+  /** REAL FLAC container probe — the lossless-audio member of the
+    * container family (WAV/AIFF decode, MP3 frame walk, MP4 box walk):
+    * 'fLaC' magic, then the metadata-block chain is walked (1-byte
+    * last-flag+type header, 3-byte big-endian length per block) to the
+    * mandatory STREAMINFO block, whose packed bit layout — sample rate
+    * 20 bits, channels−1 3 bits, bits-per-sample−1 5 bits, total
+    * samples 36 bits — is decoded with exact shifts; the first audio
+    * frame after the chain must carry the 14-bit FLAC frame sync
+    * (0xFF 0xF8..0xFB) or the payload is rejected. duration_ms is the
+    * integer floor of total·1000/rate, replayable by any oracle. ANY
+    * malformation — bad magic, truncated block, missing STREAMINFO,
+    * zero rate, absent frame sync — fails loudly (ok=false, zeros),
+    * the dirty-feed contract of every codec path here.
+    */
+  def probeFlacOne(in: MediaIn): FlacMeta = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val bad = FlacMeta(in.doc_id, in.mime, c.length.toLong, 0, 0, 0, 0L,
+      0L, ok = false)
+    if (c.length < 4 || c(0) != 'f' || c(1) != 'L' || c(2) != 'a' ||
+        c(3) != 'C') return bad
+    var off = 4
+    var last = false
+    var rate = 0
+    var channels = 0
+    var bps = 0
+    var total = 0L
+    var sawInfo = false
+    while (!last) {
+      if (off + 4 > c.length) return bad // truncated block header
+      val h = c(off) & 0xff
+      last = (h & 0x80) != 0
+      val btype = h & 0x7f
+      if (btype == 127) return bad // forbidden block type
+      val blen = ((c(off + 1) & 0xff) << 16) | ((c(off + 2) & 0xff) << 8) |
+        (c(off + 3) & 0xff)
+      if (off + 4 + blen > c.length) return bad // truncated block body
+      if (btype == 0) {
+        // STREAMINFO is exactly 34 bytes; the packed 64-bit field
+        // starts at body offset 10 (after the 16/16-bit block sizes and
+        // 24/24-bit frame sizes)
+        if (blen != 34 || sawInfo) return bad
+        val b = off + 4
+        rate = ((c(b + 10) & 0xff) << 12) | ((c(b + 11) & 0xff) << 4) |
+          ((c(b + 12) & 0xff) >> 4)
+        channels = ((c(b + 12) >> 1) & 0x7) + 1
+        bps = (((c(b + 12) & 0x1) << 4) | ((c(b + 13) & 0xff) >> 4)) + 1
+        total = ((c(b + 13) & 0xfL) << 32) | ((c(b + 14) & 0xffL) << 24) |
+          ((c(b + 15) & 0xffL) << 16) | ((c(b + 16) & 0xffL) << 8) |
+          (c(b + 17) & 0xffL)
+        sawInfo = true
+      }
+      off += 4 + blen
+    }
+    if (!sawInfo || rate <= 0) return bad
+    // the chain must be followed by at least one audio frame whose
+    // header carries the FLAC frame sync code (11111111 111110xx)
+    if (off + 2 > c.length || (c(off) & 0xff) != 0xff ||
+        (c(off + 1) & 0xfc) != 0xf8) return bad
+    FlacMeta(in.doc_id, in.mime, c.length.toLong, rate, channels, bps,
+      total, total * 1000L / rate, ok = true)
+  }
+
+  def probeFlac(payloads: Dataset[MediaIn]): Dataset[FlacMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map(probeFlacOne))
+  }
+
+  /** Encode a deterministic FLAC container — the fixture writer for the
+    * FLAC probe (no JDK FLAC codec exists, but the metadata layout is
+    * pure bytes: real magic, real STREAMINFO bit packing, real block
+    * chain). `withPadding` inserts a PADDING block before the last one
+    * so the probe's chain walk is exercised on multi-block files. The
+    * body is a deterministic pseudo-frame starting with the genuine
+    * 14-bit frame sync; body byte j is a pure function of (seed, j).
+    */
+  def encodeFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                 totalSamples: Long, seed: Long, bodyLen: Int,
+                 withPadding: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20) &&
+      channels >= 1 && channels <= 8 &&
+      bitsPerSample >= 4 && bitsPerSample <= 32 &&
+      totalSamples >= 0 && totalSamples < (1L << 36) && bodyLen >= 2,
+      "encodeFlac: invalid fixture fields")
+    val padLen = 16
+    val size = 4 + (4 + 34) + (if (withPadding) 4 + padLen else 0) + bodyLen
+    val out = new Array[Byte](size)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    var off = 4
+    if (withPadding) {
+      // PADDING (type 1), not last, zero body
+      out(off) = 1; out(off + 1) = 0; out(off + 2) = 0
+      out(off + 3) = padLen.toByte
+      off += 4 + padLen
+    }
+    out(off) = (0x80 | 0).toByte // STREAMINFO, last block
+    out(off + 1) = 0; out(off + 2) = 0; out(off + 3) = 34
+    val b = off + 4
+    // min/max block size 4096, min/max frame size 0 (unknown — legal)
+    out(b) = 0x10; out(b + 1) = 0; out(b + 2) = 0x10; out(b + 3) = 0
+    val rate20 = sampleRate & 0xfffff
+    out(b + 10) = (rate20 >> 12).toByte
+    out(b + 11) = ((rate20 >> 4) & 0xff).toByte
+    out(b + 12) = (((rate20 & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    out(b + 13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toInt.toByte
+    out(b + 14) = ((totalSamples >> 24) & 0xff).toByte
+    out(b + 15) = ((totalSamples >> 16) & 0xff).toByte
+    out(b + 16) = ((totalSamples >> 8) & 0xff).toByte
+    out(b + 17) = (totalSamples & 0xff).toByte
+    // bytes 18..33: the raw-audio md5 slot — deterministic filler
+    var j = 18
+    while (j < 34) { out(b + j) = ((seed + j) % 251).toByte; j += 1 }
+    val body = b + 34
+    out(body) = 0xff.toByte
+    out(body + 1) = 0xf8.toByte // frame sync, blocking strategy 0
+    j = 2
+    while (j < bodyLen) {
+      out(body + j) = (seed * 31 + j * 2654435761L).toByte; j += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------- subtitles (SRT)
+
+  /** REAL SubRip (SRT) subtitle parse — the aligned-text track next to
+    * the audio/video container probes (captions are the text half of a
+    * speech or video training pair): cue blocks are split on blank
+    * lines and each block must carry a positive integer index line, a
+    * strict `HH:MM:SS,mmm --> HH:MM:SS,mmm` timestamp line (2-2-2-3
+    * digit fields, exact separators), and at least one text line. One
+    * output row per cue (the 1→N generator shape of
+    * [[probeVideoTracksOne]]) with exact start/end milliseconds and the
+    * text character count (newlines excluded). ANY malformation — bad
+    * index, misshaped timestamp, end before start, empty text — yields
+    * ONE loud ok=false row for the document, the dirty-feed contract of
+    * every parser here.
+    */
+  def parseSrtOne(in: MediaIn): Seq[SrtCue] = {
+    val bad = Seq(SrtCue(in.doc_id, 0L, 0L, 0L, 0L, ok = false))
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val text = new String(c, java.nio.charset.StandardCharsets.UTF_8)
+    def ts(s: String): Long = {
+      // strict HH:MM:SS,mmm — length, separators and digit positions
+      if (s.length != 12 || s(2) != ':' || s(5) != ':' || s(8) != ',')
+        return -1L
+      var v = 0L
+      var i = 0
+      while (i < 12) {
+        if (i != 2 && i != 5 && i != 8) {
+          val d = s(i) - '0'
+          if (d < 0 || d > 9) return -1L
+        }
+        i += 1
+      }
+      v = s.substring(0, 2).toLong * 3600000L +
+        s.substring(3, 5).toLong * 60000L +
+        s.substring(6, 8).toLong * 1000L + s.substring(9, 12).toLong
+      if (s.substring(3, 5).toLong > 59 || s.substring(6, 8).toLong > 59)
+        -1L
+      else v
+    }
+    val blocks = text.split("\r?\n\r?\n").filter(_.trim.nonEmpty)
+    if (blocks.isEmpty) return bad
+    val out = scala.collection.mutable.ArrayBuffer.empty[SrtCue]
+    var k = 0
+    while (k < blocks.length) {
+      val lines = blocks(k).split("\r?\n")
+      if (lines.length < 3) return bad
+      val idx =
+        try lines(0).trim.toLong
+        catch { case _: NumberFormatException => return bad }
+      if (idx <= 0) return bad
+      val arrow = lines(1).indexOf(" --> ")
+      if (arrow < 0) return bad
+      val start = ts(lines(1).substring(0, arrow))
+      val end = ts(lines(1).substring(arrow + 5))
+      if (start < 0 || end < 0 || end < start) return bad
+      val body = lines.drop(2)
+      if (body.exists(_.isEmpty)) return bad
+      out += SrtCue(in.doc_id, idx, start, end,
+        body.map(_.length.toLong).sum, ok = true)
+      k += 1
+    }
+    out.toSeq
+  }
+
+  def parseSrt(payloads: Dataset[MediaIn]): Dataset[SrtCue] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.flatMap(parseSrtOne))
+  }
+
+  /** Render a deterministic SRT document — the fixture writer for the
+    * subtitle parser. Cue i (0-based) starts at i·4000 + startJitter
+    * ms, runs cueMs + i-independent jitter, indexes 1-based, and
+    * carries a text line of computable length (plus a second line on
+    * every 3rd cue, so multi-line bodies are exercised).
+    */
+  def encodeSrt(id: Long, nCues: Int): Array[Byte] = {
+    require(nCues >= 1, "encodeSrt: need at least one cue")
+    def fmt(ms: Long): String =
+      f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:" +
+        f"${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+    val sb = new StringBuilder
+    (0 until nCues).foreach { i =>
+      val start = i * 4000L + id % 1000
+      val end = start + 1500L + (id % 7) * 250
+      sb.append(i + 1).append('\n')
+      sb.append(fmt(start)).append(" --> ").append(fmt(end)).append('\n')
+      sb.append("x" * (10 + ((id + i * 3) % 25)).toInt).append('\n')
+      if (i % 3 == 0) sb.append("yyyyy").append('\n')
+      sb.append('\n')
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   // ------------------------------------------------------------ video (MP4)
 
   /** REAL video container metadata parse: no JDK video CODEC exists, but
@@ -1023,6 +1241,13 @@ case class AudioFeat(doc_id: Long, n_samples: Long, sum_sq: Long,
   * width/height the integer part of tkhd's 16.16 fixed-point dims.
   */
 /** One MP3 probe row: frame walk totals + first-frame header readout. */
+case class SrtCue(doc_id: Long, cue_idx: Long, start_ms: Long,
+                  end_ms: Long, n_chars: Long, ok: Boolean)
+
+case class FlacMeta(doc_id: Long, mime: String, n_bytes: Long,
+                    sample_rate: Int, channels: Int, bits_per_sample: Int,
+                    total_samples: Long, duration_ms: Long, ok: Boolean)
+
 case class Mp3Meta(doc_id: Long, mime: String, n_bytes: Long,
                    n_frames: Long, bitrate_kbps: Int, sample_rate: Int,
                    duration_ms: Long, ok: Boolean)

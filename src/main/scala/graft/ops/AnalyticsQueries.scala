@@ -268,8 +268,20 @@ object AnalyticsQueries extends QueryPack {
   def tsSpike(s: SparkSession, d: String): DataFrame =
     GraftOps.spikeDays(Tables.events(s, d), col("user_id"), col("ts"))
 
+  /** q_ts_seasonal: seasonality-aware hourly anomaly detection
+    * ([[GraftOps.seasonalHours]]) — each (event_type, date, hour) cell
+    * against the mean of ALL cells sharing its (weekday, hour) slot, so
+    * weekly rhythm is expectation, not alarm; flagged at 2× in exact
+    * integer arithmetic. The calendar-profile complement of
+    * q_ts_spike's trailing window.
+    */
+  def tsSeasonal(s: SparkSession, d: String): DataFrame =
+    GraftOps.seasonalHours(Tables.events(s, d), col("event_type"),
+      col("ts"))
+
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "q_ts_spike" -> tsSpike,
+    "q_ts_seasonal" -> tsSeasonal,
     "q_rfm" -> rfm,
     "q_basket" -> basket,
     "q_ab_test" -> abTest,
@@ -296,6 +308,25 @@ object AnalyticsQueries extends QueryPack {
         |FROM d
         |WINDOW w AS (PARTITION BY entity ORDER BY "day"
         |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    // Seasonal replay: identical (type, date, hour, dow) cell counts,
+    // identical (type, dow, hour) baseline aggregate over the cell
+    // table (self-inclusive), exact integer 2x rule. Engine dow is
+    // Spark's 1-7, oracle dow DuckDB's 0-6 — a pure grouping key on
+    // both sides, consistent within each engine and never output.
+    "q_ts_seasonal" ->
+      """WITH cells AS (
+        |  SELECT event_type grp, CAST(ts AS DATE) d, hour(ts) hod,
+        |    dayofweek(ts) dow, count(*) n_events
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |base AS (
+        |  SELECT grp, dow, hod, sum(n_events) bt, count(*) nc
+        |  FROM cells GROUP BY 1, 2, 3)
+        |SELECT grp AS event_type, CAST(d AS VARCHAR) AS ev_date,
+        |  CAST(hod AS INT) AS hod, n_events,
+        |  CAST(bt AS BIGINT) AS base_total,
+        |  CAST(nc AS BIGINT) AS n_base_cells,
+        |  CAST(n_events * nc > 2 * bt AS INT) AS flagged
+        |FROM cells JOIN base USING (grp, dow, hod)""".stripMargin,
     // Exact integer µs midpoint and add-one-smoothed ppm growth.
     "q_trending" ->
       """WITH li AS (

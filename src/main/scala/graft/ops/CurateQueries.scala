@@ -290,6 +290,45 @@ object CurateQueries extends QueryPack {
     GraftOps.dedupSuffix(Tables.documents(s, d), col("doc_id"),
       col("text"), minSpan = SufMinSpan, cap = SufCapDeep)
 
+  /** The synthesized raw-URL column for x_dedup_url, as a SQL
+    * expression over doc_id — covers every canonicalization rule:
+    * scheme/host case variants (mod 3/5), an explicit default :443
+    * port (mod 11), trailing slashes (mod 2), utm tracking params and
+    * unsorted param order (mod 3/7), fragments (mod 4). The DuckDB
+    * oracle repeats this formula verbatim modulo the STRING/VARCHAR
+    * cast keyword — keep the two in sync.
+    */
+  private def urlFixture(castKw: String) =
+    s"""(CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+       |(CASE WHEN doc_id % 3 = 0
+       |      THEN 'WWW.EXAMPLE' || CAST(doc_id % 40 AS $castKw) || '.COM'
+       |      WHEN doc_id % 3 = 1
+       |      THEN 'www.example' || CAST(doc_id % 40 AS $castKw) || '.com'
+       |      ELSE 'Www.Example' || CAST(doc_id % 40 AS $castKw) || '.Com'
+       | END) ||
+       |(CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END) ||
+       |'/Docs/Page-' || CAST(doc_id % 25 AS $castKw) ||
+       |(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+       |(CASE WHEN doc_id % 3 = 0
+       |      THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS $castKw)
+       |      WHEN doc_id % 7 = 0 THEN '?b=2&a=1' ELSE '' END) ||
+       |(CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)""".stripMargin
+      .replace("\n", " ")
+
+  /** x_dedup_url: canonical-URL dedup ([[GraftOps.dedupUrl]]) — the
+    * crawl frontier's zeroth dedup stage: case-folded scheme/authority,
+    * default-port and fragment strip, tracking-param drop, query-param
+    * sort, trailing-slash strip, then one canonical-key rollup with the
+    * fetches-saved readout (n_raw_forms per canonical key). The oracle
+    * replays BOTH the fixture URL synthesis and the full
+    * canonicalization pipeline in DuckDB, so the hash gate covers every
+    * rule, not a planted-class shortcut.
+    */
+  def dedupUrlQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.dedupUrl(
+      Tables.documents(s, d).withColumn("url", expr(urlFixture("STRING"))),
+      col("doc_id"), col("url"))
+
   /** Suffix-dedup knobs, shared between [[dedupSuffixQ]] and its oracle
     * SQL so a tuning change cannot desync the gate (the Uni* pattern).
     * SufCapDeep must stay > the engine's DirectSortCap (128) — its
@@ -423,6 +462,22 @@ object CurateQueries extends QueryPack {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     GraftOps.bpeApply(Tables.documents(s, d), col("doc_id"), col("text"),
       merges)
+  }
+
+  /** x_tok_fertility: tokenizer fertility per source ([[GraftOps
+    * .bpeFertility]]) — pieces per word occurrence under the SAME merge
+    * table x_bpe_apply serves, as exact integer ppm, plus the
+    * unsplit-word count. The training-token inflation readout a mixture
+    * designer reads next to the per-source doc counts; segmentation
+    * cost is distinct-word-bounded.
+    */
+  def tokFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = GraftOps.bpeTrain(Tables.documents(s, d), col("text"),
+        rounds = BpeRounds)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    GraftOps.bpeFertility(Tables.documents(s, d), col("source"),
+      col("text"), merges)
   }
 
   /** x_rank_fusion: hybrid retrieval — BM25 top-20 (lexical) fused with
@@ -771,6 +826,7 @@ object CurateQueries extends QueryPack {
     "x_outlier_embed" -> outlierEmbed,
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
+    "x_dedup_url" -> dedupUrlQ,
     "x_dedup_suffix" -> dedupSuffixQ,
     "x_dedup_suffix_deep" -> dedupSuffixDeepQ,
     "x_dedup_onion" -> dedupOnionQ,
@@ -779,6 +835,7 @@ object CurateQueries extends QueryPack {
     "x_bpe_stats" -> bpeStats,
     "x_bpe_train" -> bpeTrainQ,
     "x_bpe_apply" -> bpeApplyQ,
+    "x_tok_fertility" -> tokFertility,
     "x_rank_fusion" -> rankFusion,
     "x_knn_graph" -> knnGraph,
     "x_knn_graph_probe" -> knnGraphProbe,
@@ -1513,6 +1570,45 @@ object CurateQueries extends QueryPack {
     // suffix array must reproduce. ONE select body serves both caps so
     // the two strategy branches are gated against literally the same
     // semantics.
+    // Full canonicalization replay: the identical URL synthesis (VARCHAR
+    // casts), then every rule — scheme/authority lower, default-port
+    // strip, fragment drop, tracking-param filter, param sort,
+    // trailing-slash strip — re-derived with DuckDB string/list
+    // functions before the same canonical-key rollup.
+    "x_dedup_url" ->
+      (raw"""WITH u AS (
+        |  SELECT doc_id, """.stripMargin + urlFixture("VARCHAR") +
+        raw""" AS url FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
+        |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u),
+        |cp AS (
+        |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(q, '&'),
+        |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+        |        OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=')
+        |        OR p = ''))), '&'), '') AS pstr,
+        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pabs
+        |  FROM c),
+        |c2 AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+        |          WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+        |          ELSE auth0 END) ||
+        |    (CASE WHEN pabs <> '/' THEN regexp_replace(pabs, '/$$', '')
+        |          ELSE pabs END) ||
+        |    (CASE WHEN pstr = '' THEN '' ELSE '?' || pstr END) AS canon_url
+        |  FROM cp)
+        |SELECT canon_url, min(doc_id) AS cluster_rep,
+        |  count(*) AS n_members,
+        |  count(DISTINCT url) AS n_raw_forms
+        |FROM c2 GROUP BY 1""".stripMargin),
     "x_dedup_suffix" -> (sufCommonFor(SufCap) + sufSelect),
     // cap=256 > DirectSortCap: the identical oracle semantics replayed
     // at the deep cap, gating the prefix-doubling branch the default
@@ -1586,6 +1682,38 @@ object CurateQueries extends QueryPack {
            |    AS n_bpe_tokens,
            |  md5(seg) AS seg_md5
            |FROM a$BpeRounds""".stripMargin),
+    // Fertility replay: the same 6-round merge CTEs, the same per-word
+    // wrap + chained replace — but over the DISTINCT (source, word)
+    // table, weighted back by occurrence counts, with the exact-ppm
+    // per-source rollup.
+    "x_tok_fertility" ->
+      (bpeOracleCtes(BpeRounds) + ",\n" +
+        raw"""fw0 AS (
+          |  SELECT source, word, count(*) wf FROM (
+          |    SELECT source, unnest(
+          |      [w for w in string_split_regex(trim(lower(text)), '\s+')
+          |       if w != '']) word
+          |    FROM documents)
+          |  GROUP BY 1, 2),
+          |fs0 AS (SELECT source, wf,
+          |  regexp_replace(word, '(\S)', '<\1>', 'g') seg FROM fw0)""".stripMargin + ",\n" +
+        (1 to BpeRounds).map { i =>
+          s"""fs$i AS (SELECT source, wf, replace(seg,
+             |  (SELECT '<' || lhs || '><' || rhs || '>' FROM m$i),
+             |  (SELECT '<' || lhs || rhs || '>' FROM m$i)) seg
+             |  FROM fs${i - 1})""".stripMargin
+        }.mkString(",\n") + "\n" +
+        s"""SELECT source,
+           |  CAST(sum(wf) AS BIGINT) AS n_words,
+           |  CAST(sum(wf * pieces) AS BIGINT) AS n_pieces,
+           |  CAST(sum(wf * pieces) * 1000000 // sum(wf) AS BIGINT)
+           |    AS fertility_ppm,
+           |  CAST(coalesce(sum(CASE WHEN pieces = 1 THEN wf END), 0)
+           |    AS BIGINT) AS n_unsplit
+           |FROM (SELECT source, wf,
+           |    length(seg) - length(replace(seg, '<', '')) pieces
+           |  FROM fs$BpeRounds)
+           |GROUP BY source""".stripMargin),
     "x_bpe_stats" ->
       """WITH toks AS (
         |  SELECT unnest(

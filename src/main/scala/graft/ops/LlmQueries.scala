@@ -1028,6 +1028,71 @@ object LlmQueries extends QueryPack {
         col("ok").cast("int").as("ok"))
   }
 
+  /** x_audio_probe_flac: REAL FLAC container probe — each payload is a
+    * genuine FLAC byte layout ('fLaC' magic, metadata-block chain,
+    * bit-packed STREAMINFO, frame-sync'd body) and sample rate /
+    * channels / bit depth / total samples come out of an actual block
+    * walk with exact shift arithmetic
+    * ([[graft.api.MultimodalDecode.probeFlacOne]]). Every 4th payload
+    * carries a PADDING block before STREAMINFO so the chain walk (not
+    * just a fixed offset) is what the gate proves; the oracle replays
+    * the field formulas INCLUDING n_bytes, and corrupt rows (9-byte
+    * truncation) fail loudly. Completes the audio container family
+    * next to WAV/AIFF decode and the MP3 frame walk. Pure map work.
+    */
+  def audioProbeFlac(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val flac = graft.api.MultimodalDecode.encodeFlac(
+            sampleRate = Array(44100, 48000, 22050)((id % 3).toInt),
+            channels = 1 + (id % 2).toInt,
+            bitsPerSample = if (id % 5 == 0) 24 else 16,
+            totalSamples = 10000L + id % 90000,
+            seed = id,
+            bodyLen = 64 + (id % 100).toInt,
+            withPadding = id % 4 == 0)
+          val content = if (id % 79 == 0) flac.take(9) else flac
+          graft.api.MediaIn(id, content, "audio/flac")
+        }
+      }
+    graft.api.MultimodalDecode.probeFlac(payloads).toDF()
+      .select(col("doc_id"), col("mime"), col("n_bytes"),
+        col("sample_rate"), col("channels"), col("bits_per_sample"),
+        col("total_samples"), col("duration_ms"),
+        col("ok").cast("int").as("ok"))
+  }
+
+  /** x_subtitle_cues: REAL SubRip (SRT) subtitle parse — the aligned
+    * caption track of a speech/video training pair, through the 1→N
+    * generator shape (one row per cue). Each payload is a genuine SRT
+    * byte stream (index line, strict HH:MM:SS,mmm --> HH:MM:SS,mmm
+    * timestamps, multi-line bodies on every 3rd cue) and cue bounds /
+    * text sizes come out of an actual block-chain parse
+    * ([[graft.api.MultimodalDecode.parseSrtOne]]). The oracle replays
+    * the fixture's cue formulas exactly; corrupt payloads (15-byte
+    * truncation, every 101st doc) yield one loud ok=0 row. Pure map
+    * work, no shuffle.
+    */
+  def subtitleCues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val srt = graft.api.MultimodalDecode.encodeSrt(
+            id, nCues = 3 + (id % 6).toInt)
+          val content = if (id % 101 == 0) srt.take(15) else srt
+          graft.api.MediaIn(id, content, "text/srt")
+        }
+      }
+    graft.api.MultimodalDecode.parseSrt(payloads).toDF()
+      .select(col("doc_id"), col("cue_idx"), col("start_ms"),
+        col("end_ms"), col("n_chars"), col("ok").cast("int").as("ok"))
+  }
+
   /** The MP4 media table: one genuine ISO-BMFF container per document
     * (real ftyp/moov/mvhd/trak/tkhd byte layout via
     * [[graft.api.MultimodalDecode.encodeMp4]]); duration, timescale and
@@ -1245,7 +1310,9 @@ object LlmQueries extends QueryPack {
     "x_dedup_contain" -> dedupContain,
     "x_mm_decode_jpeg" -> mmDecodeJpeg,
     "x_mm_decode_multi" -> mmDecodeMulti,
-    "x_audio_probe_mp3" -> audioProbeMp3
+    "x_audio_probe_mp3" -> audioProbeMp3,
+    "x_audio_probe_flac" -> audioProbeFlac,
+    "x_subtitle_cues" -> subtitleCues
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2724,6 +2791,58 @@ object LlmQueries extends QueryPack {
         |    AS duration_ms,
         |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
         |FROM t""".stripMargin,
+    // Replays the SRT cue formulas per (doc, cue): start i·4000 +
+    // id%1000, end +1500 + (id%7)·250, text chars 10 + (id+3i)%25
+    // (+5 on every 3rd cue's second line); corrupt docs (15-byte
+    // truncation) emit ONE zeroed ok=0 row.
+    "x_subtitle_cues" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 101 = 0 AS corrupt,
+        |    CAST(3 + doc_id % 6 AS INT) AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(i + 1 AS BIGINT) AS cue_idx,
+        |  CAST(i * 4000 + doc_id % 1000 AS BIGINT) AS start_ms,
+        |  CAST(i * 4000 + doc_id % 1000 + 1500 + (doc_id % 7) * 250
+        |    AS BIGINT) AS end_ms,
+        |  CAST(10 + (doc_id + i * 3) % 25 +
+        |    CASE WHEN i % 3 = 0 THEN 5 ELSE 0 END AS BIGINT) AS n_chars,
+        |  CAST(1 AS INT) AS ok
+        |FROM f, unnest(generate_series(0, n - 1)) t(i)
+        |WHERE NOT corrupt
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS INT)
+        |FROM f WHERE corrupt""".stripMargin,
+    // Replays the FLAC fixture's field formulas end to end: n_bytes =
+    // magic(4) + streaminfo(4+34) + optional padding block (4+16 on
+    // every 4th row) + body; duration is the probe's integer-floor
+    // total·1000//rate. Corrupt rows are the 9-byte truncations
+    // (zeros except the observed byte count, ok=0).
+    "x_audio_probe_flac" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 79 = 0 AS corrupt,
+        |    ([44100,48000,22050])[CAST(doc_id % 3 AS INT) + 1] AS rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 24 ELSE 16 END AS INT)
+        |      AS bps,
+        |    10000 + doc_id % 90000 AS total,
+        |    64 + doc_id % 100 AS blen,
+        |    CASE WHEN doc_id % 4 = 0 THEN 20 ELSE 0 END AS pad
+        |  FROM documents)
+        |SELECT doc_id, 'audio/flac' AS mime,
+        |  CAST(CASE WHEN corrupt THEN 9
+        |       ELSE 4 + 38 + pad + blen END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE rate END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE ch END AS INT) AS channels,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE bps END AS INT)
+        |    AS bits_per_sample,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE total END AS BIGINT)
+        |    AS total_samples,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE total * 1000 // rate END
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM f""".stripMargin,
     // Replays the MP4 fixture's field formulas, including the parser's
     // integer-floor units→ms conversion (duration * 1000 // timescale).
     // Corrupt rows (doc_id % 83 = 0, truncated container) → zeros, ok=0.

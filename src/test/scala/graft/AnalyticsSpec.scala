@@ -376,4 +376,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(u2 === Seq((2L, "2024-03-01", 1L, 0L, 0L, 0),
       (2L, "2024-03-20", 1L, 1L, 1L, 0)))
   }
+
+  test("seasonalHours: cells compare against their own (weekday, hour) " +
+    "baseline, exact 2x rule, separate hours never mix") {
+    import spark.implicits._
+    // Mondays 2024-03-04/11/18 at 09h: counts 1, 1, 10 -> baseline
+    // total 12 over 3 cells; 10*3 > 2*12 flags, 1*3 does not. The same
+    // Mondays at 14h hold counts 4, 4, 4 — a DIFFERENT baseline slot
+    // (flat, nothing flags); if hours mixed, the 09h spike would dilute.
+    val evs =
+      Seq((1, "2024-03-04 09:15:00")) ++
+      Seq((1, "2024-03-11 09:40:00")) ++
+      Seq.fill(10)((1, "2024-03-18 09:05:00")) ++
+      (for (d <- Seq(4, 11, 18); _ <- 1 to 4)
+        yield (1, f"2024-03-$d%02d 14:30:00"))
+    val df = evs.toDF("k", "s")
+      .select(lit("click").as("event_type"),
+        col("s").cast("timestamp").as("ts"))
+    val out = GraftOps.seasonalHours(df, col("event_type"), col("ts"))
+      .orderBy("ev_date", "hod")
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(out === Seq(
+      ("2024-03-04", 9, 1L, 12L, 3L, 0),
+      ("2024-03-04", 14, 4L, 12L, 3L, 0),
+      ("2024-03-11", 9, 1L, 12L, 3L, 0),
+      ("2024-03-11", 14, 4L, 12L, 3L, 0),
+      ("2024-03-18", 9, 10L, 12L, 3L, 1),
+      ("2024-03-18", 14, 4L, 12L, 3L, 0)))
+  }
 }

@@ -356,6 +356,45 @@ class CurateOpsSpec extends SparkSpec {
     assert(expected.exists { case (p, c, _, _) => p == "ab" && c > 0 })
   }
 
+  test("bpeFertility: occurrence-weighted pieces per word, exact ppm, " +
+    "unsplit words counted under the served merge table") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1: 'aa' x2 merges whole (1 piece, unsplit), 'ab' stays 2 pieces
+      (1L, "aa ab aa", "s1"),
+      // s2: 'b' is a single char (1 piece, unsplit), 'ba' stays 2
+      (2L, "b ba", "s2")).toDF("doc_id", "text", "source")
+    val out = GraftOps.bpeFertility(docs, col("source"), col("text"),
+        merges = Seq(("a", "a")))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Seq(
+      ("s1", 3L, 4L, 1333333L, 2L),
+      ("s2", 2L, 3L, 1500000L, 1L)))
+  }
+
+  test("canonicalizeUrl: case, default port, fragment, tracking params, " +
+    "param order and trailing slash all fold; path case survives") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+      "https://www.example.com/A/B?a=1&b=2",
+      "http://Host.com:80/",
+      "http://host.com",
+      "https://h.com/p?utm_campaign=c&ref=r&fbclid=f&gclid=g").toDF("u")
+    val got = urls.select(GraftOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      // the first two spellings MUST collapse to one identity
+      "https://www.example.com/A/B?a=1&b=2",
+      "https://www.example.com/A/B?a=1&b=2",
+      "http://host.com/",
+      "http://host.com/",
+      // every param was tracking noise -> no '?' at all
+      "https://h.com/p"))
+  }
+
   test("unigram seed cluster-side top-k equals the driver-side top-k " +
     "(orderBy+limit replay, ties included)") {
     import spark.implicits._

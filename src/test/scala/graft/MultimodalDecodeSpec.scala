@@ -398,6 +398,92 @@ class MultimodalDecodeSpec extends SparkSpec {
       graft.api.MediaIn(7L, null, "audio/mpeg")).ok)
   }
 
+  test("flac: STREAMINFO bit unpacking round-trips, the block chain is " +
+      "walked, malformations are loud") {
+    // 48 kHz stereo 24-bit, 123456 samples -> duration floor 2572 ms
+    val f = MultimodalDecode.encodeFlac(48000, 2, 24, 123456L, seed = 3L,
+      bodyLen = 50)
+    val m = MultimodalDecode.probeFlacOne(
+      graft.api.MediaIn(1L, f, "audio/flac"))
+    assert(m.ok && m.sample_rate === 48000 && m.channels === 2 &&
+      m.bits_per_sample === 24 && m.total_samples === 123456L)
+    assert(m.duration_ms === 123456L * 1000 / 48000)
+    assert(m.n_bytes === 4L + 38 + 50)
+    // padding block BEFORE streaminfo: the probe must walk the chain,
+    // not read a fixed offset; identical fields, 20 more bytes
+    val fp = MultimodalDecode.encodeFlac(48000, 2, 24, 123456L, seed = 3L,
+      bodyLen = 50, withPadding = true)
+    val mp = MultimodalDecode.probeFlacOne(
+      graft.api.MediaIn(2L, fp, "audio/flac"))
+    assert(mp.ok && mp.sample_rate === 48000 &&
+      mp.total_samples === 123456L && mp.n_bytes === m.n_bytes + 20)
+    // a >2^32 total-samples value exercises the 36-bit field's high bits
+    val big = MultimodalDecode.encodeFlac(44100, 1, 16, (1L << 35) + 7L,
+      seed = 9L, bodyLen = 8)
+    assert(MultimodalDecode.probeFlacOne(
+      graft.api.MediaIn(3L, big, "audio/flac")).total_samples ===
+      (1L << 35) + 7L)
+    // every truncation inside the metadata region + sync is loud, never
+    // a throw (body truncation past the sync is invisible to a header
+    // probe by design — FLAC frames carry no length field, so only a
+    // full decoder could notice; the probe's contract stops at the
+    // verified STREAMINFO + first frame sync)
+    (0 until (4 + 38 + 2) by 7).foreach { n =>
+      assert(!MultimodalDecode.probeFlacOne(
+        graft.api.MediaIn(4L, f.take(n), "audio/flac")).ok,
+        s"truncation at $n bytes must fail loudly")
+    }
+    // bad magic, forbidden block type, missing frame sync
+    def corrupt(at: Int, v: Int): Boolean = {
+      val c = f.clone(); c(at) = v.toByte
+      MultimodalDecode.probeFlacOne(
+        graft.api.MediaIn(5L, c, "audio/flac")).ok
+    }
+    assert(!corrupt(0, 'g') && !corrupt(4, 0xff) &&
+      !corrupt(4 + 38, 0x00) && !corrupt(4 + 39, 0x00))
+    assert(!MultimodalDecode.probeFlacOne(
+      graft.api.MediaIn(6L, null, "audio/flac")).ok)
+  }
+
+  test("srt: cue blocks parse to exact bounds and char counts; " +
+      "malformations are one loud row") {
+    def cues(s: String) = MultimodalDecode.parseSrtOne(
+      graft.api.MediaIn(1L, s.getBytes("UTF-8"), "text/srt"))
+    val good = "1\n00:00:01,500 --> 00:00:03,250\nhello there\n\n" +
+      "2\n00:01:00,000 --> 01:00:59,999\nline one\nline two\n\n"
+    val out = cues(good)
+    assert(out.map(c => (c.cue_idx, c.start_ms, c.end_ms, c.n_chars,
+      c.ok)) === Seq(
+      (1L, 1500L, 3250L, 11L, true),
+      (2L, 60000L, 3659999L, 16L, true)))
+    // CRLF line endings parse identically
+    assert(cues(good.replace("\n", "\r\n")).map(_.n_chars) ===
+      Seq(11L, 16L))
+    // the deterministic fixture round-trips its own formulas
+    val enc = MultimodalDecode.parseSrtOne(graft.api.MediaIn(42L,
+      MultimodalDecode.encodeSrt(42L, 4), "text/srt"))
+    assert(enc.length === 4 && enc.forall(_.ok))
+    assert(enc.map(_.start_ms) ===
+      (0 until 4).map(i => i * 4000L + 42 % 1000))
+    assert(enc.map(_.n_chars) === (0 until 4).map(i =>
+      10L + (42 + i * 3) % 25 + (if (i % 3 == 0) 5 else 0)))
+    // malformations: each is ONE loud ok=false row, never a throw
+    val badOnes = Seq(
+      "x\n00:00:01,500 --> 00:00:03,250\nhi\n",    // non-numeric index
+      "0\n00:00:01,500 --> 00:00:03,250\nhi\n",    // non-positive index
+      "1\n00:00:01.500 --> 00:00:03,250\nhi\n",    // wrong ms separator
+      "1\n00:00:61,500 --> 00:01:03,250\nhi\n",    // seconds field > 59
+      "1\n00:00:03,250 --> 00:00:01,500\nhi\n",    // end before start
+      "1\n00:00:01,500 --> 00:00:03,250\n",        // no text line
+      "")                                          // empty payload
+    badOnes.foreach { s =>
+      val r = cues(s)
+      assert(r.length === 1 && !r.head.ok, s"must fail loudly: $s")
+    }
+    assert(!MultimodalDecode.parseSrtOne(
+      graft.api.MediaIn(2L, null, "text/srt")).head.ok)
+  }
+
   test("audio: stereo downmix is exact-integer floorDiv and AIFF carries " +
       "the same samples big-endian") {
     // replay the generator + downmix in plain integer Scala: slot j
