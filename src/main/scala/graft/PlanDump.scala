@@ -363,7 +363,28 @@ object PlanDump {
     "x_mm_caption_conflict" -> ("Caption-conflict screen — map-side " +
       "decode + dHash + caption md5, caption-spread aggregate and " +
       "join-back on caption key, rollup on image key; three " +
-      "fingerprint-width shuffles, conflicts counted never paired")
+      "fingerprint-width shuffles, conflicts counted never paired"),
+    "x_audio_probe_flac" -> ("FLAC STREAMINFO probe — pure map byte " +
+      "walk (block chain + bit unpack), no JDK codec, no shuffle " +
+      "after the id repartition"),
+    "x_subtitle_cues" -> ("SRT cue parse — pure map 1->N generator, " +
+      "one row per cue, no shuffle after the id repartition"),
+    "x_dedup_url" -> ("Canonical-URL dedup — map-side codegen'd " +
+      "canonicalization chain, ONE canonical-key shuffle; content " +
+      "never moves"),
+    "q_ts_seasonal" -> ("Seasonal hourly anomaly — one (type, date, " +
+      "hour) count aggregate is the only corpus shuffle; the " +
+      "(type, dow, hour) baseline aggregates the calendar-bounded " +
+      "cell table and broadcasts back"),
+    "x_tok_fertility" -> ("Tokenizer fertility — corpus word-count " +
+      "aggregate, then the merge fold over DISTINCT (source, word) " +
+      "rows; vocabulary-bounded segmentation, bounded per-source rollup"),
+    "x_mm_exif" -> ("EXIF probe — pure map marker walk + TIFF IFD " +
+      "byte arithmetic, both endiannesses, no shuffle after the id " +
+      "repartition"),
+    "x_url_filter" -> ("URL blocklist — map-side canonicalization, " +
+      "BROADCAST rule join, per-URL any-match aggregate on one " +
+      "(doc, host) shuffle, bounded host rollup")
   )
 
   def main(args: Array[String]): Unit = {

@@ -5215,6 +5215,42 @@ object GraftOps {
       .select(col("canon_url"), col("cluster_rep"), col("n_members"),
         col("n_raw_forms"))
 
+  /** URL blocklist filtering — the robots/policy screen next to
+    * [[dedupUrl]] in a crawl pipeline: a SMALL rule table of
+    * (host, path_prefix) disallow rules is broadcast against the URL
+    * table (rules are thousands of rows; URLs are the corpus — the
+    * join side choice is the whole design), each URL matching ANY rule
+    * on its canonical host + path-prefix is dropped, and the per-host
+    * rollup reports kept/dropped counts — the frontier-shrink readout.
+    * Matching runs on [[canonicalizeUrl]] output so case/port/tracking
+    * variants of a blocked URL cannot slip past the rule. Scale shape:
+    * one map-side canonicalization, one BROADCAST left join against
+    * the rule table, then a per-URL any-match aggregate (a URL hit by
+    * SEVERAL rules must count blocked ONCE — the join multiplies, the
+    * max() collapses) riding one (doc, host) shuffle, and the bounded
+    * host rollup partial-aggregates on top of it; the corpus never
+    * shuffles on anything but its own keys.
+    */
+  def filterUrls(df: DataFrame, key: Column, url: Column,
+                 rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "filterUrls: empty rule table")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("r_host", "r_prefix")
+    val canon = df.select(key.as("doc_id"), canonicalizeUrl(url).as("cu"))
+      .withColumn("host", regexp_extract(col("cu"), "^[^:/?#]+://([^/?#]*)", 1))
+      .withColumn("path", regexp_extract(col("cu"), "^[^:/?#]+://[^/?#]*([^?#]*)", 1))
+    canon.join(broadcast(ruleDf),
+        col("host") === col("r_host") &&
+          col("path").startsWith(col("r_prefix")), "left")
+      .groupBy(col("doc_id"), col("host"))
+      .agg(max(col("r_host").isNotNull.cast("long")).as("b"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), sum(col("b")).as("n_blocked"))
+      .select(col("host"), col("n_urls"), col("n_blocked"),
+        (col("n_urls") - col("n_blocked")).as("n_kept"))
+  }
+
   /** Cross-modal caption-conflict report — the alignment screen an
     * image-text training set runs before contrastive training: per
     * IMAGE-identity class (any content key — a perceptual dHash, a

@@ -826,6 +826,150 @@ object MultimodalDecode {
     out
   }
 
+  // ------------------------------------------------------ EXIF (JPEG APP1)
+
+  /** REAL EXIF metadata parse — the camera-metadata layer of the JPEG
+    * tier (orientation is load-bearing: a training pipeline that
+    * ignores it feeds sideways images to the model): walk the JPEG
+    * marker stream to APP1, verify the `Exif\0\0` signature, read the
+    * TIFF header in ITS OWN byte order ('II' little / 'MM' big — both
+    * decoded, both gated), then iterate IFD0's 12-byte entries
+    * extracting ImageWidth (0x0100), ImageLength (0x0101), Orientation
+    * (0x0112) from their inline SHORT/LONG value slots. Unknown
+    * markers (JFIF APP0 etc.) are length-skipped like a real reader.
+    * ANY malformation — bad SOI, truncated marker, missing APP1/Exif,
+    * bad TIFF magic, entry table past the segment — fails loudly
+    * (ok=false, zeros).
+    */
+  def probeExifOne(in: MediaIn): ExifMeta = {
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val bad = ExifMeta(in.doc_id, "", 0, 0, 0, 0, ok = false)
+    if (c.length < 4 || (c(0) & 0xff) != 0xff || (c(1) & 0xff) != 0xd8)
+      return bad
+    var off = 2
+    var app1 = -1
+    var app1End = -1
+    while (app1 < 0) {
+      if (off + 4 > c.length) return bad
+      if ((c(off) & 0xff) != 0xff) return bad
+      val marker = c(off + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return bad // EOI/SOS: no EXIF
+      val len = ((c(off + 2) & 0xff) << 8) | (c(off + 3) & 0xff)
+      if (len < 2 || off + 2 + len > c.length) return bad
+      if (marker == 0xe1 && len >= 8 &&
+          c(off + 4) == 'E' && c(off + 5) == 'x' && c(off + 6) == 'i' &&
+          c(off + 7) == 'f' && c(off + 8) == 0 && c(off + 9) == 0) {
+        app1 = off + 10 // TIFF header start
+        app1End = off + 2 + len
+      } else off += 2 + len
+    }
+    if (app1 + 8 > app1End) return bad
+    val b0 = c(app1) & 0xff
+    val b1 = c(app1 + 1) & 0xff
+    val little =
+      if (b0 == 0x49 && b1 == 0x49) true
+      else if (b0 == 0x4d && b1 == 0x4d) false
+      else return bad
+    def u16(p: Int): Int =
+      if (little) (c(p) & 0xff) | ((c(p + 1) & 0xff) << 8)
+      else ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (little) (c(p) & 0xffL) | ((c(p + 1) & 0xffL) << 8) |
+        ((c(p + 2) & 0xffL) << 16) | ((c(p + 3) & 0xffL) << 24)
+      else ((c(p) & 0xffL) << 24) | ((c(p + 1) & 0xffL) << 16) |
+        ((c(p + 2) & 0xffL) << 8) | (c(p + 3) & 0xffL)
+    if (u16(app1 + 2) != 42) return bad // TIFF magic
+    val ifd0 = app1 + u32(app1 + 4).toInt
+    if (ifd0 + 2 > app1End) return bad
+    val n = u16(ifd0)
+    if (ifd0 + 2 + n * 12 + 4 > app1End) return bad
+    var orientation = 0
+    var width = 0
+    var height = 0
+    var i = 0
+    while (i < n) {
+      val e = ifd0 + 2 + i * 12
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      // inline SHORT (3) reads the first two value bytes; inline
+      // LONG (4) reads all four — both in the TIFF byte order
+      val v: Long =
+        if (typ == 3) u16(e + 8).toLong
+        else if (typ == 4) u32(e + 8)
+        else -1L
+      if (tag == 0x0100 && v >= 0) width = v.toInt
+      else if (tag == 0x0101 && v >= 0) height = v.toInt
+      else if (tag == 0x0112 && v >= 1 && v <= 8) orientation = v.toInt
+      i += 1
+    }
+    if (orientation == 0 || width == 0 || height == 0) return bad
+    ExifMeta(in.doc_id, if (little) "II" else "MM", orientation, width,
+      height, n, ok = true)
+  }
+
+  def probeExif(payloads: Dataset[MediaIn]): Dataset[ExifMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map(probeExifOne))
+  }
+
+  /** Encode a minimal JPEG carrying a real EXIF APP1 segment — the
+    * fixture writer for the EXIF probe: SOI, optional JFIF APP0 (so
+    * the marker WALK is gated, not a fixed offset), APP1 with
+    * `Exif\0\0` + TIFF header in the chosen byte order + IFD0 with
+    * ascending-tag entries (ImageWidth LONG, ImageLength LONG,
+    * Orientation SHORT, plus ResolutionUnit when `extraEntry`), EOI.
+    */
+  def encodeExif(width: Int, height: Int, orientation: Int,
+                 littleEndian: Boolean, withJfif: Boolean = false,
+                 extraEntry: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && orientation >= 1 &&
+      orientation <= 8, "encodeExif: invalid fixture fields")
+    val n = if (extraEntry) 4 else 3
+    val tiffLen = 8 + 2 + n * 12 + 4
+    val app1Len = 2 + 6 + tiffLen
+    val jfifLen = if (withJfif) 18 else 0
+    val out = new Array[Byte](2 + jfifLen + 2 + app1Len + 2)
+    var p = 0
+    def w8(v: Int): Unit = { out(p) = v.toByte; p += 1 }
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v & 0xff) }
+    out(p) = 0xff.toByte; out(p + 1) = 0xd8.toByte; p += 2 // SOI
+    if (withJfif) {
+      w8(0xff); w8(0xe0); wbe16(16)
+      "JFIF".foreach(ch => w8(ch)); w8(0)
+      w8(1); w8(2); w8(0) // version 1.2, aspect units
+      wbe16(72); wbe16(72); w8(0); w8(0) // density + no thumbnail
+    }
+    w8(0xff); w8(0xe1); wbe16(app1Len)
+    "Exif".foreach(ch => w8(ch)); w8(0); w8(0)
+    val tiff = p
+    def e16(v: Int): Unit =
+      if (littleEndian) { w8(v & 0xff); w8((v >> 8) & 0xff) }
+      else { w8((v >> 8) & 0xff); w8(v & 0xff) }
+    def e32(v: Long): Unit =
+      if (littleEndian) {
+        w8((v & 0xff).toInt); w8(((v >> 8) & 0xff).toInt)
+        w8(((v >> 16) & 0xff).toInt); w8(((v >> 24) & 0xff).toInt)
+      } else {
+        w8(((v >> 24) & 0xff).toInt); w8(((v >> 16) & 0xff).toInt)
+        w8(((v >> 8) & 0xff).toInt); w8((v & 0xff).toInt)
+      }
+    if (littleEndian) { w8(0x49); w8(0x49) } else { w8(0x4d); w8(0x4d) }
+    e16(42); e32(8L) // magic + IFD0 offset from TIFF start
+    e16(n)
+    def entry(tag: Int, typ: Int, v: Long): Unit = {
+      e16(tag); e16(typ); e32(1L)
+      if (typ == 3) { e16(v.toInt); e16(0) } else e32(v)
+    }
+    entry(0x0100, 4, width.toLong)
+    entry(0x0101, 4, height.toLong)
+    entry(0x0112, 3, orientation.toLong)
+    if (extraEntry) entry(0x0128, 3, 2L) // ResolutionUnit = inches
+    e32(0L) // no next IFD
+    require(p - tiff == tiffLen, s"encodeExif: layout ${p - tiff} != $tiffLen")
+    w8(0xff); w8(0xd9) // EOI
+    out
+  }
+
   // ------------------------------------------------------- subtitles (SRT)
 
   /** REAL SubRip (SRT) subtitle parse — the aligned-text track next to
@@ -1241,6 +1385,9 @@ case class AudioFeat(doc_id: Long, n_samples: Long, sum_sq: Long,
   * width/height the integer part of tkhd's 16.16 fixed-point dims.
   */
 /** One MP3 probe row: frame walk totals + first-frame header readout. */
+case class ExifMeta(doc_id: Long, byte_order: String, orientation: Int,
+                    width: Int, height: Int, n_entries: Int, ok: Boolean)
+
 case class SrtCue(doc_id: Long, cue_idx: Long, start_ms: Long,
                   end_ms: Long, n_chars: Long, ok: Boolean)
 

@@ -315,6 +315,62 @@ object CurateQueries extends QueryPack {
        |(CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)""".stripMargin
       .replace("\n", " ")
 
+  /** Shared canonicalization CTE chain (fixture URL synthesis → c2
+    * with per-doc canon_url) feeding BOTH the x_dedup_url and
+    * x_url_filter oracles — one copy of every canonicalization rule,
+    * the sufCommon discipline.
+    */
+  private lazy val urlCanonCtes =
+    raw"""WITH u AS (
+      |  SELECT doc_id, """.stripMargin + urlFixture("VARCHAR") +
+      raw""" AS url FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
+      |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS q
+      |  FROM u),
+      |cp AS (
+      |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(q, '&'),
+      |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
+      |        OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=')
+      |        OR p = ''))), '&'), '') AS pstr,
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pabs
+      |  FROM c),
+      |c2 AS (
+      |  SELECT doc_id, url,
+      |    scheme || '://' ||
+      |    (CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+      |          WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+      |          ELSE auth0 END) ||
+      |    (CASE WHEN pabs <> '/' THEN regexp_replace(pabs, '/$$', '')
+      |          ELSE pabs END) ||
+      |    (CASE WHEN pstr = '' THEN '' ELSE '?' || pstr END) AS canon_url
+      |  FROM cp)""".stripMargin
+
+  /** Blocklist rules for x_url_filter, shared verbatim with its oracle
+    * (rendered as SQL VALUES): every 5th fixture host disallows the
+    * /Docs/Page-1 path PREFIX — which also catches Page-10..Page-19,
+    * the realistic prefix-rule semantics a robots disallow carries.
+    */
+  private val UrlRules: Seq[(String, String)] =
+    (0 to 7).map(k => (s"www.example${k * 5}.com", "/Docs/Page-1"))
+
+  /** x_url_filter: URL blocklist filtering ([[GraftOps.filterUrls]]) —
+    * the robots/policy screen next to x_dedup_url: broadcast
+    * (host, path-prefix) disallow rules matched against CANONICAL
+    * host/path (case/port/tracking variants cannot slip past), per-URL
+    * any-match, per-host kept/dropped rollup. The oracle replays the
+    * same rule table through the same canonicalization chain.
+    */
+  def urlFilterQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.filterUrls(
+      Tables.documents(s, d).withColumn("url", expr(urlFixture("STRING"))),
+      col("doc_id"), col("url"), UrlRules)
+
   /** x_dedup_url: canonical-URL dedup ([[GraftOps.dedupUrl]]) — the
     * crawl frontier's zeroth dedup stage: case-folded scheme/authority,
     * default-port and fragment strip, tracking-param drop, query-param
@@ -827,6 +883,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_embed_cluster" -> dedupEmbedCluster,
     "x_dedup_substr" -> dedupSubstr,
     "x_dedup_url" -> dedupUrlQ,
+    "x_url_filter" -> urlFilterQ,
     "x_dedup_suffix" -> dedupSuffixQ,
     "x_dedup_suffix_deep" -> dedupSuffixDeepQ,
     "x_dedup_onion" -> dedupOnionQ,
@@ -1576,39 +1633,38 @@ object CurateQueries extends QueryPack {
     // trailing-slash strip — re-derived with DuckDB string/list
     // functions before the same canonical-key rollup.
     "x_dedup_url" ->
-      (raw"""WITH u AS (
-        |  SELECT doc_id, """.stripMargin + urlFixture("VARCHAR") +
-        raw""" AS url FROM documents),
-        |c AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |      AS scheme,
-        |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
-        |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
-        |    regexp_extract(url, '\?([^#]*)', 1) AS q
-        |  FROM u),
-        |cp AS (
-        |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
-        |      string_split(q, '&'),
-        |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
-        |        OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=')
-        |        OR p = ''))), '&'), '') AS pstr,
-        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pabs
-        |  FROM c),
-        |c2 AS (
-        |  SELECT doc_id, url,
-        |    scheme || '://' ||
-        |    (CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
-        |          WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
-        |          ELSE auth0 END) ||
-        |    (CASE WHEN pabs <> '/' THEN regexp_replace(pabs, '/$$', '')
-        |          ELSE pabs END) ||
-        |    (CASE WHEN pstr = '' THEN '' ELSE '?' || pstr END) AS canon_url
-        |  FROM cp)
+      (urlCanonCtes +
+        """
         |SELECT canon_url, min(doc_id) AS cluster_rep,
         |  count(*) AS n_members,
         |  count(DISTINCT url) AS n_raw_forms
         |FROM c2 GROUP BY 1""".stripMargin),
+    // Blocklist replay over the SAME canonicalization chain: the rule
+    // table is rendered as VALUES from the shared UrlRules constant (a
+    // rule edit cannot desync the gate), prefix semantics via
+    // starts_with on the canonical host/path, per-URL any-match before
+    // the host rollup.
+    "x_url_filter" ->
+      (urlCanonCtes + raw""",
+        |hp AS (
+        |  SELECT doc_id,
+        |    regexp_extract(canon_url, '^[^:/?#]+://([^/?#]*)', 1) AS host,
+        |    regexp_extract(canon_url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+        |      AS path
+        |  FROM c2),
+        |rules(r_host, r_prefix) AS (VALUES """.stripMargin +
+        UrlRules.map { case (h, p) => s"('$h', '$p')" }.mkString(", ") +
+        raw"""),
+        |m AS (
+        |  SELECT hp.doc_id, hp.host,
+        |    max(CASE WHEN r.r_host IS NOT NULL THEN 1 ELSE 0 END) AS b
+        |  FROM hp LEFT JOIN rules r
+        |    ON hp.host = r.r_host AND starts_with(hp.path, r.r_prefix)
+        |  GROUP BY 1, 2)
+        |SELECT host, count(*) AS n_urls,
+        |  CAST(sum(b) AS BIGINT) AS n_blocked,
+        |  CAST(count(*) - sum(b) AS BIGINT) AS n_kept
+        |FROM m GROUP BY host""".stripMargin),
     "x_dedup_suffix" -> (sufCommonFor(SufCap) + sufSelect),
     // cap=256 > DirectSortCap: the identical oracle semantics replayed
     // at the deep cap, gating the prefix-doubling branch the default

@@ -1065,6 +1065,41 @@ object LlmQueries extends QueryPack {
         col("ok").cast("int").as("ok"))
   }
 
+  /** x_mm_exif: REAL EXIF metadata parse — JPEG marker walk to APP1,
+    * `Exif\0\0` signature, TIFF header in its own byte order (both
+    * 'II' and 'MM' planted by doc_id parity, so BOTH endian decoders
+    * are hash-gated), IFD0 entry iteration for
+    * width/height/orientation ([[graft.api.MultimodalDecode
+    * .probeExifOne]]). Orientation is the load-bearing field: a
+    * pipeline that ignores it trains on sideways images. Every 3rd
+    * payload carries a JFIF APP0 BEFORE the APP1 so the gate proves
+    * the marker walk; every other payload has a 4th IFD entry so the
+    * entry count is data, not a constant. 6-byte truncations fail
+    * loudly. Pure map work, no shuffle.
+    */
+  def mmExif(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val jpg = graft.api.MultimodalDecode.encodeExif(
+            width = 640 + (id % 7).toInt * 16,
+            height = 480 + (id % 5).toInt * 16,
+            orientation = 1 + (id % 8).toInt,
+            littleEndian = id % 2 == 1,
+            withJfif = id % 3 == 0,
+            extraEntry = id % 2 == 0)
+          val content = if (id % 103 == 0) jpg.take(6) else jpg
+          graft.api.MediaIn(id, content, "image/jpeg")
+        }
+      }
+    graft.api.MultimodalDecode.probeExif(payloads).toDF()
+      .select(col("doc_id"), col("byte_order"), col("orientation"),
+        col("width"), col("height"), col("n_entries"),
+        col("ok").cast("int").as("ok"))
+  }
+
   /** x_subtitle_cues: REAL SubRip (SRT) subtitle parse — the aligned
     * caption track of a speech/video training pair, through the 1→N
     * generator shape (one row per cue). Each payload is a genuine SRT
@@ -1312,7 +1347,8 @@ object LlmQueries extends QueryPack {
     "x_mm_decode_multi" -> mmDecodeMulti,
     "x_audio_probe_mp3" -> audioProbeMp3,
     "x_audio_probe_flac" -> audioProbeFlac,
-    "x_subtitle_cues" -> subtitleCues
+    "x_subtitle_cues" -> subtitleCues,
+    "x_mm_exif" -> mmExif
   )
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
@@ -2791,6 +2827,26 @@ object LlmQueries extends QueryPack {
         |    AS duration_ms,
         |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
         |FROM t""".stripMargin,
+    // Replays the EXIF fixture's field formulas: byte order by id
+    // parity, orientation 1 + id%8, dims from the id moduli, entry
+    // count 3 (+1 on even ids); corrupt rows are the 6-byte
+    // truncations (empty byte order, zeros, ok=0).
+    "x_mm_exif" ->
+      """WITH f AS (SELECT doc_id, doc_id % 103 = 0 AS corrupt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN corrupt THEN ''
+        |       WHEN doc_id % 2 = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 + doc_id % 8 END AS INT)
+        |    AS orientation,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE 640 + (doc_id % 7) * 16 END AS INT) AS width,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       ELSE 480 + (doc_id % 5) * 16 END AS INT) AS height,
+        |  CAST(CASE WHEN corrupt THEN 0
+        |       WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_entries,
+        |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
+        |FROM f""".stripMargin,
     // Replays the SRT cue formulas per (doc, cue): start i·4000 +
     // id%1000, end +1500 + (id%7)·250, text chars 10 + (id+3i)%25
     // (+5 on every 3rd cue's second line); corrupt docs (15-byte

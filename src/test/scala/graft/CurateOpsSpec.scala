@@ -356,6 +356,26 @@ class CurateOpsSpec extends SparkSpec {
     assert(expected.exists { case (p, c, _, _) => p == "ab" && c > 0 })
   }
 
+  test("filterUrls: canonical-host prefix rules, multi-rule hits count " +
+    "once, host mismatch never blocks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://A.com/blocked/x"),     // rule hit via canonical host
+      (2L, "https://a.com/blockedpage"),   // PREFIX semantics: also hit
+      (3L, "https://a.com/ok"),
+      (4L, "https://b.com/blocked/x")      // other host: kept
+    ).toDF("doc_id", "u")
+    // two overlapping rules — doc 1 matches both and must count ONCE
+    val out = GraftOps.filterUrls(docs, col("doc_id"), col("u"),
+        Seq(("a.com", "/blocked"), ("a.com", "/block")))
+      .orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out === Seq(
+      ("a.com", 3L, 2L, 1L),
+      ("b.com", 1L, 0L, 1L)))
+  }
+
   test("bpeFertility: occurrence-weighted pieces per word, exact ppm, " +
     "unsplit words counted under the served merge table") {
     import spark.implicits._

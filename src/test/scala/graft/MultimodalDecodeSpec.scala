@@ -445,6 +445,44 @@ class MultimodalDecodeSpec extends SparkSpec {
       graft.api.MediaIn(6L, null, "audio/flac")).ok)
   }
 
+  test("exif: both byte orders round-trip, the marker walk skips JFIF, " +
+      "malformations are loud") {
+    for (little <- Seq(true, false)) {
+      val j = MultimodalDecode.encodeExif(800, 600, 6, little)
+      val m = MultimodalDecode.probeExifOne(
+        graft.api.MediaIn(1L, j, "image/jpeg"))
+      assert(m.ok && m.width === 800 && m.height === 600 &&
+        m.orientation === 6 && m.n_entries === 3 &&
+        m.byte_order === (if (little) "II" else "MM"))
+    }
+    // a JFIF APP0 before the APP1 must be length-skipped, and the
+    // extra IFD entry must show in the count without disturbing fields
+    val j2 = MultimodalDecode.encodeExif(1024, 768, 8, littleEndian = true,
+      withJfif = true, extraEntry = true)
+    val m2 = MultimodalDecode.probeExifOne(
+      graft.api.MediaIn(2L, j2, "image/jpeg"))
+    assert(m2.ok && m2.width === 1024 && m2.height === 768 &&
+      m2.orientation === 8 && m2.n_entries === 4)
+    // truncations and field corruptions are loud, never a throw
+    val base = MultimodalDecode.encodeExif(800, 600, 6, littleEndian = false)
+    (0 until base.length by 5).foreach { n =>
+      assert(!MultimodalDecode.probeExifOne(
+        graft.api.MediaIn(3L, base.take(n), "image/jpeg")).ok,
+        s"truncation at $n bytes must fail loudly")
+    }
+    def corrupt(at: Int, v: Int): Boolean = {
+      val c = base.clone(); c(at) = v.toByte
+      MultimodalDecode.probeExifOne(
+        graft.api.MediaIn(4L, c, "image/jpeg")).ok
+    }
+    // bad SOI, oversized segment length, broken Exif signature byte,
+    // invalid TIFF byte-order mark
+    assert(!corrupt(1, 0xd7) && !corrupt(4, 'Q') && !corrupt(10, 0x4a) &&
+      !corrupt(13, 41))
+    assert(!MultimodalDecode.probeExifOne(
+      graft.api.MediaIn(5L, null, "image/jpeg")).ok)
+  }
+
   test("srt: cue blocks parse to exact bounds and char counts; " +
       "malformations are one loud row") {
     def cues(s: String) = MultimodalDecode.parseSrtOne(
