@@ -1058,7 +1058,9 @@ object GraftOps {
     // stats — fail loudly per the documented-require() contract
     val pre = base.agg(count(lit(1)).as("n"),
       countDistinct(col("doc_id")).as("nd"),
-      max(size(col("w"))).as("maxn")).head()
+      // coalesce: max() over an EMPTY corpus is NULL, and the suffix
+      // array of zero documents is legal (empty output, direct path)
+      coalesce(max(size(col("w"))), lit(0)).as("maxn")).head()
     require(pre.getLong(0) == pre.getLong(1),
       s"dedupSuffix: ${pre.getLong(0) - pre.getLong(1)} duplicate " +
         "document keys — the suffix array requires a unique key per " +
