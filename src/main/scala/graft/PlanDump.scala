@@ -384,7 +384,13 @@ object PlanDump {
       "repartition"),
     "x_url_filter" -> ("URL blocklist — map-side canonicalization, " +
       "BROADCAST rule join, per-URL any-match aggregate on one " +
-      "(doc, host) shuffle, bounded host rollup")
+      "(doc, host) shuffle, bounded host rollup"),
+    "x_mix_budget" -> ("Mixture-budget allocation — one per-source " +
+      "token aggregate, broadcast weight literals, map-side integer " +
+      "ppm grant math; one bounded row per source"),
+    "x_mm_phash_rot" -> ("Rotation-invariant image dedup — pure map " +
+      "decode + 4-orientation min-dHash over one grid, then one " +
+      "hash-keyed aggregate")
   )
 
   def main(args: Array[String]): Unit = {

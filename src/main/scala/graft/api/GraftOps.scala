@@ -2032,6 +2032,54 @@ object GraftOps {
     htKeep(tok, rate)
   }
 
+  /** Token-budget mixture planner — the allocation pass between a
+    * mixture DESIGN (target weights, e.g. [[mixTemperature]]'s output)
+    * and a training run with a fixed token budget: per source, grant
+    * min(weight·budget, avail·maxEpochs) tokens — a source cannot
+    * contribute more than its corpus repeated `maxEpochs` times (the
+    * small-but-high-weight-source reality every mixture hits) — and
+    * report the exact epochs_ppm the sampler must realize plus the
+    * shortfall the designer has to rebalance. All arithmetic is exact
+    * integer ppm; `budgetTokens` is bounded at 10^12 so the
+    * budget×weight intermediate stays far from the BIGINT edge on both
+    * engines (the [[mixTemperature]] overflow discipline, enforced
+    * driver-side here because the knob IS driver-side). Sources in the
+    * corpus but absent from the weight table fail loudly — silently
+    * granting them zero would ship a mixture that quietly drops data.
+    * Scale shape: ONE per-source token aggregate over the corpus; the
+    * weight table is a broadcast literal; output is one row per source.
+    */
+  def mixBudget(df: DataFrame, source: Column, text: Column,
+                weightsPpm: Seq[(String, Long)], budgetTokens: Long,
+                maxEpochsPpm: Long = 4000000L): DataFrame = {
+    require(weightsPpm.nonEmpty && budgetTokens > 0 &&
+      budgetTokens <= 1000000000000L && maxEpochsPpm > 0,
+      "mixBudget: need weights, 0 < budget <= 1e12, maxEpochs > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.select(source.as("source"),
+        size(TextFns.tokens(text)).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("avail_tokens"))
+      .persistOnce()
+    val w = broadcast(weightsPpm.toDF("source", "weight_ppm"))
+    val joined = avail.join(w, Seq("source"), "left").persistOnce()
+    val nMissing = joined.filter(col("weight_ppm").isNull).count()
+    require(nMissing == 0, s"mixBudget: $nMissing corpus sources have " +
+      "no mixture weight — every source must be planned or explicitly " +
+      "weighted zero")
+    joined
+      .withColumn("target_tokens",
+        expr(s"$budgetTokens * weight_ppm div 1000000"))
+      .withColumn("granted_tokens",
+        least(col("target_tokens"),
+          expr(s"avail_tokens * $maxEpochsPpm div 1000000")))
+      .select(col("source"), col("avail_tokens"), col("weight_ppm"),
+        col("target_tokens"), col("granted_tokens"),
+        expr("granted_tokens * 1000000 div avail_tokens").as("epochs_ppm"),
+        (col("target_tokens") - col("granted_tokens"))
+          .as("shortfall_tokens"))
+  }
+
   /** BM25 (Okapi, Lucene idf variant) top-k retrieval for a bounded term
     * set. Shapes: one explode filtered to the query terms (the filter
     * prunes the tall table to |terms| rows per doc BEFORE any shuffle),
@@ -5176,7 +5224,12 @@ object GraftOps {
     * from non-root paths. Path CASE is preserved — paths are
     * case-significant on most origins, so folding them would merge
     * distinct pages (precision loss), while everything stripped here
-    * is spec-insignificant (RFC 3986 §6) or tracking noise.
+    * is spec-insignificant (RFC 3986 §6) or tracking noise. An input
+    * with no `scheme://` at all canonicalizes to NULL — without this,
+    * every malformed row would silently collapse into ONE shared junk
+    * key and read as a giant duplicate class; NULL keeps bad rows
+    * visible (one NULL-keyed group in [[dedupUrl]], never merged with
+    * a real URL).
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -5194,8 +5247,9 @@ object GraftOps {
         !(p.startsWith("utm_") || p.startsWith("ref=") ||
           p.startsWith("fbclid=") || p.startsWith("gclid=") ||
           p === ""))), "&")
-    concat(scheme, lit("://"), auth, path,
-      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), auth, path,
+        when(params === "", lit("")).otherwise(concat(lit("?"), params))))
   }
 
   /** URL-identity dedup over [[canonicalizeUrl]] keys — one row per

@@ -336,6 +336,128 @@ object MultimodalDecode {
     Some(bits)
   }
 
+  /** The dHash-64 cell arithmetic of [[dHash64]] over an abstract
+    * pixel accessor — the shared core that lets [[dHashRot64]] hash the
+    * four quarter-turn orientations of ONE decoded grid without
+    * re-encoding or Graphics2D (exact integer pooling, the same
+    * JDK-upgrade-proof discipline). `at(x, y)` returns the packed RGB.
+    */
+  private def dHashGrid(w: Int, h: Int, at: (Int, Int) => Int): Long = {
+    val xr = Array.tabulate(9) { cx =>
+      val x0 = cx * w / 9; (x0, math.max(x0 + 1, (cx + 1) * w / 9))
+    }
+    val yr = Array.tabulate(8) { cy =>
+      val y0 = cy * h / 8; (y0, math.max(y0 + 1, (cy + 1) * h / 8))
+    }
+    val lum = new Array[Int](8 * 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        var s = 0L
+        var y = yr(cy)._1
+        while (y < yr(cy)._2) {
+          var x = xr(cx)._1
+          while (x < xr(cx)._2) {
+            val p = at(x, y)
+            s += (p >> 16 & 0xff) + (p >> 8 & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        lum(cy * 9 + cx) = (s / (3L * (xr(cx)._2 - xr(cx)._1) *
+          (yr(cy)._2 - yr(cy)._1))).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        bits = (bits << 1) |
+          (if (lum(y * 9 + x) < lum(y * 9 + x + 1)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Rotation-invariant perceptual hash: the MINIMUM dHash-64 over the
+    * four quarter-turn orientations of the decoded pixels. The four
+    * rotations form a closed group, so every quarter-turn copy of an
+    * image produces the SAME canonical value no matter which
+    * orientation was stored — the screen that catches the
+    * rotated-re-upload duplicate a plain [[dHash64]] misses (its 8×9
+    * grid is orientation-sensitive by construction). Rotations are
+    * index arithmetic over one decoded grid (no second decode, no
+    * Graphics2D transform); the grid is w·h ints, the decode's own
+    * raster size, held only for the row's hash.
+    */
+  def dHashRot64(c: Array[Byte]): Option[Long] = {
+    val img = readImage(if (c == null) Array.emptyByteArray else c)
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = img.getRGB(0, 0, w, h, null, 0, w)
+    val h0 = dHashGrid(w, h, (x, y) => g(y * w + x))
+    // 90 cw: dst(x', y') over h×w reads src(y', h-1-x')
+    val h1 = dHashGrid(h, w, (x, y) => g((h - 1 - x) * w + y))
+    // 180: dst(x', y') reads src(w-1-x', h-1-y')
+    val h2 = dHashGrid(w, h, (x, y) => g((h - 1 - y) * w + (w - 1 - x)))
+    // 270 cw: dst(x', y') over h×w reads src(w-1-y', x')
+    val h3 = dHashGrid(h, w, (x, y) => g(x * w + (w - 1 - y)))
+    Some(math.min(math.min(h0, h1), math.min(h2, h3)))
+  }
+
+  /** Rotation-invariant hash of a payload Dataset (the [[phash]]
+    * harness shape; ok=false rows carry hash 0).
+    */
+  def phashRot(payloads: Dataset[MediaIn]): Dataset[MediaHash] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { in =>
+        dHashRot64(in.content) match {
+          case Some(v) => MediaHash(in.doc_id, v, ok = true)
+          case None    => MediaHash(in.doc_id, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Encode the deterministic fixture raster rotated by `turns`
+    * quarter-turns clockwise — the fixture writer for the
+    * rotation-invariant dedup gate: the same (width, height, seed)
+    * pixel FIELD stored in four orientations, as genuinely different
+    * PNG bytes with swapped dims on odd turns.
+    */
+  def encodePngRotated(width: Int, height: Int, seed: Long,
+                       turns: Int): Array[Byte] = {
+    require(turns >= 0 && turns <= 3, "encodePngRotated: turns in [0, 3]")
+    var img = fixtureRaster(width, height, seed)
+    var t = 0
+    while (t < turns) {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rot = new java.awt.image.BufferedImage(
+        h, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < w) {
+        var x = 0
+        while (x < h) {
+          // 90 cw: dst(x', y') = src(y', srcH-1-x')
+          rot.setRGB(x, y, img.getRGB(y, h - 1 - x))
+          x += 1
+        }
+        y += 1
+      }
+      img = rot
+      t += 1
+    }
+    writePng(img)
+  }
+
   /** Perceptual-hash a payload Dataset partition-at-a-time. */
   def phash(payloads: Dataset[MediaIn]): Dataset[MediaHash] = {
     import payloads.sparkSession.implicits._

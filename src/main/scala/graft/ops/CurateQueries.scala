@@ -619,6 +619,27 @@ object CurateQueries extends QueryPack {
     GraftOps.mixTemperature(docs, col("doc_id"), col("source"), col("nt"))
   }
 
+  /** Mixture-budget knobs, shared between [[mixBudgetQ]] and its
+    * oracle (the Uni-/Suf-knob discipline). The weight formula —
+    * (source_index + 1) · 10^6 div 210, source index parsed off the
+    * 'srcK' label — is repeated arithmetically in the oracle SQL; the
+    * two are equivalent by the shared integer division.
+    */
+  private val MixBudgetTokens = 100000L
+  private val MixMaxEpochsPpm = 2500000L
+
+  /** x_mix_budget: token-budget mixture allocation ([[GraftOps
+    * .mixBudget]]) — per source grant min(weight·budget,
+    * avail·2.5 epochs) tokens and report the exact epochs_ppm +
+    * shortfall. At sf0.01 the high-weight sources hit the epoch cap
+    * (shortfall > 0) while at sf0.1 nothing does — the gate covers
+    * both regimes across the driver's two scale factors.
+    */
+  def mixBudgetQ(s: SparkSession, d: String): DataFrame =
+    GraftOps.mixBudget(Tables.documents(s, d), col("source"), col("text"),
+      weightsPpm = (0 to 19).map(k => (s"src$k", (k + 1) * 1000000L / 210)),
+      budgetTokens = MixBudgetTokens, maxEpochsPpm = MixMaxEpochsPpm)
+
   /** x_pmi: adjacent-pair PMI over the corpus — top-50 collocations above
     * a 5-occurrence noise floor, ranked on the exact pair count.
     */
@@ -901,6 +922,7 @@ object CurateQueries extends QueryPack {
     "x_shuffle_epochs" -> shuffleEpochs,
     "x_curriculum" -> curriculum,
     "x_mix_temp" -> mixTemp,
+    "x_mix_budget" -> mixBudgetQ,
     "x_split_nodup" -> splitNodup,
     "x_kl_drift" -> klDriftQ,
     "x_html_strip" -> htmlStrip,
@@ -2161,6 +2183,31 @@ object CurateQueries extends QueryPack {
         |SELECT doc_id, CAST(n_pass AS DOUBLE) / 4 AS quality_score,
         |  (doc_id * 2654435761) % 4294967296 AS ord
         |FROM g ORDER BY quality_score DESC, ord, doc_id""".stripMargin,
+    // Budget-allocation replay: the identical per-source token totals,
+    // the weight formula re-derived arithmetically from the srcK label,
+    // and the same min(target, avail·maxEpochs) grant in integer ppm.
+    "x_mix_budget" ->
+      (raw"""WITH a AS (
+        |  SELECT source, CAST(sum(len([w for w in
+        |    string_split_regex(trim(lower(text)), '\s+') if w != '']))
+        |    AS BIGINT) avail
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT source, avail,
+        |    (CAST(substr(source, 4) AS INT) + 1) * 1000000 // 210 wppm
+        |  FROM a),
+        |g AS (
+        |  SELECT *, """.stripMargin +
+        s"CAST($MixBudgetTokens AS BIGINT) * wppm // 1000000 tgt, " +
+        s"least(CAST($MixBudgetTokens AS BIGINT) * wppm // 1000000, " +
+        s"avail * $MixMaxEpochsPpm // 1000000) gr FROM t)" + "\n" +
+        """SELECT source, avail AS avail_tokens,
+          |  CAST(wppm AS BIGINT) AS weight_ppm,
+          |  CAST(tgt AS BIGINT) AS target_tokens,
+          |  CAST(gr AS BIGINT) AS granted_tokens,
+          |  CAST(gr * 1000000 // avail AS BIGINT) AS epochs_ppm,
+          |  CAST(tgt - gr AS BIGINT) AS shortfall_tokens
+          |FROM g""".stripMargin),
     "x_mix_temp" ->
       """WITH ws AS (
         |  SELECT doc_id, source AS domain,

@@ -856,6 +856,38 @@ object LlmQueries extends QueryPack {
       .select(col("cluster_rep"), col("n_members"))
   }
 
+  /** x_mm_phash_rot: ROTATION-INVARIANT image dedup — the
+    * rotated-re-upload screen plain dHash misses: each payload stores
+    * the same deterministic pixel FIELD in one of four quarter-turn
+    * orientations (genuinely different PNG bytes, swapped dims on odd
+    * turns), and the engine folds the four orientations of the REAL
+    * decoded pixels into one canonical min-dHash
+    * ([[graft.api.MultimodalDecode.dHashRot64]]). The oracle predicts
+    * the base-field classes arithmetically (doc_id mod 105 fixes the
+    * (w, h, seed) triple; doc_id div 105 picks the stored turn), so the
+    * hash gate proves all four orientations of every class landed on
+    * one canonical value and no two distinct fields collided.
+    */
+  def mmPhashRot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = (id % 105).toInt
+          val png = graft.api.MultimodalDecode.encodePngRotated(
+            16 + b % 5, 16 + b % 3, b.toLong,
+            turns = ((id / 105) % 4).toInt)
+          graft.api.MediaIn(id, png, "image/png")
+        }
+      }
+    graft.api.MultimodalDecode.phashRot(payloads).toDF()
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_rep"), col("n_members"))
+  }
+
   /** x_mm_phash_near: near-duplicate IMAGE detection at scale — the
     * banded-hash join ([[dedupSimhash]]'s shape) applied to the
     * perceptual dHash of real decoded pixels. The fixture is the
@@ -1338,6 +1370,7 @@ object LlmQueries extends QueryPack {
     "x_audio_decode" -> audioDecode,
     "x_mm_phash_dedup" -> mmPhashDedup,
     "x_mm_phash_near" -> mmPhashNear,
+    "x_mm_phash_rot" -> mmPhashRot,
     "x_mm_caption_conflict" -> mmCaptionConflict,
     "x_audio_features" -> audioFeatures,
     "x_video_probe" -> videoProbe,
@@ -2652,6 +2685,16 @@ object LlmQueries extends QueryPack {
       """SELECT min(doc_id) AS cluster_rep,
         |  count(*) AS n_members
         |FROM documents GROUP BY doc_id % 140""".stripMargin,
+
+    // Rotation-fold replay: the base pixel field is fixed by
+    // doc_id % 105 (w = 16 + b%5, h = 16 + b%3, seed = b) and only the
+    // STORED orientation varies with doc_id div 105 — the canonical
+    // min-dHash must erase that, so classes are exactly the mod-105
+    // residues.
+    "x_mm_phash_rot" ->
+      """SELECT min(doc_id) AS cluster_rep,
+        |  count(*) AS n_members
+        |FROM documents GROUP BY doc_id % 105""".stripMargin,
 
     // Pixel-identical payloads (same mod-140 class) with all-different
     // bytes must pair at hamming exactly 0; nothing else may pair.

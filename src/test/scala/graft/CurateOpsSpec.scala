@@ -356,6 +356,31 @@ class CurateOpsSpec extends SparkSpec {
     assert(expected.exists { case (p, c, _, _) => p == "ab" && c > 0 })
   }
 
+  test("mixBudget: epoch cap binds exactly, shortfall is the designer's " +
+    "rebalance signal, unweighted sources fail loudly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),                          // 4 tokens
+      (2L, "a b c d e f g h i j k l", "srcB")           // 12 tokens
+    ).toDF("doc_id", "text", "source")
+    val out = GraftOps.mixBudget(docs, col("source"), col("text"),
+        weightsPpm = Seq(("srcA", 500000L), ("srcB", 500000L)),
+        budgetTokens = 20L, maxEpochsPpm = 2000000L)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out === Seq(
+      // srcA: target 10, capped at 4 tokens x 2 epochs = 8 -> short 2
+      ("srcA", 4L, 500000L, 10L, 8L, 2000000L, 2L),
+      // srcB: target 10 under the 24-token cap -> 10/12 epochs
+      ("srcB", 12L, 500000L, 10L, 10L, 833333L, 0L)))
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.mixBudget(docs, col("source"), col("text"),
+        weightsPpm = Seq(("srcA", 500000L)), budgetTokens = 20L)
+    }
+    assert(e.getMessage.contains("no mixture weight"))
+  }
+
   test("filterUrls: canonical-host prefix rules, multi-rule hits count " +
     "once, host mismatch never blocks") {
     import spark.implicits._
@@ -413,6 +438,12 @@ class CurateOpsSpec extends SparkSpec {
       "http://host.com/",
       // every param was tracking noise -> no '?' at all
       "https://h.com/p"))
+    // an input with no scheme canonicalizes to NULL (visible as its own
+    // group), never to a shared junk key that fakes a duplicate class
+    val malformed = Seq("not a url", "", "host.com/p").toDF("u")
+      .select(GraftOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(malformed.forall(_.isEmpty))
   }
 
   test("unigram seed cluster-side top-k equals the driver-side top-k " +

@@ -445,6 +445,32 @@ class MultimodalDecodeSpec extends SparkSpec {
       graft.api.MediaIn(6L, null, "audio/flac")).ok)
   }
 
+  test("dHashRot64: all four stored orientations share one canonical " +
+      "value; distinct fields do not collide; plain dHash differs") {
+    val hashes = (0 to 3).map { t =>
+      MultimodalDecode.dHashRot64(
+        MultimodalDecode.encodePngRotated(20, 17, seed = 9L, turns = t)).get
+    }
+    assert(hashes.distinct.size === 1,
+      s"four orientations must fold to one canonical hash: $hashes")
+    // the canonical value is the min over the orientation dHashes
+    val plain = (0 to 3).map { t =>
+      MultimodalDecode.dHash64(
+        MultimodalDecode.encodePngRotated(20, 17, seed = 9L, turns = t)).get
+    }
+    assert(hashes.head === plain.min)
+    // plain dHash is orientation-SENSITIVE on this field (the gap the
+    // rotation fold closes)
+    assert(plain.distinct.size > 1)
+    // a different field lands elsewhere
+    val other = MultimodalDecode.dHashRot64(
+      MultimodalDecode.encodePngRotated(20, 17, seed = 10L, turns = 0)).get
+    assert(other !== hashes.head)
+    // corrupt bytes fail loudly
+    assert(MultimodalDecode.dHashRot64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MultimodalDecode.dHashRot64(null).isEmpty)
+  }
+
   test("exif: both byte orders round-trip, the marker walk skips JFIF, " +
       "malformations are loud") {
     for (little <- Seq(true, false)) {
