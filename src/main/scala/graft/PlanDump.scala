@@ -390,7 +390,10 @@ object PlanDump {
       "ppm grant math; one bounded row per source"),
     "x_mm_phash_rot" -> ("Rotation-invariant image dedup — pure map " +
       "decode + 4-orientation min-dHash over one grid, then one " +
-      "hash-keyed aggregate")
+      "hash-keyed aggregate"),
+    "x_src_overlap" -> ("Cross-source duplication matrix — signature " +
+      "pass, (sig_key, source) aggregate, pair self-join " +
+      "co-partitioned on sig_key, bounded sources^2 output")
   )
 
   def main(args: Array[String]): Unit = {

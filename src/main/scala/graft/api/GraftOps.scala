@@ -5307,6 +5307,36 @@ object GraftOps {
         (col("n_urls") - col("n_blocked")).as("n_kept"))
   }
 
+  /** Cross-source duplication matrix — WHERE the duplicates come from:
+    * for every ordered source pair (a, b) with a ≤ b, the number of
+    * near-dup classes (the [[withSigKey]] MinHash relation) holding
+    * members of BOTH sources (a = b counts classes with ≥ 2 members
+    * inside one source). The readout that turns "8% duplicates" into
+    * "srcX mirrors srcY" — which decides whether to drop a whole
+    * source, not just per-doc survivors. A diagonal cell (a, a) counts
+    * only classes with ≥ 2 docs OF THAT SOURCE — one srcA copy inside
+    * an otherwise-srcB class is cross-source overlap, not srcA
+    * self-duplication. Scale shape: one map-side signature pass, one
+    * (sig_key, source) count aggregate, then the pair expansion is a
+    * SELF-JOIN of that per-class-per-source table on sig_key —
+    * co-partitioned with the aggregate that produced it (no second
+    * wide shuffle), per-class pair work bounded by the source
+    * alphabet², never by class size; output ≤ |sources|² rows.
+    */
+  def sourceOverlap(df: DataFrame, key: Column, text: Column,
+                    source: Column): DataFrame = {
+    val keyed = withSigKey(
+      df.select(key.as("doc_id"), source.as("source"), text.as("_t")),
+      col("doc_id"), col("_t")).drop("_t")
+    val perSrc = keyed.groupBy(col("sig_key"), col("source"))
+      .agg(count(lit(1)).as("c")).persistOnce()
+    perSrc.as("a").join(perSrc.as("b"), "sig_key")
+      .filter(col("a.source") < col("b.source") ||
+        (col("a.source") === col("b.source") && col("a.c") >= 2))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_classes"))
+  }
+
   /** Cross-modal caption-conflict report — the alignment screen an
     * image-text training set runs before contrastive training: per
     * IMAGE-identity class (any content key — a perceptual dHash, a

@@ -1305,6 +1305,15 @@ object LlmQueries extends QueryPack {
       // on a source label with a >10-char numeric suffix
       col("source").substr(lit(4), length(col("source"))).cast("int"))
 
+  /** x_src_overlap: cross-source duplication matrix ([[GraftOps
+    * .sourceOverlap]]) — per source pair, the near-dup classes holding
+    * members of both (diagonal = within-source duplicate classes); the
+    * readout that turns a duplicate rate into "srcX mirrors srcY".
+    */
+  def srcOverlap(s: SparkSession, d: String): DataFrame =
+    GraftOps.sourceOverlap(Tables.documents(s, d), col("doc_id"),
+      col("text"), col("source"))
+
   /** x_dedup_soft: soft dedup weighting ([[GraftOps.dedupSoft]]) — every
     * near-dup class member weighted 1/class_size instead of dropped;
     * per-source effective-document mass in exact integer ppm.
@@ -1316,6 +1325,7 @@ object LlmQueries extends QueryPack {
   val queries = Map[String, (SparkSession, String) => DataFrame](
     "x_dedup_cdc" -> dedupCdc,
     "x_dedup_priority" -> dedupPriorityQ,
+    "x_src_overlap" -> srcOverlap,
     "x_dedup_soft" -> dedupSoftQ,
     "x_dsir" -> dsir,
     "x_winnow" -> winnow,
@@ -1479,6 +1489,33 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(CASE WHEN rn = 1 AND n > 1 AND doc_id <> min_id
         |    THEN 1 ELSE 0 END) AS BIGINT) n_rescued
         |FROM r GROUP BY 1""".stripMargin,
+    // Source-overlap replay: the same sig_key chain, the same
+    // per-(class, source) counts, the same ordered self-join — the
+    // diagonal requires >= 2 docs OF THAT SOURCE.
+    "x_src_overlap" ->
+      raw"""WITH ws AS (SELECT doc_id,
+        |    [w for w in string_split_regex(trim(lower(text)), '\s+') if w != ''] w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct([concat(w[i], ' ', w[i+1], ' ', w[i+2])
+        |      for i in range(1, len(w) - 1)]) shingles
+        |  FROM ws WHERE len(w) >= 3),
+        |hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) h FROM sh),
+        |sig AS (SELECT doc_id,
+        |    [list_aggregate(list_transform(h, x ->
+        |       (CAST(('0x' || substr(x, 1, 12)) AS BIGINT) * (2*p+1)) % 4398046511104), 'min')
+        |     for p in range(0, 16)] sig
+        |  FROM hs),
+        |k AS (SELECT d.doc_id, d.source,
+        |    coalesce(md5(array_to_string(list_transform(s.sig, x -> CAST(x AS VARCHAR)), '|')),
+        |             'nosig:' || CAST(d.doc_id AS VARCHAR)) skey
+        |  FROM documents d LEFT JOIN sig s USING (doc_id)),
+        |cl AS (SELECT skey, source, count(*) c FROM k GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(*) AS n_shared_classes
+        |FROM cl a JOIN cl b USING (skey)
+        |WHERE a.source < b.source OR (a.source = b.source AND a.c >= 2)
+        |GROUP BY 1, 2""".stripMargin,
     // Soft-dedup replay: the sig_key chain, per-class sizes, exact
     // integer floor(1e6/csize) mass summed per source.
     "x_dedup_soft" ->

@@ -296,3 +296,57 @@ class RunningCountProcessor[I]
     Iterator((key, total))
   }
 }
+
+/** Per-key token-bucket rate limiter on `transformWithState` — the
+  * ingest-throttling shape every streaming ETL front door carries: each
+  * key holds a bucket of `capacity` tokens refilled at `refillPerSec`
+  * tokens per second of EVENT time; each arriving event consumes one
+  * token or is counted dropped. Rows inside a micro-batch are processed
+  * in event-time order (batches deliver unordered), so the admit/drop
+  * decision sequence is a pure function of the event times — restart-
+  * deterministic, which is what makes the behavior testable as a law
+  * rather than a flake. State is one (tokens_milli, last_ms) pair per
+  * key; emission is one (key, allowed, dropped) row per key per batch.
+  * Tokens are tracked in integer MILLI-tokens so fractional refill
+  * (e.g. 1 token / 2 s) accrues exactly — no float drift across
+  * checkpointed restarts.
+  */
+class RateLimitProcessor(capacity: Long, refillPerSec: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+  require(capacity >= 1 && refillPerSec >= 0,
+    "RateLimitProcessor: capacity >= 1, refill >= 0")
+
+  // (milli-tokens available, event-time ms of the last refill)
+  @transient private var bucket: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    bucket = getHandle.getValueState[(Long, Long)]("bucket",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    val evs = rows.toArray.sortBy(_._2)
+    var (milli, last) =
+      if (bucket.exists()) bucket.get()
+      else (capacity * 1000L, evs.headOption.map(_._2).getOrElse(0L))
+    var allowed = 0L
+    var dropped = 0L
+    evs.foreach { case (_, tsMs) =>
+      if (tsMs > last) {
+        milli = math.min(capacity * 1000L,
+          milli + (tsMs - last) * refillPerSec)
+        last = tsMs
+      }
+      if (milli >= 1000L) { milli -= 1000L; allowed += 1L }
+      else dropped += 1L
+    }
+    bucket.update((milli, last))
+    Iterator((key, allowed, dropped))
+  }
+}

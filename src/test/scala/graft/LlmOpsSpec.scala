@@ -971,6 +971,31 @@ class LlmOpsSpec extends SparkSpec {
       ("src5", 2L, 1L, 1L, 0L)))
   }
 
+  test("sourceOverlap: cross cells need both sources, diagonal cells " +
+    "need two docs of THAT source") {
+    import spark.implicits._
+    val dup1 = "alpha beta gamma delta epsilon zeta"
+    val dup2 = "one two three four five six seven"
+    val docs = Seq(
+      // class 1: one A copy + two B copies -> (A,B) cross AND (B,B)
+      // diagonal, but NOT (A,A) — a single A doc duplicates nothing
+      // within A
+      (1L, dup1, "srcA"), (2L, dup1, "srcB"), (3L, dup1, "srcB"),
+      // class 2: two A copies -> (A,A) only
+      (4L, dup2, "srcA"), (5L, dup2, "srcA"),
+      // singleton: contributes nothing
+      (6L, "totally unique text body here", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = GraftOps.sourceOverlap(docs, col("doc_id"), col("text"),
+        col("source"))
+      .orderBy("src_a", "src_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out === Seq(
+      ("srcA", "srcA", 1L),
+      ("srcA", "srcB", 1L),
+      ("srcB", "srcB", 1L)))
+  }
+
   test("captionConflict: both conflict directions counted per image " +
     "class, caption identity is trim+lower") {
     import spark.implicits._

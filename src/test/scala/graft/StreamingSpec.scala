@@ -164,6 +164,59 @@ class StreamingSpec extends SparkSpec {
       s"restarted dedup must suppress the pre-restart key, got $ids")
   }
 
+  test("s_rate_limit: token bucket admits by event time exactly and the " +
+    "bucket survives a checkpoint restart") {
+    // capacity 2, refill 1 token/s. Batch 1 at t0: 3 events -> 2
+    // allowed, 1 dropped, bucket empty. STOP. Batch 2 after restart at
+    // t0+1.5s: refill 1.5 tokens -> 1 allowed, 1 dropped. A state store
+    // that lost the bucket would re-seed at capacity and admit BOTH
+    // batch-2 events — the restart law and the arithmetic in one gate.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_restart_rate").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_restart_rate_out").toString
+      val in = MemoryStream[Ev]
+      def limited = in.toDS()
+        .map(e => (e.user_id, e.ts.getTime))
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.RateLimitProcessor(capacity = 2,
+            refillPerSec = 1),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("user_id", "allowed", "dropped")
+      val q1 = limited.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      in.addData(
+        Ev(1, ts("10:00"), 7, "click", 1.0, "{}"),
+        Ev(2, ts("10:00"), 7, "click", 1.0, "{}"),
+        Ev(3, ts("10:00"), 7, "click", 1.0, "{}"))
+      q1.processAllAvailable(); q1.stop()
+      val q2 = limited.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val t2 = new java.sql.Timestamp(ts("10:00").getTime + 1500L)
+      in.addData(
+        Ev(4, t2, 7, "click", 1.0, "{}"),
+        Ev(5, t2, 7, "click", 1.0, "{}"))
+      q2.processAllAvailable(); q2.stop()
+      val rows = spark.read.parquet(outDir)
+        .as[(Long, Long, Long)].collect().sortBy(_._2)(Ordering[Long].reverse)
+        .toSet
+      assert(rows === Set((7L, 2L, 1L), (7L, 1L, 1L)),
+        s"token bucket must admit 2+1 and survive the restart: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("s_dedup_near: signature-equal docs emit once; short docs all survive") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
