@@ -2067,12 +2067,21 @@ object GraftOps {
     require(nMissing == 0, s"mixBudget: $nMissing corpus sources have " +
       "no mixture weight — every source must be planned or explicitly " +
       "weighted zero")
+    // Overflow tripwire IN the plan (the mixTemperature discipline):
+    // avail·maxEpochsPpm is the one unbounded intermediate — a source
+    // past ~9.2e18/maxEpochsPpm tokens would wrap silently while the
+    // oracle promotes to HUGEINT. budget·weight is already bounded by
+    // the driver-side require (1e12 · 1e6-scale < 2^63).
+    val availBound = Long.MaxValue / maxEpochsPpm
     joined
       .withColumn("target_tokens",
         expr(s"$budgetTokens * weight_ppm div 1000000"))
       .withColumn("granted_tokens",
         least(col("target_tokens"),
-          expr(s"avail_tokens * $maxEpochsPpm div 1000000")))
+          expr(s"CASE WHEN avail_tokens > $availBound THEN raise_error(" +
+            "'mixBudget: a source exceeds the BIGINT-exact epoch-cap " +
+            "bound; move the grant math to decimal(38,0)') " +
+            s"ELSE avail_tokens * $maxEpochsPpm div 1000000 END")))
       .select(col("source"), col("avail_tokens"), col("weight_ppm"),
         col("target_tokens"), col("granted_tokens"),
         expr("granted_tokens * 1000000 div avail_tokens").as("epochs_ppm"),
@@ -5531,6 +5540,10 @@ object GraftOps {
     * OVER THE CELL TABLE (bounded by groups × calendar cells, never by
     * event volume) joined back broadcast-sized. Output is the full cell
     * grid with the flag — bounded by the time span, not the corpus.
+    * `group` must be a bounded alphabet (an event type, a tenant) —
+    * the baseline broadcast is groups × 168 slots, so a
+    * high-cardinality key (user_id) belongs in [[spikeDays]], whose
+    * per-entity window never materializes a global baseline.
     */
   def seasonalHours(events: DataFrame, group: Column, ts: Column,
                     factor: Int = 2): DataFrame = {
