@@ -392,8 +392,9 @@ object PlanDump {
       "decode + 4-orientation min-dHash over one grid, then one " +
       "hash-keyed aggregate"),
     "x_src_overlap" -> ("Cross-source duplication matrix — signature " +
-      "pass, (sig_key, source) aggregate, pair self-join " +
-      "co-partitioned on sig_key, bounded sources^2 output")
+      "pass, (sig_key, source) aggregate, per-class source-alphabet-" +
+      "bounded list collect, MAP-SIDE pair expansion; no join, two " +
+      "key shuffles, bounded sources^2 output")
   )
 
   def main(args: Array[String]): Unit = {

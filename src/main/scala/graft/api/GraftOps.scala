@@ -2055,6 +2055,15 @@ object GraftOps {
     require(weightsPpm.nonEmpty && budgetTokens > 0 &&
       budgetTokens <= 1000000000000L && maxEpochsPpm > 0,
       "mixBudget: need weights, 0 < budget <= 1e12, maxEpochs > 0")
+    // knob hygiene, all driver-side (the knobs ARE driver-side): a
+    // duplicate source key would fan the left join out and GRANT THE
+    // BUDGET TWICE with no error; a weight outside [0, 1e6] is not a
+    // mixture share and (at the top end) would push budget·weight past
+    // the BIGINT-exact bound the require above establishes
+    require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
+      "mixBudget: duplicate source keys in the weight table")
+    require(weightsPpm.forall { case (_, w) => w >= 0 && w <= 1000000L },
+      "mixBudget: weights are ppm shares and must sit in [0, 1000000]")
     val spark = df.sparkSession
     import spark.implicits._
     val avail = df.select(source.as("source"),
@@ -2084,7 +2093,12 @@ object GraftOps {
             s"ELSE avail_tokens * $maxEpochsPpm div 1000000 END")))
       .select(col("source"), col("avail_tokens"), col("weight_ppm"),
         col("target_tokens"), col("granted_tokens"),
-        expr("granted_tokens * 1000000 div avail_tokens").as("epochs_ppm"),
+        // an all-empty-text source has avail = 0 (and so granted = 0):
+        // report 0 epochs instead of a runtime divide-by-zero under
+        // ANSI mode
+        expr("CASE WHEN avail_tokens = 0 THEN 0 " +
+          "ELSE granted_tokens * 1000000 div avail_tokens END")
+          .as("epochs_ppm"),
         (col("target_tokens") - col("granted_tokens"))
           .as("shortfall_tokens"))
   }
@@ -2461,7 +2475,12 @@ object GraftOps {
         sum(when(col("pieces") === 1L, col("wf")).otherwise(lit(0L)))
           .as("n_unsplit"))
       .select(col("source"), col("n_words"), col("n_pieces"),
-        expr("n_pieces * 1000000 div n_words").as("fertility_ppm"),
+        // decimal(38,0) for the ×10^6: a dominant source past ~9.2e12
+        // piece occurrences would wrap the bigint product where the
+        // DuckDB oracle promotes to HUGEINT (the ngramNovelty
+        // width-safety rule); div returns the exact bigint ppm
+        expr("cast(n_pieces as decimal(38,0)) * 1000000 div n_words")
+          .as("fertility_ppm"),
         col("n_unsplit"))
   }
 
@@ -5250,7 +5269,10 @@ object GraftOps {
     val pathAbs = when(pathRaw === "", lit("/")).otherwise(pathRaw)
     val path = when(length(pathAbs) > 1, regexp_replace(pathAbs, "/$", ""))
       .otherwise(pathAbs)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchor the query BEFORE the first '#': a bare '\?' would match a
+    // question mark INSIDE the fragment and leak fragment content into
+    // the canonical key ('/p#sec?b=2' must canonicalize like '/p')
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = array_join(
       array_sort(filter(split(query, "&"), p =>
         !(p.startsWith("utm_") || p.startsWith("ref=") ||
@@ -5326,11 +5348,12 @@ object GraftOps {
     * only classes with ≥ 2 docs OF THAT SOURCE — one srcA copy inside
     * an otherwise-srcB class is cross-source overlap, not srcA
     * self-duplication. Scale shape: one map-side signature pass, one
-    * (sig_key, source) count aggregate, then the pair expansion is a
-    * SELF-JOIN of that per-class-per-source table on sig_key —
-    * co-partitioned with the aggregate that produced it (no second
-    * wide shuffle), per-class pair work bounded by the source
-    * alphabet², never by class size; output ≤ |sources|² rows.
+    * (sig_key, source) count aggregate, one per-class collect of the
+    * (source, count) list — rows AND list entries bounded by the
+    * source alphabet, never by class size (a million-copy class is one
+    * row per source it touches) — then the ordered pair expansion runs
+    * MAP-SIDE over that bounded list into the final ≤ |sources|²
+    * rollup. No join anywhere; two key shuffles total.
     */
   def sourceOverlap(df: DataFrame, key: Column, text: Column,
                     source: Column): DataFrame = {
@@ -5338,11 +5361,21 @@ object GraftOps {
       df.select(key.as("doc_id"), source.as("source"), text.as("_t")),
       col("doc_id"), col("_t")).drop("_t")
     val perSrc = keyed.groupBy(col("sig_key"), col("source"))
-      .agg(count(lit(1)).as("c")).persistOnce()
-    perSrc.as("a").join(perSrc.as("b"), "sig_key")
-      .filter(col("a.source") < col("b.source") ||
-        (col("a.source") === col("b.source") && col("a.c") >= 2))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("c"))
+    val cls = perSrc.groupBy(col("sig_key"))
+      .agg(array_sort(collect_list(struct(col("source"), col("c"))))
+        .as("sc"))
+    // ordered pairs (a <= b) off the sorted per-class list; the slice
+    // from position i+1 (1-based) starts AT element i, so the self pair
+    // rides along and is kept only when that source holds >= 2 docs
+    cls.select(explode(expr(
+      """flatten(transform(sc, (a, i) ->
+        |  filter(transform(slice(sc, i + 1, size(sc) - i),
+        |    b -> struct(a.source AS src_a, b.source AS src_b,
+        |                a.c AS ca)),
+        |    p -> p.src_a != p.src_b OR p.ca >= 2)))""".stripMargin))
+      .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared_classes"))
   }
 
@@ -5373,8 +5406,18 @@ object GraftOps {
     */
   def captionConflict(df: DataFrame, key: Column, imageKey: Column,
                       caption: Column): DataFrame = {
+    // NULL captions get a per-doc key (the withSigKey 'nosig:'
+    // discipline): an inner join on a NULL md5 would silently DROP the
+    // row from its image class — a crawl with missing alt-text would
+    // quietly shrink the report — while a shared "no caption" bucket
+    // would fabricate same-caption conflicts between unrelated images.
+    // The projection feeds both the spread aggregate and the join probe
+    // side; persistOnce so the upstream (at 100 TB: the image decode +
+    // fingerprint) runs ONCE, matching the one-map-pass claim above.
     val pairs = df.select(key.as("doc_id"), imageKey.as("ikey"),
-      md5(trim(lower(caption))).as("ckey"))
+        coalesce(md5(trim(lower(caption))),
+          concat(lit("nocap:"), key.cast("string"))).as("ckey"))
+      .persistOnce()
     val capSpread = pairs.groupBy(col("ckey"))
       .agg(countDistinct(col("ikey")).as("n_images"))
     pairs.join(capSpread, "ckey")

@@ -336,11 +336,17 @@ object MultimodalDecode {
     Some(bits)
   }
 
-  /** The dHash-64 cell arithmetic of [[dHash64]] over an abstract
-    * pixel accessor — the shared core that lets [[dHashRot64]] hash the
-    * four quarter-turn orientations of ONE decoded grid without
-    * re-encoding or Graphics2D (exact integer pooling, the same
-    * JDK-upgrade-proof discipline). `at(x, y)` returns the packed RGB.
+  /** The dHash-64 cell arithmetic over an abstract pixel accessor —
+    * what lets [[dHashRot64]] hash the four quarter-turn orientations
+    * of ONE decoded grid without re-encoding or Graphics2D (exact
+    * integer pooling, the same JDK-upgrade-proof discipline).
+    * DELIBERATELY a second copy of [[dHash64]]'s cell formulas, not a
+    * refactor: dHash64 streams rows through one bulk getRGB per row on
+    * the decode hot path, and routing it through a per-pixel accessor
+    * would re-add the ColorModel-dispatch cost its comment documents
+    * removing. The two copies are pinned bit-identical across several
+    * grid shapes in MultimodalDecodeSpec (orientation-0 equality law);
+    * change one, the pin fails. `at(x, y)` returns the packed RGB.
     */
   private def dHashGrid(w: Int, h: Int, at: (Int, Int) => Int): Long = {
     val xr = Array.tabulate(9) { cx =>
@@ -1001,8 +1007,12 @@ object MultimodalDecode {
       else ((c(p) & 0xffL) << 24) | ((c(p + 1) & 0xffL) << 16) |
         ((c(p + 2) & 0xffL) << 8) | (c(p + 3) & 0xffL)
     if (u16(app1 + 2) != 42) return bad // TIFF magic
-    val ifd0 = app1 + u32(app1 + 4).toInt
-    if (ifd0 + 2 > app1End) return bad
+    // the IFD0 offset is an unbounded u32 from the payload: lower-bound
+    // it too (a crafted 0xF0FFFFFF wraps .toInt negative and would
+    // dereference outside the segment — a thrown task, not a loud row)
+    val ifd0Off = u32(app1 + 4)
+    if (ifd0Off < 8L || app1 + ifd0Off > app1End - 2) return bad
+    val ifd0 = app1 + ifd0Off.toInt
     val n = u16(ifd0)
     if (ifd0 + 2 + n * 12 + 4 > app1End) return bad
     var orientation = 0

@@ -330,7 +330,7 @@ object CurateQueries extends QueryPack {
       |      AS scheme,
       |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
       |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS q
+      |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q
       |  FROM u),
       |cp AS (
       |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
@@ -2205,7 +2205,8 @@ object CurateQueries extends QueryPack {
           |  CAST(wppm AS BIGINT) AS weight_ppm,
           |  CAST(tgt AS BIGINT) AS target_tokens,
           |  CAST(gr AS BIGINT) AS granted_tokens,
-          |  CAST(gr * 1000000 // avail AS BIGINT) AS epochs_ppm,
+          |  CAST(CASE WHEN avail = 0 THEN 0
+          |       ELSE gr * 1000000 // avail END AS BIGINT) AS epochs_ppm,
           |  CAST(tgt - gr AS BIGINT) AS shortfall_tokens
           |FROM g""".stripMargin),
     "x_mix_temp" ->

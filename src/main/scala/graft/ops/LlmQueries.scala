@@ -2749,7 +2749,8 @@ object LlmQueries extends QueryPack {
     "x_mm_caption_conflict" ->
       """WITH p AS (
         |  SELECT doc_id, doc_id % 140 AS ikey,
-        |    md5(trim(lower(text))) AS ckey
+        |    coalesce(md5(trim(lower(text))),
+        |             'nocap:' || CAST(doc_id AS VARCHAR)) AS ckey
         |  FROM documents),
         |cs AS (SELECT ckey, count(DISTINCT ikey) AS n_images
         |  FROM p GROUP BY 1)

@@ -444,6 +444,12 @@ class CurateOpsSpec extends SparkSpec {
       .select(GraftOps.canonicalizeUrl(col("u")).as("c"))
       .collect().map(r => Option(r.getString(0)))
     assert(malformed.forall(_.isEmpty))
+    // a '?' INSIDE the fragment is fragment content, not a query: it
+    // must vanish with the fragment, not leak into the canonical key
+    val fragQ = Seq("https://a.com/p#sec?b=2").toDF("u")
+      .select(GraftOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().head.getString(0)
+    assert(fragQ === "https://a.com/p")
   }
 
   test("unigram seed cluster-side top-k equals the driver-side top-k " +

@@ -1024,5 +1024,21 @@ class LlmOpsSpec extends SparkSpec {
       // B: 2 captions (conflict), doc 4 is the cross-image one
       (4L, 2L, 2L, 1, 1L),
       (6L, 1L, 1L, 0, 0L)))
+    // NULL captions stay VISIBLE with per-doc keys: the row keeps its
+    // image class (no silent drop) and two caption-less docs are never
+    // counted as sharing a caption
+    val withNulls = Seq(
+      (1L, 10L, Some("real caption")),
+      (2L, 10L, None),
+      (3L, 20L, None)
+    ).toDF("doc_id", "img", "cap")
+    val nOut = GraftOps.captionConflict(withNulls, col("doc_id"),
+        col("img"), col("cap"))
+      .orderBy("cluster_rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(nOut === Seq(
+      (1L, 2L, 2L, 1, 0L), // doc 2 retained; its nocap key is unique
+      (3L, 1L, 1L, 0, 0L)))
   }
 }

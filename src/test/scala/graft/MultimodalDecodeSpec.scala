@@ -453,14 +453,26 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
     assert(hashes.distinct.size === 1,
       s"four orientations must fold to one canonical hash: $hashes")
-    // the canonical value is the min over the orientation dHashes
+    // the canonical value is the min over the orientation dHashes —
+    // pinned across several grid shapes (incl. sub-grid dims where the
+    // forced-non-empty cell rule kicks in), which is the bit-equality
+    // law between dHash64's streamed-row copy of the cell formulas and
+    // dHashGrid's accessor copy: diverge either and this fails
+    for ((w, h) <- Seq((20, 17), (16, 16), (33, 19), (9, 8))) {
+      val plainMin = (0 to 3).map { t =>
+        MultimodalDecode.dHash64(
+          MultimodalDecode.encodePngRotated(w, h, seed = 9L, turns = t)).get
+      }.min
+      val rot = MultimodalDecode.dHashRot64(
+        MultimodalDecode.encodePngRotated(w, h, seed = 9L, turns = 0)).get
+      assert(rot === plainMin, s"copies diverged at ${w}x$h")
+    }
+    // plain dHash is orientation-SENSITIVE on this field (the gap the
+    // rotation fold closes)
     val plain = (0 to 3).map { t =>
       MultimodalDecode.dHash64(
         MultimodalDecode.encodePngRotated(20, 17, seed = 9L, turns = t)).get
     }
-    assert(hashes.head === plain.min)
-    // plain dHash is orientation-SENSITIVE on this field (the gap the
-    // rotation fold closes)
     assert(plain.distinct.size > 1)
     // a different field lands elsewhere
     val other = MultimodalDecode.dHashRot64(
@@ -505,6 +517,21 @@ class MultimodalDecodeSpec extends SparkSpec {
     // invalid TIFF byte-order mark
     assert(!corrupt(1, 0xd7) && !corrupt(4, 'Q') && !corrupt(10, 0x4a) &&
       !corrupt(13, 41))
+    // a crafted IFD0 offset whose u32 wraps .toInt negative (or points
+    // past the segment) must be a loud row, never a thrown task: the
+    // offset bytes sit at TIFF+4..7 = payload 16..19 on this layout
+    def craftOffset(b: Array[Int]): Boolean = {
+      val c = base.clone()
+      (0 until 4).foreach(i => c(16 + i) = b(i).toByte)
+      MultimodalDecode.probeExifOne(
+        graft.api.MediaIn(6L, c, "image/jpeg")).ok
+    }
+    assert(!craftOffset(Array(0xf0, 0xff, 0xff, 0xff)), // toInt-negative
+      "wrapping IFD0 offset must fail loudly")
+    assert(!craftOffset(Array(0x00, 0x00, 0xff, 0x00)), // past segment
+      "out-of-segment IFD0 offset must fail loudly")
+    assert(!craftOffset(Array(0x00, 0x00, 0x00, 0x04)), // inside header
+      "IFD0 offset inside the TIFF header must fail loudly")
     assert(!MultimodalDecode.probeExifOne(
       graft.api.MediaIn(5L, null, "image/jpeg")).ok)
   }
