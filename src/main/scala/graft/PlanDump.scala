@@ -356,10 +356,12 @@ object PlanDump {
       "aggregate, then a per-entity ROWS window over day-bounded " +
       "partitions; exact integer 2x-trailing-mean rule"),
     "x_dedup_suffix_deep" -> ("Suffix dedup via the prefix-doubling " +
-      "branch (cap=256 > DirectSortCap): 8-token seed ranks, then " +
+      "branch (cap=256 > DirectSortCap): 64-token seed ranks (gate " +
+      "override; production default 8 — the wire-optimal seed), then " +
       "doubling rounds of doc-keyed lead window + range sort + " +
       "driver-offset dense rank, early-stopped once every suffix is " +
-      "alone in its class; rounds move fixed 16-byte rank pairs"),
+      "alone in its class; rounds move fixed 16-byte rank pairs and " +
+      "the seed subtree is persist-shared with x_dedup_suffix"),
     "x_mm_caption_conflict" -> ("Caption-conflict screen — map-side " +
       "decode + dHash + caption md5, caption-spread aggregate and " +
       "join-back on caption key, rollup on image key; three " +

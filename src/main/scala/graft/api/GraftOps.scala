@@ -983,8 +983,9 @@ object GraftOps {
     */
   def dedupSuffix(df: DataFrame, key: Column, text: Column,
                   minSpan: Int = 10, cap: Int = 64,
-                  partitions: Int = 32): DataFrame = {
-    val (marked, _) = suffixPositions(df, key, text, minSpan, cap, partitions)
+                  partitions: Int = 32, seed: Int = 0): DataFrame = {
+    val (marked, _) =
+      suffixPositions(df, key, text, minSpan, cap, partitions, seed)
     marked
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(max(col("dup_len")).as("max_dup_span"),
@@ -1018,9 +1019,9 @@ object GraftOps {
     */
   def dedupOnion(df: DataFrame, key: Column, text: Column,
                  minSpan: Int = 10, cap: Int = 64,
-                 partitions: Int = 32): DataFrame = {
+                 partitions: Int = 32, seed: Int = 0): DataFrame = {
     val (marked, base) = suffixPositions(df, key, text, minSpan, cap,
-      partitions)
+      partitions, seed)
     val toks = base.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos", "tok")))
     marked
@@ -1042,12 +1043,15 @@ object GraftOps {
     * cached token-array base for consumers that need token values.
     */
   private def suffixPositions(df: DataFrame, key: Column, text: Column,
-                              minSpan: Int, cap: Int,
-                              partitions: Int): (DataFrame, DataFrame) = {
+                              minSpan: Int, cap: Int, partitions: Int,
+                              seed: Int): (DataFrame, DataFrame) = {
     require(minSpan >= 1 && cap >= minSpan && cap <= 4096 &&
       Integer.bitCount(cap) == 1,
       "dedupSuffix: need 1 <= minSpan <= cap <= 4096 with cap a power " +
         "of two (the doubling rounds tile exactly)")
+    require(seed == 0 || (seed <= cap && Integer.bitCount(seed) == 1),
+      "dedupSuffix: seed must be 0 (auto) or a power of two <= cap " +
+        "(the doubling rounds tile exactly from the seed)")
     val base = trackedCache(df.select(key.as("doc_id"),
         TextFns.tokens(text).as("w"))
       .filter(size(col("w")) >= 1))
@@ -1058,9 +1062,12 @@ object GraftOps {
     // stats — fail loudly per the documented-require() contract
     val pre = base.agg(count(lit(1)).as("n"),
       countDistinct(col("doc_id")).as("nd"),
-      // coalesce: max() over an EMPTY corpus is NULL, and the suffix
-      // array of zero documents is legal (empty output, direct path)
-      coalesce(max(size(col("w"))), lit(0)).as("maxn")).head()
+      // coalesce: max()/sum() over an EMPTY corpus are NULL, and the
+      // suffix array of zero documents is legal (empty output, direct
+      // path)
+      coalesce(max(size(col("w"))), lit(0)).as("maxn"),
+      coalesce(sum(size(col("w")).cast("long")), lit(0L)).as("toks"))
+      .head()
     require(pre.getLong(0) == pre.getLong(1),
       s"dedupSuffix: ${pre.getLong(0) - pre.getLong(1)} duplicate " +
         "document keys — the suffix array requires a unique key per " +
@@ -1096,19 +1103,30 @@ object GraftOps {
     // rows are the right trade even at small caps.
     val DirectSortCap = 128
     val DirectRowTokens = 8L << 20
-    // Doubling-path seed stays SMALL by a per-row wire-cost model, not
-    // a wall-clock one: growing the seed to 128 would cut the fixture
-    // wall 11.8s → 8.5s at sf0.1 (each absorbed round is ~10 scheduled
-    // stages), but a 128-token seed string moves ~2 KB/row through the
-    // distinct + range sort while the four rounds it replaces move
-    // ~400 B/row of fixed 16-byte rank pairs — at cluster scale the
-    // wire dominates and the small seed wins; the fixture-scale
-    // inversion is pure per-stage scheduling overhead, which 10×
-    // rehearsals show amortizing away (sub-linear scaling on exactly
-    // this query).
+    // Doubling-path seed DEFAULTS small by a per-row wire-cost model,
+    // not a wall-clock one: growing the seed to 128 would cut the
+    // fixture wall 11.8s → 8.5s at sf0.1 (each absorbed round is ~10
+    // scheduled stages), but a 128-token seed string moves ~2 KB/row
+    // through the distinct + range sort while the four rounds it
+    // replaces move ~400 B/row of fixed 16-byte rank pairs — at
+    // cluster scale the wire dominates and the small seed wins; the
+    // fixture-scale inversion is pure per-stage scheduling overhead,
+    // which 10× rehearsals show amortizing away (sub-linear scaling
+    // on exactly this query). `seed` (power of two ≤ cap) overrides
+    // the default for callers that KNOW their wall is stage-count-
+    // bound — e.g. a standing correctness gate on a small fixture,
+    // where seed 8→64 at cap=256 absorbs three of five doubling
+    // rounds (measured 5.6s → 3.2s warm at sf0.01, with the nSuffix
+    // arithmetic below contributing) while every doubling-branch code
+    // path (round loop, early stop, rank-pair dense rank, doubling-
+    // side reps slice join) still executes. A side benefit when the
+    // override matches a direct-path sibling's cap: the seed/termRank
+    // subtrees become plan-identical and the persistOnce registry
+    // shares them across the two calls in one session. Output is
+    // seed-invariant — the oracle does not change.
     val seedLen =
       if (cap <= DirectSortCap && maxDocLen * cap <= DirectRowTokens) cap
-      else math.min(8, cap)
+      else math.min(if (seed > 0) seed else 8, cap)
     val toks = base
       .withColumn("ext", concat(col("w"),
         array(concat(lit(" "), col("doc_id").cast("string")))))
@@ -1137,8 +1155,11 @@ object GraftOps {
       // round is ~10 tiny stages, so a small working set at the
       // caller's full partition count pays pure task-scheduling
       // overhead; a large corpus derives right back to the caller's
-      // count
-      val nSuffix = level.count()
+      // count. The suffix count is ARITHMETIC off the precondition
+      // aggregate (one explode position per token plus the per-doc
+      // sentinel), not a level.count() — that count was a whole extra
+      // corpus pass before the first round
+      val nSuffix = pre.getLong(3) + pre.getLong(0)
       val p =
         math.max(1, math.min(partitions, (nSuffix / 50000L).toInt + 1))
       // prefix doubling: after the round with step 2^k, rank equality ==
@@ -2046,8 +2067,14 @@ object GraftOps {
     * driver-side here because the knob IS driver-side). Sources in the
     * corpus but absent from the weight table fail loudly — silently
     * granting them zero would ship a mixture that quietly drops data.
-    * Scale shape: ONE per-source token aggregate over the corpus; the
-    * weight table is a broadcast literal; output is one row per source.
+    * The symmetric case is VISIBLE, not loud: a weighted source absent
+    * from the corpus emits its row with avail = 0, granted = 0 and
+    * shortfall = target (a designer planning for a source that has not
+    * landed yet is a legitimate state — but its vanished share must
+    * show up as shortfall, never as a missing row). Scale shape: ONE
+    * per-source token aggregate over the corpus; the weight table is a
+    * bounded driver literal; output is one row per planned-or-present
+    * source.
     */
   def mixBudget(df: DataFrame, source: Column, text: Column,
                 weightsPpm: Seq[(String, Long)], budgetTokens: Long,
@@ -2070,8 +2097,19 @@ object GraftOps {
         size(TextFns.tokens(text)).cast("long").as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).as("avail_tokens"))
       .persistOnce()
-    val w = broadcast(weightsPpm.toDF("source", "weight_ppm"))
-    val joined = avail.join(w, Seq("source"), "left").persistOnce()
+    // FULL outer: a corpus source without a weight fails loudly below,
+    // and — symmetrically — a WEIGHTED source absent from the corpus
+    // must surface as a row (avail = 0, granted = 0, shortfall =
+    // target), not vanish: a left join from the avail side would
+    // silently evaporate its whole budget share, the one failure mode
+    // a mixture designer cannot see in the output. (broadcast on the
+    // weight side of a full outer degrades to a shuffle anyway — the
+    // weight table is a bounded driver literal, so the tiny two-sided
+    // shuffle is the honest plan.)
+    val w = weightsPpm.toDF("source", "weight_ppm")
+    val joined = avail.join(w, Seq("source"), "full")
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
+      .persistOnce()
     val nMissing = joined.filter(col("weight_ppm").isNull).count()
     require(nMissing == 0, s"mixBudget: $nMissing corpus sources have " +
       "no mixture weight — every source must be planned or explicitly " +
@@ -5273,10 +5311,15 @@ object GraftOps {
     // question mark INSIDE the fragment and leak fragment content into
     // the canonical key ('/p#sec?b=2' must canonicalize like '/p')
     val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
+    // tracking params drop in both spellings: valued ('ref=x') AND
+    // bare ('ref', '&fbclid&' — real crawls carry both); utm_* is a
+    // prefix rule so it already catches bare 'utm_x'
     val params = array_join(
       array_sort(filter(split(query, "&"), p =>
-        !(p.startsWith("utm_") || p.startsWith("ref=") ||
-          p.startsWith("fbclid=") || p.startsWith("gclid=") ||
+        !(p.startsWith("utm_") ||
+          p === "ref" || p.startsWith("ref=") ||
+          p === "fbclid" || p.startsWith("fbclid=") ||
+          p === "gclid" || p.startsWith("gclid=") ||
           p === ""))), "&")
     when(scheme === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), auth, path,
@@ -5406,16 +5449,22 @@ object GraftOps {
     */
   def captionConflict(df: DataFrame, key: Column, imageKey: Column,
                       caption: Column): DataFrame = {
-    // NULL captions get a per-doc key (the withSigKey 'nosig:'
-    // discipline): an inner join on a NULL md5 would silently DROP the
-    // row from its image class — a crawl with missing alt-text would
-    // quietly shrink the report — while a shared "no caption" bucket
-    // would fabricate same-caption conflicts between unrelated images.
+    // NULL and blank-after-trim captions get a per-doc key (the
+    // withSigKey 'nosig:' discipline): an inner join on a NULL md5
+    // would silently DROP the row from its image class — a crawl with
+    // missing alt-text would quietly shrink the report — while a
+    // shared "no caption" bucket would fabricate same-caption
+    // conflicts between unrelated images. Blank strings matter as much
+    // as NULLs here: crawls deliver missing alt-text as '' at least as
+    // often as NULL, and '' trims to md5("") — ONE shared bucket that
+    // would inflate n_crossimage_docs with exactly the false
+    // same-caption/different-image conflicts this routing prevents.
     // The projection feeds both the spread aggregate and the join probe
     // side; persistOnce so the upstream (at 100 TB: the image decode +
     // fingerprint) runs ONCE, matching the one-map-pass claim above.
     val pairs = df.select(key.as("doc_id"), imageKey.as("ikey"),
-        coalesce(md5(trim(lower(caption))),
+        coalesce(when(length(trim(caption)) > 0,
+            md5(trim(lower(caption)))),
           concat(lit("nocap:"), key.cast("string"))).as("ckey"))
       .persistOnce()
     val capSpread = pairs.groupBy(col("ckey"))

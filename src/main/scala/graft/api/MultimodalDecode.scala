@@ -841,9 +841,10 @@ object MultimodalDecode {
     * frame after the chain must carry the 14-bit FLAC frame sync
     * (0xFF 0xF8..0xFB) or the payload is rejected. duration_ms is the
     * integer floor of total·1000/rate, replayable by any oracle. ANY
-    * malformation — bad magic, truncated block, missing STREAMINFO,
-    * zero rate, absent frame sync — fails loudly (ok=false, zeros),
-    * the dirty-feed contract of every codec path here.
+    * malformation — bad magic, truncated block, missing or non-FIRST
+    * STREAMINFO (the spec pins its position), zero rate, absent frame
+    * sync — fails loudly (ok=false, zeros), the dirty-feed contract of
+    * every codec path here.
     */
   def probeFlacOne(in: MediaIn): FlacMeta = {
     val c = if (in.content == null) Array.emptyByteArray else in.content
@@ -867,6 +868,10 @@ object MultimodalDecode {
       val blen = ((c(off + 1) & 0xff) << 16) | ((c(off + 2) & 0xff) << 8) |
         (c(off + 3) & 0xff)
       if (off + 4 + blen > c.length) return bad // truncated block body
+      // the spec requires STREAMINFO as the FIRST metadata block —
+      // any other position (or a first block of another type) is a
+      // malformation and fails loudly like every other one here
+      if ((off == 4) != (btype == 0)) return bad
       if (btype == 0) {
         // STREAMINFO is exactly 34 bytes; the packed 64-bit field
         // starts at body offset 10 (after the 16/16-bit block sizes and
@@ -901,8 +906,9 @@ object MultimodalDecode {
   /** Encode a deterministic FLAC container — the fixture writer for the
     * FLAC probe (no JDK FLAC codec exists, but the metadata layout is
     * pure bytes: real magic, real STREAMINFO bit packing, real block
-    * chain). `withPadding` inserts a PADDING block before the last one
-    * so the probe's chain walk is exercised on multi-block files. The
+    * chain). `withPadding` appends a PADDING block AFTER STREAMINFO —
+    * the spec requires STREAMINFO to be the first metadata block — so
+    * the probe's chain walk is exercised on multi-block files. The
     * body is a deterministic pseudo-frame starting with the genuine
     * 14-bit frame sync; body byte j is a pure function of (seed, j).
     */
@@ -918,14 +924,11 @@ object MultimodalDecode {
     val size = 4 + (4 + 34) + (if (withPadding) 4 + padLen else 0) + bodyLen
     val out = new Array[Byte](size)
     out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
-    var off = 4
-    if (withPadding) {
-      // PADDING (type 1), not last, zero body
-      out(off) = 1; out(off + 1) = 0; out(off + 2) = 0
-      out(off + 3) = padLen.toByte
-      off += 4 + padLen
-    }
-    out(off) = (0x80 | 0).toByte // STREAMINFO, last block
+    val off = 4
+    // STREAMINFO is the FIRST metadata block — the spec mandates its
+    // position, and the probe rejects any other ordering; it is the
+    // last block only when no PADDING follows
+    out(off) = (if (withPadding) 0 else 0x80).toByte
     out(off + 1) = 0; out(off + 2) = 0; out(off + 3) = 34
     val b = off + 4
     // min/max block size 4096, min/max frame size 0 (unknown — legal)
@@ -944,7 +947,15 @@ object MultimodalDecode {
     // bytes 18..33: the raw-audio md5 slot — deterministic filler
     var j = 18
     while (j < 34) { out(b + j) = ((seed + j) % 251).toByte; j += 1 }
-    val body = b + 34
+    var after = b + 34
+    if (withPadding) {
+      // PADDING (type 1) after STREAMINFO, last block, zero body
+      out(after) = (0x80 | 1).toByte
+      out(after + 1) = 0; out(after + 2) = 0
+      out(after + 3) = padLen.toByte
+      after += 4 + padLen
+    }
+    val body = after
     out(body) = 0xff.toByte
     out(body + 1) = 0xf8.toByte // frame sync, blocking strategy 0
     j = 2

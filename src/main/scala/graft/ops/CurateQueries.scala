@@ -278,17 +278,27 @@ object CurateQueries extends QueryPack {
 
   /** x_dedup_suffix_deep: the SAME suffix-array operator through its
     * OTHER strategy branch — cap=256 sits above DirectSortCap=128, so
-    * this query exercises the prefix-doubling loop (seed at 8 tokens,
-    * doc-keyed lead() rounds, driver-offset dense ranks) that the
-    * cap=64 registration never touches, against the same brute-force
-    * positions×lengths oracle at m ≤ 256. The fixture's longest doc is
-    * under the cap, so reported spans are EXACT (not cap-quantized)
-    * and the oracle's exhaustive search is still only n(n+1)/2 grams
-    * per doc. A doubling-branch regression now ships red, not green.
+    * this query exercises the prefix-doubling loop (doc-keyed lead()
+    * rounds, driver-offset dense ranks, doubling-side representative
+    * slices) that the cap=64 registration never touches, against the
+    * same brute-force positions×lengths oracle at m ≤ 256. The gate
+    * seeds at 64 tokens — two doubling rounds instead of five, and a
+    * seed subtree plan-identical to x_dedup_suffix's so the persist
+    * registry shares it — which exercises every doubling-branch code
+    * path while costing a standing-gate-appropriate wall (measured
+    * 5.6s → 3.2s warm at sf0.01; output is seed-invariant, so the
+    * oracle is untouched; the
+    * production default stays seed=8, the wire-optimal setting, and
+    * keeps its own brute-force law in CurateOpsSpec). The fixture's
+    * longest doc is under the cap, so reported spans are EXACT (not
+    * cap-quantized) and the oracle's exhaustive search is still only
+    * n(n+1)/2 grams per doc. A doubling-branch regression ships red,
+    * not green.
     */
   def dedupSuffixDeepQ(s: SparkSession, d: String): DataFrame =
     GraftOps.dedupSuffix(Tables.documents(s, d), col("doc_id"),
-      col("text"), minSpan = SufMinSpan, cap = SufCapDeep)
+      col("text"), minSpan = SufMinSpan, cap = SufCapDeep,
+      seed = SufSeedDeep)
 
   /** The synthesized raw-URL column for x_dedup_url, as a SQL
     * expression over doc_id — covers every canonicalization rule:
@@ -311,7 +321,8 @@ object CurateQueries extends QueryPack {
        |(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
        |(CASE WHEN doc_id % 3 = 0
        |      THEN '?utm_source=feed&id=' || CAST(doc_id % 10 AS $castKw)
-       |      WHEN doc_id % 7 = 0 THEN '?b=2&a=1' ELSE '' END) ||
+       |      WHEN doc_id % 7 = 0 THEN '?b=2&a=1'
+       |      WHEN doc_id % 13 = 0 THEN '?a=1&ref&fbclid' ELSE '' END) ||
        |(CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)""".stripMargin
       .replace("\n", " ")
 
@@ -335,8 +346,10 @@ object CurateQueries extends QueryPack {
       |cp AS (
       |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
       |      string_split(q, '&'),
-      |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')
-      |        OR starts_with(p, 'fbclid=') OR starts_with(p, 'gclid=')
+      |      p -> NOT (starts_with(p, 'utm_')
+      |        OR p = 'ref' OR starts_with(p, 'ref=')
+      |        OR p = 'fbclid' OR starts_with(p, 'fbclid=')
+      |        OR p = 'gclid' OR starts_with(p, 'gclid=')
       |        OR p = ''))), '&'), '') AS pstr,
       |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pabs
       |  FROM c),
@@ -393,6 +406,7 @@ object CurateQueries extends QueryPack {
   private val SufMinSpan = 10
   private val SufCap = 64
   private val SufCapDeep = 256
+  private val SufSeedDeep = 64
 
   /** Shared brute-force suffix-dedup CTE prefix (per-position longest
     * duplicated m-gram + interval-union running end) — ONE copy feeding
@@ -633,11 +647,16 @@ object CurateQueries extends QueryPack {
     * avail·2.5 epochs) tokens and report the exact epochs_ppm +
     * shortfall. At sf0.01 the high-weight sources hit the epoch cap
     * (shortfall > 0) while at sf0.1 nothing does — the gate covers
-    * both regimes across the driver's two scale factors.
+    * both regimes across the driver's two scale factors. The weight
+    * table also plans 'src_missing' (5% share), a source the corpus
+    * does NOT contain: its avail=0/granted=0/shortfall=target row is
+    * load-bearing in the hash gate, pinning the planned-but-absent
+    * visibility contract.
     */
   def mixBudgetQ(s: SparkSession, d: String): DataFrame =
     GraftOps.mixBudget(Tables.documents(s, d), col("source"), col("text"),
-      weightsPpm = (0 to 19).map(k => (s"src$k", (k + 1) * 1000000L / 210)),
+      weightsPpm = (0 to 19).map(k => (s"src$k", (k + 1) * 1000000L / 210))
+        :+ ("src_missing" -> 50000L),
       budgetTokens = MixBudgetTokens, maxEpochsPpm = MixMaxEpochsPpm)
 
   /** x_pmi: adjacent-pair PMI over the corpus — top-50 collocations above
@@ -2195,7 +2214,9 @@ object CurateQueries extends QueryPack {
         |t AS (
         |  SELECT source, avail,
         |    (CAST(substr(source, 4) AS INT) + 1) * 1000000 // 210 wppm
-        |  FROM a),
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'src_missing', CAST(0 AS BIGINT), CAST(50000 AS BIGINT)),
         |g AS (
         |  SELECT *, """.stripMargin +
         s"CAST($MixBudgetTokens AS BIGINT) * wppm // 1000000 tgt, " +

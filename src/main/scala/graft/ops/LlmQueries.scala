@@ -939,13 +939,17 @@ object LlmQueries extends QueryPack {
   /** x_mm_caption_conflict: the cross-modal alignment screen
     * ([[GraftOps.captionConflict]]) — x_mm_phash_dedup's pixel-identity
     * classes (REAL decode → dHash-64 of every payload) joined against
-    * caption fingerprints (md5 of the doc's trim+lower text), reporting
-    * per image class the same-image/different-caption count and the
-    * docs whose caption also appears under a DIFFERENT image — the two
-    * label-noise modes a contrastive image-text run screens for. The
-    * oracle replays the planted mod-140 pixel classes arithmetically
-    * (the identity x_mm_phash_dedup's gate proves) and the caption md5s
-    * from the same text column, so the hash gate covers the whole
+    * caption fingerprints (md5 of the doc's trim+lower caption),
+    * reporting per image class the same-image/different-caption count
+    * and the docs whose caption also appears under a DIFFERENT image —
+    * the two label-noise modes a contrastive image-text run screens
+    * for. The caption column plants NULL (mod 29) and blank/whitespace
+    * (mod 23) alt-text rows, so the per-doc no-caption routing — the
+    * rule that keeps missing alt-text from fabricating a shared blank
+    * caption class — is itself under the hash gate. The oracle replays
+    * the planted mod-140 pixel classes arithmetically (the identity
+    * x_mm_phash_dedup's gate proves), the caption synthesis, and the
+    * caption md5s, so the gate covers the whole
     * decode→fingerprint→two-sided-rollup chain.
     */
   def mmCaptionConflict(s: SparkSession, d: String): DataFrame = {
@@ -964,10 +968,20 @@ object LlmQueries extends QueryPack {
       }
     val imgKeys = graft.api.MultimodalDecode.phash(payloads).toDF()
       .filter(col("ok")).select(col("doc_id"), col("phash"))
+    // caption synthesis plants the two degenerate forms a crawl
+    // actually delivers — NULL alt-text (mod 29) and blank/whitespace-
+    // only alt-text (mod 23 ∈ {0, 1}) — so the per-doc 'nocap:'
+    // routing for BOTH is load-bearing in the hash gate, not spec-only
+    // (a shared blank bucket would fabricate cross-image conflicts)
+    val caption = when(col("doc_id") % 29 === 0, lit(null).cast("string"))
+      .when(col("doc_id") % 23 === 0, lit(""))
+      .when(col("doc_id") % 23 === 1, lit("   "))
+      .otherwise(col("text"))
     val withCaptions = imgKeys.join(
-      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+      Tables.documents(s, d).select(col("doc_id"), caption.as("caption")),
+      "doc_id")
     GraftOps.captionConflict(withCaptions, col("doc_id"), col("phash"),
-      col("text"))
+      col("caption"))
   }
 
   /** The audio media table: one genuine 16-bit PCM payload per document
@@ -2743,15 +2757,25 @@ object LlmQueries extends QueryPack {
 
     // Caption-conflict replay: image class = the planted mod-140 pixel
     // identity (x_mm_phash_dedup's gate proves the engine's dHash
-    // classes ARE these classes on this fixture), caption key = md5 of
-    // the trim+lower text — then the identical two-sided rollup: the
+    // classes ARE these classes on this fixture), caption = the same
+    // planted NULL/blank/text synthesis, caption key = md5 of the
+    // trim+lower caption with NULL and blank-after-trim routed to the
+    // per-doc 'nocap:' key — then the identical two-sided rollup: the
     // caption-spread aggregate and the per-image-class report.
     "x_mm_caption_conflict" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 140 AS ikey,
-        |    coalesce(md5(trim(lower(text))),
-        |             'nocap:' || CAST(doc_id AS VARCHAR)) AS ckey
+      """WITH cap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 29 = 0 THEN NULL
+        |         WHEN doc_id % 23 = 0 THEN ''
+        |         WHEN doc_id % 23 = 1 THEN '   '
+        |         ELSE text END AS caption
         |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, doc_id % 140 AS ikey,
+        |    CASE WHEN caption IS NULL OR trim(caption) = ''
+        |         THEN 'nocap:' || CAST(doc_id AS VARCHAR)
+        |         ELSE md5(trim(lower(caption))) END AS ckey
+        |  FROM cap),
         |cs AS (SELECT ckey, count(DISTINCT ikey) AS n_images
         |  FROM p GROUP BY 1)
         |SELECT min(doc_id) AS cluster_rep,

@@ -299,26 +299,35 @@ class RunningCountProcessor[I]
 
 /** Per-key token-bucket rate limiter on `transformWithState` — the
   * ingest-throttling shape every streaming ETL front door carries: each
-  * key holds a bucket of `capacity` tokens refilled at `refillPerSec`
-  * tokens per second of EVENT time; each arriving event consumes one
-  * token or is counted dropped. Rows inside a micro-batch are processed
-  * in event-time order (batches deliver unordered), so the admit/drop
-  * decision sequence is a pure function of the event times — restart-
-  * deterministic, which is what makes the behavior testable as a law
-  * rather than a flake. State is one (tokens_milli, last_ms) pair per
-  * key; emission is one (key, allowed, dropped) row per key per batch.
-  * Tokens are tracked in integer MILLI-tokens so fractional refill
-  * (e.g. 1 token / 2 s) accrues exactly — no float drift across
+  * key holds a bucket of `capacity` tokens refilled at
+  * `refillMilliPerSec` MILLI-tokens per second of EVENT time (1000 =
+  * one token/s; 500 = one token every 2 s — sub-1/s rates are
+  * first-class, which is why the knob is milli-tokens, not tokens);
+  * each arriving event consumes one token or is counted dropped. Rows
+  * inside a micro-batch are processed in event-time order (batches
+  * deliver unordered), so the admit/drop sequence is a pure function
+  * of the event times PER BATCH ASSIGNMENT: a late row delivered in a
+  * LATER batch is processed after the newer rows that beat it there,
+  * unlike the same row arriving in-batch — the deterministic contract
+  * is per-batch event-time order, and the restart law fixes batch
+  * boundaries to test exactly that. State is one (tokens_micro,
+  * last_ms) pair per key; emission is one (key, allowed, dropped) row
+  * per key per batch. Tokens are tracked in integer MICRO-tokens —
+  * elapsed ms × milli-tokens/s is micro-tokens exactly, so any refill
+  * rate accrues with zero rounding and no float drift across
   * checkpointed restarts.
   */
-class RateLimitProcessor(capacity: Long, refillPerSec: Long)
+class RateLimitProcessor(capacity: Long, refillMilliPerSec: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long), (Long, Long, Long)] {
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
-  require(capacity >= 1 && refillPerSec >= 0,
-    "RateLimitProcessor: capacity >= 1, refill >= 0")
+  // capacity bound keeps micro + gap*refill provably inside a Long
+  // (2 × capMicro ≤ 2^42 × 10^6 < 2^63) — loud here, not a wrap later
+  require(capacity >= 1 && capacity <= (1L << 41) &&
+    refillMilliPerSec >= 0,
+    "RateLimitProcessor: 1 <= capacity <= 2^41, refill >= 0")
 
-  // (milli-tokens available, event-time ms of the last refill)
+  // (micro-tokens available, event-time ms of the last refill)
   @transient private var bucket: ValueState[(Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -332,21 +341,28 @@ class RateLimitProcessor(capacity: Long, refillPerSec: Long)
                                timerValues: TimerValues)
       : Iterator[(Long, Long, Long)] = {
     val evs = rows.toArray.sortBy(_._2)
-    var (milli, last) =
+    var (micro, last) =
       if (bucket.exists()) bucket.get()
-      else (capacity * 1000L, evs.headOption.map(_._2).getOrElse(0L))
+      else (capacity * 1000000L, evs.headOption.map(_._2).getOrElse(0L))
     var allowed = 0L
     var dropped = 0L
+    val capMicro = capacity * 1000000L
     evs.foreach { case (_, tsMs) =>
       if (tsMs > last) {
-        milli = math.min(capacity * 1000L,
-          milli + (tsMs - last) * refillPerSec)
+        // a gap long enough to fill the bucket short-circuits to full
+        // BEFORE the multiply — a key idle for months times a large
+        // refill rate would otherwise overflow the Long product
+        val gap = tsMs - last
+        micro =
+          if (refillMilliPerSec > 0 && gap > capMicro / refillMilliPerSec)
+            capMicro
+          else math.min(capMicro, micro + gap * refillMilliPerSec)
         last = tsMs
       }
-      if (milli >= 1000L) { milli -= 1000L; allowed += 1L }
+      if (micro >= 1000000L) { micro -= 1000000L; allowed += 1L }
       else dropped += 1L
     }
-    bucket.update((milli, last))
+    bucket.update((micro, last))
     Iterator((key, allowed, dropped))
   }
 }

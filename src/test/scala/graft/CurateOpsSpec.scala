@@ -179,7 +179,7 @@ class CurateOpsSpec extends SparkSpec {
     * doubling rounds (the DirectSortCap pick is internal, so BOTH
     * strategies stay gated against the same ground truth).
     */
-  private def checkDedupSuffix(cap: Int): Unit = {
+  private def checkDedupSuffix(cap: Int, seed: Int = 0): Unit = {
     import spark.implicits._
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),      // shares "a b c d e f g h"
@@ -223,7 +223,7 @@ class CurateOpsSpec extends SparkSpec {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.sortBy(_._1)
     val out = GraftOps.dedupSuffix(docs, col("doc_id"), col("text"),
-        minSpan = minSpan, cap = cap, partitions = 4)
+        minSpan = minSpan, cap = cap, partitions = 4, seed = seed)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5))).toSeq
@@ -271,6 +271,16 @@ class CurateOpsSpec extends SparkSpec {
   test("dedupSuffix matches the same oracle through the prefix-doubling " +
     "strategy (cap=256)") {
     checkDedupSuffix(cap = 256)
+  }
+
+  // output is seed-invariant (the seed is a pure cost knob): the gate's
+  // seed=64 configuration must agree with the same brute-force oracle
+  // the default-seed doubling run matches — at this fixture the seed
+  // exceeds every doc length, so every post-seed class is already a
+  // singleton and the first round trips the early-stop path
+  test("dedupSuffix doubling strategy is seed-invariant (cap=256, " +
+    "seed=64 — the standing gate's configuration)") {
+    checkDedupSuffix(cap = 256, seed = 64)
   }
 
   // ---- independent unigram-LM replay (plain Scala, no Spark) --------
@@ -379,6 +389,18 @@ class CurateOpsSpec extends SparkSpec {
         weightsPpm = Seq(("srcA", 500000L)), budgetTokens = 20L)
     }
     assert(e.getMessage.contains("no mixture weight"))
+    // the symmetric direction is VISIBLE, not loud: a weighted source
+    // absent from the corpus must emit (avail 0, granted 0, shortfall =
+    // its whole target) — a left join from the avail side would have
+    // silently evaporated its budget share
+    val withGhost = GraftOps.mixBudget(docs, col("source"), col("text"),
+        weightsPpm = Seq(("srcA", 400000L), ("srcB", 400000L),
+          ("srcC", 200000L)),
+        budgetTokens = 20L, maxEpochsPpm = 2000000L)
+      .filter(col("source") === "srcC")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(withGhost === Array(("srcC", 0L, 200000L, 4L, 0L, 0L, 4L)))
   }
 
   test("filterUrls: canonical-host prefix rules, multi-rule hits count " +
@@ -427,7 +449,12 @@ class CurateOpsSpec extends SparkSpec {
       "https://www.example.com/A/B?a=1&b=2",
       "http://Host.com:80/",
       "http://host.com",
-      "https://h.com/p?utm_campaign=c&ref=r&fbclid=f&gclid=g").toDF("u")
+      "https://h.com/p?utm_campaign=c&ref=r&fbclid=f&gclid=g",
+      // BARE tracking keys (no '='): crawls carry both spellings, and
+      // 'utm_x' must fold by prefix while 'ref'/'fbclid'/'gclid' fold
+      // by exact bare key — but 'refresh=1' is a REAL param that the
+      // bare-key rule must NOT swallow
+      "https://h.com/p?ref&fbclid&gclid&utm_x&refresh=1").toDF("u")
     val got = urls.select(GraftOps.canonicalizeUrl(col("u")).as("c"))
       .collect().map(_.getString(0)).toSeq
     assert(got === Seq(
@@ -437,7 +464,9 @@ class CurateOpsSpec extends SparkSpec {
       "http://host.com/",
       "http://host.com/",
       // every param was tracking noise -> no '?' at all
-      "https://h.com/p"))
+      "https://h.com/p",
+      // bare keys dropped; the lookalike real param survives
+      "https://h.com/p?refresh=1"))
     // an input with no scheme canonicalizes to NULL (visible as its own
     // group), never to a shared junk key that fakes a duplicate class
     val malformed = Seq("not a url", "", "host.com/p").toDF("u")

@@ -1040,5 +1040,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(nOut === Seq(
       (1L, 2L, 2L, 1, 0L), // doc 2 retained; its nocap key is unique
       (3L, 1L, 1L, 0, 0L)))
+    // blank-after-trim captions take the SAME per-doc route as NULLs:
+    // '' and whitespace-only all trim to the empty string, which would
+    // otherwise share ONE md5("") bucket and fabricate exactly the
+    // same-caption/different-image conflicts the routing exists to
+    // prevent — docs 2/3/4 must NOT count as cross-image
+    val withBlanks = Seq(
+      (1L, 10L, "real caption"),
+      (2L, 10L, ""),
+      (3L, 20L, "   "),
+      (4L, 30L, "")
+    ).toDF("doc_id", "img", "cap")
+    val bOut = GraftOps.captionConflict(withBlanks, col("doc_id"),
+        col("img"), col("cap"))
+      .orderBy("cluster_rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(bOut === Seq(
+      (1L, 2L, 2L, 1, 0L), // blank doc 2 retained under its own key
+      (3L, 1L, 1L, 0, 0L),
+      (4L, 1L, 1L, 0, 0L)))
   }
 }

@@ -409,14 +409,29 @@ class MultimodalDecodeSpec extends SparkSpec {
       m.bits_per_sample === 24 && m.total_samples === 123456L)
     assert(m.duration_ms === 123456L * 1000 / 48000)
     assert(m.n_bytes === 4L + 38 + 50)
-    // padding block BEFORE streaminfo: the probe must walk the chain,
-    // not read a fixed offset; identical fields, 20 more bytes
+    // padding block AFTER streaminfo (the spec-legal multi-block
+    // layout): the probe must walk the chain, not read a fixed last
+    // block; identical fields, 20 more bytes
     val fp = MultimodalDecode.encodeFlac(48000, 2, 24, 123456L, seed = 3L,
       bodyLen = 50, withPadding = true)
     val mp = MultimodalDecode.probeFlacOne(
       graft.api.MediaIn(2L, fp, "audio/flac"))
     assert(mp.ok && mp.sample_rate === 48000 &&
       mp.total_samples === 123456L && mp.n_bytes === m.n_bytes + 20)
+    // a PADDING block FIRST (STREAMINFO second) is spec-invalid — the
+    // probe must reject it as loudly as any other malformation; build
+    // the illegal layout by hand from the legal one's bytes
+    val illegal = new Array[Byte](fp.length)
+    System.arraycopy(fp, 0, illegal, 0, 4)
+    System.arraycopy(fp, 4 + 38, illegal, 4, 20)        // PADDING first
+    illegal(4) = 1                                       // not last
+    System.arraycopy(fp, 4, illegal, 24, 38)             // STREAMINFO
+    illegal(24) = (0x80 | 0).toByte                      // now last
+    System.arraycopy(fp, 4 + 38 + 20, illegal, 4 + 38 + 20,
+      fp.length - (4 + 38 + 20))                         // frames
+    assert(!MultimodalDecode.probeFlacOne(
+      graft.api.MediaIn(7L, illegal, "audio/flac")).ok,
+      "non-first STREAMINFO must fail loudly")
     // a >2^32 total-samples value exercises the 36-bit field's high bits
     val big = MultimodalDecode.encodeFlac(44100, 1, 16, (1L << 35) + 7L,
       seed = 9L, bodyLen = 8)

@@ -188,7 +188,7 @@ class StreamingSpec extends SparkSpec {
         .groupByKey(_._1)
         .transformWithState(
           new graft.streaming.RateLimitProcessor(capacity = 2,
-            refillPerSec = 1),
+            refillMilliPerSec = 1000),
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Append())
         .toDF("user_id", "allowed", "dropped")
@@ -211,6 +211,51 @@ class StreamingSpec extends SparkSpec {
         .toSet
       assert(rows === Set((7L, 2L, 1L), (7L, 1L, 1L)),
         s"token bucket must admit 2+1 and survive the restart: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
+  test("s_rate_limit: sub-1/s refill accrues exactly (1 token per 2 s " +
+    "= 500 milli-tokens/s)") {
+    // capacity 1, refill 500 milli/s. One batch, events at t0 / t0+1s /
+    // t0+2s / t0+2s: the seed token admits t0; +1 s refills only half a
+    // token (drop); +2 s completes the token (admit); the second t0+2s
+    // event finds an empty bucket (drop). An integer tokens/sec knob
+    // cannot express this rate at all — the docstring's contract.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB provider (multi-column-
+    // family state) — same scoped override as the restart law above
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val limited = in.toDS()
+        .map(e => (e.user_id, e.ts.getTime))
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.RateLimitProcessor(capacity = 1,
+            refillMilliPerSec = 500),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("user_id", "allowed", "dropped")
+      val q = limited.writeStream.format("memory").queryName("rate_half")
+        .outputMode("append").start()
+      val t0 = ts("10:00").getTime
+      in.addData(
+        Ev(1, new java.sql.Timestamp(t0), 9, "click", 1.0, "{}"),
+        Ev(2, new java.sql.Timestamp(t0 + 1000L), 9, "click", 1.0, "{}"),
+        Ev(3, new java.sql.Timestamp(t0 + 2000L), 9, "click", 1.0, "{}"),
+        Ev(4, new java.sql.Timestamp(t0 + 2000L), 9, "click", 1.0, "{}"))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("rate_half").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(rows === Set((9L, 2L, 2L)),
+        s"1-token/2s bucket must admit exactly 2 of 4: $rows")
     } finally prev match {
       case Some(v) => spark.conf.set(provKey, v)
       case None    => spark.conf.unset(provKey)
