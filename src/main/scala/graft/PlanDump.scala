@@ -396,7 +396,22 @@ object PlanDump {
     "x_src_overlap" -> ("Cross-source duplication matrix — signature " +
       "pass, (sig_key, source) aggregate, per-class source-alphabet-" +
       "bounded list collect, MAP-SIDE pair expansion; no join, two " +
-      "key shuffles, bounded sources^2 output")
+      "key shuffles, bounded sources^2 output"),
+    "x_warc" -> ("WARC record walk — pure map 1->N generator " +
+      "(version line, header fold, Content-Length hop, CRLF CRLF " +
+      "framing), no shuffle after the id repartition; the " +
+      "widest-running stage of a crawl ingest"),
+    "x_mm_phash_orient" -> ("Orientation-applied image dedup — pure " +
+      "map PNG chunk walk (CRC-verified eXIf -> shared TIFF/IFD0 " +
+      "parse) + display-pixel dHash via index arithmetic on one " +
+      "decode, then one hash-keyed aggregate"),
+    "x_bitext_mine" -> ("Margin bitext mining — two bounded-centroid " +
+      "broadcast joins + two cell-key equi-joins for symmetric IVF " +
+      "candidates, per-vector top-k denominator windows, margin " +
+      "argmax; one row per source vector, no all-pairs stage"),
+    "x_bitext_recall" -> ("Bitext recall readout — IVF leg vs " +
+      "exhaustive leg over a bounded broadcast probe sample, " +
+      "left-join agreement rollup to one exact-ppm row")
   )
 
   def main(args: Array[String]): Unit = {

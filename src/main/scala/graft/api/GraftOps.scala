@@ -270,6 +270,19 @@ object GraftOps {
     * moved plan shape only: no explode, no signature Exchange, the whole
     * stage fuses into the scan's WholeStageCodegen span.
     */
+  /** The (doc_id, band, bkey) LSH band-key relation over raw text —
+    * [[bandTable]] over a fresh [[shingleTable]], exposed for consumers
+    * that maintain a band table ACROSS invocations instead of inside
+    * one plan (the streaming admit screen appends each batch's bands to
+    * a persistent history). Same banding constants as [[dedupNear]], so
+    * batch and streaming candidates can never disagree. Docs with < 3
+    * tokens have no shingles and emit no rows — band-less means
+    * screen-exempt, the [[withSigKey]] nosig discipline.
+    */
+  def bandKeyTable(df: DataFrame, key: Column, text: Column,
+                   perms: Int = 16, bands: Int = 8): DataFrame =
+    bandTable(shingleTable(df, key, text), perms, bands)
+
   private def bandTable(sh: DataFrame, perms: Int, bands: Int): DataFrame = {
     require(perms % bands == 0, "perms must be divisible by bands")
     require(perms <= 20, "multiplier 2p+1 <= 39 keeps hv*(2p+1) under 2^54 (no BIGINT overflow)")
@@ -3197,6 +3210,115 @@ object GraftOps {
         x => x.getField("m")).as("rv"))
     centroids.join(refined, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("rv"), col("cv")).as("cv"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the RATIO
+    * margin): mine translation-pair candidates between two labeled
+    * embedding populations — the cross-lingual corpus-construction
+    * operator (LASER/CCMatrix-style) that turns two monolingual crawls
+    * into parallel training pairs. For each source vector a, the mined
+    * target is argmax over candidates b of
+    *   margin(a, b) = cos(a, b) / ((meanTopK(a) + meanTopK(b)) / 2)
+    * where meanTopK(x) is the mean of x's k best candidate cosines into
+    * the OTHER population — the neighborhood normalization that kills
+    * the hub vectors a raw-cosine argmax drowns in (a "hubby" target
+    * scoring high against EVERYTHING has a high meanTopK and its margin
+    * deflates). Candidates are SYMMETRIC-IVF-bounded: each population
+    * gets a coarse quantizer (its nlistFor(n) lowest-keyed vectors —
+    * the [[ivfTopK]] sampling init), vectors join their own
+    * population's cells map-side (broadcast centroids + the
+    * [[assignCells]] argmax), and each side probes its `nprobe`
+    * nearest foreign cells; the candidate set is the UNION of both
+    * directions, so the b-side denominator sees b's own neighborhood,
+    * not just the a's that happened to probe into b's cell. All
+    * cosines are rounded to 6dp BEFORE ranking and margin arithmetic —
+    * the bm25Rank discipline that lets any oracle replay order and
+    * values bit-for-bit.
+    *
+    * `exhaustive = true` is the OFFLINE-EVAL leg ([[annRecall]]'s
+    * ground-truth discipline): candidates are the full src × tgt
+    * product via a broadcast of the src side, which the caller must
+    * keep bounded (a probe sample / deterministic slice) — the
+    * production path is the IVF leg, which never builds the product.
+    *
+    * Scale shape: two bounded-centroid broadcast joins, two cell-key
+    * equi-joins (candidate volume ∝ nprobe × cell size, cells sized
+    * n/nlist ≈ √n by construction), per-vector windows over candidate
+    * lists, one row out per source vector. No all-pairs stage anywhere
+    * on the production path. The two population counts are bounded
+    * eager actions (they size the quantizers), timed inside Bench's
+    * window like mixBudget's guard.
+    */
+  def mineBitext(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 nprobe: Int = 3, exhaustive: Boolean = false): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "mineBitext: k >= 1, nprobe >= 1")
+    val a = src.select(col("vec_id").as("aid"),
+      VectorFns.toDoubles(col("embedding")).as("av"))
+    val b = tgt.select(col("vec_id").as("bid"),
+      VectorFns.toDoubles(col("embedding")).as("bv"))
+    val cand =
+      if (exhaustive)
+        b.join(broadcast(a))
+          .select(col("aid"), col("bid"),
+            round(expr("cosine_sim(av, bv)"), 6).as("cos"))
+      else {
+        // one direction of the symmetric-IVF candidate generation:
+        // pool vectors sit in their own cells; probes rank the pool's
+        // bounded centroid table and take their nprobe nearest cells
+        def leg(probes: DataFrame, pid: String, pv: String,
+                pool: DataFrame, qid: String, qv: String): DataFrame = {
+          val nlist = nlistFor(pool.count())
+          val cent = broadcast(pool.orderBy(col(qid)).limit(nlist)
+            .select(col(qid).as("cid"), col(qv).as("cv")))
+          val assigned = pool.join(cent)
+            .select(col(qid), col(qv),
+              struct(round(expr(s"cosine_sim($qv, cv)"), 6).as("cs"),
+                col("cid")).as("sc"))
+            .groupBy(col(qid), col(qv))
+            .agg(max(col("sc")).getField("cid").as("cell"))
+          val pw = Window.partitionBy(col(pid))
+            .orderBy(col("pcs").desc, col("cid").desc)
+          val probeCells = probes.join(cent)
+            .select(col(pid), col(pv), col("cid"),
+              round(expr(s"cosine_sim($pv, cv)"), 6).as("pcs"))
+            .withColumn("prnk", row_number().over(pw))
+            .filter(col("prnk") <= nprobe)
+            .select(col(pid), col(pv), col("cid").as("cell"))
+          probeCells.join(assigned, "cell")
+            .select(col("aid"), col("bid"),
+              round(expr("cosine_sim(av, bv)"), 6).as("cos"))
+        }
+        leg(a, "aid", "av", b, "bid", "bv")
+          .unionByName(leg(b, "bid", "bv", a, "aid", "av"))
+          .distinct()
+      }
+    val c = cand.persistOnce() // feeds both denominators and the argmax
+    val wa = Window.partitionBy(col("aid"))
+      .orderBy(col("cos").desc, col("bid").asc)
+    val denA = c.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= k).groupBy(col("aid"))
+      .agg(sum(col("cos")).as("sa"), count(lit(1)).as("na"))
+    val wb = Window.partitionBy(col("bid"))
+      .orderBy(col("cos").desc, col("aid").asc)
+    val denB = c.withColumn("r", row_number().over(wb))
+      .filter(col("r") <= k).groupBy(col("bid"))
+      .agg(sum(col("cos")).as("sb"), count(lit(1)).as("nb"))
+    val wm = Window.partitionBy(col("aid"))
+      .orderBy(col("margin").desc, col("bid").asc)
+    c.join(denA, "aid").join(denB, "bid")
+      .withColumn("den",
+        (col("sa") / col("na") + col("sb") / col("nb")) / 2.0)
+      // a degenerate all-zero neighborhood cannot be margin-ranked —
+      // the candidate is dropped BEFORE the rank window (never a
+      // ±Infinity, and never a NULL whose sort position the two
+      // engines could disagree on)
+      .withColumn("margin",
+        when(col("den") =!= 0.0, round(col("cos") / col("den"), 6)))
+      .filter(col("margin").isNotNull)
+      .withColumn("mr", row_number().over(wm))
+      .filter(col("mr") === 1)
+      .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
+        col("cos").as("cos_sim"), col("margin"))
   }
 
   /** Approximate nearest neighbors: md5-seeded random-hyperplane buckets,

@@ -464,6 +464,189 @@ object MultimodalDecode {
     writePng(img)
   }
 
+  /** ORIENTATION-APPLIED perceptual hash: read the EXIF Orientation
+    * tag riding the payload (PNG `eXIf` chunk — the PNG-native carrier
+    * of the same TIFF/IFD0 structure JPEG APP1 carries, walked with
+    * the same [[tiffIfd0]] parser and a verified CRC32), then hash the
+    * DISPLAY pixels: the decoded grid read through the orientation's
+    * index transform — one decode, no second raster, the
+    * [[dHashRot64]] arithmetic discipline extended to the full
+    * 8-element dihedral group (flips and transposes included, because
+    * the tag TELLS us the transform; no canonical fold needed). An
+    * image stored rotated/flipped-with-metadata fingerprints
+    * identically to its upright copy — the duplicate a plain
+    * [[dHash64]] (and even the rotation FOLD, for flip orientations)
+    * misses. A payload with no eXIf chunk is upright by definition
+    * (orientation 1); a payload with a MALFORMED chunk (bad CRC, bad
+    * TIFF, truncated walk) fails loudly, never "assume upright" — a
+    * pipeline that guessed would silently split duplicate classes.
+    *
+    * Display coordinates (x, y) read stored pixel (col, row) with
+    * (w, h) the STORED dims — the EXIF orientation table:
+    *   1 → (x, y)              2 → (w-1-x, y)        [flip H]
+    *   3 → (w-1-x, h-1-y)      4 → (x, h-1-y)        [flip V]
+    *   5 → (y, x)  [transpose] 6 → (y, h-1-x)        [90° CW]
+    *   7 → (w-1-y, h-1-x)      8 → (w-1-y, x)        [90° CCW]
+    * (display dims swap to (h, w) for 5–8). The fixture writer
+    * [[encodePngOriented]] inverts the same table, and the gate proves
+    * the round trip per orientation.
+    */
+  def dHashOriented64(c: Array[Byte]): Option[(Int, Long)] = {
+    val cc = if (c == null) Array.emptyByteArray else c
+    val o = pngExifOrientation(cc) match {
+      case Some(v) => v
+      case None    => return None
+    }
+    val img = readImage(cc)
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = img.getRGB(0, 0, w, h, null, 0, w)
+    val hash = o match {
+      case 1 => dHashGrid(w, h, (x, y) => g(y * w + x))
+      case 2 => dHashGrid(w, h, (x, y) => g(y * w + (w - 1 - x)))
+      case 3 => dHashGrid(w, h, (x, y) => g((h - 1 - y) * w + (w - 1 - x)))
+      case 4 => dHashGrid(w, h, (x, y) => g((h - 1 - y) * w + x))
+      case 5 => dHashGrid(h, w, (x, y) => g(x * w + y))
+      case 6 => dHashGrid(h, w, (x, y) => g((h - 1 - x) * w + y))
+      case 7 => dHashGrid(h, w, (x, y) => g((h - 1 - x) * w + (w - 1 - y)))
+      case _ => dHashGrid(h, w, (x, y) => g(x * w + (w - 1 - y)))
+    }
+    Some((o, hash))
+  }
+
+  /** Orientation-applied hash of a payload Dataset (the [[phash]]
+    * harness shape; ok=false rows carry hash 0 / orientation 0).
+    */
+  def phashOriented(payloads: Dataset[MediaIn]): Dataset[OrientHash] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { in =>
+        dHashOriented64(in.content) match {
+          case Some((o, v)) => OrientHash(in.doc_id, o, v, ok = true)
+          case None         => OrientHash(in.doc_id, 0, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** PNG chunk walk to the Orientation tag: verify the 8-byte
+    * signature, hop length-prefixed chunks, and on `eXIf` verify the
+    * CRC32 (over type+data, per spec) before handing the body to
+    * [[tiffIfd0]]. A PNG with no eXIf chunk is orientation 1 (upright
+    * is the absence default the EXIF spec itself names); any
+    * structural fault — bad signature, truncated chunk, CRC mismatch,
+    * bad TIFF — is None.
+    */
+  private def pngExifOrientation(c: Array[Byte]): Option[Int] = {
+    if (c.length < 8 || (c(0) & 0xff) != 0x89 || c(1) != 'P' ||
+        c(2) != 'N' || c(3) != 'G' || c(4) != 0x0d || c(5) != 0x0a ||
+        c(6) != 0x1a || c(7) != 0x0a) return None
+    def be32(p: Int): Long =
+      ((c(p) & 0xffL) << 24) | ((c(p + 1) & 0xffL) << 16) |
+        ((c(p + 2) & 0xffL) << 8) | (c(p + 3) & 0xffL)
+    var off = 8
+    while (off + 8 <= c.length) {
+      val len = be32(off)
+      if (len > Int.MaxValue - 12 || off + 12 + len > c.length) return None
+      val typ = new String(c, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (typ == "eXIf") {
+        val crc = new java.util.zip.CRC32
+        crc.update(c, off + 4, 4 + len.toInt)
+        if (crc.getValue != be32(off + 8 + len.toInt)) return None
+        return tiffIfd0(c, off + 8, off + 8 + len.toInt).map(_._2)
+      }
+      if (typ == "IEND") return Some(1) // no eXIf chunk: upright
+      off += 12 + len.toInt
+    }
+    None // ran off the end without IEND
+  }
+
+  /** Encode the deterministic fixture raster STORED under an EXIF
+    * orientation — the fixture writer for the orientation-applied
+    * dedup gate: the upright (width × height, seed) pixel field is
+    * inverted through the [[dHashOriented64]] orientation table (so
+    * DISPLAYING the stored pixels under the tag reproduces the upright
+    * field exactly), written as PNG (dims swapped for orientations
+    * 5–8), and an `eXIf` chunk carrying the real TIFF/IFD0 structure
+    * (big-endian, CRC32'd) is spliced after IHDR. Orientation 1 skips
+    * the chunk entirely, pinning the absence-default path.
+    */
+  def encodePngOriented(width: Int, height: Int, seed: Long,
+                        orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      "encodePngOriented: orientation in [1, 8]")
+    val up = fixtureRaster(width, height, seed)
+    val swap = orientation >= 5
+    val (sw, sh) = if (swap) (height, width) else (width, height)
+    val stored = new java.awt.image.BufferedImage(
+      sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        // stored (col, row) that display (x, y) reads — the same table
+        // as the hash accessor, with (w, h) = stored dims
+        val (cx, cy) = orientation match {
+          case 1 => (x, y)
+          case 2 => (sw - 1 - x, y)
+          case 3 => (sw - 1 - x, sh - 1 - y)
+          case 4 => (x, sh - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, sh - 1 - x)
+          case 7 => (sw - 1 - y, sh - 1 - x)
+          case _ => (sw - 1 - y, x)
+        }
+        stored.setRGB(cx, cy, up.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val png = writePng(stored)
+    if (orientation == 1) return png
+    // splice the eXIf chunk right after IHDR (signature 8 + 25 bytes;
+    // ImageIO always emits IHDR first with its fixed 13-byte body)
+    require(png.length > 33 && png(12) == 'I' && png(13) == 'H',
+      "encodePngOriented: unexpected PNG layout")
+    val tiffLen = 8 + 2 + 3 * 12 + 4
+    val chunk = new Array[Byte](12 + tiffLen)
+    def wbe32(p: Int, v: Long): Unit = {
+      chunk(p) = ((v >> 24) & 0xff).toByte
+      chunk(p + 1) = ((v >> 16) & 0xff).toByte
+      chunk(p + 2) = ((v >> 8) & 0xff).toByte
+      chunk(p + 3) = (v & 0xff).toByte
+    }
+    wbe32(0, tiffLen.toLong)
+    chunk(4) = 'e'; chunk(5) = 'X'; chunk(6) = 'I'; chunk(7) = 'f'
+    var p = 8
+    def w8(v: Int): Unit = { chunk(p) = v.toByte; p += 1 }
+    def e16(v: Int): Unit = { w8((v >> 8) & 0xff); w8(v & 0xff) }
+    def e32(v: Long): Unit = {
+      w8(((v >> 24) & 0xff).toInt); w8(((v >> 16) & 0xff).toInt)
+      w8(((v >> 8) & 0xff).toInt); w8((v & 0xff).toInt)
+    }
+    w8(0x4d); w8(0x4d) // big-endian TIFF
+    e16(42); e32(8L)
+    e16(3)
+    def entry(tag: Int, typ: Int, v: Long): Unit = {
+      e16(tag); e16(typ); e32(1L)
+      if (typ == 3) { e16(v.toInt); e16(0) } else e32(v)
+    }
+    entry(0x0100, 4, sw.toLong)
+    entry(0x0101, 4, sh.toLong)
+    entry(0x0112, 3, orientation.toLong)
+    e32(0L)
+    val crc = new java.util.zip.CRC32
+    crc.update(chunk, 4, 4 + tiffLen)
+    wbe32(8 + tiffLen, crc.getValue)
+    val out = new Array[Byte](png.length + chunk.length)
+    System.arraycopy(png, 0, out, 0, 33)
+    System.arraycopy(chunk, 0, out, 33, chunk.length)
+    System.arraycopy(png, 33, out, 33 + chunk.length, png.length - 33)
+    out
+  }
+
   /** Perceptual-hash a payload Dataset partition-at-a-time. */
   def phash(payloads: Dataset[MediaIn]): Dataset[MediaHash] = {
     import payloads.sparkSession.implicits._
@@ -1002,13 +1185,29 @@ object MultimodalDecode {
         app1End = off + 2 + len
       } else off += 2 + len
     }
-    if (app1 + 8 > app1End) return bad
-    val b0 = c(app1) & 0xff
-    val b1 = c(app1 + 1) & 0xff
+    tiffIfd0(c, app1, app1End) match {
+      case Some((little, orientation, width, height, n)) =>
+        ExifMeta(in.doc_id, if (little) "II" else "MM", orientation,
+          width, height, n, ok = true)
+      case None => bad
+    }
+  }
+
+  /** The TIFF header + IFD0 walk shared by the JPEG APP1 probe and the
+    * PNG eXIf path: byte-order mark, magic 42, bounded IFD0 offset,
+    * inline SHORT/LONG reads of ImageWidth/ImageLength/Orientation.
+    * None on any malformation — the caller turns that into its own
+    * loud row.
+    */
+  private def tiffIfd0(c: Array[Byte], tiff: Int, segEnd: Int)
+      : Option[(Boolean, Int, Int, Int, Int)] = {
+    if (tiff + 8 > segEnd) return None
+    val b0 = c(tiff) & 0xff
+    val b1 = c(tiff + 1) & 0xff
     val little =
       if (b0 == 0x49 && b1 == 0x49) true
       else if (b0 == 0x4d && b1 == 0x4d) false
-      else return bad
+      else return None
     def u16(p: Int): Int =
       if (little) (c(p) & 0xff) | ((c(p + 1) & 0xff) << 8)
       else ((c(p) & 0xff) << 8) | (c(p + 1) & 0xff)
@@ -1017,15 +1216,15 @@ object MultimodalDecode {
         ((c(p + 2) & 0xffL) << 16) | ((c(p + 3) & 0xffL) << 24)
       else ((c(p) & 0xffL) << 24) | ((c(p + 1) & 0xffL) << 16) |
         ((c(p + 2) & 0xffL) << 8) | (c(p + 3) & 0xffL)
-    if (u16(app1 + 2) != 42) return bad // TIFF magic
+    if (u16(tiff + 2) != 42) return None // TIFF magic
     // the IFD0 offset is an unbounded u32 from the payload: lower-bound
     // it too (a crafted 0xF0FFFFFF wraps .toInt negative and would
     // dereference outside the segment — a thrown task, not a loud row)
-    val ifd0Off = u32(app1 + 4)
-    if (ifd0Off < 8L || app1 + ifd0Off > app1End - 2) return bad
-    val ifd0 = app1 + ifd0Off.toInt
+    val ifd0Off = u32(tiff + 4)
+    if (ifd0Off < 8L || tiff + ifd0Off > segEnd - 2) return None
+    val ifd0 = tiff + ifd0Off.toInt
     val n = u16(ifd0)
-    if (ifd0 + 2 + n * 12 + 4 > app1End) return bad
+    if (ifd0 + 2 + n * 12 + 4 > segEnd) return None
     var orientation = 0
     var width = 0
     var height = 0
@@ -1045,9 +1244,8 @@ object MultimodalDecode {
       else if (tag == 0x0112 && v >= 1 && v <= 8) orientation = v.toInt
       i += 1
     }
-    if (orientation == 0 || width == 0 || height == 0) return bad
-    ExifMeta(in.doc_id, if (little) "II" else "MM", orientation, width,
-      height, n, ok = true)
+    if (orientation == 0 || width == 0 || height == 0) None
+    else Some((little, orientation, width, height, n))
   }
 
   def probeExif(payloads: Dataset[MediaIn]): Dataset[ExifMeta] = {
@@ -1204,6 +1402,134 @@ object MultimodalDecode {
       sb.append('\n')
     }
     sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // ------------------------------------------------------------ WARC
+
+  /** REAL WARC/1.x record walk — the byte format web crawls actually
+    * arrive in (ISO 28500): every crawl-pipeline stage upstream of URL
+    * canonicalization/HTML strip starts by splitting a WARC container
+    * into records. Strict framing, same discipline as the MP4/FLAC/MP3
+    * walks: a `WARC/1.0|1.1` version line, named headers up to the
+    * blank CRLF line, a `Content-Length` hop over the exact block
+    * bytes, then the mandatory `\r\n\r\n` record terminator; 1→N
+    * records per payload (the [[parseSrtOne]] generator shape). Per
+    * record: 1-based index, WARC-Type, WARC-Target-URI ('' when absent
+    * — warcinfo records legitimately carry none), the exact
+    * Content-Length, and the header count. Header names are
+    * case-insensitive per spec (matched via one lowercase fold);
+    * values are taken verbatim. ANY malformation — bad version line, a
+    * header line without ': ', a missing/malformed Content-Length or
+    * WARC-Type, a block running past the payload, a missing
+    * terminator, trailing garbage — yields ONE loud ok=false row for
+    * the document, the dirty-feed contract of every parser here.
+    */
+  def parseWarcOne(in: MediaIn): Seq[WarcRec] = {
+    val bad = Seq(WarcRec(in.doc_id, 0L, "", "", 0L, 0, ok = false))
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    if (c.length == 0) return bad
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    var off = 0
+    var idx = 0L
+    // one ASCII line ending in CRLF starting at `off`; -1 on fault.
+    // WARC headers are ASCII by spec; a stray high byte in a header
+    // line is a malformation, not a charset to guess at
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < c.length && !(c(i) == '\r' && c(i + 1) == '\n')) {
+        if ((c(i) & 0xff) >= 0x80) return -1
+        i += 1
+      }
+      if (i + 1 >= c.length) -1 else i
+    }
+    while (off < c.length) {
+      idx += 1
+      val ve = lineEnd(off)
+      if (ve < 0) return bad
+      val version = new String(c, off, ve - off,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (version != "WARC/1.0" && version != "WARC/1.1") return bad
+      off = ve + 2
+      var warcType = ""
+      var targetUri = ""
+      var contentLength = -1L
+      var nHeaders = 0
+      var inHeaders = true
+      while (inHeaders) {
+        val he = lineEnd(off)
+        if (he < 0) return bad
+        if (he == off) { inHeaders = false; off += 2 } // blank CRLF line
+        else {
+          val line = new String(c, off, he - off,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val colon = line.indexOf(": ")
+          if (colon <= 0) return bad
+          nHeaders += 1
+          val name = line.substring(0, colon).toLowerCase
+          val value = line.substring(colon + 2)
+          name match {
+            case "warc-type"       => warcType = value
+            case "warc-target-uri" => targetUri = value
+            case "content-length" =>
+              if (!value.nonEmpty || !value.forall(_.isDigit) ||
+                  value.length > 15) return bad
+              contentLength = value.toLong
+            case _ => ()
+          }
+          off = he + 2
+        }
+      }
+      if (warcType.isEmpty || contentLength < 0) return bad
+      // hop the content block, then the two mandatory terminating CRLFs
+      if (off + contentLength + 4 > c.length) return bad
+      off += contentLength.toInt
+      if (c(off) != '\r' || c(off + 1) != '\n' ||
+          c(off + 2) != '\r' || c(off + 3) != '\n') return bad
+      off += 4
+      out += WarcRec(in.doc_id, idx, warcType, targetUri, contentLength,
+        nHeaders, ok = true)
+    }
+    out.toSeq
+  }
+
+  def parseWarc(payloads: Dataset[MediaIn]): Dataset[WarcRec] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.flatMap(parseWarcOne))
+  }
+
+  /** Render a deterministic WARC/1.0 container — the fixture writer
+    * for the record walk. Record k (1-based) of `nRecords`: type
+    * warcinfo for k=1 (no Target-URI — pins the ''-when-absent rule),
+    * else response/request by (id+k) parity; Content-Length
+    * 20 + (id·7 + k·13) mod 50 with body byte j a pure function of
+    * (id, k, j). Every field the parser reports is replayable
+    * arithmetically from (id, k).
+    */
+  def encodeWarc(id: Long, nRecords: Int): Array[Byte] = {
+    require(nRecords >= 1, "encodeWarc: need at least one record")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    (1 to nRecords).foreach { k =>
+      val info = k == 1
+      val t = if (info) "warcinfo"
+        else if ((id + k) % 2 == 0) "response" else "request"
+      val len = 20 + ((id * 7 + k * 13) % 50)
+      w("WARC/1.0\r\n")
+      w(s"WARC-Type: $t\r\n")
+      w(s"WARC-Record-ID: <urn:uuid:$id-$k>\r\n")
+      w("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+      if (!info) w(s"WARC-Target-URI: https://example${id % 40}.com/p$k\r\n")
+      w(s"Content-Length: $len\r\n")
+      w("\r\n")
+      var j = 0
+      while (j < len) {
+        bos.write(((id * 31 + k * 17 + j * 2654435761L) % 256).toInt)
+        j += 1
+      }
+      w("\r\n\r\n")
+    }
+    bos.toByteArray
   }
 
   // ------------------------------------------------------------ video (MP4)
@@ -1533,6 +1859,13 @@ case class ExifMeta(doc_id: Long, byte_order: String, orientation: Int,
 
 case class SrtCue(doc_id: Long, cue_idx: Long, start_ms: Long,
                   end_ms: Long, n_chars: Long, ok: Boolean)
+
+case class WarcRec(doc_id: Long, rec_idx: Long, warc_type: String,
+                   target_uri: String, content_length: Long,
+                   n_headers: Int, ok: Boolean)
+
+case class OrientHash(doc_id: Long, orientation: Int, ohash: Long,
+                      ok: Boolean)
 
 case class FlacMeta(doc_id: Long, mime: String, n_bytes: Long,
                     sample_rate: Int, channels: Int, bits_per_sample: Int,

@@ -458,6 +458,66 @@ object LlmQueries extends QueryPack {
         expr("(n_hits * 1000000) div 3").as("recall_ppm"))
   }
 
+  /** Bitext-mining knobs, shared between the registrations and the
+    * parameterized oracle generator (the Uni-/Suf-knob discipline):
+    * margin neighborhood k, probed cells per side, and the bounded
+    * probe sample the recall readout's exhaustive leg broadcasts.
+    */
+  private val BitextK = 4
+  private val BitextNprobe = 3
+  private val BitextSampleMax = 64L
+
+  /** x_bitext_mine: margin-based cross-lingual pair mining
+    * ([[GraftOps.mineBitext]], Artetxe & Schwenk 2019 ratio margin) —
+    * the parallel-corpus construction operator: the fixture's even
+    * labels play the source language, odd labels the target; per
+    * source vector the argmax-margin target from symmetric-IVF-bounded
+    * candidates, with the k-NN-mean denominators that deflate hub
+    * vectors. The oracle replays the whole chain — per-population
+    * quantizers, cell argmax, probe ranking, union candidates, top-k
+    * denominators, margin argmax — in DuckDB, all on 6dp-rounded
+    * cosines so both engines rank identical values.
+    */
+  def bitextMine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    GraftOps.mineBitext(emb.filter(col("label") % 2 === 0),
+      emb.filter(col("label") % 2 === 1),
+      k = BitextK, nprobe = BitextNprobe)
+  }
+
+  /** x_bitext_recall: the mined-pair quality readout next to
+    * x_bitext_mine ([[GraftOps.annRecall]]'s ground-truth discipline):
+    * for a bounded source probe sample, run the IVF-bounded miner AND
+    * the exhaustive miner (full candidate product via a broadcast of
+    * the bounded sample — the offline-eval leg a production run never
+    * pays corpus-wide) and report how many probes mined the same
+    * target, as an exact integer ppm. Both legs are deterministic, so
+    * the oracle replays the agreement bit-for-bit instead of asserting
+    * a threshold.
+    */
+  def bitextRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val srcSample = emb.filter(col("label") % 2 === 0 &&
+      col("vec_id") < BitextSampleMax)
+    val tgt = emb.filter(col("label") % 2 === 1)
+    val ivf = GraftOps.mineBitext(srcSample, tgt,
+        k = BitextK, nprobe = BitextNprobe)
+      .select(col("src_id"), col("tgt_id").as("ivf_tgt"))
+    val brute = GraftOps.mineBitext(srcSample, tgt,
+        k = BitextK, nprobe = BitextNprobe, exhaustive = true)
+      .select(col("src_id"), col("tgt_id").as("true_tgt"))
+    brute.join(ivf, Seq("src_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(coalesce((col("ivf_tgt") === col("true_tgt")).cast("long"),
+          lit(0L))).as("n_agree"))
+      .select(col("n_probes"), col("n_agree"),
+        // empty-input law: zero probes reads 0 ppm, never an ANSI
+        // divide-by-zero (EmptyInputSpec runs every query on empty
+        // tables)
+        expr("CASE WHEN n_probes = 0 THEN 0 " +
+          "ELSE n_agree * 1000000 div n_probes END").as("agree_ppm"))
+  }
+
   /** x_quality: per-document C4/Gopher-style quality heuristics — exact
     * integer gates, score = fraction of gates passed. The pre-filter stage
     * of every curation pipeline.
@@ -888,6 +948,47 @@ object LlmQueries extends QueryPack {
       .select(col("cluster_rep"), col("n_members"))
   }
 
+  /** x_mm_phash_orient: ORIENTATION-APPLIED image dedup — the
+    * composition x_mm_exif proves is load-bearing: a JPEG/PNG stored
+    * rotated-or-flipped WITH metadata (camera writes the sensor raster
+    * + an Orientation tag instead of rotating pixels) must fingerprint
+    * identically to its upright copy. Each payload stores the same
+    * deterministic upright field inverted through one of ALL EIGHT
+    * EXIF orientations (rotations AND flips/transposes — the tag tells
+    * the transform, so no canonical fold is needed and the dihedral
+    * half the rotation FOLD cannot catch is covered) with a real
+    * CRC32'd PNG eXIf chunk carrying the TIFF/IFD0 structure;
+    * orientation-1 rows omit the chunk, pinning the absence-default.
+    * The engine reads the tag off the chunk walk and hashes the
+    * DISPLAY pixels via index arithmetic on ONE decode
+    * ([[graft.api.MultimodalDecode.dHashOriented64]]). The oracle
+    * predicts the classes arithmetically (doc_id mod 105 fixes the
+    * field; 1 + doc_id mod 8 picks the stored orientation), so the
+    * gate proves every orientation of every class landed on the
+    * upright fingerprint, with the tagged-member count visible per
+    * class.
+    */
+  def mmPhashOrient(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = (id % 105).toInt
+          val png = graft.api.MultimodalDecode.encodePngOriented(
+            16 + b % 5, 16 + b % 3, b.toLong,
+            orientation = 1 + (id % 8).toInt)
+          graft.api.MediaIn(id, png, "image/png")
+        }
+      }
+    graft.api.MultimodalDecode.phashOriented(payloads).toDF()
+      .groupBy(col("ohash"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_members"),
+        sum((col("orientation") =!= 1).cast("long")).as("n_oriented"))
+      .select(col("cluster_rep"), col("n_members"), col("n_oriented"))
+  }
+
   /** x_mm_phash_near: near-duplicate IMAGE detection at scale — the
     * banded-hash join ([[dedupSimhash]]'s shape) applied to the
     * perceptual dHash of real decoded pixels. The fixture is the
@@ -1174,6 +1275,42 @@ object LlmQueries extends QueryPack {
         col("end_ms"), col("n_chars"), col("ok").cast("int").as("ok"))
   }
 
+  /** x_warc: REAL WARC/1.x record walk
+    * ([[graft.api.MultimodalDecode.parseWarcOne]]) — the byte format
+    * crawls actually arrive in, completing the crawl story's front
+    * door (WARC split → x_dedup_url canonicalization → x_html_strip →
+    * the media container probes). Each payload is a genuine WARC byte
+    * layout (version line, named headers, Content-Length hop,
+    * CRLF CRLF framing) carrying 1–3 records — warcinfo first (no
+    * Target-URI, pinning the ''-when-absent rule), then
+    * response/request by parity — through the 1→N generator shape.
+    * The oracle replays the fixture's record layout arithmetically
+    * (type, target URI, content length, header count, all pure
+    * functions of (doc_id, k)); corrupt payloads (6-byte truncation —
+    * the final record loses its terminator, every 83rd doc) yield one
+    * loud ok=0 row. Pure map work, no shuffle after the id
+    * repartition; at 100 TB this is the stage that runs WIDEST (one
+    * task per WARC chunk), so zero-shuffle is the design.
+    */
+  def warcProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val warc = graft.api.MultimodalDecode.encodeWarc(
+            id, nRecords = 1 + (id % 3).toInt)
+          val content =
+            if (id % 83 == 0) warc.take(warc.length - 6) else warc
+          graft.api.MediaIn(id, content, "application/warc")
+        }
+      }
+    graft.api.MultimodalDecode.parseWarc(payloads).toDF()
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"), col("n_headers"),
+        col("ok").cast("int").as("ok"))
+  }
+
   /** The MP4 media table: one genuine ISO-BMFF container per document
     * (real ftyp/moov/mvhd/trak/tkhd byte layout via
     * [[graft.api.MultimodalDecode.encodeMp4]]); duration, timescale and
@@ -1405,8 +1542,107 @@ object LlmQueries extends QueryPack {
     "x_audio_probe_mp3" -> audioProbeMp3,
     "x_audio_probe_flac" -> audioProbeFlac,
     "x_subtitle_cues" -> subtitleCues,
-    "x_mm_exif" -> mmExif
+    "x_mm_exif" -> mmExif,
+    "x_warc" -> warcProbe,
+    "x_mm_phash_orient" -> mmPhashOrient,
+    "x_bitext_mine" -> bitextMine,
+    "x_bitext_recall" -> bitextRecall
   )
+
+  /** 6dp-rounded cosine between two DuckDB double lists — the one
+    * formula every embedding oracle in this pack builds on.
+    */
+  private def cosSql(x: String, y: String): String =
+    s"round(list_dot_product($x, $y) / (sqrt(list_dot_product($x, $x))" +
+      s" * sqrt(list_dot_product($y, $y))), 6)"
+
+  /** Parameterized bitext-mining CTE chain (the sufCommonFor
+    * discipline): emits `p`-prefixed CTE definitions ending in
+    * `${p}mined(src_id, tgt_id, cos_sim, margin)`, replaying
+    * [[GraftOps.mineBitext]] — per-population √n quantizers (lowest
+    * vec_ids), the cell argmax with the cid-DESC tiebreak, nprobe
+    * probe cells per side, the symmetric candidate union (or the full
+    * product on the exhaustive leg), top-k denominator windows and the
+    * margin argmax — all on 6dp-rounded cosines. ONE copy feeds both
+    * the x_bitext_mine oracle and both legs of x_bitext_recall's, so a
+    * knob or tiebreak change cannot desync a gate. Assumes an `emb`
+    * CTE (vec_id, label, v) is already in scope.
+    */
+  private def bitextSql(p: String, srcWhere: String,
+                        exhaustive: Boolean): String = {
+    val pops =
+      s"""${p}a AS (
+         |  SELECT vec_id aid, v av FROM emb
+         |  WHERE label % 2 = 0 AND ($srcWhere)),
+         |${p}b AS (SELECT vec_id bid, v bv FROM emb WHERE label % 2 = 1)"""
+        .stripMargin
+    val cand =
+      if (exhaustive)
+        s"""${p}cand AS (
+           |  SELECT aid, bid, ${cosSql("av", "bv")} cos
+           |  FROM ${p}a CROSS JOIN ${p}b)""".stripMargin
+      else
+        s"""${p}nla AS (SELECT min(c) c FROM range(1, 100000) t(c)
+           |  WHERE c*c >= (SELECT count(*) FROM ${p}a)),
+           |${p}nlb AS (SELECT min(c) c FROM range(1, 100000) t(c)
+           |  WHERE c*c >= (SELECT count(*) FROM ${p}b)),
+           |${p}ca AS (SELECT aid cid, av cv FROM ${p}a
+           |  QUALIFY row_number() OVER (ORDER BY aid)
+           |    <= (SELECT c FROM ${p}nla)),
+           |${p}cb AS (SELECT bid cid, bv cv FROM ${p}b
+           |  QUALIFY row_number() OVER (ORDER BY bid)
+           |    <= (SELECT c FROM ${p}nlb)),
+           |${p}asga AS (SELECT aid, av, cid cell FROM (
+           |  SELECT x.aid, x.av, c.cid, row_number() OVER (
+           |      PARTITION BY x.aid
+           |      ORDER BY ${cosSql("x.av", "c.cv")} DESC, c.cid DESC) rn
+           |  FROM ${p}a x CROSS JOIN ${p}ca c) WHERE rn = 1),
+           |${p}asgb AS (SELECT bid, bv, cid cell FROM (
+           |  SELECT x.bid, x.bv, c.cid, row_number() OVER (
+           |      PARTITION BY x.bid
+           |      ORDER BY ${cosSql("x.bv", "c.cv")} DESC, c.cid DESC) rn
+           |  FROM ${p}b x CROSS JOIN ${p}cb c) WHERE rn = 1),
+           |${p}pca AS (SELECT aid, av, cid cell FROM (
+           |  SELECT x.aid, x.av, c.cid, row_number() OVER (
+           |      PARTITION BY x.aid
+           |      ORDER BY ${cosSql("x.av", "c.cv")} DESC, c.cid DESC) rn
+           |  FROM ${p}a x CROSS JOIN ${p}cb c) WHERE rn <= $BitextNprobe),
+           |${p}pcb AS (SELECT bid, bv, cid cell FROM (
+           |  SELECT x.bid, x.bv, c.cid, row_number() OVER (
+           |      PARTITION BY x.bid
+           |      ORDER BY ${cosSql("x.bv", "c.cv")} DESC, c.cid DESC) rn
+           |  FROM ${p}b x CROSS JOIN ${p}ca c) WHERE rn <= $BitextNprobe),
+           |${p}cand AS (
+           |  SELECT DISTINCT aid, bid, cos FROM (
+           |    SELECT p.aid, s.bid, ${cosSql("p.av", "s.bv")} cos
+           |    FROM ${p}pca p JOIN ${p}asgb s ON p.cell = s.cell
+           |    UNION ALL
+           |    SELECT s.aid, p.bid, ${cosSql("p.bv", "s.av")} cos
+           |    FROM ${p}pcb p JOIN ${p}asga s ON p.cell = s.cell))"""
+          .stripMargin
+    val tail =
+      s"""${p}dena AS (
+         |  SELECT aid, sum(cos) sa, count(*) na FROM (
+         |    SELECT aid, cos, row_number() OVER (
+         |        PARTITION BY aid ORDER BY cos DESC, bid) r
+         |    FROM ${p}cand) WHERE r <= $BitextK GROUP BY aid),
+         |${p}denb AS (
+         |  SELECT bid, sum(cos) sb, count(*) nb FROM (
+         |    SELECT bid, cos, row_number() OVER (
+         |        PARTITION BY bid ORDER BY cos DESC, aid) r
+         |    FROM ${p}cand) WHERE r <= $BitextK GROUP BY bid),
+         |${p}mined AS (
+         |  SELECT aid src_id, bid tgt_id, cos cos_sim, margin FROM (
+         |    SELECT aid, bid, cos,
+         |      round(cos / ((sa/na + sb/nb) / 2), 6) margin,
+         |      row_number() OVER (PARTITION BY aid
+         |        ORDER BY round(cos / ((sa/na + sb/nb) / 2), 6) DESC,
+         |          bid) mr
+         |    FROM ${p}cand JOIN ${p}dena USING (aid)
+         |      JOIN ${p}denb USING (bid)
+         |    WHERE (sa/na + sb/nb) / 2 <> 0) WHERE mr = 1)""".stripMargin
+    s"$pops,\n$cand,\n$tail"
+  }
 
   /** Shared MinHash/LSH candidate CTE prefix (ws -> shingles -> md5 ->
     * 16-perm signatures -> 8 band keys -> id-ordered candidate pairs),
@@ -2352,6 +2588,39 @@ object LlmQueries extends QueryPack {
     // Replays BOTH legs — the x_sim_ivf algorithm (top-3) and brute-force
     // top-3 ground truth — then counts the overlap, so the recall integers
     // must agree exactly, not just clear a threshold.
+    // Bitext-mining replay: the full parameterized chain (quantizers,
+    // cell argmax, probe cells, symmetric candidate union, top-k
+    // denominators, margin argmax) from bitextSql — one copy shared
+    // with both x_bitext_recall legs.
+    "x_bitext_mine" ->
+      ("""WITH emb AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |""".stripMargin + bitextSql("", "TRUE", exhaustive = false) +
+        "\nSELECT src_id, tgt_id, cos_sim, margin FROM mined"),
+
+    // Recall readout replay: both legs from the same generator (IVF
+    // with i_, exhaustive with b_), then the identical left-join
+    // agreement rollup in exact integer ppm.
+    "x_bitext_recall" ->
+      ("""WITH emb AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |""".stripMargin +
+        bitextSql("i_", s"vec_id < $BitextSampleMax", exhaustive = false) +
+        ",\n" +
+        bitextSql("b_", s"vec_id < $BitextSampleMax", exhaustive = true) +
+        s"""
+        |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(coalesce(sum(CASE WHEN i.tgt_id = bm.tgt_id THEN 1 END),
+        |    0) AS BIGINT) AS n_agree,
+        |  CAST(CASE WHEN count(*) = 0 THEN 0
+        |    ELSE coalesce(sum(CASE WHEN i.tgt_id = bm.tgt_id THEN 1 END),
+        |      0) * 1000000 // count(*) END AS BIGINT) AS agree_ppm
+        |FROM b_mined bm LEFT JOIN i_mined i USING (src_id)""".stripMargin),
+
     "x_ann_recall" ->
       """WITH nl AS (
         |  SELECT min(c) c FROM range(1, 100000) t(c)
@@ -2747,6 +3016,17 @@ object LlmQueries extends QueryPack {
         |  count(*) AS n_members
         |FROM documents GROUP BY doc_id % 105""".stripMargin,
 
+    // Orientation-applied dedup replay: classes are the mod-105 pixel
+    // fields (every stored orientation of a field must land on the
+    // upright fingerprint); n_oriented counts the members stored under
+    // a non-1 tag (1 + doc_id % 8 = the fixture's orientation pick).
+    "x_mm_phash_orient" ->
+      """SELECT min(doc_id) AS cluster_rep,
+        |  count(*) AS n_members,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 8 <> 0 THEN 1 END), 0)
+        |    AS BIGINT) AS n_oriented
+        |FROM documents GROUP BY doc_id % 105""".stripMargin,
+
     // Pixel-identical payloads (same mod-140 class) with all-different
     // bytes must pair at hamming exactly 0; nothing else may pair.
     "x_mm_phash_near" ->
@@ -2956,6 +3236,34 @@ object LlmQueries extends QueryPack {
     // id%1000, end +1500 + (id%7)·250, text chars 10 + (id+3i)%25
     // (+5 on every 3rd cue's second line); corrupt docs (15-byte
     // truncation) emit ONE zeroed ok=0 row.
+    // Replays the WARC fixture's record layout arithmetically: record
+    // k of 1 + doc_id % 3 is warcinfo (k=1, no Target-URI, 4 headers)
+    // or response/request by (doc_id + k) parity (5 headers, the
+    // example{id%40}.com/pK URI); Content-Length is the body formula.
+    // Corrupt payloads (doc_id % 83 = 0, lost final terminator) yield
+    // the single zeroed ok=0 row.
+    "x_warc" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 83 = 0 AS corrupt,
+        |    CAST(1 + doc_id % 3 AS INT) AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(k AS BIGINT) AS rec_idx,
+        |  CASE WHEN k = 1 THEN 'warcinfo'
+        |       WHEN (doc_id + k) % 2 = 0 THEN 'response'
+        |       ELSE 'request' END AS warc_type,
+        |  CASE WHEN k = 1 THEN ''
+        |       ELSE 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+        |            || '.com/p' || CAST(k AS VARCHAR) END AS target_uri,
+        |  CAST(20 + (doc_id * 7 + k * 13) % 50 AS BIGINT)
+        |    AS content_length,
+        |  CAST(CASE WHEN k = 1 THEN 4 ELSE 5 END AS INT) AS n_headers,
+        |  CAST(1 AS INT) AS ok
+        |FROM f, unnest(generate_series(1, n)) t(k)
+        |WHERE NOT corrupt
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), '', '', CAST(0 AS BIGINT),
+        |  CAST(0 AS INT), CAST(0 AS INT)
+        |FROM f WHERE corrupt""".stripMargin,
     "x_subtitle_cues" ->
       """WITH f AS (
         |  SELECT doc_id, doc_id % 101 = 0 AS corrupt,

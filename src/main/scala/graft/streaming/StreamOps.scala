@@ -197,6 +197,92 @@ object StreamOps {
       .agg(count(lit(1)).as("n_users"))
       .select(col("w2.start").as("bucket_start"), col("event_type"),
         col("n_users"))
+
+  /** One micro-batch of the streaming INCREMENTAL near-dedup admit
+    * screen — the streaming twin of the batch x_dedup_incr relation: a
+    * document is admitted iff NO LSH band of its MinHash signature
+    * collides with the historical band table or with a lower-keyed
+    * in-batch document (the batch tier's min-keeper rule, so arrival
+    * ties inside one batch resolve deterministically). Band-less docs
+    * (< 3 tokens — nothing to shingle) are screen-exempt and always
+    * admitted, the withSigKey nosig discipline. Banding constants are
+    * [[graft.api.GraftOps.bandKeyTable]]'s — the SAME relation the
+    * batch gates prove — so batch and streaming candidates can never
+    * disagree. Returns (admitted docs, their bands to append to
+    * history).
+    *
+    * The history side rides a broadcast: right while admitted-history
+    * bands fit an executor (the admit screen's normal regime — history
+    * is the DEDUPED corpus's bands, orders of magnitude smaller than
+    * the raw feed). When history outgrows that, drop the broadcast
+    * hint and the same plan runs as a bkey shuffle join, or put
+    * [[graft.api.GraftOps.bloomAntiJoin]]'s bitmap in front — the
+    * batch tier already gates that shape (x_dedup_bloom).
+    */
+  def admitNovel(batch: DataFrame, historyBands: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // cached: feeds the history screen, the in-batch screen and the
+    // admitted-band append — one signature pass per batch (the caller
+    // unpersists after the batch's writes; see startIncrDedup)
+    val bands = graft.api.GraftOps.cacheOnce(graft.api.GraftOps
+      .bandKeyTable(batch, col("doc_id"), col("text")))
+    val histHit = bands
+      .join(broadcast(historyBands.select(col("band"), col("bkey"))),
+        Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // in-batch screen: within a band bucket the minimum doc_id is the
+    // keeper; anything above a bucket-mate is dropped this batch
+    val bucketMin = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val inBatchDrop = bands.join(bucketMin, Seq("band", "bkey"))
+      .filter(col("doc_id") > col("keep_id"))
+      .select(col("doc_id")).distinct()
+    val dropped = histHit.unionByName(inBatchDrop).distinct()
+    val admitted = batch.join(dropped, Seq("doc_id"), "left_anti")
+    val newBands = bands.join(dropped, Seq("doc_id"), "left_anti")
+    (admitted, newBands)
+  }
+
+  /** Wire [[admitNovel]] as a foreachBatch stream: survivors append to
+    * `outDir`, their bands to `bandDir` — history lives in FILES, not
+    * the state store, because an admitted document screens FOREVER
+    * (no watermark bounds it) and files survive a checkpoint restart
+    * by construction (the restart law in StreamingSpec proves the
+    * wiring: a post-restart near-dup of a pre-restart admit must
+    * drop). Batch boundaries make the admit sequence deterministic
+    * per assignment, the RateLimitProcessor contract.
+    */
+  def startIncrDedup(docs: DataFrame, bandDir: String, outDir: String,
+                     checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val history =
+          try spark.read.parquet(bandDir)
+          catch {
+            // first batch: no history written yet — an empty band
+            // table with the right schema
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType.fromDDL(
+                  "doc_id BIGINT, band INT, bkey STRING"))
+          }
+        val (admitted, newBands) = admitNovel(batch, history)
+        admitted.write.mode("append").parquet(outDir)
+        newBands.write.mode("append").parquet(bandDir)
+        // drop THIS batch's band cache (cacheOnce is idempotent by
+        // plan equality, so re-deriving the handle returns the same
+        // registered frame) — targeted, never clearCache(), which
+        // would evict the session's other operators' persists
+        graft.api.GraftOps.cacheOnce(graft.api.GraftOps
+          .bandKeyTable(batch, col("doc_id"), col("text"))).unpersist()
+        ()
+      }
+      .start()
+  }
 }
 
 /** One closed session: key, bounds, event count. */

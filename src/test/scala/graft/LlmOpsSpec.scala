@@ -996,6 +996,41 @@ class LlmOpsSpec extends SparkSpec {
       ("srcB", "srcB", 1L)))
   }
 
+  test("mineBitext: the ratio margin deflates hub targets (argmax flips " +
+    "vs raw cosine) and the IVF leg equals exhaustive when every cell " +
+    "is probed") {
+    import spark.implicits._
+    // A = three orthogonal axes; B = a HUB close to every axis and a
+    // specialist t close to a1 only. Raw cosine ranks hub above t for
+    // a1 (0.60 vs ~0.55), but the hub's high k-NN denominator deflates
+    // its margin — the mined pair for a1 must be t, for a2/a3 the hub.
+    val mk = (id: Long, v: Array[Float]) => (id, v)
+    val src = Seq(
+      mk(0L, Array(1f, 0f, 0f, 0f)),
+      mk(2L, Array(0f, 1f, 0f, 0f)),
+      mk(4L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      mk(1L, Array(0.60f, 0.56f, 0.56f, 0f)),          // hub
+      mk(3L, Array(0.551f, 0.05f, 0.05f, 0.83f)))       // specialist
+      .toDF("vec_id", "embedding")
+    val mined = GraftOps.mineBitext(src, tgt, k = 2, nprobe = 3,
+        exhaustive = true)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mined === Array((0L, 3L), (2L, 1L), (4L, 1L)),
+      "a1 must mine the specialist (margin flip); a2/a3 the hub")
+    // raw cosine would have paired a1 with the hub — pin the flip
+    val rawTop = GraftOps.similarityTopK(tgt, src, k = 1)
+      .filter(col("probe_id") === 0L).collect().head.getLong(1)
+    assert(rawTop === 1L, "raw cosine argmax for a1 is the hub")
+    // with nprobe >= nlist every cell is probed: the IVF leg must
+    // reproduce the exhaustive leg exactly on this bounded set
+    val ivf = GraftOps.mineBitext(src, tgt, k = 2, nprobe = 3)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf === mined)
+  }
+
   test("captionConflict: both conflict directions counted per image " +
     "class, caption identity is trim+lower") {
     import spark.implicits._

@@ -460,6 +460,102 @@ class MultimodalDecodeSpec extends SparkSpec {
       graft.api.MediaIn(6L, null, "audio/flac")).ok)
   }
 
+  test("warc: record walk round-trips the fixture layout, headers fold " +
+      "case, malformations are loud") {
+    def rec(id: Long, n: Int) = MultimodalDecode.parseWarcOne(
+      graft.api.MediaIn(id, MultimodalDecode.encodeWarc(id, n),
+        "application/warc"))
+    // 3 records: warcinfo (no Target-URI -> ''), then parity types
+    val r = rec(5L, 3)
+    assert(r.map(_.rec_idx) === Seq(1L, 2L, 3L) && r.forall(_.ok))
+    assert(r.map(_.warc_type) === Seq("warcinfo", "request", "response"))
+    assert(r.head.target_uri === "" &&
+      r(1).target_uri === "https://example5.com/p2")
+    assert(r.map(_.content_length) ===
+      (1 to 3).map(k => 20L + (5 * 7 + k * 13) % 50))
+    assert(r.map(_.n_headers) === Seq(4, 5, 5))
+    // header names are case-insensitive per spec: hand-build a record
+    // with lowercase names and the walk must still find them
+    val lower = ("WARC/1.1\r\nwarc-type: response\r\ncontent-length: 4\r\n" +
+      "warc-target-uri: https://x/y\r\n\r\nBODY\r\n\r\n")
+      .getBytes("US-ASCII")
+    val lr = MultimodalDecode.parseWarcOne(
+      graft.api.MediaIn(9L, lower, "application/warc"))
+    assert(lr.size === 1 && lr.head.ok &&
+      lr.head.warc_type === "response" && lr.head.content_length === 4L &&
+      lr.head.target_uri === "https://x/y")
+    // every malformation is ONE loud ok=0 row, never a throw
+    def loud(bytes: Array[Byte]): Boolean = {
+      val out = MultimodalDecode.parseWarcOne(
+        graft.api.MediaIn(7L, bytes, "application/warc"))
+      out.size == 1 && !out.head.ok
+    }
+    val good = MultimodalDecode.encodeWarc(7L, 2)
+    assert(loud(good.take(good.length - 6)), "lost terminator")
+    assert(loud(good.take(good.length - 1)), "short final CRLF")
+    assert(loud(good ++ "junk".getBytes("US-ASCII")), "trailing garbage")
+    assert(loud("HTTP/1.0\r\n\r\n".getBytes("US-ASCII")), "bad version")
+    assert(loud(("WARC/1.0\r\nWARC-Type: response\r\n\r\n" +
+      "\r\n\r\n").getBytes("US-ASCII")), "missing Content-Length")
+    assert(loud(("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 9z\r\n" +
+      "\r\n\r\n\r\n").getBytes("US-ASCII")), "non-numeric length")
+    assert(loud(("WARC/1.0\r\nContent-Length: 0\r\n\r\n" +
+      "\r\n\r\n").getBytes("US-ASCII")), "missing WARC-Type")
+    assert(loud(("WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 999\r\n" +
+      "\r\nab\r\n\r\n").getBytes("US-ASCII")), "block past payload")
+    assert(loud(("WARC/1.0\r\nNoColonHere\r\n\r\n\r\n\r\n")
+      .getBytes("US-ASCII")), "header without separator")
+    assert(loud(Array[Byte]()) && loud(null))
+  }
+
+  test("dHashOriented64: all eight EXIF orientations land on the " +
+      "upright fingerprint; tag is read off a CRC-verified eXIf chunk; " +
+      "malformations are loud") {
+    val variants = (1 to 8).map { o =>
+      val png = MultimodalDecode.encodePngOriented(20, 17, 42L, o)
+      (o, png, MultimodalDecode.dHashOriented64(png))
+    }
+    val upright = variants.head._3.get._2
+    variants.foreach { case (o, png, r) =>
+      assert(r.isDefined && r.get._1 === o && r.get._2 === upright,
+        s"orientation $o must report the tag and the upright hash")
+      // the stored bytes are genuinely transformed — for o != 1 the
+      // PLAIN hash of the stored pixels must differ (the tag, not the
+      // pixels, carries the identity; a reader ignoring it splits the
+      // class)
+      if (o != 1)
+        assert(MultimodalDecode.dHash64(png).get !== upright,
+          s"orientation $o stored pixels must not hash upright untagged")
+    }
+    // distinct fields do not collide
+    val other = MultimodalDecode.dHashOriented64(
+      MultimodalDecode.encodePngOriented(20, 17, 43L, 6)).get._2
+    assert(other !== upright)
+    // no eXIf chunk -> upright by the absence default
+    assert(MultimodalDecode.dHashOriented64(
+      MultimodalDecode.encodePngOriented(20, 17, 42L, 1)).get._1 === 1)
+    // malformed chunk fails loudly, never "assume upright": corrupt the
+    // CRC byte of the spliced chunk (offset 33 starts the eXIf chunk;
+    // its CRC is its last 4 bytes)
+    val tagged = MultimodalDecode.encodePngOriented(20, 17, 42L, 6)
+    val badCrc = tagged.clone()
+    badCrc(33 + 61) = (badCrc(33 + 61) ^ 0x7f).toByte
+    assert(MultimodalDecode.dHashOriented64(badCrc).isEmpty)
+    // corrupt the TIFF magic inside the chunk (CRC updated to match, so
+    // ONLY the TIFF walk can reject it)
+    val badTiff = tagged.clone()
+    badTiff(33 + 8 + 3) = 0x00 // magic low byte: 42 -> 0
+    val crc = new java.util.zip.CRC32
+    crc.update(badTiff, 33 + 4, 4 + 50)
+    val v = crc.getValue
+    (0 to 3).foreach { i =>
+      badTiff(33 + 58 + i) = ((v >> (24 - 8 * i)) & 0xff).toByte
+    }
+    assert(MultimodalDecode.dHashOriented64(badTiff).isEmpty)
+    assert(MultimodalDecode.dHashOriented64(null).isEmpty &&
+      MultimodalDecode.dHashOriented64(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("dHashRot64: all four stored orientations share one canonical " +
       "value; distinct fields do not collide; plain dHash differs") {
     val hashes = (0 to 3).map { t =>

@@ -262,6 +262,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_dedup_hist: incremental admit screen drops near-dups of " +
+    "history and in-batch; history survives a checkpoint restart; " +
+    "band-less docs are screen-exempt") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bandDir = java.nio.file.Files
+      .createTempDirectory("graft_incr_bands").toString + "/b"
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_incr_out").toString + "/o"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_incr_ckpt").toString
+    val in = MemoryStream[Doc]
+    def start() = StreamOps.startIncrDedup(in.toDF(), bandDir, outDir, ckpt)
+    val q1 = start()
+    in.addData(
+      Doc(1, ts("10:00"), "alpha beta gamma delta epsilon zeta"),
+      // same token stream through case/whitespace noise: every band
+      // collides with doc 1's -> in-batch drop (min-keeper rule)
+      Doc(2, ts("10:00"), "Alpha  beta GAMMA delta epsilon zeta"),
+      Doc(3, ts("10:01"), "a completely different document body here"),
+      Doc(4, ts("10:01"), "hi there")) // < 3 tokens: band-less, admitted
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // RESTART: history must come from the band FILES
+    in.addData(
+      // near-dup of the PRE-restart admit: must drop against history
+      Doc(5, ts("10:02"), "alpha beta gamma delta epsilon zeta"),
+      Doc(6, ts("10:02"), "another novel body that shares no shingles"),
+      // byte-identical to doc 4 but band-less: the NEAR-dup screen
+      // never drops sig-less docs (exact dedup is s_dedup's job)
+      Doc(7, ts("10:03"), "hi there"))
+    q2.processAllAvailable(); q2.stop()
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 6L, 7L),
+      s"history screen must drop 2 (in-batch) and 5 (history): $kept")
+  }
+
   test("s_dedup_near: signature-equal docs emit once; short docs all survive") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
