@@ -411,7 +411,11 @@ object PlanDump {
       "argmax; one row per source vector, no all-pairs stage"),
     "x_bitext_recall" -> ("Bitext recall readout — IVF leg vs " +
       "exhaustive leg over a bounded broadcast probe sample, " +
-      "left-join agreement rollup to one exact-ppm row")
+      "left-join agreement rollup to one exact-ppm row"),
+    "x_robots" -> ("robots.txt group parse — per-line posexplode + " +
+      "regexp directives, lag/running-sum group window per host, " +
+      "exact-shadows-star pick off a bounded per-host aggregate; " +
+      "zero UDF, host-keyed shuffles only")
   )
 
   def main(args: Array[String]): Unit = {

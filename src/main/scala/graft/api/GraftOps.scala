@@ -5503,6 +5503,70 @@ object GraftOps {
         (col("n_urls") - col("n_blocked")).as("n_kept"))
   }
 
+  /** robots.txt group parse — the crawl-POLICY text format between the
+    * WARC walk and [[filterUrls]]: per host, extract the Allow/Disallow
+    * rules that apply to `agent` under the practical robots exclusion
+    * semantics (RFC 9309's group model): `#` comments stripped, blank
+    * lines ignored; CONSECUTIVE `User-agent:` lines form one group
+    * header (a UA line preceded by a rule line starts a NEW group);
+    * agent names match case-insensitively; a host that has any group
+    * naming the agent EXACTLY uses those groups, otherwise its `*`
+    * groups; an empty rule value ("Disallow:" alone = nothing
+    * disallowed) emits no row. Output one (host, rule, path) row per
+    * applicable rule — the rule table [[filterUrls]] consumes.
+    *
+    * The parse is fully DECLARATIVE — split/posexplode per line,
+    * regexp directive extraction, and the group boundary as a lag() +
+    * running-sum window keyed per host (the sessionize shape), so the
+    * whole parser is codegen'd expressions + two host-keyed window
+    * passes over the line table; zero UDF, and any oracle can replay
+    * it. Scale shape: line volume ∝ total robots bytes (robots files
+    * are KBs — this is the SMALL side of a crawl), shuffles keyed by
+    * host only.
+    */
+  def parseRobots(df: DataFrame, host: Column, content: Column,
+                  agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*",
+      "parseRobots: agent must be a concrete (non-*) token")
+    val lines = df.select(host.as("host"), posexplode(split(content, "\n"))
+        .as(Seq("idx", "raw")))
+      .select(col("host"), col("idx"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "" && col("line").contains(":"))
+      .select(col("host"), col("idx"),
+        lower(trim(substring_index(col("line"), ":", 1))).as("directive"),
+        trim(expr("substring(line, instr(line, ':') + 1)")).as("value"))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+    val wSeq = Window.partitionBy(col("host")).orderBy(col("idx"))
+    val grouped = lines
+      .withColumn("new_group",
+        (col("directive") === "user-agent" &&
+          coalesce(lag(col("directive"), 1).over(wSeq), lit("")) =!=
+            "user-agent").cast("long"))
+      .withColumn("gid", sum(col("new_group")).over(wSeq))
+      .filter(col("gid") >= 1) // rules before any User-agent: orphaned
+    val agents = grouped.filter(col("directive") === "user-agent")
+      .groupBy(col("host"), col("gid"))
+      .agg(max((lower(col("value")) === agent.toLowerCase).cast("int"))
+          .as("exact"),
+        max((col("value") === "*").cast("int")).as("star"))
+    // host-level pick: exact groups when any exist, else the * groups —
+    // decided from a bounded per-host aggregate broadcast-joined back
+    val pick = agents.groupBy(col("host"))
+      .agg(max(col("exact")).as("has_exact"))
+    val rules = grouped
+      .filter(col("directive").isin("allow", "disallow") &&
+        col("value") =!= "")
+      .join(agents, Seq("host", "gid"))
+      .join(pick, Seq("host"))
+      .filter(when(col("has_exact") === 1, col("exact") === 1)
+        .otherwise(col("star") === 1))
+      .select(col("host"), col("directive").as("rule"),
+        col("value").as("path"))
+      .distinct()
+    rules
+  }
+
   /** Cross-source duplication matrix — WHERE the duplicates come from:
     * for every ordered source pair (a, b) with a ≤ b, the number of
     * near-dup classes (the [[withSigKey]] MinHash relation) holding

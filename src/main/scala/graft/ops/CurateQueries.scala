@@ -384,6 +384,41 @@ object CurateQueries extends QueryPack {
       Tables.documents(s, d).withColumn("url", expr(urlFixture("STRING"))),
       col("doc_id"), col("url"), UrlRules)
 
+  /** x_robots: robots.txt group parse ([[GraftOps.parseRobots]]) — the
+    * crawl-POLICY text format completing the front door (WARC walk →
+    * robots policy → URL canonicalization/blocklist): per host, the
+    * Allow/Disallow rules applying to agent "graftbot" under the RFC
+    * 9309 group model. The fixture plants every parse hazard — casing
+    * variants ("User-Agent"), inline `#` comments, an empty
+    * "Disallow:" (nothing disallowed — no row), multi-UA group headers
+    * (every 15th host), a blank line inside the file, and an exact
+    * "GraftBot" group on every 3rd host that must SHADOW the `*` group
+    * (case-insensitive match). The oracle predicts the surviving rule
+    * rows arithmetically from the planted structure, so every rule of
+    * the parser is load-bearing in the hash gate.
+    */
+  def robotsQ(s: SparkSession, d: String): DataFrame = {
+    val k = (col("doc_id") % 10).cast("string")
+    val content = concat(
+      lit("# graft crawl policy\n"),
+      lit("User-Agent: *\n"),
+      lit("Disallow: /private\n"),
+      lit("Allow: /private/ok # inline comment\n"),
+      when(col("doc_id") % 7 === 0, lit("Disallow:\n")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(
+        lit("\nUser-agent: GraftBot\n"),
+        when(col("doc_id") % 5 === 0, lit("User-agent: otherbot\n"))
+          .otherwise(lit("")),
+        lit("Disallow: /trap-"), k, lit("\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("Allow: /trap-"), k, lit("/ok\n")))
+          .otherwise(lit("")))).otherwise(lit("")))
+    GraftOps.parseRobots(
+      Tables.documents(s, d).select(col("doc_id"), content.as("robots")),
+      concat(lit("h"), col("doc_id").cast("string")), col("robots"),
+      agent = "graftbot")
+  }
+
   /** x_dedup_url: canonical-URL dedup ([[GraftOps.dedupUrl]]) — the
     * crawl frontier's zeroth dedup stage: case-folded scheme/authority,
     * default-port and fragment strip, tracking-param drop, query-param
@@ -924,6 +959,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_substr" -> dedupSubstr,
     "x_dedup_url" -> dedupUrlQ,
     "x_url_filter" -> urlFilterQ,
+    "x_robots" -> robotsQ,
     "x_dedup_suffix" -> dedupSuffixQ,
     "x_dedup_suffix_deep" -> dedupSuffixDeepQ,
     "x_dedup_onion" -> dedupOnionQ,
@@ -1680,6 +1716,26 @@ object CurateQueries extends QueryPack {
         |  count(*) AS n_members,
         |  count(DISTINCT url) AS n_raw_forms
         |FROM c2 GROUP BY 1""".stripMargin),
+    // Robots replay: the parser's surviving rule rows predicted
+    // arithmetically from the planted group structure — exact GraftBot
+    // groups (mod 3) shadow the * group; the * group's two rules
+    // survive everywhere else; the empty "Disallow:" and the inline
+    // comment leave no trace by construction.
+    "x_robots" ->
+      """WITH f AS (
+        |  SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host,
+        |    doc_id % 3 = 0 AS has_exact, doc_id % 2 = 0 AS has_allow,
+        |    CAST(doc_id % 10 AS VARCHAR) AS k
+        |  FROM documents)
+        |SELECT host, 'disallow' AS rule, '/private' AS path
+        |  FROM f WHERE NOT has_exact
+        |UNION ALL
+        |SELECT host, 'allow', '/private/ok' FROM f WHERE NOT has_exact
+        |UNION ALL
+        |SELECT host, 'disallow', '/trap-' || k FROM f WHERE has_exact
+        |UNION ALL
+        |SELECT host, 'allow', '/trap-' || k || '/ok'
+        |  FROM f WHERE has_exact AND has_allow""".stripMargin,
     // Blocklist replay over the SAME canonicalization chain: the rule
     // table is rendered as VALUES from the shared UrlRules constant (a
     // rule edit cannot desync the gate), prefix semantics via

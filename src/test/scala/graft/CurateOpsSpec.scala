@@ -403,6 +403,41 @@ class CurateOpsSpec extends SparkSpec {
     assert(withGhost === Array(("srcC", 0L, 200000L, 4L, 0L, 0L, 4L)))
   }
 
+  test("parseRobots: group boundaries, multi-UA headers, exact shadows " +
+    "star, case folding, orphans and empty values dropped") {
+    import spark.implicits._
+    val fileA = Seq(
+      "Disallow: /orphan",          // before any User-agent: ignored
+      "User-agent: *",
+      "Disallow: /all",
+      "User-agent: GRAFTBOT",       // rule line above => NEW group;
+      "User-agent: other",          // consecutive UA lines = one header
+      "Allow: /bot/ok  # trailing comment",
+      "Disallow:",                  // empty value: nothing disallowed
+      "Disallow: /bot/trap").mkString("\n")
+    // host B has no exact group: the star rules apply
+    val fileB = Seq(
+      "# only a star group here",
+      "User-agent: *",
+      "Disallow: /b").mkString("\n")
+    val docs = Seq(("a.com", fileA), ("b.com", fileB)).toDF("h", "txt")
+    val out = GraftOps.parseRobots(docs, col("h"), col("txt"),
+        agent = "graftbot")
+      .orderBy("host", "rule", "path")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out === Array(
+      // exact group shadows star: /all must NOT apply to a.com
+      ("a.com", "allow", "/bot/ok"),
+      ("a.com", "disallow", "/bot/trap"),
+      ("b.com", "disallow", "/b")))
+    // a star-only agent argument is rejected loudly — '*' is a group
+    // wildcard, not a crawler identity
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.parseRobots(docs, col("h"), col("txt"), agent = "*")
+    }
+    assert(e.getMessage.contains("concrete"))
+  }
+
   test("filterUrls: canonical-host prefix rules, multi-rule hits count " +
     "once, host mismatch never blocks") {
     import spark.implicits._
