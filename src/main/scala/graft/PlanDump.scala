@@ -415,7 +415,14 @@ object PlanDump {
     "x_robots" -> ("robots.txt group parse — per-line posexplode + " +
       "regexp directives, lag/running-sum group window per host, " +
       "exact-shadows-star pick off a bounded per-host aggregate; " +
-      "zero UDF, host-keyed shuffles only")
+      "zero UDF, host-keyed shuffles only"),
+    "x_boilerplate" -> ("Boilerplate removal — one posexplode to the " +
+      "line table, codegen'd anchor-chars/word metrics map-side, one " +
+      "doc-keyed aggregate with ordered md5 reassembly; single " +
+      "doc-key shuffle"),
+    "x_audio_vad" -> ("VAD segmentation — pure map 1->N: whole-PCM " +
+      "decode, windowed exact-integer energy gate, run merge; no " +
+      "shuffle after the id repartition")
   )
 
   def main(args: Array[String]): Unit = {

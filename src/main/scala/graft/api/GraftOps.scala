@@ -5567,6 +5567,60 @@ object GraftOps {
     rules
   }
 
+  /** Line-density boilerplate removal (the jusText/Readability family,
+    * context-free core) — the extraction-QUALITY stage between HTML
+    * strip and the text filters: a crawl page is mostly nav menus,
+    * footers and link farms, and a training corpus that keeps them
+    * learns to emit "Home | About | Contact". Per LINE of the
+    * html-ish input: a line is CONTENT iff it carries at least
+    * `minWords` tag-stripped words AND its anchor-text share stays at
+    * or under `maxLinkPpm` (characters inside `<a>…</a>` vs the
+    * line's clean characters, exact integer ppm — the jusText link
+    * density in oracle-replayable form). Per document: line counts,
+    * retained clean characters, and the md5 of the IN-ORDER retained
+    * clean text (the [[dedupOnion]] reassembly discipline) — a
+    * no-content page reports md5("") and stays visible, never a lost
+    * row.
+    *
+    * Scale shape: one posexplode to the line table (line volume ∝
+    * corpus bytes), all metrics codegen'd expressions map-side, one
+    * doc-keyed aggregate back — a single shuffle keyed by the corpus's
+    * own document key. Context-free by design: jusText's
+    * neighbor-smoothing pass would be one extra doc-keyed window over
+    * the same line table, not a new shuffle class.
+    */
+  def boilerplateScreen(df: DataFrame, key: Column, html: Column,
+                        minWords: Int = 8,
+                        maxLinkPpm: Long = 350000L): DataFrame = {
+    require(minWords >= 1 && maxLinkPpm >= 0 && maxLinkPpm <= 1000000L,
+      "boilerplateScreen: minWords >= 1, maxLinkPpm a ppm in [0, 1e6]")
+    val lines = df.select(key.as("doc_id"),
+      posexplode(split(html, "\n")).as(Seq("idx", "raw")))
+    val m = lines
+      // anchor-text characters: contents of every <a …>…</a> pair
+      // (case-insensitive tag letter — the stripHtml discipline)
+      .withColumn("link_chars", expr(
+        "aggregate(regexp_extract_all(raw, " +
+          "'<[aA][^>]*>([^<]*)</[aA]>', 1), 0L, " +
+          "(acc, x) -> acc + length(x))"))
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(col("raw"), "<[^>]+>", " "), "\\s+", " ")))
+      .withColumn("n_words", when(col("clean") === "", lit(0))
+        .otherwise(size(split(col("clean"), " "))))
+      .withColumn("n_chars", length(col("clean")).cast("long"))
+      .withColumn("content",
+        col("n_words") >= minWords &&
+          col("link_chars") * 1000000L <= col("n_chars") * maxLinkPpm)
+    m.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("content").cast("long")).as("n_content_lines"),
+        coalesce(sum(when(col("content"), col("n_chars"))), lit(0L))
+          .as("content_chars"),
+        md5(concat_ws("\n", transform(array_sort(collect_list(
+            when(col("content"), struct(col("idx"), col("clean"))))),
+          x => x.getField("clean")))).as("content_md5"))
+  }
+
   /** Cross-source duplication matrix — WHERE the duplicates come from:
     * for every ordered source pair (a, b) with a ≤ b, the number of
     * near-dup classes (the [[withSigKey]] MinHash relation) holding

@@ -835,6 +835,131 @@ object MultimodalDecode {
     payloads.mapPartitions(_.map(audioFeaturesOne))
   }
 
+  /** REAL energy-gated voice-activity segmentation — the audio
+    * curation stage between the container probe and any GPU-tier ASR:
+    * decode the WHOLE PCM body (the [[audioFeaturesOne]] path: 16-bit,
+    * both endiannesses, exact-integer per-frame downmix), split it
+    * into fixed `windowFrames` windows, a window is ACTIVE iff its
+    * exact-integer energy (sum of squared downmixed samples) reaches
+    * `minEnergy`, and consecutive active windows merge into one
+    * segment — emitted 1→N per payload (the [[parseSrtOne]] generator
+    * shape) with integer-floor start/end milliseconds and the window
+    * count. An all-silent VALID file emits no rows (nothing to keep —
+    * the same convention as a rule-less robots host); an undecodable
+    * or non-16-bit payload emits ONE loud ok=false row. The trailing
+    * partial window is a real window (its energy gates it like any
+    * other); end_ms clamps to the true frame count, never the window
+    * grid.
+    */
+  def vadSegmentsOne(in: MediaIn, windowFrames: Int,
+                     minEnergy: Long): Seq[VadSeg] = {
+    require(windowFrames >= 1 && minEnergy >= 1,
+      "vadSegments: windowFrames >= 1, minEnergy >= 1")
+    val bad = Seq(VadSeg(in.doc_id, 0L, 0L, 0L, 0L, ok = false))
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    val st =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(c))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => null
+      }
+    if (st == null || st.getFormat.getSampleSizeInBits != 16 ||
+        st.getFormat.getChannels < 1) return bad
+    val ch = st.getFormat.getChannels
+    val be = st.getFormat.isBigEndian
+    val rate = st.getFormat.getSampleRate.toLong
+    if (rate <= 0) return bad
+    val pcm =
+      try st.readAllBytes()
+      catch { case _: java.io.IOException => return bad }
+    val n = pcm.length / (2 * ch)
+    val out = scala.collection.mutable.ArrayBuffer.empty[VadSeg]
+    var segStartW = -1L
+    var segWindows = 0L
+    var idx = 0L
+    def close(endWExcl: Long): Unit = if (segStartW >= 0) {
+      idx += 1
+      val endFrame = math.min(n.toLong, endWExcl * windowFrames)
+      out += VadSeg(in.doc_id, idx,
+        segStartW * windowFrames * 1000L / rate,
+        endFrame * 1000L / rate, segWindows, ok = true)
+      segStartW = -1L
+      segWindows = 0L
+    }
+    val nWindows = (n + windowFrames - 1) / windowFrames
+    var w = 0
+    while (w < nWindows) {
+      var energy = 0L
+      var i = w * windowFrames
+      val end = math.min(n, (w + 1) * windowFrames)
+      while (i < end) {
+        var sum = 0L
+        var k = 0
+        while (k < ch) {
+          val off = 2 * (i * ch + k)
+          val s =
+            if (be) ((pcm(off + 1) & 0xff) | (pcm(off) << 8)).toShort.toInt
+            else ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort.toInt
+          sum += s
+          k += 1
+        }
+        val m = Math.floorDiv(sum, ch.toLong)
+        energy += m * m
+        i += 1
+      }
+      if (energy >= minEnergy) {
+        if (segStartW < 0) segStartW = w.toLong
+        segWindows += 1
+      } else close(w.toLong)
+      w += 1
+    }
+    close(nWindows.toLong)
+    out.toSeq
+  }
+
+  def vadSegments(payloads: Dataset[MediaIn], windowFrames: Int = 160,
+                  minEnergy: Long = 1L): Dataset[VadSeg] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.flatMap(
+      vadSegmentsOne(_, windowFrames, minEnergy)))
+  }
+
+  /** Encode a deterministic speech-shaped WAV — the fixture writer for
+    * the VAD gate: window w (of `windowFrames` frames) is SILENT (all
+    * zero samples) iff (seed + 3·w) mod 11 < 4, giving varied active
+    * run lengths (2/3/2 per 11-window period — 3 generates the whole
+    * residue ring); active frames carry the standard sample formula
+    * forced odd (|1), so an active window's energy is provably ≥ 1 and
+    * the oracle can predict activity arithmetically without
+    * regenerating a single sample.
+    */
+  def encodeWavVad(frames: Int, seed: Long, sampleRate: Int = 8000,
+                   windowFrames: Int = 160): Array[Byte] = {
+    require(frames >= 0 && windowFrames >= 1,
+      "encodeWavVad: frames >= 0, windowFrames >= 1")
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val w = i / windowFrames
+      val silent = Math.floorMod(seed + 3L * w, 11L) < 4L
+      val s =
+        if (silent) 0.toShort
+        else (((seed * 31L + i * 2654435761L) & 0xffffL) | 1L).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val st = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(st,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Encode deterministic 16-bit PCM as real WAV bytes — the fixture
     * generator for the audio-decode path. Interleaved sample slot
     * j = frame * channels + channel is a pure function of (seed, j), so
@@ -1866,6 +1991,9 @@ case class WarcRec(doc_id: Long, rec_idx: Long, warc_type: String,
 
 case class OrientHash(doc_id: Long, orientation: Int, ohash: Long,
                       ok: Boolean)
+
+case class VadSeg(doc_id: Long, seg_idx: Long, start_ms: Long,
+                  end_ms: Long, n_windows: Long, ok: Boolean)
 
 case class FlacMeta(doc_id: Long, mime: String, n_bytes: Long,
                     sample_rate: Int, channels: Int, bits_per_sample: Int,

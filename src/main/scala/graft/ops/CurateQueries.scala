@@ -419,6 +419,39 @@ object CurateQueries extends QueryPack {
       agent = "graftbot")
   }
 
+  /** x_boilerplate: line-density boilerplate removal
+    * ([[GraftOps.boilerplateScreen]]) — the extraction-quality stage
+    * after HTML strip: nav menus and link footers (high anchor-text
+    * density, short lines) drop; real paragraphs (≥ 8 words, anchor
+    * share ≤ 35% exact ppm) survive, in order, with an md5 of the
+    * retained clean text. The fixture builds an html-ish page per doc
+    * — a 3-link nav bar, 1–3 content paragraphs sliced from the doc's
+    * own words (the first carrying a low-density inline link), a
+    * too-short "Thanks!" line and a link-heavy footer — and the oracle
+    * replays BOTH the page synthesis and the full per-line screen in
+    * DuckDB, so every rule (tag strip, anchor-chars extraction, word
+    * floor, ppm density, ordered reassembly) is load-bearing in the
+    * hash gate.
+    */
+  def boilerplateQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("w", filter(split(col("text"), "\\s+"), x => x =!= ""))
+    val para = (j: org.apache.spark.sql.Column) => concat(
+      concat_ws(" ",
+        slice(col("w"), lit(1) + (j - lit(1)) * lit(8), lit(8))),
+      when(j === 1, lit(" <a href=\"/t\">details</a>")).otherwise(lit("")))
+    val html = concat(
+      lit("<a href=\"/\">Home</a> | <a href=\"/about\">About us</a>" +
+        " | <a href=\"/c\">Contact</a>\n"),
+      array_join(transform(
+        sequence(lit(1), lit(1) + (col("doc_id") % 3).cast("int")), para),
+        "\n"),
+      lit("\nThanks!\n"),
+      lit("(c) 2024 <a href=\"/privacy\">Privacy</a>"))
+    GraftOps.boilerplateScreen(docs.select(col("doc_id"),
+      html.as("page")), col("doc_id"), col("page"))
+  }
+
   /** x_dedup_url: canonical-URL dedup ([[GraftOps.dedupUrl]]) — the
     * crawl frontier's zeroth dedup stage: case-folded scheme/authority,
     * default-port and fragment strip, tracking-param drop, query-param
@@ -960,6 +993,7 @@ object CurateQueries extends QueryPack {
     "x_dedup_url" -> dedupUrlQ,
     "x_url_filter" -> urlFilterQ,
     "x_robots" -> robotsQ,
+    "x_boilerplate" -> boilerplateQ,
     "x_dedup_suffix" -> dedupSuffixQ,
     "x_dedup_suffix_deep" -> dedupSuffixDeepQ,
     "x_dedup_onion" -> dedupOnionQ,
@@ -1716,6 +1750,59 @@ object CurateQueries extends QueryPack {
         |  count(*) AS n_members,
         |  count(DISTINCT url) AS n_raw_forms
         |FROM c2 GROUP BY 1""".stripMargin),
+    // Boilerplate replay: the page synthesis (nav bar, 1-3 word-slice
+    // paragraphs with the j=1 inline link, short line, footer) AND the
+    // full per-line screen (anchor-chars extraction, tag strip + space
+    // collapse, word floor, exact-ppm link density, ordered md5
+    // reassembly) re-derived in DuckDB.
+    "x_boilerplate" ->
+      raw"""WITH ws AS (
+        |  SELECT doc_id,
+        |    [x for x in string_split_regex(text, '\s+') if x != ''] w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    '<a href="/">Home</a> | <a href="/about">About us</a>' ||
+        |    ' | <a href="/c">Contact</a>' || chr(10) ||
+        |    array_to_string(
+        |      -- coalesce: an overrun slice is the EMPTY list, whose
+        |      -- array_to_string is NULL in DuckDB, and the outer join
+        |      -- would silently skip the (empty) line Spark keeps
+        |      [coalesce(array_to_string(w[(1 + (j - 1) * 8):(j * 8)],
+        |         ' '), '') ||
+        |       (CASE WHEN j = 1
+        |             THEN ' <a href="/t">details</a>' ELSE '' END)
+        |       for j in range(1, 2 + CAST(doc_id % 3 AS INT))],
+        |      chr(10)) ||
+        |    chr(10) || 'Thanks!' || chr(10) ||
+        |    '(c) 2024 <a href="/privacy">Privacy</a>' AS page
+        |  FROM ws),
+        |ls AS (SELECT doc_id, string_split(page, chr(10)) lns FROM h),
+        |line AS (
+        |  SELECT doc_id, i AS idx,
+        |    coalesce(list_aggregate(list_transform(
+        |      regexp_extract_all(lns[i], '<[aA][^>]*>([^<]*)</[aA]>', 1),
+        |      x -> len(x)), 'sum'), 0) AS link_chars,
+        |    trim(regexp_replace(regexp_replace(lns[i],
+        |      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM ls, unnest(generate_series(1, len(lns))) t(i)),
+        |m AS (
+        |  SELECT doc_id, idx, clean, len(clean) AS n_chars,
+        |    (CASE WHEN clean = '' THEN 0
+        |          ELSE len(string_split(clean, ' ')) END) >= 8
+        |      AND link_chars * 1000000 <= len(clean) * 350000 AS content
+        |  FROM line)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(sum(CASE WHEN content THEN 1 END), 0) AS BIGINT)
+        |    AS n_content_lines,
+        |  CAST(coalesce(sum(CASE WHEN content THEN n_chars END), 0)
+        |    AS BIGINT) AS content_chars,
+        |  md5(coalesce(array_to_string(
+        |    list(clean ORDER BY idx) FILTER (WHERE content), chr(10)),
+        |    '')) AS content_md5
+        |FROM m GROUP BY doc_id""".stripMargin,
+
     // Robots replay: the parser's surviving rule rows predicted
     // arithmetically from the planted group structure — exact GraftBot
     // groups (mod 3) shadow the * group; the * group's two rules

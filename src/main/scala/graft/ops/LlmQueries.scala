@@ -1143,6 +1143,37 @@ object LlmQueries extends QueryPack {
       .select(col("doc_id"), col("n_samples"), col("sum_sq"),
         col("n_zero_cross"), col("ok").cast("int").as("ok"))
 
+  /** x_audio_vad: energy-gated voice-activity segmentation
+    * ([[graft.api.MultimodalDecode.vadSegmentsOne]]) — the audio
+    * curation stage before any GPU-tier ASR: decode the whole PCM body,
+    * window it (160 frames = 20 ms at 8 kHz), gate windows on
+    * exact-integer energy, merge runs into 1→N speech segments with
+    * integer-floor millisecond bounds. Each payload is a REAL WAV whose
+    * silence pattern is planted arithmetically ((id + 3·w) mod 11 < 4 —
+    * varied 2/3/2 run lengths per period) with active samples forced
+    * odd, so the oracle predicts every segment row — boundaries, the
+    * clamped final partial window, counts — without regenerating a
+    * sample; corrupt rows (8-byte truncation, every 89th doc) yield one
+    * loud ok=0 row. Pure map 1→N work, no shuffle after the id
+    * repartition.
+    */
+  def audioVad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val wav = graft.api.MultimodalDecode.encodeWavVad(
+            frames = 800 + (id % 1600).toInt, seed = id)
+          val content = if (id % 89 == 0) wav.take(8) else wav
+          graft.api.MediaIn(id, content, "audio/wav")
+        }
+      }
+    graft.api.MultimodalDecode.vadSegments(payloads).toDF()
+      .select(col("doc_id"), col("seg_idx"), col("start_ms"),
+        col("end_ms"), col("n_windows"), col("ok").cast("int").as("ok"))
+  }
+
   /** x_audio_probe_mp3: REAL MPEG frame-header probe — each payload is
     * a genuine MPEG-1 Layer III frame stream (every 4th behind a real
     * ID3v2 tag with synchsafe size), and frame count / bitrate / sample
@@ -1546,7 +1577,8 @@ object LlmQueries extends QueryPack {
     "x_warc" -> warcProbe,
     "x_mm_phash_orient" -> mmPhashOrient,
     "x_bitext_mine" -> bitextMine,
-    "x_bitext_recall" -> bitextRecall
+    "x_bitext_recall" -> bitextRecall,
+    "x_audio_vad" -> audioVad
   )
 
   /** 6dp-rounded cosine between two DuckDB double lists — the one
@@ -3312,6 +3344,48 @@ object LlmQueries extends QueryPack {
         |    AS BIGINT) AS duration_ms,
         |  CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INT) AS ok
         |FROM f""".stripMargin,
+    // VAD replay: window w of doc is silent iff (doc_id + 3w) mod 11
+    // < 4 (the planted pattern — active windows are provably energetic
+    // by the forced-odd samples), so segments are run-length groups of
+    // the arithmetic activity flag: lag-based run starts, running-sum
+    // run ids, per-run min/max windows, 20 ms window arithmetic with
+    // the final partial window clamped to the true frame count.
+    "x_audio_vad" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 89 = 0 AS corrupt,
+        |    800 + doc_id % 1600 AS nf
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, nf, i AS wi,
+        |    NOT ((doc_id + 3 * i) % 11 < 4) AS active
+        |  FROM f, unnest(generate_series(0, (nf + 159) // 160 - 1)) t(i)
+        |  WHERE NOT corrupt),
+        |r AS (
+        |  SELECT *, CASE WHEN active AND NOT coalesce(lag(active) OVER
+        |      (PARTITION BY doc_id ORDER BY wi), FALSE)
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM w),
+        |g AS (
+        |  SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY wi) run
+        |  FROM r),
+        |seg AS (
+        |  SELECT doc_id, run, min(wi) w0, max(wi) w1, count(*) nw,
+        |    any_value(nf) nf
+        |  FROM g WHERE active GROUP BY doc_id, run)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w0)
+        |    AS BIGINT) AS seg_idx,
+        |  CAST(w0 * 160 * 1000 // 8000 AS BIGINT) AS start_ms,
+        |  CAST(least(nf, (w1 + 1) * 160) * 1000 // 8000 AS BIGINT)
+        |    AS end_ms,
+        |  CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(1 AS INT) AS ok
+        |FROM seg
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS INT)
+        |FROM f WHERE corrupt""".stripMargin,
+
     // Replays the MP4 fixture's field formulas, including the parser's
     // integer-floor units→ms conversion (duration * 1000 // timescale).
     // Corrupt rows (doc_id % 83 = 0, truncated container) → zeros, ok=0.

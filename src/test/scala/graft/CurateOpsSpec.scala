@@ -403,6 +403,41 @@ class CurateOpsSpec extends SparkSpec {
     assert(withGhost === Array(("srcC", 0L, 200000L, 4L, 0L, 0L, 4L)))
   }
 
+  test("boilerplateScreen: word floor and link density gate lines " +
+    "independently; retained text reassembles in order; no-content " +
+    "pages stay visible") {
+    import spark.implicits._
+    val page = Seq(
+      "<a href=\"/\">Home</a> | <a href=\"/a\">About</a>",  // short+dense
+      "this paragraph has nine real words of actual content",  // CONTENT
+      // >= 8 words but EVERY word inside anchors: density arm drops it
+      "<a href=\"/1\">one two three four</a> <a href=\"/2\">five six " +
+        "seven eight nine</a>",
+      // low-density inline link with enough words: CONTENT
+      "another real paragraph with a tiny <a href=\"/t\">link</a> " +
+        "inside it somewhere",
+      "Thanks!"                                               // too short
+    ).mkString("\n")
+    val md5Of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val out = GraftOps.boilerplateScreen(
+        Seq((1L, page)).toDF("doc_id", "html"),
+        col("doc_id"), col("html"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).head
+    val kept1 = "this paragraph has nine real words of actual content"
+    val kept2 = "another real paragraph with a tiny link inside it somewhere"
+    assert(out === ((1L, 5L, 2L, (kept1.length + kept2.length).toLong,
+      md5Of(kept1 + "\n" + kept2))))
+    // a page with nothing retainable reports md5("") — visible row
+    val none = GraftOps.boilerplateScreen(
+        Seq((2L, "<a href=\"/\">Home</a>\nBye!")).toDF("doc_id", "html"),
+        col("doc_id"), col("html"))
+      .collect().head
+    assert(none.getLong(2) === 0L && none.getString(4) === md5Of(""))
+  }
+
   test("parseRobots: group boundaries, multi-UA headers, exact shadows " +
     "star, case folding, orphans and empty values dropped") {
     import spark.implicits._

@@ -508,6 +508,45 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(loud(Array[Byte]()) && loud(null))
   }
 
+  test("vadSegments: run merging, partial-window clamp, all-silent " +
+      "files emit nothing, malformations are loud") {
+    // seed 0: silent iff (3w) mod 11 < 4 -> w in {0,1,4,8} per period;
+    // active runs per 11 windows: {2,3}, {5,6,7}, {9,10}
+    val frames = 11 * 160 + 73 // window 11 (silent: (33)%11=0) partial
+    val wav = MultimodalDecode.encodeWavVad(frames, seed = 0L)
+    val segs = MultimodalDecode.vadSegmentsOne(
+      graft.api.MediaIn(1L, wav, "audio/wav"), 160, 1L)
+    assert(segs.forall(_.ok))
+    assert(segs.map(s => (s.seg_idx, s.start_ms, s.end_ms, s.n_windows))
+      === Seq(
+        // 20 ms per window at 8 kHz
+        (1L, 40L, 80L, 2L),    // windows 2-3
+        (2L, 100L, 160L, 3L),  // windows 5-7
+        (3L, 180L, 220L, 2L))) // windows 9-10; 11 is silent+partial
+    // a partial ACTIVE trailing window clamps end_ms to the true frame
+    // count: seed 1 -> silent iff (1+3w)%11<4 -> w in {0,4,7,8}; with
+    // 370 frames (3 windows), window 0 is silent and 1-2 are active,
+    // the last partial -> one segment ending at frame 370, not 480
+    val segs2 = MultimodalDecode.vadSegmentsOne(
+      graft.api.MediaIn(2L, MultimodalDecode.encodeWavVad(370, seed = 1L),
+        "audio/wav"), 160, 1L)
+    assert(segs2.map(s => (s.start_ms, s.end_ms, s.n_windows)) ===
+      Seq((20L, 370L * 1000 / 8000, 2L)))
+    // all-silent valid file: zero rows (nothing to keep), never a fake
+    // segment — craft by zeroing an encoded file's PCM via a seed whose
+    // every window is silent: impossible for mod-11, so build directly
+    val silent = MultimodalDecode.encodeWavVad(0, seed = 0L)
+    assert(MultimodalDecode.vadSegmentsOne(
+      graft.api.MediaIn(3L, silent, "audio/wav"), 160, 1L).isEmpty)
+    // malformations: truncation and garbage are ONE loud ok=0 row
+    val badT = MultimodalDecode.vadSegmentsOne(
+      graft.api.MediaIn(4L, wav.take(8), "audio/wav"), 160, 1L)
+    assert(badT.size === 1 && !badT.head.ok)
+    val badG = MultimodalDecode.vadSegmentsOne(
+      graft.api.MediaIn(5L, null, "audio/wav"), 160, 1L)
+    assert(badG.size === 1 && !badG.head.ok)
+  }
+
   test("dHashOriented64: all eight EXIF orientations land on the " +
       "upright fingerprint; tag is read off a CRC-verified eXIf chunk; " +
       "malformations are loud") {
