@@ -5528,6 +5528,20 @@ object GraftOps {
                   agent: String): DataFrame = {
     require(agent.nonEmpty && agent != "*",
       "parseRobots: agent must be a concrete (non-*) token")
+    // one robots document per host is a PRECONDITION, not a convention:
+    // the group-boundary windows order by the per-document line index,
+    // so two documents sharing a host would interleave their lines on
+    // colliding idx values and the lag/running-sum group detection
+    // would go silently nondeterministic. Loud here (the dedupSuffix
+    // duplicate-key discipline) — merge or dedup upstream first. Cost:
+    // one count aggregate over the robots table, the SMALL side of a
+    // crawl by construction.
+    val dupHost = df.select(host.as("host")).groupBy(col("host"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+      .collect()
+    require(dupHost.isEmpty,
+      s"parseRobots: host '${dupHost.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "has multiple robots documents — one document per host required")
     val lines = df.select(host.as("host"), posexplode(split(content, "\n"))
         .as(Seq("idx", "raw")))
       .select(col("host"), col("idx"),
@@ -5594,8 +5608,12 @@ object GraftOps {
                         maxLinkPpm: Long = 350000L): DataFrame = {
     require(minWords >= 1 && maxLinkPpm >= 0 && maxLinkPpm <= 1000000L,
       "boilerplateScreen: minWords >= 1, maxLinkPpm a ppm in [0, 1e6]")
+    // NULL html folds to "" BEFORE the split — split(NULL) would emit
+    // zero lines and the document would vanish from the output,
+    // breaking the "no-content page reports md5('') and stays
+    // visible" contract (the same NULL routing captionConflict uses)
     val lines = df.select(key.as("doc_id"),
-      posexplode(split(html, "\n")).as(Seq("idx", "raw")))
+      posexplode(split(coalesce(html, lit("")), "\n")).as(Seq("idx", "raw")))
     val m = lines
       // anchor-text characters: contents of every <a …>…</a> pair
       // (case-insensitive tag letter — the stripHtml discipline)

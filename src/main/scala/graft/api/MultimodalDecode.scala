@@ -1531,6 +1531,49 @@ object MultimodalDecode {
 
   // ------------------------------------------------------------ WARC
 
+  /** Strict UTF-8 validity walk over `c[from, until)` — RFC 3629
+    * exactly: rejects overlong encodings, UTF-16 surrogate code points
+    * (U+D800–U+DFFF), code points past U+10FFFF, bare continuation
+    * bytes, and truncated sequences. Used wherever a byte slice must
+    * be PROVEN decodable before `new String(..., UTF_8)` — the JDK
+    * decoder substitutes U+FFFD silently, which would turn a malformed
+    * input into a silently-altered value instead of a loud ok=false.
+    */
+  private[graft] def isValidUtf8(c: Array[Byte], from: Int,
+                                 until: Int): Boolean = {
+    var i = from
+    while (i < until) {
+      val b0 = c(i) & 0xff
+      if (b0 < 0x80) i += 1
+      else {
+        val n = // continuation count and the sequence's min code point
+          if (b0 >= 0xc2 && b0 <= 0xdf) 1
+          else if (b0 >= 0xe0 && b0 <= 0xef) 2
+          else if (b0 >= 0xf0 && b0 <= 0xf4) 3
+          else return false // 0x80-0xc1 bare/overlong, 0xf5-0xff out of range
+        if (i + n >= until) return false // truncated sequence
+        var k = 1
+        while (k <= n) {
+          if ((c(i + k) & 0xc0) != 0x80) return false
+          k += 1
+        }
+        val cp =
+          if (n == 1) ((b0 & 0x1f) << 6) | (c(i + 1) & 0x3f)
+          else if (n == 2)
+            ((b0 & 0x0f) << 12) | ((c(i + 1) & 0x3f) << 6) | (c(i + 2) & 0x3f)
+          else
+            ((b0 & 0x07) << 18) | ((c(i + 1) & 0x3f) << 12) |
+              ((c(i + 2) & 0x3f) << 6) | (c(i + 3) & 0x3f)
+        if (n == 2 && (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)))
+          return false // overlong 3-byte or surrogate
+        if (n == 3 && (cp < 0x10000 || cp > 0x10ffff))
+          return false // overlong 4-byte or past Unicode
+        i += n + 1
+      }
+    }
+    true
+  }
+
   /** REAL WARC/1.x record walk — the byte format web crawls actually
     * arrive in (ISO 28500): every crawl-pipeline stage upstream of URL
     * canonicalization/HTML strip starts by splitting a WARC container
@@ -1543,8 +1586,12 @@ object MultimodalDecode {
     * — warcinfo records legitimately carry none), the exact
     * Content-Length, and the header count. Header names are
     * case-insensitive per spec (matched via one lowercase fold);
-    * values are taken verbatim. ANY malformation — bad version line, a
-    * header line without ': ', a missing/malformed Content-Length or
+    * values are taken verbatim, and may carry UTF-8 — ISO 28500 allows
+    * non-ASCII field values (an IRI-ish WARC-Target-URI is a
+    * legitimate crawl record), so header lines are UTF-8 validated via
+    * [[isValidUtf8]] and decoded, never rejected for a high byte. ANY
+    * malformation — bad version line, invalid UTF-8 in a header line,
+    * a header line without ': ', a missing/malformed Content-Length or
     * WARC-Type, a block running past the payload, a missing
     * terminator, trailing garbage — yields ONE loud ok=false row for
     * the document, the dirty-feed contract of every parser here.
@@ -1556,23 +1603,28 @@ object MultimodalDecode {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
     var off = 0
     var idx = 0L
-    // one ASCII line ending in CRLF starting at `off`; -1 on fault.
-    // WARC headers are ASCII by spec; a stray high byte in a header
-    // line is a malformation, not a charset to guess at
+    // one header line ending in CRLF starting at `off`; -1 on fault.
+    // ISO 28500 allows UTF-8 in field VALUES (an IRI-ish
+    // WARC-Target-URI is a legitimate crawl record, not a
+    // malformation), so high bytes are accepted here and the line is
+    // UTF-8 VALIDATED before decode — an invalid sequence is still a
+    // loud ok=false, never a U+FFFD substitution that would silently
+    // alter the reported value
     def lineEnd(from: Int): Int = {
       var i = from
-      while (i + 1 < c.length && !(c(i) == '\r' && c(i + 1) == '\n')) {
-        if ((c(i) & 0xff) >= 0x80) return -1
+      while (i + 1 < c.length && !(c(i) == '\r' && c(i + 1) == '\n'))
         i += 1
-      }
       if (i + 1 >= c.length) -1 else i
     }
+    def decodeLine(from: Int, until: Int): String =
+      if (!isValidUtf8(c, from, until)) null
+      else new String(c, from, until - from,
+        java.nio.charset.StandardCharsets.UTF_8)
     while (off < c.length) {
       idx += 1
       val ve = lineEnd(off)
       if (ve < 0) return bad
-      val version = new String(c, off, ve - off,
-        java.nio.charset.StandardCharsets.US_ASCII)
+      val version = decodeLine(off, ve)
       if (version != "WARC/1.0" && version != "WARC/1.1") return bad
       off = ve + 2
       var warcType = ""
@@ -1585,8 +1637,8 @@ object MultimodalDecode {
         if (he < 0) return bad
         if (he == off) { inHeaders = false; off += 2 } // blank CRLF line
         else {
-          val line = new String(c, off, he - off,
-            java.nio.charset.StandardCharsets.US_ASCII)
+          val line = decodeLine(off, he)
+          if (line == null) return bad // invalid UTF-8 in a header line
           val colon = line.indexOf(": ")
           if (colon <= 0) return bad
           nHeaders += 1

@@ -243,43 +243,71 @@ object StreamOps {
     (admitted, newBands)
   }
 
-  /** Wire [[admitNovel]] as a foreachBatch stream: survivors append to
-    * `outDir`, their bands to `bandDir` — history lives in FILES, not
+  /** One [[admitNovel]] micro-batch against file-backed history,
+    * IDEMPOTENT on `batchId` — foreachBatch is at-least-once, so a
+    * crash between the two output writes (or after both, before the
+    * checkpoint commit) REPLAYS the batch; both outputs are therefore
+    * written as a dynamic OVERWRITE of the `batch_id=<id>` partition
+    * (a replay rewrites its own partition, never double-appends), and
+    * the history read EXCLUDES the current batchId's partition so a
+    * replayed batch never screens against its own earlier (possibly
+    * partial) band write — which would have silently dropped every doc
+    * of the replayed batch. Exposed for the replay law in
+    * StreamingSpec, which runs the same (batch, batchId) twice and
+    * proves both outputs are byte-stable.
+    */
+  def incrDedupBatch(batch: DataFrame, bandDir: String, outDir: String,
+                     batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val history =
+      try spark.read.parquet(bandDir)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      catch {
+        // first batch: no history written yet — an empty band
+        // table with the right schema
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(
+              "doc_id BIGINT, band INT, bkey STRING"))
+      }
+    val (admitted, newBands) = admitNovel(batch, history)
+    admitted.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+    newBands.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(bandDir)
+    // drop THIS batch's band cache (cacheOnce is idempotent by
+    // plan equality, so re-deriving the handle returns the same
+    // registered frame) — targeted, never clearCache(), which
+    // would evict the session's other operators' persists
+    graft.api.GraftOps.cacheOnce(graft.api.GraftOps
+      .bandKeyTable(batch, col("doc_id"), col("text"))).unpersist()
+    ()
+  }
+
+  /** Wire [[admitNovel]] as a foreachBatch stream: survivors land in
+    * `outDir`, their bands in `bandDir` — history lives in FILES, not
     * the state store, because an admitted document screens FOREVER
     * (no watermark bounds it) and files survive a checkpoint restart
     * by construction (the restart law in StreamingSpec proves the
     * wiring: a post-restart near-dup of a pre-restart admit must
     * drop). Batch boundaries make the admit sequence deterministic
-    * per assignment, the RateLimitProcessor contract.
+    * per assignment, the RateLimitProcessor contract; at-least-once
+    * replays are absorbed by [[incrDedupBatch]]'s per-batchId dynamic
+    * partition overwrite.
     */
   def startIncrDedup(docs: DataFrame, bandDir: String, outDir: String,
                      checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = docs.sparkSession
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val history =
-          try spark.read.parquet(bandDir)
-          catch {
-            // first batch: no history written yet — an empty band
-            // table with the right schema
-            case _: org.apache.spark.sql.AnalysisException =>
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                StructType.fromDDL(
-                  "doc_id BIGINT, band INT, bkey STRING"))
-          }
-        val (admitted, newBands) = admitNovel(batch, history)
-        admitted.write.mode("append").parquet(outDir)
-        newBands.write.mode("append").parquet(bandDir)
-        // drop THIS batch's band cache (cacheOnce is idempotent by
-        // plan equality, so re-deriving the handle returns the same
-        // registered frame) — targeted, never clearCache(), which
-        // would evict the session's other operators' persists
-        graft.api.GraftOps.cacheOnce(graft.api.GraftOps
-          .bandKeyTable(batch, col("doc_id"), col("text"))).unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrDedupBatch(batch, bandDir, outDir, batchId)
       }
       .start()
   }
@@ -402,6 +430,16 @@ class RunningCountProcessor[I]
   * elapsed ms × milli-tokens/s is micro-tokens exactly, so any refill
   * rate accrues with zero rounding and no float drift across
   * checkpointed restarts.
+  *
+  * State-schema note: the micro-token representation renamed the
+  * persisted state from "bucket" (milli-tokens) to "bucket_micro", so
+  * a checkpoint written by the milli-token build restarts with a FRESH
+  * full bucket instead of silently reinterpreting the old balance
+  * 1000x too small — the unit change is a state-schema break, and the
+  * rename makes it a visible reset, never a wrong number. The
+  * `refillMilliPerSec` parameter name carries the unit for the same
+  * reason (positional callers of the old `refillPerSec` would have
+  * shifted semantics 1000x with no compile break).
   */
 class RateLimitProcessor(capacity: Long, refillMilliPerSec: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -417,7 +455,7 @@ class RateLimitProcessor(capacity: Long, refillMilliPerSec: Long)
   @transient private var bucket: ValueState[(Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    bucket = getHandle.getValueState[(Long, Long)]("bucket",
+    bucket = getHandle.getValueState[(Long, Long)]("bucket_micro",
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong),

@@ -436,6 +436,14 @@ class CurateOpsSpec extends SparkSpec {
         col("doc_id"), col("html"))
       .collect().head
     assert(none.getLong(2) === 0L && none.getString(4) === md5Of(""))
+    // a NULL html column folds to "" and the document STAYS VISIBLE
+    // (split(NULL) would otherwise emit zero lines and lose the row)
+    val nul = GraftOps.boilerplateScreen(
+        Seq((3L, null: String)).toDF("doc_id", "html"),
+        col("doc_id"), col("html"))
+      .collect()
+    assert(nul.length === 1 && nul.head.getLong(0) === 3L &&
+      nul.head.getLong(2) === 0L && nul.head.getString(4) === md5Of(""))
   }
 
   test("parseRobots: group boundaries, multi-UA headers, exact shadows " +
@@ -471,6 +479,15 @@ class CurateOpsSpec extends SparkSpec {
       GraftOps.parseRobots(docs, col("h"), col("txt"), agent = "*")
     }
     assert(e.getMessage.contains("concrete"))
+    // two documents sharing a host would interleave their line indexes
+    // under the group windows — rejected loudly, never parsed wrong
+    val dup = Seq(("a.com", fileA), ("a.com", fileB), ("b.com", fileB))
+      .toDF("h", "txt")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftOps.parseRobots(dup, col("h"), col("txt"), agent = "graftbot")
+    }
+    assert(e2.getMessage.contains("multiple robots documents") &&
+      e2.getMessage.contains("a.com"))
   }
 
   test("filterUrls: canonical-host prefix rules, multi-rule hits count " +

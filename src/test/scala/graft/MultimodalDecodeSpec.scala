@@ -484,6 +484,23 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(lr.size === 1 && lr.head.ok &&
       lr.head.warc_type === "response" && lr.head.content_length === 4L &&
       lr.head.target_uri === "https://x/y")
+    // ISO 28500 allows UTF-8 header VALUES: an IRI-ish Target-URI must
+    // parse (valid UTF-8 accepted), while an INVALID UTF-8 byte in a
+    // header line is still a loud ok=0 — never a U+FFFD substitution
+    val iri = ("WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 2\r\n" +
+      "WARC-Target-URI: https://x/café\r\n\r\nok\r\n\r\n")
+      .getBytes("UTF-8")
+    val ir = MultimodalDecode.parseWarcOne(
+      graft.api.MediaIn(10L, iri, "application/warc"))
+    assert(ir.size === 1 && ir.head.ok &&
+      ir.head.target_uri === "https://x/café")
+    // é as the BARE latin-1 byte 0xe9: a 3-byte UTF-8 lead whose second
+    // continuation ('\r') is invalid -> loud malformed header line
+    val badUtf8 = iri.clone()
+    badUtf8(iri.indexOf(0xc3.toByte)) = 0xe9.toByte
+    val badRows = MultimodalDecode.parseWarcOne(
+      graft.api.MediaIn(11L, badUtf8, "application/warc"))
+    assert(badRows.size === 1 && !badRows.head.ok)
     // every malformation is ONE loud ok=0 row, never a throw
     def loud(bytes: Array[Byte]): Boolean = {
       val out = MultimodalDecode.parseWarcOne(

@@ -299,6 +299,46 @@ class StreamingSpec extends SparkSpec {
       s"history screen must drop 2 (in-batch) and 5 (history): $kept")
   }
 
+  test("s_dedup_hist replay law: re-running a micro-batch under the " +
+    "same batchId is idempotent — no double-append, no self-screen") {
+    // foreachBatch is at-least-once: a crash between the two writes or
+    // before the checkpoint commit replays the batch. The sink writes
+    // per-batchId dynamic-overwrite partitions and the history read
+    // excludes the current batchId, so a replay must (a) never
+    // double-append band-less docs and (b) never drop the batch's own
+    // docs against its own earlier band write.
+    import spark.implicits._
+    val bandDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_bands").toString + "/b"
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_out").toString + "/o"
+    val b0 = Seq(
+      Doc(1, ts("10:00"), "alpha beta gamma delta epsilon zeta"),
+      Doc(2, ts("10:00"), "hi there")).toDF() // band-less: never self-screens
+    StreamOps.incrDedupBatch(b0, bandDir, outDir, batchId = 0L)
+    val b1 = Seq(
+      Doc(3, ts("10:01"), "a completely different document body here"),
+      // near-dup of batch-0's admit: history screen must still drop it
+      Doc(4, ts("10:01"), "alpha beta gamma delta epsilon zeta"),
+      Doc(5, ts("10:01"), "bye now")).toDF()
+    StreamOps.incrDedupBatch(b1, bandDir, outDir, batchId = 1L)
+    def snapshot() = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val once = snapshot()
+    assert(once === Seq(1L, 2L, 3L, 5L),
+      s"pre-replay admit set wrong: $once")
+    // REPLAY batch 1 (same data, same batchId): output must not change
+    StreamOps.incrDedupBatch(b1, bandDir, outDir, batchId = 1L)
+    assert(snapshot() === once, "replayed batch must be a no-op")
+    // band history is also stable: one band row set, not two
+    val bands = spark.read.parquet(bandDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    StreamOps.incrDedupBatch(b1, bandDir, outDir, batchId = 1L)
+    assert(spark.read.parquet(bandDir).select("doc_id")
+      .as[Long].collect().sorted.toSeq === bands,
+      "replayed batch must not grow the band history")
+  }
+
   test("s_dedup_near: signature-equal docs emit once; short docs all survive") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
