@@ -981,18 +981,25 @@ object GraftOps {
     * q_bfs/x_dedup_cluster; measured on this box, 10× the corpus costs
     * ~1.7× wall, because at test scale the wall is stage-count × fixed
     * scheduling overhead, not data volume.
-    * Adjacent-class LCPs come from ONE ordered pairing of the final
-    * classes plus a zip_with fold over each representative's
-    * ≤cap-token slice (payload bounded by `cap` per row at any corpus
-    * size — cheaper than the classic rank-table descent's log2(cap)
-    * extra join rounds); on the direct path the representative slices
-    * fall straight out of the ranked gram strings. A unique
-    * per-document sentinel token (containing ' ', which the tokenizer
-    * can never emit) makes rank equality imply REAL token equality —
-    * two distinct positions can never agree on a block containing a
-    * sentinel — so the reported spans are exact, not hash-approximate,
-    * and a class still tied at the cap provably shares `cap` real
-    * tokens.
+    * LCPs: on the direct path, dup_len is read PER POSITION straight
+    * off the sorted position table — the textbook suffix-array
+    * property that a suffix's longest prefix shared with any other
+    * suffix is realized by one of its two sorted neighbors — with no
+    * gram distinct, no rank join-back and no class-representative
+    * machinery (round-15 restructure: ~23 AQE jobs → ~10 per run;
+    * with the shared `marked` core persisted, min-of-two at sf0.1
+    * dropped 4.3s → 1.2s direct / 7.2s → 2.0s doubling gate, cold
+    * first-run cost flat). On the doubling path, adjacent-class LCPs
+    * come from ONE ordered pairing of the final classes plus a
+    * zip_with fold over each representative's ≤cap-token slice
+    * (payload bounded by `cap` per row at any corpus size — cheaper
+    * than the classic rank-table descent's log2(cap) extra join
+    * rounds). A unique per-document sentinel token (containing ' ',
+    * which the tokenizer can never emit) makes rank equality imply
+    * REAL token equality — two distinct positions can never agree on a
+    * block containing a sentinel — so the reported spans are exact,
+    * not hash-approximate, and a class still tied at the cap provably
+    * shares `cap` real tokens.
     */
   def dedupSuffix(df: DataFrame, key: Column, text: Column,
                   minSpan: Int = 10, cap: Int = 64,
@@ -1137,8 +1144,9 @@ object GraftOps {
     // subtrees become plan-identical and the persistOnce registry
     // shares them across the two calls in one session. Output is
     // seed-invariant — the oracle does not change.
+    val direct = cap <= DirectSortCap && maxDocLen * cap <= DirectRowTokens
     val seedLen =
-      if (cap <= DirectSortCap && maxDocLen * cap <= DirectRowTokens) cap
+      if (direct) cap
       else math.min(if (seed > 0) seed else 8, cap)
     val toks = base
       .withColumn("ext", concat(col("w"),
@@ -1147,22 +1155,59 @@ object GraftOps {
         s"transform(sequence(1, size(ext)), i -> " +
           s"concat_ws(' ', slice(ext, i, $seedLen)))")))
       .toDF("doc_id", "pos", "term")
-    // seed ranks: dense rank of the seed gram (gram-vocabulary-sized
-    // sort). The rank joins back to positions on the 16-byte md5 of the
-    // gram, not the gram string itself — the rank sort has to move the
-    // full strings (they ARE the suffix comparison), but the corpus-
-    // sized join-back doesn't: md5 equality is the same content
-    // identity every dedup fingerprint in this file stands on, and it
-    // cuts the join's shuffle payload several-fold at cap-sized seeds
-    val (termRank, _) =
-      globalDenseRank(toks.select(col("term")).distinct(), partitions)
-    var level = toks
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("term")).as("fp"))
-      .join(termRank.select(md5(col("term")).as("fp"), col("rnk")), "fp")
-      .select(col("doc_id"), col("pos"), col("rnk").as("r"))
-      .truncateLineage(eager = false)
-    if (seedLen < cap) {
+    // the running LCP fold shared by both strategies: zip_with pads the
+    // shorter side with null, which stops the fold; a missing neighbor
+    // array (left-join miss at the array ends) folds to 0
+    def lcpFold(a: String, b: String): Column = coalesce(expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> x = y),
+         |  named_struct('n', 0L, 'go', true),
+         |  (st, eq) -> if(st.go AND eq IS NOT NULL AND eq,
+         |    named_struct('n', st.n + 1L, 'go', true),
+         |    named_struct('n', st.n, 'go', false)),
+         |  st -> st.n)""".stripMargin), lit(0L))
+    // sentinel tokens cut BEFORE any comparison: the concat_ws seam in
+    // front of the sentinel (which STARTS with ' ') is a double space —
+    // everything from that seam on is sentinel, and a sentinel-only
+    // gram compares as ["", id], which can only phantom-match another
+    // sentinel-only gram (LCP 1 < any real minSpan; sentinel positions
+    // never reach the output stats anyway)
+    def realTokens(term: Column): Column =
+      split(substring_index(term, "  ", 1), " ")
+    // Lineage strategy for the doubling rounds: each round references
+    // the previous level TWICE, so an unbounded round count needs
+    // truncation (localCheckpoint / reliable checkpoint) or the plan
+    // doubles per round. At <= 3 rounds the 2^rounds <= 8 plan copies
+    // are trivial, and trackedCache is strictly better there: lineage
+    // survives (an executor loss recomputes instead of failing the job,
+    // the localCheckpoint caveat in truncateLineage's doc), and the
+    // round plans stay DETERMINISTIC — logically equal across
+    // re-invocations — so a resident session re-running the operator
+    // (or its sibling consumer) hits CacheManager instead of rebuilding
+    // every round. Past 3 rounds, truncation as before.
+    val totalRounds =
+      if (direct) 0
+      else 63 - java.lang.Long.numberOfLeadingZeros(cap.toLong / seedLen)
+    val fewRounds = totalRounds <= 3
+    // The doubling strategy, for caps past the direct-sort bounds:
+    // seed ranks at `seedLen`, log2(cap/seed) doubling rounds, then
+    // per-CLASS adjacent LCPs via one representative slice per class.
+    def doublingPerPos(): DataFrame = {
+      // seed ranks: dense rank of the seed gram (gram-vocabulary-sized
+      // sort). The rank joins back to positions on the 16-byte md5 of
+      // the gram, not the gram string itself — the rank sort has to
+      // move the full strings (they ARE the suffix comparison), but the
+      // corpus-sized join-back doesn't: md5 equality is the same
+      // content identity every dedup fingerprint in this file stands
+      // on, and it cuts the join's shuffle payload several-fold
+      val (termRank, _) =
+        globalDenseRank(toks.select(col("term")).distinct(), partitions)
+      def settle(df: DataFrame): DataFrame =
+        if (fewRounds) trackedCache(df) else df.truncateLineage(eager = false)
+      var level = settle(toks
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("term")).as("fp"))
+        .join(termRank.select(md5(col("term")).as("fp"), col("rnk")), "fp")
+        .select(col("doc_id"), col("pos"), col("rnk").as("r")))
       // suffix count + size-derived round parallelism (the planesFor
       // discipline), paid only on the doubling path: each doubling
       // round is ~10 tiny stages, so a small working set at the
@@ -1199,77 +1244,97 @@ object GraftOps {
             coalesce(lead(col("r"), step.toInt).over(wLead), lit(-1L))))
         val (pairRank, nDistinct) =
           globalDenseRank(paired.select(col("r"), col("r2")).distinct(), p)
-        level = paired.join(pairRank, Seq("r", "r2"))
-          .select(col("doc_id"), col("pos"), col("rnk").as("r"))
-          .truncateLineage(eager = false)
+        level = settle(paired.join(pairRank, Seq("r", "r2"))
+          .select(col("doc_id"), col("pos"), col("rnk").as("r")))
         allDistinct = nDistinct == nSuffix
         step *= 2
       }
+      // dense final ranks ARE the class order: class r is adjacent to
+      // class r±1 in the suffix array, no further sort needed
+      val cls = trackedCache(level.groupBy(col("r"))
+        .agg(count(lit(1)).as("csize")))
+      // adjacent-class LCP: all members of a class share the identical
+      // capped prefix, so one representative per class carries the
+      // class's LCP with the next class exactly — fetch each
+      // representative's ≤cap-token slice off the token arrays
+      val rep = level.groupBy(col("r"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
+        .select(col("r").as("ci"), col("rep.doc_id").as("d"),
+          col("rep.pos").cast("int").as("p"))
+      val reps = rep.join(base, col("d") === col("doc_id"))
+        .select(col("ci"), slice(col("w"), col("p") + 1, lit(cap)).as("sl"))
+      val lcpNext = trackedCache(reps
+        .join(reps.select((col("ci") - 1L).as("ci"), col("sl").as("slb")),
+          Seq("ci"))
+        .select(col("ci"), lcpFold("sl", "slb").as("acc")))
+      val classDup = cls.withColumn("ci", col("r"))
+        .join(lcpNext.select(col("ci"), col("acc").as("lcp_next")),
+          Seq("ci"), "left")
+        .join(lcpNext.select((col("ci") + 1L).as("ci"),
+          col("acc").as("lcp_prev")), Seq("ci"), "left")
+        .select(col("r"),
+          when(col("csize") >= 2L, cap.toLong)
+            .otherwise(greatest(coalesce(col("lcp_next"), lit(0L)),
+              coalesce(col("lcp_prev"), lit(0L)))).as("dup_len"))
+      level.join(classDup, "r")
+        .join(docLen, "doc_id")
+        .filter(col("pos") < col("n_tokens"))
     }
-    val levelK = level
-    // dense final ranks ARE the class order: class r is adjacent to
-    // class r±1 in the suffix array, no further sort needed
-    val cls = trackedCache(levelK.groupBy(col("r"))
-      .agg(count(lit(1)).as("csize")))
-    // the running LCP fold shared by both strategies: zip_with pads the
-    // shorter side with null, which stops the fold
-    val lcpFold = expr(
-      """aggregate(zip_with(sl, slb, (x, y) -> x = y),
-        |  named_struct('n', 0L, 'go', true),
-        |  (st, eq) -> if(st.go AND eq IS NOT NULL AND eq,
-        |    named_struct('n', st.n + 1L, 'go', true),
-        |    named_struct('n', st.n, 'go', false)),
-        |  st -> st.n)""".stripMargin)
-    // adjacent-class LCP: all members of a class share the identical
-    // capped prefix, so one representative per class carries the
-    // class's LCP with the next class exactly
-    val reps =
-      if (seedLen == cap) {
-        // direct path: the ranked gram string IS the class's capped
-        // suffix, so the representative table falls out of termRank with
-        // no per-class struct-min and no join back to the token arrays.
-        // The sentinel element starts with ' ', so the concat_ws seam
-        // before it is a double space — everything from that seam on is
-        // sentinel, cut before the token comparison (a sentinel-only
-        // class compares as ["", id], which can only phantom-match
-        // another sentinel-only class, and sentinel positions never
-        // reach the output stats)
-        termRank.select(col("rnk").as("ci"),
-          split(substring_index(col("term"), "  ", 1), " ").as("sl"))
-      } else {
-        // doubling path: fetch each representative's ≤cap-token slice
-        val rep = levelK.groupBy(col("r"))
-          .agg(min(struct(col("doc_id"), col("pos"))).as("rep"))
-          .select(col("r").as("ci"), col("rep.doc_id").as("d"),
-            col("rep.pos").cast("int").as("p"))
-        rep.join(base, col("d") === col("doc_id"))
-          .select(col("ci"), slice(col("w"), col("p") + 1, lit(cap)).as("sl"))
-      }
-    val lcpNext = trackedCache(reps
-      .join(reps.select((col("ci") - 1L).as("ci"), col("sl").as("slb")),
-        Seq("ci"))
-      .select(col("ci"), lcpFold.as("acc")))
-    val classDup = cls.withColumn("ci", col("r"))
-      .join(lcpNext.select(col("ci"), col("acc").as("lcp_next")),
-        Seq("ci"), "left")
-      .join(lcpNext.select((col("ci") + 1L).as("ci"),
-        col("acc").as("lcp_prev")), Seq("ci"), "left")
-      .select(col("r"),
-        when(col("csize") >= 2L, cap.toLong)
-          .otherwise(greatest(coalesce(col("lcp_next"), lit(0L)),
-            coalesce(col("lcp_prev"), lit(0L)))).as("dup_len"))
     // per-position dup_len over REAL tokens (sentinel positions out),
     // then the per-doc span stats: interval-union coverage via a
     // running max of marked span ends — docs bound the window size
-    val perPos = levelK.join(classDup, "r")
-      .join(docLen, "doc_id")
-      .filter(col("pos") < col("n_tokens"))
+    val perPos: DataFrame =
+      if (direct) {
+        // Direct path: ONE range sort of the capped suffix strings IS
+        // the suffix array — global row rank in (term, doc_id, pos)
+        // order is the suffix-array position, and the textbook LCP
+        // property says the longest prefix a suffix shares with ANY
+        // other suffix is realized by one of its two SORTED NEIGHBORS.
+        // So dup_len(pos) = max(LCP(prev), LCP(next)) read straight
+        // off the ranked position table: no gram distinct, no dense
+        // rank + md5 join-back, no per-class representative fetch and
+        // no class-table double join (the round-15 restructure; see
+        // the measured numbers in the class Scaladoc). An equal-gram
+        // neighbor folds LCP = cap, reproducing the old csize >= 2
+        // class arm exactly: the per-doc sentinel makes any
+        // shorter-than-cap gram unique, so equal grams are always cap
+        // real tokens, and every member of a duplicated run has at
+        // least one equal neighbor (equal grams are rank-contiguous).
+        // Wire cost: the range sort moves each capped gram string once
+        // (the same bytes the old distinct moved), the neighbor joins
+        // move token arrays keyed by rank — corpus-linear throughout,
+        // partitioned by the caller's `partitions`.
+        val (posRank, _) = globalDenseRank(
+          toks.select(col("term"), col("doc_id"), col("pos")), partitions)
+        val sa = posRank.select(col("doc_id"), col("pos"), col("rnk"),
+          realTokens(col("term")).as("sl"))
+        val nbr = sa.select(col("rnk"), col("sl"))
+        sa.join(nbr.select((col("rnk") + 1L).as("rnk"),
+              col("sl").as("slp")), Seq("rnk"), "left")
+          .join(nbr.select((col("rnk") - 1L).as("rnk"),
+              col("sl").as("sln")), Seq("rnk"), "left")
+          .select(col("doc_id"), col("pos"),
+            greatest(lcpFold("sl", "slp"), lcpFold("sl", "sln"))
+              .as("dup_len"))
+          .join(docLen, "doc_id")
+          .filter(col("pos") < col("n_tokens"))
+      } else doublingPerPos()
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val marked = perPos
       .withColumn("runend", max(when(col("dup_len") >= minSpan.toLong,
         col("pos") + col("dup_len"))).over(wDoc))
-    (marked, base)
+    // The marked table IS the shared suffix core: dedupSuffix (the
+    // measure) and dedupOnion (the apply) both aggregate it, and a
+    // curation session that measures before it cuts would otherwise
+    // rebuild the entire suffix array twice. Persist it whenever the
+    // plan is deterministic (direct path, or few-round doubling whose
+    // levels are trackedCached) — CacheManager's plan-equality match
+    // then serves the sibling consumer and any re-invocation. On the
+    // truncated many-round path the plan embeds per-invocation
+    // checkpoint RDDs, so a cache could never be re-matched — skip it
+    // rather than pay a write nobody can read.
+    (if (direct || fewRounds) trackedCache(marked) else marked, base)
   }
 
   /** Hyperplane count for an LSH bucketing sized to the corpus: the

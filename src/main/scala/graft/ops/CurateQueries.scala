@@ -282,14 +282,14 @@ object CurateQueries extends QueryPack {
     * rounds, driver-offset dense ranks, doubling-side representative
     * slices) that the cap=64 registration never touches, against the
     * same brute-force positions×lengths oracle at m ≤ 256. The gate
-    * seeds at 64 tokens — two doubling rounds instead of five, and a
-    * seed subtree plan-identical to x_dedup_suffix's so the persist
-    * registry shares it — which exercises every doubling-branch code
-    * path while costing a standing-gate-appropriate wall (measured
-    * 5.6s → 3.2s warm at sf0.01; output is seed-invariant, so the
-    * oracle is untouched; the
-    * production default stays seed=8, the wire-optimal setting, and
-    * keeps its own brute-force law in CurateOpsSpec). The fixture's
+    * seeds at 64 tokens — two doubling rounds instead of five — which
+    * exercises every doubling-branch code path while costing a
+    * standing-gate-appropriate wall (r14 measured 5.6s → 3.2s warm at
+    * sf0.01; seed=128 was re-measured in r15 and is WORSE, 7.2 → 8.4s
+    * at sf0.1 — the doubled seed-gram bytes cost more than the round
+    * they save; output is seed-invariant, so the oracle is untouched;
+    * the production default stays seed=8, the wire-optimal setting,
+    * and keeps its own brute-force law in CurateOpsSpec). The fixture's
     * longest doc is under the cap, so reported spans are EXACT (not
     * cap-quantized) and the oracle's exhaustive search is still only
     * n(n+1)/2 grams per doc. A doubling-branch regression ships red,
