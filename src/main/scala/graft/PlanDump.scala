@@ -422,7 +422,18 @@ object PlanDump {
       "doc-key shuffle"),
     "x_audio_vad" -> ("VAD segmentation — pure map 1->N: whole-PCM " +
       "decode, windowed exact-integer energy gate, run merge; no " +
-      "shuffle after the id repartition")
+      "shuffle after the id repartition"),
+    "x_charset" -> ("Charset sniff + transcode screen — pure map byte " +
+      "walk (BOM, meta prescan, strict RFC 3629 category counts, fold " +
+      "verdict), no shuffle after the id repartition"),
+    "x_lang_seg" -> ("Per-paragraph language segmentation — NB model " +
+      "from one count shuffle broadcast over the paragraph posexplode, " +
+      "term equi-join with class-bounded fan-out, two doc-keyed " +
+      "rollups; visible zeroed rows for pageless docs"),
+    "q_etl_wap" -> ("Write-audit-publish — stage write, one bounded " +
+      "audit aggregate over the STAGED files, atomic manifest flip; " +
+      "the gated read resolves the manifest then scans one version " +
+      "dir")
   )
 
   def main(args: Array[String]): Unit = {

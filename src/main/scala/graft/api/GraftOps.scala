@@ -2369,6 +2369,95 @@ object GraftOps {
       .withColumn("correct", (col("actual") === col("predicted")).cast("int"))
   }
 
+  /** Per-paragraph language segmentation — the mixed-page screen
+    * between language ID and the per-language curation tiers
+    * ([[GraftOps.naiveBayes]]'s model applied at PARAGRAPH grain):
+    * whole-document language ID misroutes the common crawl case of a
+    * page whose navigation, quotes or comment threads speak a
+    * different language than its body, and a per-language quality
+    * pipeline (the CCNet shape) needs to know WHICH pages are mixed
+    * before its quartiles mean anything. Trains the multinomial NB
+    * model on (trainText, label) exactly as [[naiveBayes]] does (same
+    * smoothing, same 6dp-rounded scores, same max-label tie-break — an
+    * oracle replays both from one derivation), then classifies every
+    * newline-separated paragraph of `page` and rolls up per document:
+    * classified paragraph count, distinct predicted languages, the
+    * modal (dominant) language with its exact-ppm share, and the mixed
+    * flag (>= 2 predicted languages). Blank paragraphs carry no signal
+    * and are excluded from the counts; a document whose page has NO
+    * classifiable paragraph (all blank, or NULL) stays VISIBLE as a
+    * zeroed row with dominant_lang '' — never a lost document. The
+    * dominant-language tie breaks on the label (max), the
+    * [[naiveBayes]] argmax discipline.
+    *
+    * Scale shape: training is [[naiveBayes]]'s one count shuffle
+    * (bounded model tables, broadcast); the paragraph table is one
+    * posexplode ∝ corpus bytes; scoring is one term equi-join whose
+    * fan-out is bounded by the class alphabet, then two doc-keyed
+    * rollups — no shuffle wider than tokens × |classes| at any corpus
+    * size.
+    */
+  def langSegment(df: DataFrame, key: Column, page: Column,
+                  trainText: Column, label: Column): DataFrame = {
+    val docs = cacheOnce(df.select(key.as("doc_id"), label.as("lbl"),
+      trainText.as("txt"), coalesce(page, lit("")).as("pg")))
+    val base = cacheOnce(docs.select(col("doc_id"), col("lbl"),
+      TextFns.tokens(col("txt")).as("w")).filter(size(col("w")) > 0))
+    val ct = cacheOnce(base
+      .select(col("lbl"), explode(col("w")).as("term"))
+      .groupBy(col("lbl"), col("term")).agg(count(lit(1)).as("c")))
+    val classes = base.groupBy(col("lbl")).agg(count(lit(1)).as("n_docs_c"))
+      .join(ct.groupBy(col("lbl")).agg(sum(col("c")).as("t_c")), "lbl")
+    val totals = base.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(ct.select(col("term")).distinct()
+        .agg(count(lit(1)).as("v")))
+    // paragraph grain: one posexplode, blank paragraphs out
+    val paras = docs.select(col("doc_id"),
+        posexplode(split(col("pg"), "\n")).as(Seq("para_idx", "ptext")))
+      .select(col("doc_id"), col("para_idx"),
+        TextFns.tokens(col("ptext")).as("pw"))
+      .filter(size(col("pw")) > 0)
+    val ptall = cacheOnce(paras
+      .select(col("doc_id"), col("para_idx"), explode(col("pw")).as("term"))
+      .groupBy(col("doc_id"), col("para_idx"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val pTot = ptall.groupBy(col("doc_id"), col("para_idx"))
+      .agg(sum(col("tf")).as("n_tok"))
+    val pos = ptall
+      .join(ct.select(col("term"), col("lbl"), col("c")), "term")
+      .groupBy(col("doc_id"), col("para_idx"), col("lbl"))
+      .agg(sum(col("tf") * log(col("c") + lit(1.0))).as("possum"))
+    val scored = pTot
+      .crossJoin(broadcast(classes))
+      .crossJoin(broadcast(totals))
+      .join(pos, Seq("doc_id", "para_idx", "lbl"), "left")
+      .select(col("doc_id"), col("para_idx"), col("lbl"),
+        round(log(col("n_docs_c")) - log(col("n_docs"))
+          - col("n_tok") * log(col("t_c") + col("v"))
+          + coalesce(col("possum"), lit(0.0)), 6).as("score"))
+    val pred = scored.groupBy(col("doc_id"), col("para_idx"))
+      .agg(max(struct(col("score"), col("lbl"))).getField("lbl")
+        .as("plang"))
+    val rollup = pred.groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_paras"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("n"), col("plang"))).getField("plang")
+          .as("dominant_lang"),
+        max(struct(col("n"), col("plang"))).getField("n")
+          .as("n_dominant"))
+    docs.select(col("doc_id")).join(rollup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("dominant_lang"), lit("")).as("dominant_lang"),
+        coalesce(expr("(n_dominant * 1000000) div n_paras"), lit(0L))
+          .as("dominant_ppm"),
+        coalesce((col("n_langs") >= 2).cast("int"), lit(0))
+          .as("mixed"))
+  }
+
   /** Tokenizer out-of-vocabulary evaluation — per-document OOV token
     * counts against the corpus top-`vocabK` vocabulary (the readout that
     * sizes a tokenizer or flags domain-shifted documents). The vocab is
@@ -4567,6 +4656,82 @@ object GraftOps {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
 
+  /** Write-audit-publish: the idempotent-publish pattern every 100-TB
+    * pipeline ships — readers must NEVER observe a partial or
+    * audit-failed table. Three phases:
+    *
+    *  1. STAGE: the frame writes (overwrite) to `root/v_<publishId>` —
+    *     an unreferenced version directory no reader resolves, so a
+    *     mid-write crash or a replay of the same publishId is invisible
+    *     (the overwrite makes re-publication idempotent).
+    *  2. AUDIT: the STAGED FILES are read back (what readers would see,
+    *     not what the writer intended) and reduced to one bounded row —
+    *     exact row count + an order-insensitive bit_xor(xxhash64(*))
+    *     content fingerprint — which the caller's `audit` judges;
+    *     `Some(reason)` rejects.
+    *  3. PUBLISH: only on a clean audit, the `_current` manifest (one
+    *     line naming the version directory) is swapped via write-temp +
+    *     ATOMIC_MOVE rename, the POSIX atomic-pointer-flip. A reader
+    *     resolving the manifest sees the OLD version until the instant
+    *     it sees the new one; a failed audit never touches the
+    *     manifest, so the previous publish stays readable forever
+    *     (EtlSpec's law) and the rejected version directory sits
+    *     unreferenced for a janitor pass to reclaim.
+    *
+    * The audit re-reads the staged bytes — one extra scan of the
+    * published slice, the price of auditing what was actually written;
+    * both metrics partial-aggregate, so the audit row is bounded at any
+    * scale. This local-FS build swaps the manifest with
+    * java.nio ATOMIC_MOVE; on an object store the same contract is a
+    * conditional PUT of the manifest key (S3 If-None-Match / GCS
+    * generation preconditions), everything else unchanged.
+    */
+  def publishAudited(df: DataFrame, root: String, publishId: String,
+                     audit: (Long, Long) => Option[String])
+      : PublishResult = {
+    require(publishId.nonEmpty && publishId.forall(ch =>
+      ch.isLetterOrDigit || ch == '-' || ch == '_'),
+      "publishAudited: publishId must be [A-Za-z0-9_-]+ (it names a " +
+        "directory)")
+    val spark = df.sparkSession
+    val version = s"v_$publishId"
+    val stagePath = s"$root/$version"
+    df.write.mode("overwrite").parquet(stagePath)
+    // audit what READERS would see: the staged files, not the input plan
+    val staged = spark.read.parquet(stagePath)
+    val m = staged.agg(count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(staged.columns.map(col): _*)), lit(0L))
+        .as("fp")).head()
+    val (rows, fp) = (m.getLong(0), m.getLong(1))
+    audit(rows, fp) match {
+      case Some(reason) =>
+        PublishResult(published = false, version, rows, fp, reason)
+      case None =>
+        val dir = java.nio.file.Paths.get(root)
+        val tmp = dir.resolve(s"_current.$publishId.tmp")
+        java.nio.file.Files.writeString(tmp, version)
+        java.nio.file.Files.move(tmp, dir.resolve("_current"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        PublishResult(published = true, version, rows, fp, "")
+    }
+  }
+
+  /** Resolve the current publish of a [[publishAudited]] root: one
+    * manifest read, then the version directory it names. Loud when the
+    * root has never had a successful publish — an empty table and "no
+    * table" are different facts.
+    */
+  def readPublished(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame = {
+    val manifest = java.nio.file.Paths.get(root, "_current")
+    require(java.nio.file.Files.exists(manifest),
+      s"readPublished: no successful publish at $root (no _current " +
+        "manifest)")
+    val version = java.nio.file.Files.readString(manifest).trim
+    spark.read.parquet(s"$root/$version")
+  }
+
   /** Top-N per group with a deterministic tiebreak. */
   def topKPerGroup(df: DataFrame, group: Column, order: Column,
                    tiebreak: Column, k: Int): DataFrame = {
@@ -5978,3 +6143,11 @@ object GraftOps {
           lit(factor.toLong) * col("base_total")).cast("int").as("flagged"))
   }
 }
+
+/** One [[GraftOps.publishAudited]] outcome: whether the manifest was
+  * swapped, the version directory staged, the audited row count and
+  * order-insensitive content fingerprint, and the audit's rejection
+  * reason ('' on success).
+  */
+case class PublishResult(published: Boolean, version: String,
+                         rows: Long, fingerprint: Long, reason: String)

@@ -1709,6 +1709,208 @@ object MultimodalDecode {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------------ charset
+
+  /** Charset sniff + transcode screen — the crawl front-door stage
+    * between the WARC record split and every text operator: ~15% of
+    * real crawl bodies are legacy-encoded, and feeding them to a
+    * UTF-8-assuming pipeline yields mojibake that no downstream
+    * quality gate reliably catches. Per payload, one byte walk
+    * reports:
+    *
+    *  - BOM: UTF-8 / UTF-16LE / UTF-16BE signature ('' when absent).
+    *    A UTF-16 BOM with an ODD payload length is undecodable →
+    *    loud ok=0; a UTF-8 BOM over an invalid UTF-8 body is a
+    *    signature contradiction → loud ok=0, never "trust the BOM".
+    *  - meta_charset: the HTML5-prescan-style `charset=` declaration
+    *    extracted from the first 1024 bytes (case-insensitive key,
+    *    optional quotes, value lowercased; '' when absent).
+    *  - the strict RFC 3629 walk ([[isValidUtf8]]'s categories,
+    *    COUNTED): n_ascii, n_valid_mb (well-formed multi-byte
+    *    sequences), n_overlong (C0/C1 leads and over-wide encodings),
+    *    n_surrogate (U+D800–DFFF), n_truncated (sequence cut off by a
+    *    non-continuation or EOF), n_invalid (bare continuations +
+    *    F5–FF leads + past-U+10FFFF), and n_c1 (bytes in 0x80–0x9F —
+    *    the region where windows-1252 and latin-1 DISAGREE, which is
+    *    the transcode-screen decision bit).
+    *  - detected: the fold verdict a transcoder would apply —
+    *    BOM charset when present; 'utf-8' when the body walks clean
+    *    with multi-byte content (a clean walk with multi-byte content
+    *    is UTF-8 with near-certainty — a lying meta tag is overridden,
+    *    the common crawl case); the meta charset for clean pure-ASCII
+    *    bodies that declare one, else 'ascii'; and for invalid-UTF-8
+    *    bodies the legacy fold: 'windows-1252' when any C1 byte
+    *    proves cp1252 punctuation, else 'iso-8859-1'.
+    *
+    * Scale shape: pure map work like every probe here — one pass over
+    * the first KBs-to-body of each payload, no shuffle; at 100 TB this
+    * runs as wide as the WARC split itself.
+    */
+  def sniffCharsetOne(in: MediaIn): CharsetProbe = {
+    val bad = CharsetProbe(in.doc_id, "", "", "", 0L, 0L, 0L, 0L, 0L,
+      0L, 0L, 0L, ok = false)
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    if (c.length == 0) return bad
+    // ---- BOM
+    def b(i: Int) = c(i) & 0xff
+    val (bom, bodyOff) =
+      if (c.length >= 3 && b(0) == 0xef && b(1) == 0xbb && b(2) == 0xbf)
+        ("utf-8", 3)
+      else if (c.length >= 2 && b(0) == 0xff && b(1) == 0xfe)
+        ("utf-16le", 2)
+      else if (c.length >= 2 && b(0) == 0xfe && b(1) == 0xff)
+        ("utf-16be", 2)
+      else ("", 0)
+    val nBytes = c.length.toLong
+    if (bom.startsWith("utf-16")) {
+      // a UTF-16 body is code-unit-aligned or it is not UTF-16
+      if ((c.length - bodyOff) % 2 != 0) return bad
+      return CharsetProbe(in.doc_id, bom, "", bom, nBytes, 0L, 0L, 0L,
+        0L, 0L, 0L, 0L, ok = true)
+    }
+    // ---- meta charset prescan (first 1024 bytes, first match wins)
+    var meta = ""
+    val scanEnd = math.min(c.length, bodyOff + 1024)
+    var i = bodyOff
+    val key = "charset"
+    while (meta.isEmpty && i + key.length < scanEnd) {
+      var k = 0
+      while (k < key.length &&
+        (c(i + k) | 0x20).toChar == key.charAt(k)) k += 1
+      if (k == key.length) {
+        var j = i + key.length
+        while (j < scanEnd && (c(j) == ' ' || c(j) == '\t')) j += 1
+        if (j < scanEnd && c(j) == '=') {
+          j += 1
+          while (j < scanEnd && (c(j) == ' ' || c(j) == '\t')) j += 1
+          val quote = if (j < scanEnd && (c(j) == '"' || c(j) == '\'')) {
+            val q = c(j); j += 1; q
+          } else 0.toByte
+          val v0 = j
+          def stops(x: Byte): Boolean =
+            if (quote != 0) x == quote
+            else x == ' ' || x == ';' || x == '>' || x == '"' || x == '\''
+          while (j < scanEnd && (c(j) & 0xff) < 0x80 && !stops(c(j))) j += 1
+          if (j > v0)
+            meta = new String(c, v0, j - v0,
+              java.nio.charset.StandardCharsets.US_ASCII).toLowerCase
+        }
+      }
+      i += 1
+    }
+    // ---- strict UTF-8 category walk over the body
+    var (ascii, validMb, overlong, surrogate, truncated, invalid, c1) =
+      (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    i = bodyOff
+    while (i < c.length) {
+      val b0 = b(i)
+      if (b0 >= 0x80 && b0 <= 0x9f) c1 += 1
+      if (b0 < 0x80) { ascii += 1; i += 1 }
+      else if (b0 < 0xc0) { invalid += 1; i += 1 } // bare continuation
+      else {
+        val want = // continuation count the lead byte announces
+          if (b0 < 0xe0) 1 else if (b0 < 0xf0) 2 else 3
+        var got = 0
+        while (got < want && i + 1 + got < c.length &&
+          (c(i + 1 + got) & 0xc0) == 0x80) got += 1
+        if (b0 == 0xc0 || b0 == 0xc1) { overlong += 1; i += 1 + got }
+        else if (b0 >= 0xf5) { invalid += 1; i += 1 + got }
+        else if (got < want) { truncated += 1; i += 1 + got }
+        else {
+          val cp =
+            if (want == 1) ((b0 & 0x1f) << 6) | (c(i + 1) & 0x3f)
+            else if (want == 2)
+              ((b0 & 0x0f) << 12) | ((c(i + 1) & 0x3f) << 6) |
+                (c(i + 2) & 0x3f)
+            else
+              ((b0 & 0x07) << 18) | ((c(i + 1) & 0x3f) << 12) |
+                ((c(i + 2) & 0x3f) << 6) | (c(i + 3) & 0x3f)
+          if (want == 2 && cp < 0x800) overlong += 1
+          else if (want == 2 && cp >= 0xd800 && cp <= 0xdfff) surrogate += 1
+          else if (want == 3 && cp < 0x10000) overlong += 1
+          else if (want == 3 && cp > 0x10ffff) invalid += 1
+          else validMb += 1
+          i += 1 + want
+        }
+      }
+    }
+    val clean = overlong + surrogate + truncated + invalid == 0L
+    if (bom == "utf-8" && !clean) return bad // signature contradiction
+    val detected =
+      if (bom == "utf-8") "utf-8"
+      else if (clean && validMb > 0) "utf-8"
+      else if (clean) if (meta.nonEmpty) meta else "ascii"
+      else if (c1 > 0) "windows-1252"
+      else "iso-8859-1"
+    CharsetProbe(in.doc_id, bom, meta, detected, nBytes, ascii, validMb,
+      overlong, surrogate, truncated, invalid, c1, ok = true)
+  }
+
+  def sniffCharset(payloads: Dataset[MediaIn]): Dataset[CharsetProbe] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map(sniffCharsetOne))
+  }
+
+  /** Render a deterministic charset fixture — every field the sniffer
+    * reports is a pure function of `id` (mode = id % 7): 0 plain
+    * ASCII; 1 UTF-8 BOM + utf-8 meta + 2-byte sequences (id % 35 == 8:
+    * a trailing truncated lead contradicts the BOM → loud row);
+    * 2 BOM-less UTF-8 whose meta LIES (iso-8859-1); 3 windows-1252
+    * high bytes (C1 quotes + latin letters) behind a truthful meta;
+    * 4 bare latin-1 letters, no meta; 5 a planted UTF-8 fault zoo
+    * (overlongs, a surrogate, an F5 lead, a bare continuation, a
+    * truncated tail); 6 UTF-16 with BOM, LE/BE by (id / 7) parity
+    * (id % 35 == 13: a dropped final byte de-aligns it → loud row).
+    */
+  def encodeCharsetDoc(id: Long): Array[Byte] = {
+    require(id >= 0, "encodeCharsetDoc: non-negative id")
+    val m = (id % 7).toInt
+    val l = (20 + (id * 7) % 40).toInt
+    val k = (1 + id % 5).toInt
+    val v = (1 + id % 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(bytes: Int*): Unit = bytes.foreach(x => bos.write(x & 0xff))
+    def ws(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def fill(): Unit = ws(("abcdefghijklmnopqrstuvwxyz"(
+      (id % 26).toInt)).toString * l)
+    m match {
+      case 0 => fill()
+      case 1 =>
+        w(0xef, 0xbb, 0xbf); ws("<meta charset=\"utf-8\">"); fill()
+        (1 to k).foreach(_ => w(0xc3, 0xa9))
+        if (id % 35 == 8) w(0xc3) // truncated lead: contradicts the BOM
+      case 2 =>
+        ws("<meta charset=\"ISO-8859-1\">"); fill()
+        (1 to k).foreach(_ => w(0xe2, 0x82, 0xac))
+      case 3 =>
+        ws("<meta charset=\"windows-1252\">"); fill()
+        (1 to k).foreach(_ => w(0x93, 'a'))
+        (1 to k).foreach(_ => w(0xe9, 'a'))
+      case 4 =>
+        fill(); (1 to k).foreach(_ => w(0xe9, 'a'))
+      case 5 =>
+        fill()
+        (1 to v).foreach(_ => w(0xc0, 0xaf, 'a')) // overlong "/"
+        w(0xed, 0xa0, 0x80, 'a')                  // surrogate U+D800
+        w(0xf5, 'a')                              // invalid lead
+        w(0x91, 'a')                              // bare continuation (C1)
+        w(0xe2, 0x82)                             // truncated tail
+      case 6 =>
+        val le = (id / 7) % 2 == 0
+        if (le) w(0xff, 0xfe) else w(0xfe, 0xff)
+        val ch = ('a' + (id % 26).toInt).toChar
+        (1 to l).foreach { _ =>
+          if (le) w(ch, 0x00) else w(0x00, ch)
+        }
+        if (id % 35 == 13) { // de-align: drop the final byte
+          val all = bos.toByteArray
+          return all.take(all.length - 1)
+        }
+    }
+    bos.toByteArray
+  }
+
   // ------------------------------------------------------------ video (MP4)
 
   /** REAL video container metadata parse: no JDK video CODEC exists, but
@@ -2040,6 +2242,18 @@ case class SrtCue(doc_id: Long, cue_idx: Long, start_ms: Long,
 case class WarcRec(doc_id: Long, rec_idx: Long, warc_type: String,
                    target_uri: String, content_length: Long,
                    n_headers: Int, ok: Boolean)
+
+/** One charset-sniff row: BOM / meta declaration / fold verdict plus
+  * the strict UTF-8 walk's per-category counts (n_c1 counts 0x80–0x9F
+  * bytes at walk positions — continuation bytes consumed by a valid
+  * lead are attributed to their sequence, so in the legacy-text regime
+  * where no sequence validates it equals the raw C1-byte count).
+  */
+case class CharsetProbe(doc_id: Long, bom: String, meta_charset: String,
+                        detected: String, n_bytes: Long, n_ascii: Long,
+                        n_valid_mb: Long, n_overlong: Long,
+                        n_surrogate: Long, n_truncated: Long,
+                        n_invalid: Long, n_c1: Long, ok: Boolean)
 
 case class OrientHash(doc_id: Long, orientation: Int, ohash: Long,
                       ok: Boolean)

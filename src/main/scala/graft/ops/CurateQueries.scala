@@ -126,6 +126,59 @@ object CurateQueries extends QueryPack {
   def evalMetricsQ(s: SparkSession, d: String): DataFrame =
     GraftOps.evalMetrics(nbLangId(s, d), col("actual"), col("predicted"))
 
+  /** x_lang_seg: per-paragraph language segmentation
+    * ([[GraftOps.langSegment]]) — the mixed-page screen composing the
+    * [[nbLangId]] model with the boilerplate line grain: per paragraph
+    * an NB language call, per document the dominant-language share and
+    * the mixed flag. The fixture PLANTS mixed pages: every doc's page
+    * is 1–2 eight-word slices of its own text, and every third doc
+    * appends a paragraph of the NEXT language's top-8 tokens (count
+    * desc, term asc — a total order), so cross-language paragraphs
+    * exist at every SF by construction. The oracle replays the
+    * phrasebook, the page synthesis, the NB model and the per-paragraph
+    * argmax from the same derivation, so the whole chain is
+    * load-bearing in the hash gate. The lang×lang next-language pick
+    * is a bounded (|langs|²) broadcast nested loop — the documented
+    * bounded-broadcast shape, never corpus-sized.
+    */
+  def langSegQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("lang"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    val w8 = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("term").asc)
+    val phrase = toks.withColumn("rn", row_number().over(w8))
+      .filter(col("rn") <= 8)
+      .groupBy(col("lang"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("rn"), col("term")))),
+        x => x.getField("term"))).as("phrase"))
+    val langs = docs.select(col("lang")).distinct()
+    val minLang = langs.agg(min(col("lang")).as("lmin"))
+    val nxt = langs
+      .join(broadcast(langs.select(col("lang").as("b_lang"))),
+        col("b_lang") > col("lang"), "left")
+      .groupBy(col("lang")).agg(min(col("b_lang")).as("nl"))
+      .crossJoin(broadcast(minLang))
+      .select(col("lang"), coalesce(col("nl"), col("lmin")).as("next_lang"))
+    val foreign = nxt
+      .join(phrase.withColumnRenamed("lang", "next_lang"), "next_lang")
+      .select(col("lang"), col("phrase").as("fphrase"))
+    val para = (j: org.apache.spark.sql.Column) =>
+      concat_ws(" ", slice(col("w"), lit(1) + (j - lit(1)) * lit(8), lit(8)))
+    val withPage = docs.join(broadcast(foreign), "lang")
+      .withColumn("w", TextFns.tokens(col("text")))
+      .withColumn("page", concat(
+        array_join(transform(
+          sequence(lit(1), lit(1) + (col("doc_id") % 2).cast("int")), para),
+          "\n"),
+        when(col("doc_id") % 3 === 0, concat(lit("\n"), col("fphrase")))
+          .otherwise(lit(""))))
+    GraftOps.langSegment(withPage, col("doc_id"), col("page"),
+      col("text"), col("lang"))
+  }
+
   /** x_dataset_split: the 98/1/1 train/val/test freeze —
     * disjoint-exhaustive md5-bucket assignment with per-split doc/token
     * totals and an order-insensitive membership digest; 3 gated rows
@@ -985,6 +1038,7 @@ object CurateQueries extends QueryPack {
     "x_perplexity_kn" -> perplexityKn,
     "x_dataset_split" -> datasetSplit,
     "x_nb_langid" -> nbLangId,
+    "x_lang_seg" -> langSegQ,
     "x_eval_metrics" -> evalMetricsQ,
     "x_ccnet" -> ccnet,
     "x_outlier_embed" -> outlierEmbed,
@@ -1478,6 +1532,91 @@ object CurateQueries extends QueryPack {
     // pairs join; absent pairs contribute ln 1 = 0), same rounding-
     // before-argmax and class-label tie-break.
     "x_nb_langid" -> nbOracleSql,
+    // Full replay of the x_lang_seg chain: phrasebook (top-8 tokens per
+    // language), next-language pick, page synthesis (own-text slices +
+    // the planted foreign paragraph every 3rd doc), the NB model from
+    // the SAME derivation as x_nb_langid, per-paragraph argmax (score
+    // desc, label desc), and the per-doc modal rollup.
+    "x_lang_seg" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, lang lbl,
+        |    [w for w in string_split_regex(lower(trim(text)), '\s+')
+        |     if w != ''] w
+        |  FROM documents),
+        |b AS (SELECT doc_id, lbl, w FROM base WHERE len(w) > 0),
+        |ct AS (SELECT lbl, term, count(*) c FROM (
+        |  SELECT lbl, unnest(w) term FROM b) GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT lbl, n_docs_c, t_c FROM
+        |    (SELECT lbl, count(*) n_docs_c FROM b GROUP BY 1)
+        |    JOIN (SELECT lbl, CAST(sum(c) AS BIGINT) t_c
+        |          FROM ct GROUP BY 1) USING (lbl)),
+        |tot AS (SELECT (SELECT count(*) FROM b) n_docs,
+        |  (SELECT count(DISTINCT term) FROM ct) v),
+        |top8 AS (SELECT lbl lang, term, row_number() OVER (
+        |    PARTITION BY lbl ORDER BY c DESC, term ASC) rn FROM ct),
+        |ph AS (SELECT lang, array_to_string(list(term ORDER BY rn), ' ')
+        |    phrase FROM top8 WHERE rn <= 8 GROUP BY 1),
+        |ls AS (SELECT DISTINCT lang FROM documents),
+        |nx AS (SELECT a.lang,
+        |    coalesce(min(b2.lang), (SELECT min(lang) FROM ls)) next_lang
+        |  FROM ls a LEFT JOIN ls b2 ON b2.lang > a.lang GROUP BY a.lang),
+        |fp AS (SELECT nx.lang, ph.phrase fphrase
+        |  FROM nx JOIN ph ON ph.lang = nx.next_lang),
+        |pg AS (
+        |  SELECT base.doc_id,
+        |    array_to_string(
+        |      [coalesce(array_to_string(w[(1 + (j - 1) * 8):(j * 8)], ' '),
+        |         '')
+        |       for j in range(1, 2 + CAST(base.doc_id % 2 AS INT))],
+        |      chr(10)) ||
+        |    (CASE WHEN base.doc_id % 3 = 0 THEN chr(10) || fp.fphrase
+        |          ELSE '' END) AS page
+        |  FROM base JOIN fp ON fp.lang = base.lbl),
+        |paras AS (
+        |  SELECT doc_id, i - 1 AS para_idx,
+        |    [x for x in string_split_regex(lower(trim(ps[i])), '\s+')
+        |     if x != ''] pw
+        |  FROM (SELECT doc_id, string_split(page, chr(10)) ps FROM pg),
+        |    unnest(generate_series(1, len(ps))) t(i)),
+        |p AS (SELECT doc_id, para_idx, pw FROM paras WHERE len(pw) > 0),
+        |ptall AS (SELECT doc_id, para_idx, term, count(*) tf FROM (
+        |  SELECT doc_id, para_idx, unnest(pw) term FROM p)
+        |  GROUP BY 1, 2, 3),
+        |pt AS (SELECT doc_id, para_idx, CAST(sum(tf) AS BIGINT) n_tok
+        |  FROM ptall GROUP BY 1, 2),
+        |pos AS (
+        |  SELECT doc_id, para_idx, ct.lbl, sum(tf * ln(c + 1.0)) possum
+        |  FROM ptall JOIN ct USING (term) GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT pt.doc_id, pt.para_idx, cl.lbl,
+        |    round(ln(n_docs_c) - ln(n_docs) - n_tok * ln(t_c + v)
+        |      + coalesce(possum, 0.0), 6) score
+        |  FROM pt CROSS JOIN cl CROSS JOIN tot
+        |  LEFT JOIN pos ON pos.doc_id = pt.doc_id
+        |    AND pos.para_idx = pt.para_idx AND pos.lbl = cl.lbl),
+        |pr AS (
+        |  SELECT doc_id, para_idx, lbl plang FROM (
+        |    SELECT doc_id, para_idx, lbl, row_number() OVER (
+        |      PARTITION BY doc_id, para_idx
+        |      ORDER BY score DESC, lbl DESC) rn FROM sc) WHERE rn = 1),
+        |pl AS (SELECT doc_id, plang, count(*) n FROM pr GROUP BY 1, 2),
+        |dom AS (SELECT doc_id, plang dominant_lang, n n_dominant FROM (
+        |    SELECT doc_id, plang, n, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY n DESC, plang DESC) rn
+        |    FROM pl) WHERE rn = 1),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_paras,
+        |    CAST(count(*) AS BIGINT) n_langs FROM pl GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(agg.n_paras, 0) AS n_paras,
+        |  coalesce(agg.n_langs, 0) AS n_langs,
+        |  coalesce(dom.dominant_lang, '') AS dominant_lang,
+        |  CAST(coalesce(dom.n_dominant * 1000000 // agg.n_paras, 0)
+        |    AS BIGINT) AS dominant_ppm,
+        |  CAST(coalesce(CAST(agg.n_langs >= 2 AS INT), 0) AS INT) AS mixed
+        |FROM documents d
+        |LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |LEFT JOIN dom ON dom.doc_id = d.doc_id""".stripMargin,
     // The split replay: identical 48-bit md5 bucket, identical 32-bit
     // row hashes — the 3-row manifest certifies the whole partition.
     "x_dataset_split" ->

@@ -186,6 +186,40 @@ object EtlQueries extends QueryPack {
   def compact(s: SparkSession, d: String): DataFrame =
     s.read.parquet(compactTo(s, d, tmp("graft_compact"), numFiles = 4))
 
+  /** q_etl_wap: write-audit-publish ([[GraftOps.publishAudited]]) — the
+    * idempotent-publish law every 100-TB pipeline ships: stage → audit
+    * the STAGED bytes (row count + order-insensitive fingerprint) →
+    * atomic manifest swap, so readers never see a partial or
+    * audit-failed table. The gate publishes the nation table, then
+    * attempts a BROKEN publish (an upstream that silently dropped the
+    * odd keys) whose audit rejects on the row count — and the gated
+    * output is what a reader resolves afterwards, which must still be
+    * the first publish byte-for-byte (oracle: the nation table
+    * itself). The full law (manifest untouched on reject, re-publish
+    * idempotency, atomic flip) lives in EtlSpec.
+    */
+  def wapPublish(s: SparkSession, d: String): DataFrame = {
+    val root = tmp("graft_wap")
+    val nation = Tables.nation(s, d)
+    val expected = nation.count()
+    // the broken-publish arm below only demonstrates a rejection when
+    // there are rows to lose — loud on the empty fixture, not a
+    // vacuous "rejection" that never happened
+    require(expected > 0, "q_etl_wap: fixture requires a nonempty nation")
+    def mustHave(n: Long): (Long, Long) => Option[String] =
+      (rows, _) => if (rows == n) None
+                   else Some(s"staged $rows rows, expected $n")
+    val r1 = GraftOps.publishAudited(nation, root, "1", mustHave(expected))
+    require(r1.published, s"q_etl_wap: the good publish failed: ${r1.reason}")
+    // the broken upstream: half the table vanishes — audit must reject
+    val r2 = GraftOps.publishAudited(
+      nation.filter(col("n_nationkey") % 2 === 0), root, "2",
+      mustHave(expected))
+    require(!r2.published,
+      "q_etl_wap: the broken publish passed its audit")
+    GraftOps.readPublished(s, root)
+  }
+
   /** Secondary-index build + serve — the classic MR pattern over a
     * row-keyed store: a batch job inverts (rowkey → value) into a
     * (value, rowkey) index table, range-clustered on the indexed value
@@ -380,10 +414,17 @@ object EtlQueries extends QueryPack {
     "q_idx_lookup" -> idxLookup,
     "q_etl_copytable" -> copyTable,
     "q_etl_multi_sink" -> multiSink,
-    "q_etl_export" -> exportImport
+    "q_etl_export" -> exportImport,
+    "q_etl_wap" -> wapPublish
   )
 
   val oracle = Map(
+    // The WAP gate's reader must resolve the FIRST (good) publish after
+    // the broken second publish failed its audit — i.e. the nation
+    // table byte-for-byte; any leakage of the half-table staging into
+    // the read path breaks the hash.
+    "q_etl_wap" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     // Skew-audit replay: same md5-derived bucket (first 8 hex digits mod
     // 32) over the key's string form, same count/distinct/share_ppm.
     "x_skew_audit" ->

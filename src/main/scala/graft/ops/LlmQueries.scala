@@ -1342,6 +1342,37 @@ object LlmQueries extends QueryPack {
         col("ok").cast("int").as("ok"))
   }
 
+  /** x_charset: charset sniff + transcode screen
+    * ([[graft.api.MultimodalDecode.sniffCharsetOne]]) — the front-door
+    * stage between the WARC record split and every text operator:
+    * real crawl bodies are ~15% legacy-encoded, and the fold verdict
+    * (BOM > clean-UTF-8-with-multibyte > meta > windows-1252/latin-1
+    * by C1 evidence) decides the transcode before tokenization. Each
+    * payload is a planted encoding whose every reported count is a
+    * pure function of doc_id (mode = doc_id % 7 — ASCII, BOM'd UTF-8,
+    * lying meta, cp1252, latin-1, a UTF-8 fault zoo, UTF-16 LE/BE), so
+    * the oracle replays the whole row arithmetically; the two corrupt
+    * arms (BOM-contradicting truncated lead at doc_id % 35 = 8,
+    * de-aligned UTF-16 at doc_id % 35 = 13) yield one loud zeroed
+    * ok=0 row each. Pure map work, no shuffle after the id
+    * repartition — at 100 TB this runs as wide as the WARC split.
+    */
+  def charsetProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        graft.api.MediaIn(id,
+          graft.api.MultimodalDecode.encodeCharsetDoc(id), "text/html")
+      })
+    graft.api.MultimodalDecode.sniffCharset(payloads).toDF()
+      .select(col("doc_id"), col("bom"), col("meta_charset"),
+        col("detected"), col("n_bytes"), col("n_ascii"),
+        col("n_valid_mb"), col("n_overlong"), col("n_surrogate"),
+        col("n_truncated"), col("n_invalid"), col("n_c1"),
+        col("ok").cast("int").as("ok"))
+  }
+
   /** The MP4 media table: one genuine ISO-BMFF container per document
     * (real ftyp/moov/mvhd/trak/tkhd byte layout via
     * [[graft.api.MultimodalDecode.encodeMp4]]); duration, timescale and
@@ -1575,6 +1606,7 @@ object LlmQueries extends QueryPack {
     "x_subtitle_cues" -> subtitleCues,
     "x_mm_exif" -> mmExif,
     "x_warc" -> warcProbe,
+    "x_charset" -> charsetProbe,
     "x_mm_phash_orient" -> mmPhashOrient,
     "x_bitext_mine" -> bitextMine,
     "x_bitext_recall" -> bitextRecall,
@@ -3295,6 +3327,58 @@ object LlmQueries extends QueryPack {
         |UNION ALL
         |SELECT doc_id, CAST(0 AS BIGINT), '', '', CAST(0 AS BIGINT),
         |  CAST(0 AS INT), CAST(0 AS INT)
+        |FROM f WHERE corrupt""".stripMargin,
+    // Replays the charset fixture arithmetically: mode = doc_id % 7
+    // fixes the planted encoding, so BOM/meta/verdict and every walk
+    // count are CASE arms over (mode, l, k, v, le); the two corrupt
+    // arms (BOM-contradicting truncation, de-aligned UTF-16) are the
+    // zeroed ok=0 branch.
+    "x_charset" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(doc_id % 7 AS INT) AS m,
+        |    CAST(20 + (doc_id * 7) % 40 AS BIGINT) AS l,
+        |    CAST(1 + doc_id % 5 AS BIGINT) AS k,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS v,
+        |    (doc_id // 7) % 2 = 0 AS le,
+        |    doc_id % 35 = 8 OR doc_id % 35 = 13 AS corrupt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m WHEN 1 THEN 'utf-8'
+        |         WHEN 6 THEN CASE WHEN le THEN 'utf-16le'
+        |                          ELSE 'utf-16be' END
+        |         ELSE '' END AS bom,
+        |  CASE m WHEN 1 THEN 'utf-8' WHEN 2 THEN 'iso-8859-1'
+        |         WHEN 3 THEN 'windows-1252' ELSE '' END AS meta_charset,
+        |  CASE m WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+        |         WHEN 2 THEN 'utf-8' WHEN 3 THEN 'windows-1252'
+        |         WHEN 4 THEN 'iso-8859-1' WHEN 5 THEN 'windows-1252'
+        |         WHEN 6 THEN CASE WHEN le THEN 'utf-16le'
+        |                          ELSE 'utf-16be' END END AS detected,
+        |  CAST(CASE m WHEN 0 THEN l WHEN 1 THEN 25 + l + 2 * k
+        |              WHEN 2 THEN 27 + l + 3 * k WHEN 3 THEN 29 + l + 4 * k
+        |              WHEN 4 THEN l + 2 * k WHEN 5 THEN l + 3 * v + 10
+        |              WHEN 6 THEN 2 + 2 * l END AS BIGINT) AS n_bytes,
+        |  CAST(CASE m WHEN 0 THEN l WHEN 1 THEN 22 + l
+        |              WHEN 2 THEN 27 + l WHEN 3 THEN 29 + l + 2 * k
+        |              WHEN 4 THEN l + k WHEN 5 THEN l + v + 3
+        |              WHEN 6 THEN 0 END AS BIGINT) AS n_ascii,
+        |  CAST(CASE WHEN m IN (1, 2) THEN k ELSE 0 END AS BIGINT)
+        |    AS n_valid_mb,
+        |  CAST(CASE WHEN m = 5 THEN v ELSE 0 END AS BIGINT) AS n_overlong,
+        |  CAST(CASE WHEN m = 5 THEN 1 ELSE 0 END AS BIGINT) AS n_surrogate,
+        |  CAST(CASE WHEN m IN (3, 4) THEN k WHEN m = 5 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_truncated,
+        |  CAST(CASE WHEN m = 3 THEN k WHEN m = 5 THEN 2 ELSE 0 END
+        |    AS BIGINT) AS n_invalid,
+        |  CAST(CASE WHEN m = 3 THEN k WHEN m = 5 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_c1,
+        |  CAST(1 AS INT) AS ok
+        |FROM f WHERE NOT corrupt
+        |UNION ALL
+        |SELECT doc_id, '', '', '', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS INT)
         |FROM f WHERE corrupt""".stripMargin,
     "x_subtitle_cues" ->
       """WITH f AS (

@@ -1103,6 +1103,43 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(3L) === (("en", 1)))
   }
 
+  test("langSegment: per-paragraph NB calls roll up to dominant share " +
+    "and mixed flag; blank paras skipped; pageless docs stay visible") {
+    import spark.implicits._
+    // model (hand-derived): en trains on docs 1+3 (aa:4, bb:2, t_c=6,
+    // n_docs_c=2), fr on doc 2 (xx:3, yy:2, t_c=5), V=4, n_docs=3.
+    // doc 1's page: "aa bb"->en, "xx yy"->fr, ""->skipped, "aa"->en
+    // (scores hand-checked, e.g. "xx yy": fr -3.008 beats en -5.011).
+    val docs = Seq(
+      (1L, "aa bb\nxx yy\n\naa", "aa bb aa bb aa", "en"),
+      (2L, "xx yy xx", "xx yy xx yy xx", "fr"),
+      (3L, null: String, "aa", "en")
+    ).toDF("doc_id", "page", "train", "lang")
+    val out = GraftOps.langSegment(docs, col("doc_id"), col("page"),
+        col("train"), col("lang"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(out(1L) === ((3L, 2L, "en", 666666L, 1)))
+    assert(out(2L) === ((1L, 1L, "fr", 1000000L, 0)))
+    // NULL page: a zeroed row, never a lost document
+    assert(out(3L) === ((0L, 0L, "", 0L, 0)))
+  }
+
+  test("x_lang_seg: planted foreign paragraphs fire the mixed flag") {
+    val out = ops.CurateQueries.langSegQ(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() === docs.count(), "one visible row per document")
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSet
+    out.collect().foreach { r =>
+      assert(r.getLong(1) >= 1L) // every fixture page has >= 1 paragraph
+      assert(langs.contains(r.getString(3)))
+      assert(r.getInt(5) === (if (r.getLong(2) >= 2) 1 else 0))
+      assert(r.getLong(4) >= 1000000L / r.getLong(1) &&
+        r.getLong(4) <= 1000000L)
+    }
+  }
+
   test("x_nb_langid: one prediction per doc from the label set") {
     val docs = Tables.documents(spark, sf)
     val labels = docs.select(col("lang")).distinct()

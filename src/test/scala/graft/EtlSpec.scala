@@ -209,4 +209,56 @@ class EtlSpec extends SparkSpec {
     assert(hot._2 >= 90L, s"hot bucket holds ${hot._2} — placement wrong")
     assert(hot._4 >= 900000L)
   }
+
+  test("write-audit-publish law: a failed audit leaves the previous " +
+    "publish readable; re-publish is idempotent; the flip is atomic") {
+    import spark.implicits._
+    import graft.api.GraftOps
+    val root = Files.createTempDirectory("graft_wap_law").toString
+    def snap() = GraftOps.readPublished(spark, root)
+      .as[(Long, String)].collect().sorted.toSeq
+    // no publish yet: loud, not an empty frame
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.readPublished(spark, root)
+    }
+    assert(e.getMessage.contains("no successful publish"))
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val pass = (rows: Long, _: Long) =>
+      if (rows == 3L) None else Some(s"want 3, got $rows")
+    val r1 = GraftOps.publishAudited(v1, root, "1", pass)
+    assert(r1.published && r1.rows === 3L && r1.reason === "")
+    assert(snap() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the broken upstream: audit rejects, manifest untouched, previous
+    // publish still byte-identical — the law the pattern exists for
+    val r2 = GraftOps.publishAudited(
+      v1.filter(col("k") =!= 2L), root, "2", pass)
+    assert(!r2.published && r2.rows === 2L &&
+      r2.reason.contains("want 3, got 2"))
+    assert(snap() === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "a failed audit must leave the previous publish readable")
+    // fingerprint audits too: same count, one mutated value -> reject
+    val fpGate = (rows: Long, fp: Long) =>
+      if (rows == 3L && fp == r1.fingerprint) None else Some("fp drift")
+    val r3 = GraftOps.publishAudited(
+      v1.withColumn("v", when(col("k") === 2L, lit("X"))
+        .otherwise(col("v"))), root, "3", fpGate)
+    assert(!r3.published && r3.rows === 3L)
+    // REPLAY of a publishId (the at-least-once orchestrator case):
+    // overwrites its own staging, flips to the same content — a no-op
+    val r1b = GraftOps.publishAudited(v1, root, "1", pass)
+    assert(r1b.published && r1b.fingerprint === r1.fingerprint)
+    assert(snap() === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a genuinely new good version flips the reader atomically
+    val v4 = Seq((7L, "z"), (8L, "y"), (9L, "x")).toDF("k", "v")
+    val r4 = GraftOps.publishAudited(v4, root, "4", pass)
+    assert(r4.published)
+    assert(snap() === Seq((7L, "z"), (8L, "y"), (9L, "x")))
+    // no temp manifest debris survives any of the five publishes
+    val debris = Option(new java.io.File(root).listFiles).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(debris.isEmpty, s"leftover manifest temps: $debris")
+    // rejected versions sit unreferenced (janitor-visible), never read
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_current")).trim === "v_4")
+  }
 }

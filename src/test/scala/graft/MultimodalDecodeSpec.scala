@@ -525,6 +525,72 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(loud(Array[Byte]()) && loud(null))
   }
 
+  test("charset: BOM/meta/fold verdicts and exact walk counts per " +
+      "planted mode; contradictions and de-alignment are loud") {
+    def probe(id: Long) = MultimodalDecode.sniffCharsetOne(
+      graft.api.MediaIn(id, MultimodalDecode.encodeCharsetDoc(id),
+        "text/html"))
+    // mode 0 (id=0): pure ASCII, l=20
+    val p0 = probe(0)
+    assert(p0.ok && p0.bom === "" && p0.meta_charset === "" &&
+      p0.detected === "ascii" && p0.n_bytes === 20L && p0.n_ascii === 20L)
+    // mode 1 (id=1): BOM + truthful meta + k=2 two-byte seqs, l=27
+    val p1 = probe(1)
+    assert(p1.ok && p1.bom === "utf-8" && p1.meta_charset === "utf-8" &&
+      p1.detected === "utf-8" && p1.n_bytes === 56L &&
+      p1.n_ascii === 49L && p1.n_valid_mb === 2L)
+    // mode 2 (id=2): the meta LIES (iso-8859-1) over valid UTF-8 —
+    // byte evidence wins, the lie stays visible in meta_charset
+    val p2 = probe(2)
+    assert(p2.ok && p2.bom === "" && p2.meta_charset === "iso-8859-1" &&
+      p2.detected === "utf-8" && p2.n_valid_mb === 3L &&
+      p2.n_ascii === 61L && p2.n_bytes === 70L)
+    // mode 3 (id=3): cp1252 evidence — k=4 C1 bytes decide the fold
+    val p3 = probe(3)
+    assert(p3.ok && p3.detected === "windows-1252" &&
+      p3.meta_charset === "windows-1252" && p3.n_c1 === 4L &&
+      p3.n_invalid === 4L && p3.n_truncated === 4L &&
+      p3.n_ascii === 78L && p3.n_bytes === 86L)
+    // mode 4 (id=4): high bytes, no C1 evidence -> latin-1, k=5
+    val p4 = probe(4)
+    assert(p4.ok && p4.detected === "iso-8859-1" &&
+      p4.meta_charset === "" && p4.n_c1 === 0L && p4.n_truncated === 5L &&
+      p4.n_ascii === 53L && p4.n_bytes === 58L)
+    // mode 5 (id=5): the fault zoo, v=2 overlongs
+    val p5 = probe(5)
+    assert(p5.ok && p5.detected === "windows-1252" &&
+      p5.n_overlong === 2L && p5.n_surrogate === 1L &&
+      p5.n_invalid === 2L && p5.n_truncated === 1L && p5.n_c1 === 1L &&
+      p5.n_ascii === 60L && p5.n_bytes === 71L && p5.n_valid_mb === 0L)
+    // mode 6: UTF-16 both byte orders by (id / 7) parity
+    val p6 = probe(6)
+    assert(p6.ok && p6.bom === "utf-16le" && p6.detected === "utf-16le" &&
+      p6.n_bytes === 46L && p6.n_ascii === 0L)
+    val p27 = probe(27)
+    assert(p27.ok && p27.bom === "utf-16be" && p27.detected === "utf-16be")
+    // corrupt arms: one loud zeroed row each, never a throw
+    val c8 = probe(8) // UTF-8 BOM contradicted by a truncated lead
+    assert(!c8.ok && c8.detected === "" && c8.n_bytes === 0L)
+    val c13 = probe(13) // de-aligned UTF-16
+    assert(!c13.ok)
+    assert(!MultimodalDecode.sniffCharsetOne(
+      graft.api.MediaIn(7L, null, "text/html")).ok)
+    assert(!MultimodalDecode.sniffCharsetOne(
+      graft.api.MediaIn(7L, Array.emptyByteArray, "text/html")).ok)
+    // meta prescan edges: uppercase key, single quotes, unquoted value,
+    // and the 1024-byte scan horizon
+    def meta(s: String) = MultimodalDecode.sniffCharsetOne(
+      graft.api.MediaIn(9L, s.getBytes("US-ASCII"), "text/html"))
+      .meta_charset
+    assert(meta("<META CHARSET='Windows-1252'>x") === "windows-1252")
+    assert(meta("<meta http-equiv=x content=\"text/html; charset=utf-8\">")
+      === "utf-8")
+    assert(meta("<meta charset=latin1>") === "latin1")
+    assert(meta(("x" * 1200) + "<meta charset=\"utf-8\">") === "")
+    // first declaration wins
+    assert(meta("<meta charset=\"a\"><meta charset=\"b\">") === "a")
+  }
+
   test("vadSegments: run merging, partial-window clamp, all-silent " +
       "files emit nothing, malformations are loud") {
     // seed 0: silent iff (3w) mod 11 < 4 -> w in {0,1,4,8} per period;
