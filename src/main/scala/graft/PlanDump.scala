@@ -433,7 +433,19 @@ object PlanDump {
     "q_etl_wap" -> ("Write-audit-publish — stage write, one bounded " +
       "audit aggregate over the STAGED files, atomic manifest flip; " +
       "the gated read resolves the manifest then scans one version " +
-      "dir")
+      "dir"),
+    "x_warc_gz" -> ("Per-record-gzip WARC walk — pure map member " +
+      "decode (header flags, Inflater, CRC32/ISIZE verify, 64 MiB " +
+      "bomb cap), no shuffle after the id repartition"),
+    "x_anchor_text" -> ("Anchor-text index — two aligned regexp " +
+      "passes + canonicalizeUrl map-side, then two dst-keyed " +
+      "shuffles (link grain + modal-term argmax) joined null-safely"),
+    "x_redirect_resolve" -> ("Redirect resolution by pointer " +
+      "doubling — 5 self-join shuffles cover 32 hops at any corpus " +
+      "size; unresolved rows visible, zero driver iteration"),
+    "x_sitemap" -> ("sitemap.xml extraction — declarative lazy-regexp " +
+      "block split + field pulls through the shared canonicalizer; " +
+      "pure map, zero shuffle")
   )
 
   def main(args: Array[String]): Unit = {

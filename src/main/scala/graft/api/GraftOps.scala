@@ -5733,6 +5733,154 @@ object GraftOps {
         (col("n_urls") - col("n_blocked")).as("n_kept"))
   }
 
+  /** Anchor-text index — the link-graph signal extraction between
+    * [[TextFns.stripHtml]] and ranking/quality scoring: what OTHER
+    * pages' links say about a page is the classic relevance and
+    * quality signal (anchor text routinely describes a target better
+    * than the target describes itself), and the same extraction yields
+    * the edge list every link-graph operator (PageRank/HITS) consumes.
+    * Per page, `<a href="...">text</a>` anchors are extracted with one
+    * codegen'd regexp pass per capture group (the two
+    * `regexp_extract_all` runs enumerate the SAME match sequence, so
+    * zipping them cannot misalign href and text); hrefs canonicalize
+    * through [[canonicalizeUrl]] so spelling variants of one target
+    * collapse (relative hrefs canonicalize to NULL and stay VISIBLE as
+    * the one NULL-keyed group — the resolve-against-base step is a
+    * separate stage, and losing them here would silently understate
+    * the link volume). Output per canonical target: in-link count,
+    * distinct linking documents, total anchor-text token volume, and
+    * the modal anchor term (count-majority, ties to the
+    * lexicographically LAST term — one deterministic argmax, same
+    * discipline as [[naiveBayes]]).
+    *
+    * Scale shape: extraction is pure map regexp work ∝ page bytes;
+    * the index is two dst-keyed shuffles (link grain + term grain)
+    * joined on the bounded per-target rows — anchor tokens, not page
+    * bytes, are the widest thing that moves.
+    */
+  def anchorIndex(df: DataFrame, key: Column, html: Column): DataFrame = {
+    val anchorPat = "<a\\s+href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val links = df.select(key.as("src_id"),
+        arrays_zip(
+          regexp_extract_all(html, lit(anchorPat), lit(1)),
+          regexp_extract_all(html, lit(anchorPat), lit(2))).as("az"))
+      .select(col("src_id"), explode(col("az")).as("a"))
+      .select(col("src_id"),
+        canonicalizeUrl(col("a.0")).as("dst_url"),
+        TextFns.tokens(col("a.1")).as("toks"))
+    val linksC = cacheOnce(links)
+    val byDst = linksC.groupBy(col("dst_url"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src_id")).as("n_srcs"),
+        sum(size(col("toks"))).as("n_anchor_toks"))
+    val topTerm = linksC
+      .select(col("dst_url"), explode(col("toks")).as("term"))
+      .groupBy(col("dst_url"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("dst_url"))
+      .agg(max(struct(col("n"), col("term"))).getField("term")
+        .as("top_term"))
+      .withColumnRenamed("dst_url", "tt_dst")
+    // null-SAFE join: the relative-href group is keyed by NULL, and a
+    // plain equi-join would silently blank its modal term
+    byDst.join(topTerm, col("dst_url") <=> col("tt_dst"), "left")
+      .select(col("dst_url"), col("n_links"), col("n_srcs"),
+        col("n_anchor_toks"), coalesce(col("top_term"), lit(""))
+          .as("top_term"))
+  }
+
+  /** sitemap.xml URL extraction — the frontier-DISCOVERY format next
+    * to [[parseRobots]] (robots names the sitemaps; the sitemap names
+    * the URLs): per `<url>` block, the required `<loc>` (canonicalized
+    * through [[canonicalizeUrl]] so the frontier joins against
+    * [[dedupUrl]]/[[filterUrls]] keys directly — a sitemap spelling
+    * variant of a known URL must not look new), the optional
+    * `<lastmod>` and `<priority>` VERBATIM ('' when absent — both are
+    * downstream-interpreted strings, and parsing priority to a float
+    * here would trade exact replay for nothing). A `<url>` block with
+    * no `<loc>` is spec-invalid and stays VISIBLE as a ''-loc row
+    * (never silently dropped — the count mismatch is the signal a
+    * frontier audit needs).
+    *
+    * Fully declarative like [[parseRobots]]: one lazy-quantifier
+    * regexp_extract_all pass splits the blocks, three regexp_extract
+    * passes pull the fields — codegen'd expressions, zero UDF, pure
+    * map work ∝ sitemap bytes (the SMALL side of a crawl), no shuffle
+    * at all.
+    */
+  def parseSitemap(df: DataFrame, host: Column, xml: Column): DataFrame =
+    df.select(host.as("host"),
+        explode(regexp_extract_all(xml,
+          lit("<url>(.*?)</url>"), lit(1))).as("b"))
+      .select(col("host"),
+        canonicalizeUrl(regexp_extract(col("b"),
+          "<loc>([^<]*)</loc>", 1)).as("loc"),
+        regexp_extract(col("b"), "<lastmod>([^<]*)</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("b"), "<priority>([^<]*)</priority>", 1)
+          .as("priority"))
+      .select(col("host"), coalesce(col("loc"), lit("")).as("loc"),
+        col("lastmod"), col("priority"))
+
+  /** Redirect-chain resolution by pointer doubling — the
+    * crawl-frontier stage between fetch and content processing: a
+    * fetched URL's 3xx Location chain must resolve to its FINAL URL
+    * before URL dedup means anything (the same page reached through
+    * different entry redirects is one document), and at corpus scale
+    * the chains form a functional graph (each URL has at most one
+    * `next`) that per-row loops cannot walk without collect. `edges`
+    * gives one row per URL: `next` is the redirect target, NULL for a
+    * terminal (2xx/4xx) URL. Resolution runs ceil(log2(maxHops))
+    * pointer-DOUBLING rounds — each round joins the state table with
+    * itself so every pointer covers twice the hops ([[clusterPairs]]'
+    * discipline) — then reports per URL: the final URL, the exact hop
+    * count, and resolved=0 for chains that exceed `maxHops` or enter a
+    * redirect CYCLE (both real crawl phenomena; an unresolved row
+    * keeps final_url '' and hops 0 — visible, never dropped, never
+    * spun on forever). Duplicate source URLs are a loud precondition
+    * violation (the [[parseRobots]] duplicate-key discipline): a
+    * functional graph with two `next` values for one URL would resolve
+    * nondeterministically.
+    *
+    * Scale shape: the state table is one row per URL forever; each
+    * round is one self-join shuffle keyed by the current pointer —
+    * O(log maxHops) shuffles total (5 rounds for the HTTP-practical
+    * 32-hop cap), zero driver-side iteration over data.
+    */
+  def resolveRedirects(edges: DataFrame, url: Column, next: Column,
+                       maxHops: Int = 32): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 1024,
+      "resolveRedirects: maxHops in [1, 1024]")
+    val e = cacheOnce(edges.select(url.as("u"), next.as("nxt")))
+    val dups = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("u")).limit(1).collect()
+    require(dups.isEmpty,
+      s"resolveRedirects: duplicate source URL '${dups.headOption
+        .map(_.getString(0)).getOrElse("")}' — a redirect map must be " +
+        "a FUNCTION (merge or dedup upstream first)")
+    val rounds = (1 to 30).find(r => (1L << r) >= maxHops).get
+    var state = e.select(col("u"),
+      coalesce(col("nxt"), col("u")).as("cur"),
+      when(col("nxt").isNull, lit(0L)).otherwise(lit(1L)).as("hops"),
+      col("nxt").isNull.as("done"))
+    (1 to rounds).foreach { _ =>
+      val hop = state.select(col("u").as("j_u"), col("cur").as("j_cur"),
+        col("hops").as("j_hops"), col("done").as("j_done"))
+      state = trackedCache(state.join(hop, col("cur") === col("j_u"), "left")
+        .select(col("u"),
+          when(col("done") || col("j_u").isNull, col("cur"))
+            .otherwise(col("j_cur")).as("cur"),
+          when(col("done") || col("j_u").isNull, col("hops"))
+            .otherwise(col("hops") + col("j_hops")).as("hops"),
+          when(col("done"), lit(true))
+            .otherwise(coalesce(col("j_done"), lit(false))).as("done")))
+    }
+    state.select(col("u").as("url"),
+      when(col("done"), col("cur")).otherwise(lit("")).as("final_url"),
+      when(col("done"), col("hops")).otherwise(lit(0L)).as("hops"),
+      col("done").cast("int").as("resolved"))
+  }
+
   /** robots.txt group parse — the crawl-POLICY text format between the
     * WARC walk and [[filterUrls]]: per host, extract the Allow/Disallow
     * rules that apply to `agent` under the practical robots exclusion

@@ -1685,28 +1685,176 @@ object MultimodalDecode {
   def encodeWarc(id: Long, nRecords: Int): Array[Byte] = {
     require(nRecords >= 1, "encodeWarc: need at least one record")
     val bos = new java.io.ByteArrayOutputStream()
+    (1 to nRecords).foreach(k => bos.write(encodeWarcRecord(id, k)))
+    bos.toByteArray
+  }
+
+  /** The bytes of record k (1-based) of the [[encodeWarc]] fixture —
+    * extracted so [[encodeWarcGz]] can compress each record as its own
+    * gzip member (the Common Crawl storage layout) while staying
+    * byte-identical to the plain container's record.
+    */
+  private[graft] def encodeWarcRecord(id: Long, k: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit =
       bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    (1 to nRecords).foreach { k =>
-      val info = k == 1
-      val t = if (info) "warcinfo"
-        else if ((id + k) % 2 == 0) "response" else "request"
-      val len = 20 + ((id * 7 + k * 13) % 50)
-      w("WARC/1.0\r\n")
-      w(s"WARC-Type: $t\r\n")
-      w(s"WARC-Record-ID: <urn:uuid:$id-$k>\r\n")
-      w("WARC-Date: 2024-01-01T00:00:00Z\r\n")
-      if (!info) w(s"WARC-Target-URI: https://example${id % 40}.com/p$k\r\n")
-      w(s"Content-Length: $len\r\n")
-      w("\r\n")
-      var j = 0
-      while (j < len) {
-        bos.write(((id * 31 + k * 17 + j * 2654435761L) % 256).toInt)
-        j += 1
-      }
-      w("\r\n\r\n")
+    val info = k == 1
+    val t = if (info) "warcinfo"
+      else if ((id + k) % 2 == 0) "response" else "request"
+    val len = 20 + ((id * 7 + k * 13) % 50)
+    w("WARC/1.0\r\n")
+    w(s"WARC-Type: $t\r\n")
+    w(s"WARC-Record-ID: <urn:uuid:$id-$k>\r\n")
+    w("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+    if (!info) w(s"WARC-Target-URI: https://example${id % 40}.com/p$k\r\n")
+    w(s"Content-Length: $len\r\n")
+    w("\r\n")
+    var j = 0
+    while (j < len) {
+      bos.write(((id * 31 + k * 17 + j * 2654435761L) % 256).toInt)
+      j += 1
     }
+    w("\r\n\r\n")
     bos.toByteArray
+  }
+
+  /** Zip-bomb guard for [[parseWarcGzOne]]: a member that inflates past
+    * this many bytes is a loud ok=false fault, never an OOM — at 100 TB
+    * an adversarial crawl WILL contain deflate bombs, and the failure
+    * mode must be a visible rejected row, not a dead executor. 64 MiB
+    * is far above any legitimate single WARC record.
+    */
+  val MaxInflatedMember: Int = 1 << 26
+
+  /** Per-record-gzip WARC walk — the layout web crawls are actually
+    * STORED in (Common Crawl's .warc.gz: each record compressed as its
+    * own gzip member, members concatenated, so a byte-range fetch can
+    * start at any member boundary). Walks RFC 1952 members: fixed
+    * header (magic 1f 8b, CM=8 deflate, reserved FLG bits zero), the
+    * optional FEXTRA/FNAME/FCOMMENT/FHCRC fields, a raw-deflate body
+    * via java.util.zip.Inflater, then the CRC32 + ISIZE trailer — BOTH
+    * verified against the inflated bytes (a transport-corrupted member
+    * must surface here, not as downstream mojibake). Each member must
+    * inflate to exactly ONE well-formed WARC record (the per-record
+    * contract that makes the format seekable); its fields are reported
+    * through the same [[parseWarcOne]] grammar, plus the member's
+    * inflated byte count. ANY fault — bad magic, reserved flags, a
+    * truncated deflate stream, CRC or ISIZE mismatch, an inflated size
+    * past `maxPlain` (the zip-bomb guard), a member holding zero or
+    * two records — yields ONE loud ok=false row for the document.
+    *
+    * Scale shape: pure map work like [[parseWarc]] — decode cost linear
+    * in compressed payload bytes, no shuffle; the widest stage of a
+    * 100 TB crawl read runs exactly this loop.
+    */
+  def parseWarcGzOne(in: MediaIn,
+                     maxPlain: Int = MaxInflatedMember): Seq[WarcGzRec] = {
+    val bad = Seq(WarcGzRec(in.doc_id, 0L, "", "", 0L, 0, 0L, ok = false))
+    val c = if (in.content == null) Array.emptyByteArray else in.content
+    if (c.length == 0) return bad
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcGzRec]
+    def b(i: Int) = c(i) & 0xff
+    var off = 0
+    var idx = 0L
+    while (off < c.length) {
+      idx += 1
+      // ---- RFC 1952 member header
+      if (off + 10 > c.length) return bad
+      if (b(off) != 0x1f || b(off + 1) != 0x8b || b(off + 2) != 8)
+        return bad
+      val flg = b(off + 3)
+      if ((flg & 0xe0) != 0) return bad // reserved bits must be zero
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA: little-endian length + payload
+        if (p + 2 > c.length) return bad
+        p += 2 + (b(p) | (b(p + 1) << 8))
+        if (p > c.length) return bad
+      }
+      def skipZeroTerminated(): Boolean = {
+        while (p < c.length && c(p) != 0) p += 1
+        if (p >= c.length) false else { p += 1; true }
+      }
+      if ((flg & 8) != 0 && !skipZeroTerminated()) return bad // FNAME
+      if ((flg & 16) != 0 && !skipZeroTerminated()) return bad // FCOMMENT
+      if ((flg & 2) != 0) { p += 2; if (p > c.length) return bad } // FHCRC
+      // ---- raw-deflate body, CRC accumulated over the inflated bytes
+      val inf = new java.util.zip.Inflater(true)
+      val plainBos = new java.io.ByteArrayOutputStream()
+      val crc = new java.util.zip.CRC32()
+      val buf = new Array[Byte](8192)
+      var plainLen = 0L
+      try {
+        inf.setInput(c, p, c.length - p)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return bad // truncated stream (or a non-gzip dictionary ask)
+          crc.update(buf, 0, n)
+          plainBos.write(buf, 0, n)
+          plainLen += n
+          if (plainLen > maxPlain) return bad // zip bomb: loud, not OOM
+        }
+        p += (c.length - p) - inf.getRemaining
+      } catch {
+        case _: java.util.zip.DataFormatException => return bad
+      } finally inf.end()
+      // ---- trailer: CRC32 then ISIZE, both little-endian
+      if (p + 8 > c.length) return bad
+      val crcStored = b(p).toLong | (b(p + 1).toLong << 8) |
+        (b(p + 2).toLong << 16) | (b(p + 3).toLong << 24)
+      val isize = b(p + 4).toLong | (b(p + 5).toLong << 8) |
+        (b(p + 6).toLong << 16) | (b(p + 7).toLong << 24)
+      if (crcStored != crc.getValue) return bad
+      if (isize != (plainLen & 0xffffffffL)) return bad
+      p += 8
+      // ---- exactly one record per member — the seekability contract
+      val recs = parseWarcOne(MediaIn(in.doc_id, plainBos.toByteArray,
+        in.mime))
+      if (recs.length != 1 || !recs.head.ok) return bad
+      val r = recs.head
+      out += WarcGzRec(in.doc_id, idx, r.warc_type, r.target_uri,
+        r.content_length, r.n_headers, plainLen, ok = true)
+      off = p
+    }
+    out.toSeq
+  }
+
+  def parseWarcGz(payloads: Dataset[MediaIn]): Dataset[WarcGzRec] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.flatMap(in => parseWarcGzOne(in)))
+  }
+
+  /** One gzip member over `plain` — java.util.zip.GZIPOutputStream's
+    * RFC 1952 layout (fixed 10-byte header, raw deflate, CRC32 + ISIZE
+    * trailer).
+    */
+  private def gzipMember(plain: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Render the [[encodeWarc]] fixture in Common Crawl's storage
+    * layout: record k compressed as its own gzip member, members
+    * concatenated. Three planted corruption arms prove the walk's
+    * verification is load-bearing: id % 89 = 5 zeroes the first
+    * member's magic byte (bad header), id % 89 = 23 flips a byte of
+    * the FINAL member's stored CRC32 (the trailer check must catch a
+    * transport flip), id % 89 = 47 truncates the final trailer — each
+    * must yield one loud ok=0 row, never a silently-short document.
+    */
+  def encodeWarcGz(id: Long, nRecords: Int): Array[Byte] = {
+    require(nRecords >= 1, "encodeWarcGz: need at least one record")
+    val bos = new java.io.ByteArrayOutputStream()
+    (1 to nRecords).foreach(k => bos.write(gzipMember(encodeWarcRecord(id, k))))
+    val all = bos.toByteArray
+    if (id % 89 == 5) all(0) = 0x00.toByte
+    else if (id % 89 == 23)
+      all(all.length - 8) = (all(all.length - 8) ^ 0xff).toByte
+    else if (id % 89 == 47) return all.take(all.length - 5)
+    all
   }
 
   // ------------------------------------------------------------ charset
@@ -2242,6 +2390,15 @@ case class SrtCue(doc_id: Long, cue_idx: Long, start_ms: Long,
 case class WarcRec(doc_id: Long, rec_idx: Long, warc_type: String,
                    target_uri: String, content_length: Long,
                    n_headers: Int, ok: Boolean)
+
+/** One member of a per-record-gzip WARC walk: 1-based member index,
+  * the record fields the [[MultimodalDecode.parseWarcOne]] grammar
+  * reports for the member's single record, and the member's inflated
+  * byte count (CRC32- and ISIZE-verified).
+  */
+case class WarcGzRec(doc_id: Long, member_idx: Long, warc_type: String,
+                     target_uri: String, content_length: Long,
+                     n_headers: Int, plain_len: Long, ok: Boolean)
 
 /** One charset-sniff row: BOM / meta declaration / fold verdict plus
   * the strict UTF-8 walk's per-category counts (n_c1 counts 0x80–0x9F

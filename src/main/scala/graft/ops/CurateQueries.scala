@@ -519,6 +519,114 @@ object CurateQueries extends QueryPack {
       Tables.documents(s, d).withColumn("url", expr(urlFixture("STRING"))),
       col("doc_id"), col("url"))
 
+  /** x_anchor_text: anchor-text index ([[GraftOps.anchorIndex]]) — the
+    * link-graph signal extraction next to x_html_strip: per canonical
+    * link target, in-link count, distinct linking docs, anchor-token
+    * volume, and the modal anchor term. The fixture plants 1–3 anchors
+    * per doc whose href spelling rotates through three forms the
+    * canonicalizer must collapse (already-canonical; SHOUTED scheme +
+    * :443 + a utm param; unsorted query + fragment), one relative href
+    * on every 4th doc (the visible NULL-canonical group), and an
+    * href-less `<a>` tag the extractor must skip. The oracle replays
+    * the anchor list arithmetically — so the Spark side's regexp
+    * extraction AND canonicalization chain are both load-bearing in
+    * the hash gate.
+    */
+  def anchorTextQ(s: SparkSession, d: String): DataFrame = {
+    val t = (j: org.apache.spark.sql.Column) => ((col("doc_id") * 7 + j * 11) % 40).cast("string")
+    val p = (j: org.apache.spark.sql.Column) => ((col("doc_id") + j) % 6).cast("string")
+    val anchor = (j: org.apache.spark.sql.Column) => {
+      val v = (col("doc_id") + j) % 3
+      val base = concat(lit("https://example"), t(j), lit(".com/q"), p(j))
+      val href = when(v === 0, base)
+        .when(v === 1, concat(lit("HTTPS://EXAMPLE"), t(j),
+          lit(".COM:443/q"), p(j), lit("?utm_source=x")))
+        .otherwise(concat(base, lit("?b=2&a=1#frag")))
+      concat(lit("<a href=\""), href, lit("\">link "), t(j),
+        lit(" page"), p(j), lit("</a>"))
+    }
+    val page = concat(
+      lit("<html><body><p>intro</p>"),
+      array_join(transform(
+        sequence(lit(1), lit(1) + (col("doc_id") % 3).cast("int")), anchor),
+        " and "),
+      when(col("doc_id") % 4 === 0,
+        lit("<a href=\"/local\">here</a>")).otherwise(lit("")),
+      lit("<a class=\"x\">no href</a></body></html>"))
+    GraftOps.anchorIndex(Tables.documents(s, d).select(col("doc_id"),
+      page.as("page")), col("doc_id"), col("page"))
+  }
+
+  /** x_sitemap: sitemap.xml URL extraction ([[GraftOps.parseSitemap]])
+    * — the frontier-discovery stage completing the policy pair (robots
+    * names the sitemaps, the sitemap names the URLs): per `<url>`
+    * block the canonicalized `<loc>` plus verbatim optional
+    * `<lastmod>`/`<priority>`. The fixture plants 1–3 entries per host
+    * — every 2nd entry's loc carries a utm param the canonicalizer
+    * must strip (a sitemap spelling variant of a known URL must not
+    * look new to the frontier), lastmod on every 3rd, priority on
+    * every 5th — and every 11th host appends a spec-invalid loc-less
+    * block that must stay VISIBLE as the ''-loc row. The oracle
+    * replays the synthesis arithmetically.
+    */
+  def sitemapQ(s: SparkSession, d: String): DataFrame = {
+    val entry = (j: org.apache.spark.sql.Column) => {
+      val t = ((col("doc_id") * 3 + j * 7) % 50).cast("string")
+      concat(
+        lit("<url><loc>https://s"), col("doc_id").cast("string"),
+        lit(".example.com/page-"), t,
+        when((col("doc_id") + j) % 2 === 0,
+          lit("?utm_campaign=x")).otherwise(lit("")),
+        lit("</loc>"),
+        when((col("doc_id") + j) % 3 === 0,
+          concat(lit("<lastmod>2024-0"), j.cast("string"),
+            lit("-01</lastmod>"))).otherwise(lit("")),
+        when((col("doc_id") + j) % 5 === 0,
+          lit("<priority>0.8</priority>")).otherwise(lit("")),
+        lit("</url>"))
+    }
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      array_join(transform(
+        sequence(lit(1), lit(1) + (col("doc_id") % 3).cast("int")),
+        entry), ""),
+      when(col("doc_id") % 11 === 0,
+        lit("<url><lastmod>2024-01-01</lastmod></url>"))
+        .otherwise(lit("")),
+      lit("</urlset>"))
+    GraftOps.parseSitemap(
+      Tables.documents(s, d).select(col("doc_id"), xml.as("x")),
+      concat(lit("s"), col("doc_id").cast("string")), col("x"))
+  }
+
+  /** x_redirect_resolve: redirect-chain resolution
+    * ([[GraftOps.resolveRedirects]]) — the crawl-frontier stage whose
+    * absence makes URL dedup lie: 3xx chains resolve to their FINAL
+    * URL by pointer doubling (O(log maxHops) self-join shuffles, zero
+    * driver iteration). The fixture builds the redirect functional
+    * graph over synthetic URLs: chains of ≤ 5 inside each doc-id block
+    * of 5 (i → i+1, block tail terminal), the corpus max id pinned
+    * terminal so no pointer dangles, and every 101st id (i % 101 = 7)
+    * pointing BACKWARD — which forms a genuine 2-cycle with its
+    * neighbor whenever neither is a block tail, so unresolved rows
+    * (resolved=0, '' final, 0 hops) exist at every SF by construction
+    * and the cycle arm of the resolver is load-bearing. The oracle
+    * replays the walk with a hop-capped recursive CTE.
+    */
+  def redirectResolveQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").as("i"))
+    val maxI = docs.agg(max(col("i")).as("max_i"))
+    val u = (x: org.apache.spark.sql.Column) => concat(lit("https://r"), x.cast("string"),
+      lit(".example.com/"))
+    val edges = docs.crossJoin(broadcast(maxI)).select(
+      u(col("i")).as("u"),
+      when(col("i") % 5 === 4 || col("i") === col("max_i"),
+        lit(null).cast("string"))
+        .when(col("i") % 101 === 7, u(col("i") - 1))
+        .otherwise(u(col("i") + 1)).as("nxt"))
+    GraftOps.resolveRedirects(edges, col("u"), col("nxt"), maxHops = 32)
+  }
+
   /** Suffix-dedup knobs, shared between [[dedupSuffixQ]] and its oracle
     * SQL so a tuning change cannot desync the gate (the Uni* pattern).
     * SufCapDeep must stay > the engine's DirectSortCap (128) — its
@@ -1048,6 +1156,9 @@ object CurateQueries extends QueryPack {
     "x_url_filter" -> urlFilterQ,
     "x_robots" -> robotsQ,
     "x_boilerplate" -> boilerplateQ,
+    "x_anchor_text" -> anchorTextQ,
+    "x_redirect_resolve" -> redirectResolveQ,
+    "x_sitemap" -> sitemapQ,
     "x_dedup_suffix" -> dedupSuffixQ,
     "x_dedup_suffix_deep" -> dedupSuffixDeepQ,
     "x_dedup_onion" -> dedupOnionQ,
@@ -1988,6 +2099,100 @@ object CurateQueries extends QueryPack {
         |  CAST(sum(b) AS BIGINT) AS n_blocked,
         |  CAST(count(*) - sum(b) AS BIGINT) AS n_kept
         |FROM m GROUP BY host""".stripMargin),
+    // Anchor-index replay: the planted anchor list is regenerated
+    // arithmetically (variant v in (0,1) collapses to the canonical
+    // base, v=2 keeps its sorted query; every 4th doc's relative href
+    // is the NULL-canonical group with token 'here'), then aggregated
+    // with the same count-majority / lexicographically-last-term
+    // argmax. The top-term join is null-SAFE so the NULL group keeps
+    // its modal term, mirroring the Spark side's <=> join.
+    "x_anchor_text" ->
+      """WITH l AS (
+        |  SELECT doc_id AS src,
+        |    CAST((doc_id * 7 + j * 11) % 40 AS VARCHAR) AS t,
+        |    CAST((doc_id + j) % 6 AS VARCHAR) AS p,
+        |    (doc_id + j) % 3 AS v
+        |  FROM documents,
+        |    unnest(generate_series(1, 1 + CAST(doc_id % 3 AS INT))) s(j)),
+        |links AS (
+        |  SELECT src,
+        |    'https://example' || t || '.com/q' || p ||
+        |      CASE WHEN v = 2 THEN '?a=1&b=2' ELSE '' END AS dst,
+        |    ['link', t, 'page' || p] AS toks
+        |  FROM l
+        |  UNION ALL
+        |  SELECT doc_id, NULL, ['here'] FROM documents
+        |  WHERE doc_id % 4 = 0),
+        |byd AS (
+        |  SELECT dst, count(*) AS n_links,
+        |    count(DISTINCT src) AS n_srcs,
+        |    CAST(sum(len(toks)) AS BIGINT) AS n_anchor_toks
+        |  FROM links GROUP BY 1),
+        |tt AS (
+        |  SELECT dst, term, count(*) AS n
+        |  FROM (SELECT dst, unnest(toks) AS term FROM links)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT dst, term AS top_term FROM (
+        |    SELECT dst, term, row_number() OVER (
+        |      PARTITION BY dst ORDER BY n DESC, term DESC) AS rn
+        |    FROM tt) WHERE rn = 1)
+        |SELECT byd.dst AS dst_url, n_links, n_srcs, n_anchor_toks,
+        |  coalesce(top_term, '') AS top_term
+        |FROM byd LEFT JOIN top
+        |  ON top.dst IS NOT DISTINCT FROM byd.dst""".stripMargin,
+    // Sitemap replay: the planted entry list regenerated arithmetically
+    // (canonical loc = base page, the utm variant collapses; verbatim
+    // lastmod/priority arms; the loc-less block is the visible ''-loc
+    // row).
+    "x_sitemap" ->
+      """WITH e AS (
+        |  SELECT doc_id, j,
+        |    CAST((doc_id * 3 + j * 7) % 50 AS VARCHAR) AS t
+        |  FROM documents,
+        |    unnest(generate_series(1, 1 + CAST(doc_id % 3 AS INT))) s(j))
+        |SELECT 's' || CAST(doc_id AS VARCHAR) AS host,
+        |  'https://s' || CAST(doc_id AS VARCHAR) || '.example.com/page-'
+        |    || t AS loc,
+        |  CASE WHEN (doc_id + j) % 3 = 0
+        |       THEN '2024-0' || CAST(j AS VARCHAR) || '-01'
+        |       ELSE '' END AS lastmod,
+        |  CASE WHEN (doc_id + j) % 5 = 0 THEN '0.8' ELSE '' END
+        |    AS priority
+        |FROM e
+        |UNION ALL
+        |SELECT 's' || CAST(doc_id AS VARCHAR), '', '2024-01-01', ''
+        |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+    // Redirect replay: the same functional graph (block chains, max-id
+    // terminal, the backward 2-cycle arm), walked by a hop-capped
+    // recursive CTE; a source whose walk reaches a terminal row within
+    // 32 hops resolves with that exact hop count, anything else is the
+    // visible unresolved row.
+    "x_redirect_resolve" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'https://r' || CAST(doc_id AS VARCHAR) ||
+        |      '.example.com/' AS u,
+        |    CASE WHEN doc_id % 5 = 4
+        |           OR doc_id = (SELECT max(doc_id) FROM documents)
+        |         THEN NULL
+        |         WHEN doc_id % 101 = 7
+        |         THEN 'https://r' || CAST(doc_id - 1 AS VARCHAR) ||
+        |           '.example.com/'
+        |         ELSE 'https://r' || CAST(doc_id + 1 AS VARCHAR) ||
+        |           '.example.com/' END AS nxt
+        |  FROM documents),
+        |walk AS (
+        |  SELECT u AS src, u AS cur, nxt, 0 AS hops FROM e
+        |  UNION ALL
+        |  SELECT w.src, e2.u, e2.nxt, w.hops + 1
+        |  FROM walk w JOIN e e2 ON e2.u = w.nxt
+        |  WHERE w.nxt IS NOT NULL AND w.hops < 32),
+        |fin AS (SELECT src, cur, hops FROM walk WHERE nxt IS NULL)
+        |SELECT e.u AS url,
+        |  coalesce(fin.cur, '') AS final_url,
+        |  CAST(coalesce(fin.hops, 0) AS BIGINT) AS hops,
+        |  CAST(fin.src IS NOT NULL AS INT) AS resolved
+        |FROM e LEFT JOIN fin ON fin.src = e.u""".stripMargin,
     "x_dedup_suffix" -> (sufCommonFor(SufCap) + sufSelect),
     // cap=256 > DirectSortCap: the identical oracle semantics replayed
     // at the deep cap, gating the prefix-doubling branch the default

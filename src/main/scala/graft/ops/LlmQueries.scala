@@ -1342,6 +1342,37 @@ object LlmQueries extends QueryPack {
         col("ok").cast("int").as("ok"))
   }
 
+  /** x_warc_gz: per-record-gzip WARC walk
+    * ([[graft.api.MultimodalDecode.parseWarcGzOne]]) — the layout
+    * crawls are actually STORED in (Common Crawl's .warc.gz compresses
+    * each record as its own RFC 1952 gzip member so byte-range reads
+    * can start at any member boundary). Each payload is the x_warc
+    * record fixture re-rendered as concatenated gzip members (1–4
+    * records), walked with full header-flag handling, Inflater
+    * decompression, and CRC32 + ISIZE trailer verification; the gated
+    * row carries the member's record fields PLUS the verified inflated
+    * byte count, so the gzip inversion itself is hash-load-bearing
+    * (the oracle recomputes plain_len from the record grammar's exact
+    * string lengths). Three corruption arms — zeroed magic (% 89 = 5),
+    * a flipped stored-CRC byte (% 89 = 23, the transport-flip case the
+    * trailer exists for), a truncated trailer (% 89 = 47) — each
+    * yield one loud ok=0 row. Pure map work, decode cost linear in
+    * compressed bytes, no shuffle after the id repartition.
+    */
+  def warcGzProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, d).select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        graft.api.MediaIn(id, graft.api.MultimodalDecode.encodeWarcGz(
+          id, nRecords = 1 + (id % 4).toInt), "application/warc+gzip")
+      })
+    graft.api.MultimodalDecode.parseWarcGz(payloads).toDF()
+      .select(col("doc_id"), col("member_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"), col("n_headers"),
+        col("plain_len"), col("ok").cast("int").as("ok"))
+  }
+
   /** x_charset: charset sniff + transcode screen
     * ([[graft.api.MultimodalDecode.sniffCharsetOne]]) — the front-door
     * stage between the WARC record split and every text operator:
@@ -1606,6 +1637,7 @@ object LlmQueries extends QueryPack {
     "x_subtitle_cues" -> subtitleCues,
     "x_mm_exif" -> mmExif,
     "x_warc" -> warcProbe,
+    "x_warc_gz" -> warcGzProbe,
     "x_charset" -> charsetProbe,
     "x_mm_phash_orient" -> mmPhashOrient,
     "x_bitext_mine" -> bitextMine,
@@ -3327,6 +3359,51 @@ object LlmQueries extends QueryPack {
         |UNION ALL
         |SELECT doc_id, CAST(0 AS BIGINT), '', '', CAST(0 AS BIGINT),
         |  CAST(0 AS INT), CAST(0 AS INT)
+        |FROM f WHERE corrupt""".stripMargin,
+    // Replays the per-record-gzip WARC fixture: member k of
+    // 1 + doc_id % 4 carries the x_warc record grammar's fields, and
+    // plain_len is recomputed from the record's EXACT string lengths
+    // (version line, each header line, blank line, body, terminator) —
+    // so the walk's inflate + CRC + ISIZE verification is
+    // hash-load-bearing. The three corruption arms (doc_id % 89 in
+    // (5, 23, 47): zeroed magic, flipped stored CRC, truncated
+    // trailer) are the single zeroed ok=0 branch.
+    "x_warc_gz" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 89 IN (5, 23, 47) AS corrupt,
+        |    CAST(1 + doc_id % 4 AS INT) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, corrupt, k,
+        |    CASE WHEN k = 1 THEN 'warcinfo'
+        |         WHEN (doc_id + k) % 2 = 0 THEN 'response'
+        |         ELSE 'request' END AS wt,
+        |    20 + (doc_id * 7 + k * 13) % 50 AS cl
+        |  FROM f, unnest(generate_series(1, n)) t(k))
+        |SELECT doc_id, CAST(k AS BIGINT) AS member_idx,
+        |  wt AS warc_type,
+        |  CASE WHEN k = 1 THEN ''
+        |       ELSE 'https://example' || CAST(doc_id % 40 AS VARCHAR)
+        |            || '.com/p' || CAST(k AS VARCHAR) END AS target_uri,
+        |  CAST(cl AS BIGINT) AS content_length,
+        |  CAST(CASE WHEN k = 1 THEN 4 ELSE 5 END AS INT) AS n_headers,
+        |  CAST(10
+        |    + length('WARC-Type: ' || wt) + 2
+        |    + length('WARC-Record-ID: <urn:uuid:'
+        |        || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+        |        || '>') + 2
+        |    + 33
+        |    + CASE WHEN k = 1 THEN 0
+        |           ELSE length('WARC-Target-URI: https://example'
+        |             || CAST(doc_id % 40 AS VARCHAR) || '.com/p'
+        |             || CAST(k AS VARCHAR)) + 2 END
+        |    + length('Content-Length: ' || CAST(cl AS VARCHAR)) + 2
+        |    + 2 + cl + 4 AS BIGINT) AS plain_len,
+        |  CAST(1 AS INT) AS ok
+        |FROM r WHERE NOT corrupt
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), '', '', CAST(0 AS BIGINT),
+        |  CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS INT)
         |FROM f WHERE corrupt""".stripMargin,
     // Replays the charset fixture arithmetically: mode = doc_id % 7
     // fixes the planted encoding, so BOM/meta/verdict and every walk

@@ -1409,4 +1409,86 @@ class CurateOpsSpec extends SparkSpec {
     assert(out(1).getDouble(5) === 0.707107)
     assert(out(1).getDouble(6) === 0.707107)
   }
+
+  test("anchorIndex: extraction, canonical collapse, NULL group, " +
+      "modal term by hand") {
+    import spark.implicits._
+    val pages = Seq(
+      // two spellings of ONE target + an href-less tag to skip
+      (1L, "<p>x</p><a href=\"https://a.com/p\">nice page</a>" +
+        "<a class=\"z\">skip me</a>" +
+        "<a href=\"HTTPS://A.COM:443/p?utm_source=f\">nice read</a>"),
+      // same target from a second doc + a relative href (NULL group)
+      (2L, "<a href=\"https://a.com/p#frag\">other page</a>" +
+        "<a href=\"/rel\">here now</a>"),
+      // a page with no anchors at all contributes nothing
+      (3L, "<p>plain</p>")
+    ).toDF("doc_id", "page")
+    val out = GraftOps.anchorIndex(pages, col("doc_id"), col("page"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(out.length === 2)
+    // NULL group: doc 2's relative href, tokens "here now" -> modal
+    // 'now' (1-1 tie, lexicographically LAST wins)
+    assert(out(0) === ((None, 1L, 1L, 2L, "now")))
+    // https://a.com/p: 3 links from 2 docs, 6 anchor tokens; term
+    // counts page:2 nice:2 other:1 read:1 -> tie page/nice -> 'page'
+    assert(out(1) === ((Some("https://a.com/p"), 3L, 2L, 6L, "page")))
+  }
+
+  test("parseSitemap: loc canonicalized, optional fields verbatim, " +
+      "loc-less block visible") {
+    import spark.implicits._
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a.com/x?utm_source=f</loc>" +
+      "<lastmod>2024-03-01</lastmod></url>" +
+      "<url><loc>HTTPS://A.COM:443/y</loc>" +
+      "<priority>0.9</priority></url>" +
+      "<url><lastmod>2024-01-01</lastmod></url>" +
+      "</urlset>"
+    val out = GraftOps.parseSitemap(
+        Seq(("h1", xml)).toDF("host", "x"), col("host"), col("x"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).sortBy(_._2)
+    assert(out === Seq(
+      ("h1", "", "2024-01-01", ""), // spec-invalid loc-less block: visible
+      ("h1", "https://a.com/x", "2024-03-01", ""), // utm stripped
+      ("h1", "https://a.com/y", "", "0.9"))) // case + :443 folded
+    // a sitemap with no <url> blocks contributes zero rows, not a crash
+    assert(GraftOps.parseSitemap(Seq(("h2", "<urlset></urlset>"))
+      .toDF("host", "x"), col("host"), col("x")).count() === 0L)
+  }
+
+  test("resolveRedirects: exact hops, terminals, cycles, dangling and " +
+      "over-cap chains; duplicate sources are loud") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", Some("b")), ("b", Some("c")), ("c", None), // chain a->b->c
+      ("d", Some("e")), ("e", Some("d")),              // 2-cycle
+      ("f", Some("g")),                                // dangling target
+      ("h", Some("h"))                                 // self-loop
+    ).toDF("u", "nxt")
+    val out = GraftOps.resolveRedirects(edges, col("u"), col("nxt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3))).sortBy(_._1)
+    assert(out === Seq(
+      ("a", "c", 2L, 1), ("b", "c", 1L, 1), ("c", "c", 0L, 1),
+      ("d", "", 0L, 0), ("e", "", 0L, 0),
+      ("f", "", 0L, 0), ("h", "", 0L, 0)))
+    // a chain longer than maxHops stays visibly unresolved
+    val chain = (0 to 9).map(i =>
+      (s"u$i", if (i == 9) None else Some(s"u${i + 1}")))
+      .toDF("u", "nxt")
+    val capped = GraftOps.resolveRedirects(chain, col("u"), col("nxt"),
+        maxHops = 4)
+      .collect().map(r => (r.getString(0), r.getInt(3))).toMap
+    assert(capped("u0") === 0 && capped("u6") === 1 && capped("u9") === 1)
+    // two next values for one URL: not a function -> loud
+    val dup = Seq(("a", Some("b")), ("a", Some("c")), ("b", None),
+      ("c", None)).toDF("u", "nxt")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.resolveRedirects(dup, col("u"), col("nxt"))
+    }
+    assert(e.getMessage.contains("duplicate source URL"))
+  }
 }

@@ -525,6 +525,70 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(loud(Array[Byte]()) && loud(null))
   }
 
+  test("warc.gz: per-record gzip members invert to the plain records, " +
+      "header flags walk, CRC/ISIZE/bomb/short-trailer faults are loud") {
+    // round-trip: every member's record fields AND inflated byte count
+    // match the plain container's records exactly
+    val id = 6L
+    val members = MultimodalDecode.parseWarcGzOne(graft.api.MediaIn(
+      id, MultimodalDecode.encodeWarcGz(id, 3), "application/warc+gzip"))
+    val plain = MultimodalDecode.parseWarcOne(graft.api.MediaIn(
+      id, MultimodalDecode.encodeWarc(id, 3), "application/warc"))
+    assert(members.size === 3 && members.forall(_.ok))
+    assert(members.map(_.member_idx) === Seq(1L, 2L, 3L))
+    assert(members.map(m => (m.warc_type, m.target_uri, m.content_length,
+      m.n_headers)) === plain.map(r => (r.warc_type, r.target_uri,
+      r.content_length, r.n_headers)))
+    assert(members.map(_.plain_len) ===
+      (1 to 3).map(k => MultimodalDecode.encodeWarcRecord(id, k)
+        .length.toLong))
+    // optional header fields: splice FNAME + FEXTRA into a real member
+    // (flag bits + payloads before the unchanged deflate body) — the
+    // flag walk must hop them and still verify the trailer
+    val m1 = MultimodalDecode.encodeWarcGz(1L, 1)
+    val name = "rec.warc".getBytes("US-ASCII") :+ 0.toByte
+    val extra = Array[Byte](3, 0, 'a', 'b', 'c') // XLEN=3 LE + payload
+    val flagged = m1.take(3) ++ Array((4 | 8).toByte) ++
+      m1.slice(4, 10) ++ extra ++ name ++ m1.drop(10)
+    val fr = MultimodalDecode.parseWarcGzOne(graft.api.MediaIn(
+      1L, flagged, "application/warc+gzip"))
+    assert(fr.size === 1 && fr.head.ok &&
+      fr.head.warc_type === "warcinfo")
+    def loud(bytes: Array[Byte]): Boolean = {
+      val out = MultimodalDecode.parseWarcGzOne(
+        graft.api.MediaIn(7L, bytes, "application/warc+gzip"))
+      out.size == 1 && !out.head.ok
+    }
+    // the three planted fixture arms (% 89 = 5 / 23 / 47)
+    assert(loud(MultimodalDecode.encodeWarcGz(5L, 2)), "zeroed magic")
+    assert(loud(MultimodalDecode.encodeWarcGz(23L, 2)), "flipped CRC")
+    assert(loud(MultimodalDecode.encodeWarcGz(47L, 2)), "short trailer")
+    // hand-built faults
+    val good = MultimodalDecode.encodeWarcGz(7L, 2)
+    assert(loud(good.take(good.length - 12)), "truncated deflate")
+    val isizeFlip = good.clone()
+    isizeFlip(good.length - 2) = (isizeFlip(good.length - 2) ^ 0x7f).toByte
+    assert(loud(isizeFlip), "ISIZE mismatch")
+    val reserved = good.clone()
+    reserved(3) = 0x20.toByte // a reserved FLG bit
+    assert(loud(reserved), "reserved flag bit")
+    assert(loud("not gzip at all".getBytes("US-ASCII")), "bad magic")
+    assert(loud(Array[Byte]()) && loud(null))
+    // a member holding TWO records breaks the seekability contract
+    val twoRecs = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(MultimodalDecode.encodeWarc(7L, 2)); gz.close()
+      bos.toByteArray
+    }
+    assert(loud(twoRecs), "two records in one member")
+    // zip-bomb guard: the cap faults loudly instead of inflating
+    val capped = MultimodalDecode.parseWarcGzOne(graft.api.MediaIn(
+      7L, MultimodalDecode.encodeWarcGz(7L, 1), "application/warc+gzip"),
+      maxPlain = 10)
+    assert(capped.size === 1 && !capped.head.ok)
+  }
+
   test("charset: BOM/meta/fold verdicts and exact walk counts per " +
       "planted mode; contradictions and de-alignment are loud") {
     def probe(id: Long) = MultimodalDecode.sniffCharsetOne(
