@@ -28,6 +28,21 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Partition-count hygiene (optimization guide §2.2): by default
+      // AQE's coalescer runs "parallelism first" — it refuses to coalesce
+      // below the cluster's default parallelism, so a 50 KB shuffle still
+      // schedules 32 tasks on local[32] and every tiny stage pays ~32
+      // task launches of pure overhead. Size-based coalescing is the
+      // scale-adaptive behavior: partitions derive from actual shuffle
+      // bytes (advisory target below), so fixture-scale stages collapse
+      // to a handful of tasks while a 100-TB shuffle still fans out to
+      // bytes/advisory partitions. The advisory size is parameterised:
+      // 16 MB locally (keeps sf0.1's mid-size shuffles spread over the
+      // box), 128-512 MB is the right production range (guide §2.2).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table writes (q_join_bucket) go through the catalog's
       // warehouse; a fresh temp dir per session keeps it out of the repo
@@ -57,7 +72,16 @@ object Sessions {
       // single plan string at 1 MiB, and drop finished job/stage entries
       // sooner. Execution semantics are untouched.
       .config("spark.sql.ui.retainedExecutions", "8")
-      .config("spark.sql.maxPlanStringLength", "1048576")
+      .config("spark.sql.maxPlanStringLength", "32768")
+      // AQE re-posts a plan DESCRIPTION string to the status store on
+      // every replanned stage (AdaptiveSparkPlanExec.onUpdatePlan →
+      // qe.explainString) even with the UI off. In formatted mode over
+      // plans that embed persisted subtrees (InMemoryRelation stringifies
+      // its whole cached plan), those strings ran past 1 MB — the bench
+      // sweep logged 90 truncation warnings and the driver burned
+      // measurable time pretty-printing plans nobody reads. "simple"
+      // keeps one line per operator; execution semantics untouched.
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.ui.retainedJobs", "200")
       .config("spark.ui.retainedStages", "200")
       .config("spark.sql.extensions", "graft.GraftExtensions")

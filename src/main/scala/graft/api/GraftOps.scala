@@ -3284,8 +3284,16 @@ object GraftOps {
     emb.join(broadcast(cent))
       .select(col("vec_id"), col("v"),
         struct(expr("cosine_sim(v, cv)").as("cs"), col("cid")).as("sc"))
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max(col("sc")).getField("cid").as("cell"))
+      // group by the key ALONE: max(struct) plans as a SortAggregate
+      // (struct buffers are not hash-aggregable), and with `v` in the
+      // grouping key both the sort and the exchange compared a 64-double
+      // array per row — measured as the dominant CPU of every IVF
+      // assignment stage at sf0.1. Keyed by vec_id the sort compares
+      // longs; `v` rides along via first() (vec_id is unique per the
+      // corpus contract, so every group holds exactly one v and first()
+      // is deterministic). Same argmax, same output columns.
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("sc")).getField("cid").as("cell"))
 
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nlist: Int, nprobe: Int): DataFrame = {
@@ -3406,10 +3414,15 @@ object GraftOps {
   def mineBitext(src: DataFrame, tgt: DataFrame, k: Int = 4,
                  nprobe: Int = 3, exhaustive: Boolean = false): DataFrame = {
     require(k >= 1 && nprobe >= 1, "mineBitext: k >= 1, nprobe >= 1")
+    // persisted: each population is referenced up to five times (the
+    // quantizer-sizing count, its own centroid slice, cell assignment,
+    // and both directions' probe side) — uncached, every reference
+    // re-ran the scan + array-widening projection (r15 warm profile:
+    // two extra full passes per leg)
     val a = src.select(col("vec_id").as("aid"),
-      VectorFns.toDoubles(col("embedding")).as("av"))
+      VectorFns.toDoubles(col("embedding")).as("av")).persistOnce()
     val b = tgt.select(col("vec_id").as("bid"),
-      VectorFns.toDoubles(col("embedding")).as("bv"))
+      VectorFns.toDoubles(col("embedding")).as("bv")).persistOnce()
     val cand =
       if (exhaustive)
         b.join(broadcast(a))
@@ -3424,12 +3437,16 @@ object GraftOps {
           val nlist = nlistFor(pool.count())
           val cent = broadcast(pool.orderBy(col(qid)).limit(nlist)
             .select(col(qid).as("cid"), col(qv).as("cv")))
+          // keyed by the id alone (the assignCells discipline): grouping
+          // by the embedding array made the SortAggregate compare 64
+          // doubles per row in both sort and exchange
           val assigned = pool.join(cent)
             .select(col(qid), col(qv),
               struct(round(expr(s"cosine_sim($qv, cv)"), 6).as("cs"),
                 col("cid")).as("sc"))
-            .groupBy(col(qid), col(qv))
-            .agg(max(col("sc")).getField("cid").as("cell"))
+            .groupBy(col(qid))
+            .agg(first(col(qv)).as(qv),
+              max(col("sc")).getField("cid").as("cell"))
           val pw = Window.partitionBy(col(pid))
             .orderBy(col("pcs").desc, col("cid").desc)
           val probeCells = probes.join(cent)
@@ -4404,6 +4421,12 @@ object GraftOps {
     // freq is an equi-join side (AQE broadcasts it at fixture scale; at
     // corpus scale the q-gram vocabulary grows past broadcast range and
     // the shuffle-hash join is the right plan — no forced hint).
+    // persisted: the candidate stage self-joins pref, and an uncached
+    // plan executes the whole freq-join + collect_list + explode subtree
+    // ONCE PER SIDE (observed in the r15 plan dump: the pref subtree
+    // appeared twice, one side under a data-sized BroadcastExchange —
+    // also a scale hazard, since pref is corpus-sized). One
+    // materialization feeds both sides of the self-join.
     val pref = grams.join(freq, Seq("gram", "occ"))
       .groupBy(col("id"), col("len"))
       .agg(slice(array_sort(collect_list(
@@ -4411,6 +4434,7 @@ object GraftOps {
       .select(col("id"), col("len"), explode(col("top")).as("t"))
       .select(col("id"), col("len"),
         col("t.gram").as("gram"), col("t.occ").as("occ"))
+      .persistOnce()
     val cand = pref.as("fa").join(pref.as("fb"),
         col("fa.gram") === col("fb.gram") && col("fa.occ") === col("fb.occ")
           && col("fa.id") < col("fb.id")

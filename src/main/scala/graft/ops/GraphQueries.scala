@@ -186,7 +186,15 @@ object GraphQueries extends QueryPack {
         count(lit(1)).as("total_pairs"),
         count(when(col("common") >= MinCommon, lit(1))).as("kept_pairs"))
       .filter(col("common") >= MinCommon)
-    common
+    // Persist the thresholded pair table: it is the expensive leg (the
+    // Σdeg² expansion + pair aggregate — ~100 MB of shuffle at sf0.1),
+    // it feeds both q_common_nbrs and q_common_nbrs_topk, and without
+    // the cache the expansion subtree was observed materializing twice
+    // per action on the warm path (the deg broadcast legs re-deriving
+    // it). Post-MinCommon the table is pair-bounded like the query's
+    // own output, so the cache is no bigger than what the query already
+    // materializes.
+    GraftOps.cacheOnce(common)
       .join(deg.select(col("v").as("sa"), col("deg").as("da")), "sa")
       .join(deg.select(col("v").as("sb"), col("deg").as("db")), "sb")
       .select(col("sa"), col("sb"), col("common"),
