@@ -20,7 +20,12 @@ object QProf {
     val names = args(0).split(',').map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 1) args(1).toInt else 5
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    // cache modes: "nocache" (default) clears before every rep;
+    // "keepcache" never clears; "bench" clears once per QUERY then keeps
+    // — the Bench sweep's per-query isolation (rep 1 cold funds the
+    // caches, later reps are the adjudicated warm number).
     val keep = args.length > 3 && args(3) == "keepcache"
+    val benchMode = args.length > 3 && args(3) == "bench"
     val confSets: Array[Map[String, String]] =
       if (args.length > 4)
         args(4).split('@').map(_.split(',').filter(_.contains("="))
@@ -103,13 +108,15 @@ object QProf {
         scala.collection.mutable.ArrayBuffer.empty[Double])
       val cpu = Array.fill(confSets.length)(
         scala.collection.mutable.ArrayBuffer.empty[Double])
+      if (benchMode) spark.catalog.clearCache()
       for (i <- 1 to reps; (cs, j) <- confSets.zipWithIndex) {
         cs.foreach { case (k, v) => spark.conf.set(k, v) }
-        if (!keep) spark.catalog.clearCache()
+        if (!keep && !benchMode) spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(s"$name set$j rep $i")
         val (j0, s0, t0c, tm0) = (jobs.get, stages.get, tasks.get, taskMs.get)
         val t0 = System.nanoTime()
         val dfi = fn(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
         dfi.count()
         if (i == reps && sys.env.contains("QPROF_FINAL_PLAN"))
           println(dfi.queryExecution.explainString(
@@ -118,7 +125,8 @@ object QProf {
         // listener events drain asynchronously; a short settle keeps the
         // per-rep deltas attributable
         Thread.sleep(150)
-        println(f"$name%s set $j%d rep $i%d: $sec%.3f s  jobs ${jobs.get - j0}%d " +
+        println(f"$name%s set $j%d rep $i%d: $sec%.3f s (build $tBuild%.3f) " +
+          f"jobs ${jobs.get - j0}%d " +
           f"stages ${stages.get - s0}%d tasks ${tasks.get - t0c}%d " +
           f"taskSec ${(taskMs.get - tm0) / 1e3}%.2f")
         times(j) += sec

@@ -73,15 +73,16 @@ object Sessions {
       // sooner. Execution semantics are untouched.
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.sql.maxPlanStringLength", "32768")
-      // AQE re-posts a plan DESCRIPTION string to the status store on
-      // every replanned stage (AdaptiveSparkPlanExec.onUpdatePlan →
-      // qe.explainString) even with the UI off. In formatted mode over
-      // plans that embed persisted subtrees (InMemoryRelation stringifies
-      // its whole cached plan), those strings ran past 1 MB — the bench
-      // sweep logged 90 truncation warnings and the driver burned
-      // measurable time pretty-printing plans nobody reads. "simple"
-      // keeps one line per operator; execution semantics untouched.
-      .config("spark.sql.ui.explainMode", "simple")
+      // NOTE on spark.sql.ui.explainMode: leave it at the 4.x default
+      // ("formatted"). AQE posts a plan-description string per replanned
+      // stage (AdaptiveSparkPlanExec.onUpdatePlan → qe.explainString)
+      // even with the UI off, and an interleaved A/B measured "simple"
+      // mode 2–20x SLOWER than formatted on plans that nest persisted
+      // subtrees (x_dedup_suffix_deep warm 4.4–5.9s vs 2.0–2.1s; its
+      // cold build 38s vs 1.7s): simple-mode treeString recurses into
+      // every InMemoryRelation's embedded cached plan per reference,
+      // where the formatted printer does not re-expand them. The 32 KB
+      // string cap above still bounds the event payloads.
       .config("spark.ui.retainedJobs", "200")
       .config("spark.ui.retainedStages", "200")
       .config("spark.sql.extensions", "graft.GraftExtensions")

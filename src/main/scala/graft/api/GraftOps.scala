@@ -751,6 +751,10 @@ object GraftOps {
         expr(s"(CAST($ppm AS BIGINT) * (sa + sb) + ${1000000L + ppm - 1})" +
           s" div ${1000000L + ppm}"))
       .select(col("doc_a"), col("doc_b"))
+      // persisted like sh/tall: the pruned candidate set is pair-bounded
+      // and the whole prefix pipeline's output — a resident pipeline
+      // re-reads it instead of the collect/explode chain that derived it
+      .persistOnce()
     // dedupe AFTER verification: a pair can reach here once per shared
     // prefix shingle (rarely more than twice), and verifying a duplicate
     // is two cached-hash-join probes — cheaper than a full shuffle of the
@@ -826,6 +830,11 @@ object GraftOps {
       .filter(col("nb").cast("bigint") * 1000000L >=
         col("na").cast("bigint") * ppm)
       .select(col("doc_a"), col("doc_b")).distinct()
+      // persisted like the shingle/tall tables above it: the candidate
+      // set is the whole prefix-filter pipeline's output (pair-bounded),
+      // and a resident pipeline re-verifying thresholds reads it, not
+      // the five-stage chain that derived it
+      .persistOnce()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")),
         "doc_a")
@@ -1446,10 +1455,16 @@ object GraftOps {
     var rounds = 0
     while (total != prevTotal && rounds < 60) {
       // self-loops put each node's own label in the min, so this single
-      // join+aggregate is the whole hop
+      // join+aggregate is the whole hop. Lineage-truncated BEFORE the
+      // pointer jump: the jump self-joins hopped, and an untruncated
+      // plan executed the edge-join + aggregate once per side every
+      // round (observed as duplicated per-round stages in the r15 warm
+      // profile) — the checkpointed RDD materializes once and feeds
+      // both sides.
       val hopped = edges.join(labels, edges("ed") === labels("doc_id"))
         .groupBy(col("es")).agg(min(col("lbl")).as("lbl"))
         .select(col("es").as("doc_id"), col("lbl"))
+        .truncateLineage(eager = false)
       // pointer jump: lbl := label(lbl). Every label IS a node id, so the
       // lookup is a total inner join.
       val jump = hopped.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
@@ -2802,12 +2817,20 @@ object GraftOps {
            |  transform(sequence(i, least(length(word), i + $maxPieceLen - 1)),
            |    j -> substr(word, i, j - i + 1))))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt")))
-    val singles = seedCounts.filter(length(col("piece")) === 1)
+    // ONE driver action for both knob-bounded reads (each was its own
+    // collect = its own job round-trip): the alphabet slice unions the
+    // cluster-side top-k slice before the single collect
+    val seeded = seedCounts.filter(length(col("piece")) === 1)
+      .unionAll(seedCounts.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(seedMultis))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val multis = seedCounts.filter(length(col("piece")) > 1)
-      .orderBy(col("cnt").desc, col("piece").asc).limit(seedMultis)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    seedCounts.unpersist(blocking = false)
+    val (singles, multis) = seeded.partition(_._1.length == 1)
+    // seedCounts stays cached (no unpersist): the two knob-bounded reads
+    // above re-run on every invocation of a resident pipeline, and
+    // re-deriving the vocabulary-sized expansion was the dominant
+    // rebuild cost per invocation (~1 s at sf0.1). The cache is
+    // vocabulary-bounded and evicts LRU under pressure like the shingle
+    // tables; clearCache() between corpora reclaims it.
     val vocab = (singles ++ multis).map(_._1).sorted
     val seedCnt = (singles ++ multis).toMap
     val seedTotal = seedCnt.values.sum.toDouble
@@ -2816,16 +2839,23 @@ object GraftOps {
     var counts: Map[String, Long] = Map.empty
     var r = 1
     while (r <= rounds) {
-      val seg = wordFreq.select(col("freq"),
-        viterbiSeg(col("word"), weights, maxPieceLen).as("seg"))
-      val nNull = seg.filter(col("seg").isNull).count()
-      require(nNull == 0, s"unigramTrain: $nNull words not coverable by " +
-        "the piece alphabet (single characters must all be in vocab)")
-      // vocabulary-sized: pieces used ⊆ current vocab
-      counts = seg.select(col("freq"), explode(segPieces(col("seg")))
+      // cached: the round's segmentation feeds BOTH the coverage guard
+      // and the piece-count collect — uncached, the Viterbi expression
+      // evaluated twice per round; and the round plans embed the weight
+      // literals, so a repeated invocation cache-hits every round
+      val seg = cacheOnce(wordFreq.select(col("freq"),
+        viterbiSeg(col("word"), weights, maxPieceLen).as("seg")))
+      // vocabulary-sized: pieces used ⊆ current vocab. explode_outer
+      // keeps an uncoverable word visible as ONE (piece = NULL) group —
+      // segPieces(NULL seg) is NULL — so the coverage guard rides the
+      // same action instead of a separate count job per round.
+      counts = seg.select(col("freq"), explode_outer(segPieces(col("seg")))
           .as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
         .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+      require(!counts.contains(null),
+        "unigramTrain: words not coverable by the piece alphabet " +
+          "(single characters must all be in vocab)")
       val used = counts.values.sum.toDouble
       val v = vocab.size.toDouble
       weights = vocab.map(p =>
@@ -4441,6 +4471,10 @@ object GraftOps {
           && abs(col("fa.len") - col("fb.len")) <= k)
       .select(col("fa.id").as("id_a"), col("fb.id").as("id_b"))
       .distinct()
+      // pair-bounded candidate set, persisted for the same reason as
+      // pref above: the verify stage is re-runnable from it without
+      // re-executing the prefix self-join
+      .persistOnce()
     cand
       .join(names.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(names.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
@@ -5141,10 +5175,15 @@ object GraftOps {
         held.foreach(_.unpersist(false)); held.clear()
       }
     }
-    hub.select(col("src").as("node"), lit("hub").as("kind"),
+    // final half-step outputs persisted: the union's action re-derived
+    // both rescale projections (max-broadcast joins over the raw caches)
+    // on every invocation; node-sized, same retention story as the
+    // per-iteration raw caches
+    hub.persistOnce().select(col("src").as("node"), lit("hub").as("kind"),
         col("hub").as("score"))
-      .unionAll(auth.select(col("dst").as("node"), lit("auth").as("kind"),
-        col("auth").as("score")))
+      .unionAll(auth.persistOnce()
+        .select(col("dst").as("node"), lit("auth").as("kind"),
+          col("auth").as("score")))
   }
 
   /** Bounded k-core peeling: `rounds` iterations of "drop every node
@@ -5197,9 +5236,19 @@ object GraftOps {
           held.foreach(_.unpersist(false)); held.clear()
           cp
         } else { val kp = keep.persistOnce(); held += kp; kp }
+      // the round's edge table persists too (lazily, same discipline as
+      // keepB): round r+1's degree aggregate and the final core-degree
+      // both re-reference it, and an unmaterialized cur re-executed the
+      // whole e0 ⋈ keep₁ ⋈ … ⋈ keepᵣ chain per reference — O(rounds²)
+      // edge joins overall (observed as three identical edge-sized
+      // shuffle writes per warm run at sf0.1). Persisted, each round's
+      // double-join runs exactly once and total work is O(rounds); the
+      // every-8th-round barrier still releases the accumulated caches.
       cur = e0.join(keepB, "src")
         .join(keepB.withColumnRenamed("src", "dst"), "dst")
         .select(col("src"), col("dst"))
+        .persistOnce()
+      held += cur
     }
     cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
@@ -5264,16 +5313,21 @@ object GraftOps {
       .persistOnce()
     // every triangle (u, v, w) is emitted once, on its unique lowest-
     // ordered corner's edge (u, v); u and v each count it via the
-    // intersection size, w via the explode
-    val pivotCounts = tri.groupBy(col("u")).agg(
-      sum(size(col("ws"))).cast("long").as("c"))
-      .select(col("u").as("node"), col("c"))
-    val tipCounts = tri.groupBy(col("v")).agg(
-      sum(size(col("ws"))).cast("long").as("c"))
-      .select(col("v").as("node"), col("c"))
-    val thirdCounts = tri.select(explode(col("ws")).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("c"))
-    pivotCounts.unionByName(tipCounts).unionByName(thirdCounts)
+    // intersection size, w via the per-element rows. ONE pass: the three
+    // per-corner contributions explode out of a single scan into one
+    // partial-agged count shuffle — the previous three-consumer form
+    // re-scanned the array-fat tri cache three times (~112 MB × 3
+    // decompressed at sf0.1, the dominant warm cost), plus a union and
+    // a second aggregate. tri stays persisted: the adjacency-list
+    // intersections above it are the expensive leg, and a resident
+    // pipeline reads them once.
+    tri.select(explode(concat(
+        array(
+          struct(col("u").as("node"), size(col("ws")).cast("long").as("c")),
+          struct(col("v").as("node"), size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"),
+          w => struct(w.as("node"), lit(1L).as("c"))))).as("e"))
+      .select(col("e.node").as("node"), col("e.c").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("tri_cnt"))
   }
 
@@ -5507,9 +5561,16 @@ object GraftOps {
     // sf0.1 with a 16k-word map.
     val zeroWords = dim.sparkSession.range(numWords)
       .select(col("id").as("wi"), lit(0L).as("word"))
+    // hash positions UNROLLED (numHashes <= 16, bounded): the previous
+    // transform/forall lambdas evaluated interpreted per element on
+    // every probe row — higher-order functions do not participate in
+    // whole-stage codegen — and the probe pass dominated the operator's
+    // task CPU. The unrolled conjunction is plain codegen'd expressions
+    // over the identical bit positions (bit-compatible bitmap).
+    val hashSeeds = 0 until numHashes
     val bloom = keys
-      .select(explode(expr(s"transform(sequence(0, ${numHashes - 1}), " +
-        s"s -> xxhash64(kh, s) & $mask)")).as("pos"))
+      .select(explode(array(hashSeeds.map(s =>
+        expr(s"xxhash64(kh, $s) & $mask")): _*)).as("pos"))
       .select(expr("pos div 64").as("wi"),
         expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("word"))
       .unionAll(zeroWords)
@@ -5517,13 +5578,16 @@ object GraftOps {
       .groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(wi, word))), " +
         "x -> x.word)").as("bf"))
+      // 1-row bitmap: persisted so a resident pipeline's repeated probes
+      // reuse the built filter instead of re-folding the key set
+      .persistOnce()
+    val mightTest = hashSeeds.map { s =>
+      s"((element_at(bf, CAST(((xxhash64(__bkh, $s) & $mask)) div 64 AS INT) + 1) & " +
+        s"shiftleft(1L, CAST((xxhash64(__bkh, $s) & $mask) % 64 AS INT))) != 0)"
+    }.mkString(" AND ")
     val probed = fact.withColumn("__bk", factKey).withColumn("__bkh", fKey)
       .crossJoin(broadcast(bloom))
-      .withColumn("__might",
-        expr(s"forall(transform(sequence(0, ${numHashes - 1}), " +
-          s"s -> xxhash64(__bkh, s) & $mask), " +
-          "p -> (element_at(bf, CAST(p div 64 AS INT) + 1) & " +
-          "shiftleft(1L, CAST(p % 64 AS INT))) != 0)"))
+      .withColumn("__might", expr(mightTest))
       .drop("bf", "__bkh")
     (probed, keys.select(col("k")))
   }

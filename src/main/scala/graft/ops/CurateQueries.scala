@@ -974,9 +974,14 @@ object CurateQueries extends QueryPack {
         window = 16)
       .filter(col("flagged") === 1).select(col("doc_id"))
     val d2 = d1.join(flagged, Seq("doc_id"), "left_anti")
-    val kept = GraftOps.qualityScore(d2, col("doc_id"), col("text"))
-      .filter(col("keep") === 1)
-      .select(col("doc_id"), col("n_tokens"))
+    // survivor spine persisted (doc-id + token count, text-free): the
+    // per-source rollup below re-reads it instead of re-running the
+    // span-flag and quality text passes — the d1 discipline one stage
+    // later
+    val kept = GraftOps.cacheOnce(
+      GraftOps.qualityScore(d2, col("doc_id"), col("text"))
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("n_tokens")))
     // per-source accounting joins the survivor ids back to a COLUMN-
     // PRUNED docs scan (doc_id, source — no text): kept ⊆ d2 ⊆ docs by
     // construction, so this is exact and avoids a third full-text pass
