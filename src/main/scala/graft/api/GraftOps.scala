@@ -104,6 +104,26 @@ object GraftOps {
       cached
     }
 
+  /** Scale-adaptive scan spread for CPU-heavy single-pass aggregates:
+    * repartition the (already column-pruned) input across the cluster
+    * ONLY when the scan itself yields fewer splits than the default
+    * parallelism. The sf fixtures are one parquet file with one row
+    * group — unsplittable below a row group — so a multi-distinct
+    * Expand or a per-row scoring pass runs on ONE task while 31 cores
+    * idle (guide §2.5 "input skew: one huge unsplittable file ...
+    * repartition immediately after the read"). At 100 TB the same scan
+    * has thousands of splits, the branch is not taken, and no shuffle
+    * is added — the conditional IS the scale adaptivity (a blanket
+    * repartition would tax every real-cluster scan with a full
+    * shuffle). getNumPartitions is plan metadata (file listing), not a
+    * job. Row-level results are unchanged: callers aggregate globally
+    * or per key downstream.
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint: one row per distinct fingerprint
@@ -1434,6 +1454,12 @@ object GraftOps {
         struct(col("doc_b").as("es"), col("doc_b").as("ed")))).as("e"))
       .select(col("e.es").as("es"), col("e.ed").as("ed"))
       .distinct()
+      // hash-partitioned on the per-round join key BEFORE the cache (the
+      // pageRank discipline): every round joins edges(ed) ⇔ labels —
+      // un-partitioned, the edge table (the big side) re-shuffled once
+      // per round; partitioned, each round exchanges only the node-sized
+      // label table
+      .repartition(col("ed"))
       .persistOnce()
     // eager=false everywhere: the labelSum convergence check right below
     // is the materializing action anyway, so an eager checkpoint would
@@ -3504,22 +3530,30 @@ object GraftOps {
     val denB = c.withColumn("r", row_number().over(wb))
       .filter(col("r") <= k).groupBy(col("bid"))
       .agg(sum(col("cos")).as("sb"), count(lit(1)).as("nb"))
-    val wm = Window.partitionBy(col("aid"))
-      .orderBy(col("margin").desc, col("bid").asc)
     c.join(denA, "aid").join(denB, "bid")
       .withColumn("den",
         (col("sa") / col("na") + col("sb") / col("nb")) / 2.0)
       // a degenerate all-zero neighborhood cannot be margin-ranked —
-      // the candidate is dropped BEFORE the rank window (never a
+      // the candidate is dropped BEFORE the argmax (never a
       // ±Infinity, and never a NULL whose sort position the two
       // engines could disagree on)
       .withColumn("margin",
         when(col("den") =!= 0.0, round(col("cos") / col("den"), 6)))
       .filter(col("margin").isNotNull)
-      .withColumn("mr", row_number().over(wm))
-      .filter(col("mr") === 1)
-      .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
-        col("cos").as("cos_sim"), col("margin"))
+      // per-source argmax as a lexicographic struct max — identical to
+      // the old rank-1 window on (margin DESC, bid ASC): max compares
+      // margin first, then -bid picks the SMALLEST bid among margin
+      // ties ((aid, bid) is unique post-distinct, so the trailing cos
+      // rides along uniquely determined). A hash aggregate replaces
+      // exchange + two sorts + WindowGroupLimit, and its partial phase
+      // reduces each map partition to one row per source BEFORE the
+      // shuffle — strictly fewer bytes than the window's per-partition
+      // top-1 stream at any scale.
+      .groupBy(col("aid"))
+      .agg(max(struct(col("margin"), (-col("bid")).as("nbid"),
+        col("cos"))).as("top"))
+      .select(col("aid").as("src_id"), (-col("top.nbid")).as("tgt_id"),
+        col("top.cos").as("cos_sim"), col("top.margin").as("margin"))
   }
 
   /** Approximate nearest neighbors: md5-seeded random-hyperplane buckets,
@@ -3870,19 +3904,31 @@ object GraftOps {
         Window.partitionBy(col("grp")).orderBy(col("pid"))))
       .withColumn("off", col("cend") - col("pw"))
       .withColumn("n", sum(col("pw")).over(Window.partitionBy(col("grp"))))
-    val positions = slices.select(col("grp"), col("n")).distinct()
+    // n is constant within a group, so exploding straight off `slices`
+    // (p×groups rows) and deduping yields the same (grp, pos) set as the
+    // old select-distinct-then-explode — one exchange fewer
+    val positions = slices
       .select(col("grp").as("_pgrp"),
         explode(array(posExprs.map(e => expr(e).cast("long")): _*)).as("pos"))
       .distinct()
-    // first slice whose cumulative end passes the position holds its
-    // crossing (cend is monotone in pid within a group)
-    val needed = positions.join(slices,
-        col("_pgrp") <=> slices("grp") && col("cend") > col("pos"))
-      .groupBy(col("_pgrp"), col("pos")).agg(min(col("pid")).as("_npid"))
-      .select(col("_pgrp"), col("_npid")).distinct()
-      .join(slices,
-        col("_npid") === slices("pid") && col("_pgrp") <=> slices("grp"))
-      .select(col("_npid"), col("_pgrp"), col("off"), col("n"))
+    // the slice whose [off, cend) interval CONTAINS the position holds
+    // its crossing directly — cend is monotone in pid within a group and
+    // pw=0 slices have empty intervals, so the containment join replaces
+    // the old min-pid reduction (join → groupBy → join back), two
+    // exchanges fewer per walk. A negative position (the all-zero-weight
+    // wmedian sentinel, doc'd at [[weightedMedian]]) sits in no interval;
+    // it matches every slice of its group instead, and the callers'
+    // min(when(cum > pos, x)) then reads the group's true minimum — the
+    // value the old form surfaced from the first slice alone.
+    // positions derives from slices, so alias the join side to keep the
+    // self-join unambiguous
+    val sl = slices.select(col("pid").as("_spid"), col("grp").as("_sgrp"),
+      col("cend"), col("off"), col("n"))
+    val needed = positions.join(sl,
+        col("_pgrp") <=> col("_sgrp") && col("cend") > col("pos") &&
+          (col("off") <= col("pos") || col("pos") < 0))
+      .select(col("_spid").as("_npid"), col("_pgrp"), col("off"), col("n"))
+      .distinct()
     val localW = Window.partitionBy(col("pid"), col("grp"))
       .orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
     ranged.join(broadcast(needed),
@@ -5150,12 +5196,26 @@ object GraftOps {
     def rescaled(rawDf: DataFrame, key: String, out: String): DataFrame = {
       val raw = rawDf.persistOnce()
       held += raw
-      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("mx"))))
-        .select(col(key),
-          when(expr(s"(raw * $scale) div mx") < 0, raise_error(lit(
-            s"hits: score overflow at scale=$scale (maxdeg·scale² " +
-              "exceeds Long.Max) — lower scale")))
-            .otherwise(expr(s"(raw * $scale) div mx")).as(out))
+      // The half-step max is a bounded 1-row aggregate; fold it in as a
+      // LITERAL rather than a broadcast crossJoin. The crossJoin form
+      // referenced the persisted `raw` twice (max subtree + main), so
+      // each half-step DOUBLED the physical plan nest — by iteration 2
+      // the driver walked a 16.7M-char tree (capped at 32 KB only after
+      // the walk) in every AQE plan-description post and SparkPlanInfo
+      // build, ~2s of pure driver time per warm action at sf0.1. With
+      // the literal each plan references `raw` once and the nest is
+      // LINEAR in half-steps. The collect is a 1-row Long (the repo's
+      // bounded-argmax discipline), and the half-step was already a
+      // synchronous frontier — AQE materialized its stages sequentially
+      // either way.
+      val mxRow = raw.agg(max(col("raw")).as("mx")).head()
+      // empty graph: no rows to rescale; any positive divisor works
+      val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
+      raw.select(col(key),
+        when(expr(s"(raw * $scale) div $mx") < 0, raise_error(lit(
+          s"hits: score overflow at scale=$scale (maxdeg·scale² " +
+            "exceeds Long.Max) — lower scale")))
+          .otherwise(expr(s"(raw * $scale) div $mx")).as(out))
     }
     var hub = e.select(col("src")).distinct()
       .select(col("src"), lit(scale).as("hub"))

@@ -320,27 +320,30 @@ object EtlQueries extends QueryPack {
     * Min/max stringified on integer/varchar columns only (float
     * formatting is engine-specific).
     */
-  def analyzeStats(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .agg(
-        count_distinct(col("o_orderkey")).as("ndv_ok"),
-        (count(lit(1)) - count(col("o_orderkey"))).as("null_ok"),
-        min(col("o_orderkey")).cast("string").as("min_ok"),
-        max(col("o_orderkey")).cast("string").as("max_ok"),
-        count_distinct(col("o_custkey")).as("ndv_ck"),
-        (count(lit(1)) - count(col("o_custkey"))).as("null_ck"),
-        min(col("o_custkey")).cast("string").as("min_ck"),
-        max(col("o_custkey")).cast("string").as("max_ck"),
-        count_distinct(col("o_orderpriority")).as("ndv_op"),
-        (count(lit(1)) - count(col("o_orderpriority"))).as("null_op"),
-        min(col("o_orderpriority")).cast("string").as("min_op"),
-        max(col("o_orderpriority")).cast("string").as("max_op"))
-      .select(expr(
-        "stack(3, " +
-          "'o_orderkey', ndv_ok, null_ok, min_ok, max_ok, " +
-          "'o_custkey', ndv_ck, null_ck, min_ck, max_ck, " +
-          "'o_orderpriority', ndv_op, null_op, min_op, max_op) " +
-          "AS (col_name, ndv, n_null, vmin, vmax)"))
+  def analyzeStats(s: SparkSession, d: String): DataFrame = {
+    // One aggregate leg PER COLUMN, unioned, instead of a single
+    // 3-distinct aggregate: Spark plans multi-column countDistinct via
+    // one Expand (×4 rows) and the whole expanded dedup then runs
+    // serially (one scan task on a single-row-group fixture file; at
+    // any scale the final distinct-merge lands in one small-bytes
+    // post-shuffle task AQE will not split on CPU). Independent legs
+    // are separate stages of one job — they run CONCURRENTLY, each
+    // column-pruned to its own column, and each leg's dedup carries one
+    // column instead of the ×4 expansion (measured warm 1.2-1.5s →
+    // ~0.5s at sf0.1). Values, schema and row set are identical.
+    def leg(c: String) =
+      Tables.orders(s, d)
+        .agg(
+          count_distinct(col(c)).as("ndv"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          min(col(c)).cast("string").as("vmin"),
+          max(col(c)).cast("string").as("vmax"))
+        .select(lit(c).as("col_name"), col("ndv"), col("n_null"),
+          col("vmin"), col("vmax"))
+    leg("o_orderkey")
+      .unionAll(leg("o_custkey"))
+      .unionAll(leg("o_orderpriority"))
+  }
 
   /** q_histogram: equi-depth 8-bucket histogram — the CBO selectivity
     * statistic next to [[analyzeStats]]' ndv/min/max. Boundaries are the
