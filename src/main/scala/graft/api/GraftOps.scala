@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.functions.{ScoredVec, TextFns, TopKByScore, VectorFns}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,6 +122,41 @@ object GraftOps {
   def spreadScan(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Stage-fused execution scope for the ITERATIVE loops (connected
+    * components, peeling, rank iterations): under AQE every Exchange in
+    * a round's plan materializes as its OWN driver job (~70–90 ms floor
+    * each on the local box), so a 3-exchange round costs ~5 jobs of
+    * almost pure scheduling latency per iteration — measured 22–33 jobs
+    * per invocation on the cluster family with ≤1.2 task-seconds of
+    * actual work. Inside this scope AQE is off and the static shuffle
+    * partition count is pinned to `partitions`, so each round's whole
+    * multi-stage plan runs as ONE job with DAGScheduler-chained stages.
+    *
+    * Scale adaptivity is preserved by HOW callers pick `partitions`:
+    * the loop's round-0 table is materialized UNDER AQE first, and its
+    * post-coalescing partition count — AQE's own size-based choice for
+    * exactly this data shape — is what the loop inherits (locally a
+    * handful; at 100 TB, bytes/advisory partitions). Row-level results
+    * are partitioning-independent (joins + aggregates only). The trade
+    * deliberately given up inside the scope is AQE's runtime skew-split
+    * for the per-round joins; round tables here are node-sized
+    * aggregates where per-key rows are already collapsed, which is the
+    * shape skew-join exists to protect — revisit before reusing this
+    * scope on a payload-carrying loop.
+    */
+  def withLoopConf[T](spark: SparkSession, partitions: Int)(body: => T): T = {
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", math.max(1, partitions).toString)
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   // ---------------------------------------------------------------- dedup
@@ -826,7 +861,13 @@ object GraftOps {
         "jaccard_misses flag marks pairs that dedup pass would miss")
     val jaccardPpm = math.round(jaccardLine * 1000000)
     val ppm = math.round(threshold * 1000000)
-    val sh = shingleTable(df, key, text).persistOnce()
+    // spreadScan: the verify stage at the bottom joins cand (tiny,
+    // broadcast) against THIS cached table twice — with no exchange in
+    // between, the whole array_intersect verification runs at the scan's
+    // split count (2 tasks on the single-file local fixture, 1.9s of the
+    // 3.3s warm wall). Spreading before the persist costs one bounded
+    // round-robin exchange at cache build and is a no-op at scale.
+    val sh = spreadScan(shingleTable(df, key, text)).persistOnce()
     // the tall (doc, shingle) index feeds THREE consumers here (df
     // counts, prefix build, container-side probe) — persist it like the
     // shingle table, or each consumer re-explodes the whole corpus
@@ -1479,28 +1520,36 @@ object GraftOps {
     var prevTotal = Long.MinValue
     var total = labelSum(labels)
     var rounds = 0
-    while (total != prevTotal && rounds < 60) {
-      // self-loops put each node's own label in the min, so this single
-      // join+aggregate is the whole hop. Lineage-truncated BEFORE the
-      // pointer jump: the jump self-joins hopped, and an untruncated
-      // plan executed the edge-join + aggregate once per side every
-      // round (observed as duplicated per-round stages in the r15 warm
-      // profile) — the checkpointed RDD materializes once and feeds
-      // both sides.
-      val hopped = edges.join(labels, edges("ed") === labels("doc_id"))
-        .groupBy(col("es")).agg(min(col("lbl")).as("lbl"))
-        .select(col("es").as("doc_id"), col("lbl"))
-        .truncateLineage(eager = false)
-      // pointer jump: lbl := label(lbl). Every label IS a node id, so the
-      // lookup is a total inner join.
-      val jump = hopped.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
-      val next = hopped.join(jump, hopped("lbl") === jump("j_id"))
-        .select(col("doc_id"), col("j_lbl").as("lbl"))
-        .truncateLineage(eager = false)
-      prevTotal = total
-      total = labelSum(next)
-      labels = next
-      rounds += 1
+    // Loop rounds run stage-fused ([[withLoopConf]]): one driver job per
+    // round instead of ~5 AQE stage jobs of node-sized exchanges. The
+    // partition count is AQE's own size-based choice for the round-0
+    // label table (materialized by the labelSum above, under AQE).
+    val loopParts = labels.rdd.getNumPartitions
+    withLoopConf(labels.sparkSession, loopParts) {
+      while (total != prevTotal && rounds < 60) {
+        // self-loops put each node's own label in the min, so this single
+        // join+aggregate is the whole hop. Lineage-truncated BEFORE the
+        // pointer jump: the jump self-joins hopped, and an untruncated
+        // plan executed the edge-join + aggregate once per side every
+        // round (observed as duplicated per-round stages in the r15 warm
+        // profile) — the checkpointed RDD materializes once and feeds
+        // both sides.
+        val hopped = edges.join(labels, edges("ed") === labels("doc_id"))
+          .groupBy(col("es")).agg(min(col("lbl")).as("lbl"))
+          .select(col("es").as("doc_id"), col("lbl"))
+          .truncateLineage(eager = false)
+        // pointer jump: lbl := label(lbl). Every label IS a node id, so
+        // the lookup is a total inner join.
+        val jump =
+          hopped.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl"))
+        val next = hopped.join(jump, hopped("lbl") === jump("j_id"))
+          .select(col("doc_id"), col("j_lbl").as("lbl"))
+          .truncateLineage(eager = false)
+        prevTotal = total
+        total = labelSum(next)
+        labels = next
+        rounds += 1
+      }
     }
     edges.unpersist(blocking = false)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
@@ -2955,7 +3004,11 @@ object GraftOps {
   def cooccurPairs(df: DataFrame, text: Column, window: Int, k: Int,
                    minCount: Int): DataFrame = {
     require(window >= 1 && k > 0 && minCount >= 1)
-    val ws = df.select(TextFns.tokens(text).as("w"))
+    // spreadScan: the window·tokens expansion below is the whole cost of
+    // this operator and runs at the scan's split count — ONE ~1.1s task
+    // on the single-file local fixture while 31 cores idle (guide §2.5
+    // input skew); at scale the scan has enough splits and this no-ops.
+    val ws = spreadScan(df.select(TextFns.tokens(text).as("w")))
     val top = ws.select(explode(expr(
         s"flatten(transform(sequence(1, $window), j -> " +
           "zip_with(w, slice(w, j + 1, size(w)), " +

