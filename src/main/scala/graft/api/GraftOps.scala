@@ -5341,6 +5341,12 @@ object GraftOps {
       // depth and CacheManager retention for long runs (releasing a
       // LAZY round table would re-expose its double reference and the
       // exponential twin-evaluation persist exists to prevent).
+      // (An r16 experiment replaced the per-round persists with lazy
+      // localCheckpoints + stage fusing, the [[resolveRedirects]] move:
+      // warm wall went 1.0s -> 6.1s because the peel re-executed 12
+      // task-seconds of edge-sized double joins per pass — for
+      // EDGE-sized round tables the cached nest is the right trade, the
+      // flat-RDD rebuild only wins for node-sized state.)
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
       val keepB =
@@ -5417,31 +5423,41 @@ object GraftOps {
       .persistOnce()
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nu"))
-    val tri = oriented
+    // The adjacency intersection is CPU-heavy per row but byte-light —
+    // exactly the shape AQE's size-based coalescing (which now governs
+    // cached plans too) mis-sizes: at fixture scale the paired stream
+    // coalesces to ONE task and the whole O(m^1.5) intersection runs
+    // serially (q_triangles 0.6s → 3.9s when the cached-plan coalescing
+    // landed). Spread it explicitly when the graph is small enough for
+    // coalescing to collapse it; at scale the stream is many advisory-
+    // sized partitions already and the branch no-ops. The edge count is
+    // one cheap aggregate over the persisted edge table.
+    val spreadPairs = e.count() <
+      2000000L * e.sparkSession.sparkContext.defaultParallelism / 32
+    val paired = oriented
       .join(adj, "u")
       .join(adj.select(col("u").as("v"), col("nu").as("nv")), "v")
+    val tri = (if (spreadPairs)
+        paired.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      else paired)
       .select(col("u"), col("v"),
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
       .persistOnce()
     // every triangle (u, v, w) is emitted once, on its unique lowest-
-    // ordered corner's edge (u, v); u and v each count it via the
-    // intersection size, w via the per-element rows. ONE pass: the three
-    // per-corner contributions explode out of a single scan into one
-    // partial-agged count shuffle — the previous three-consumer form
-    // re-scanned the array-fat tri cache three times (~112 MB × 3
-    // decompressed at sf0.1, the dominant warm cost), plus a union and
-    // a second aggregate. tri stays persisted: the adjacency-list
-    // intersections above it are the expensive leg, and a resident
-    // pipeline reads them once.
-    tri.select(explode(concat(
-        array(
-          struct(col("u").as("node"), size(col("ws")).cast("long").as("c")),
-          struct(col("v").as("node"), size(col("ws")).cast("long").as("c"))),
-        transform(col("ws"),
-          w => struct(w.as("node"), lit(1L).as("c"))))).as("e"))
-      .select(col("e.node").as("node"), col("e.c").as("c"))
-      .groupBy(col("node")).agg(sum(col("c")).as("tri_cnt"))
+    // ordered corner's edge (u, v); exploding ws and then fanning each
+    // (u, v, w) row into its three corners counts every corner's
+    // triangles with ONE count aggregate: u and v appear once per
+    // element of ws (= the intersection size the old struct form
+    // carried), w once per containing row. Still one pass over the
+    // persisted tri cache like the r15 form, but plain value explodes
+    // replace the per-row struct transform + struct array concat that
+    // dominated the scan's CPU (~40% of the stage). tri stays
+    // persisted: the adjacency-list intersections above it are the
+    // expensive leg, and a resident pipeline reads them once.
+    tri.select(col("u"), col("v"), explode(col("ws")).as("w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
   }
 
   /** Bounded synchronous min-label propagation over a SYMMETRIZED,
@@ -6064,17 +6080,28 @@ object GraftOps {
       coalesce(col("nxt"), col("u")).as("cur"),
       when(col("nxt").isNull, lit(0L)).otherwise(lit(1L)).as("hops"),
       col("nxt").isNull.as("done"))
-    (1 to rounds).foreach { _ =>
-      val hop = state.select(col("u").as("j_u"), col("cur").as("j_cur"),
-        col("hops").as("j_hops"), col("done").as("j_done"))
-      state = trackedCache(state.join(hop, col("cur") === col("j_u"), "left")
-        .select(col("u"),
-          when(col("done") || col("j_u").isNull, col("cur"))
-            .otherwise(col("j_cur")).as("cur"),
-          when(col("done") || col("j_u").isNull, col("hops"))
-            .otherwise(col("hops") + col("j_hops")).as("hops"),
-          when(col("done"), lit(true))
-            .otherwise(coalesce(col("j_done"), lit(false))).as("done")))
+    // Rounds build LAZILY with per-round lineage truncation inside the
+    // stage-fused scope ([[withLoopConf]]): each round's LogicalRDD
+    // caches on first compute (so the self-join's two references cost
+    // one evaluation, the job trackedCache used to do), the OUTER plan
+    // stays a flat RDD scan instead of a rounds-deep InMemoryRelation
+    // nest (whose per-stage AQE plan-description walk dominated the
+    // warm pass: 0.8s wall at 0.04 task-sec), and the caller's single
+    // action executes every round in one DAGScheduler-chained job.
+    withLoopConf(e.sparkSession, math.max(1, e.rdd.getNumPartitions)) {
+      (1 to rounds).foreach { _ =>
+        val hop = state.select(col("u").as("j_u"), col("cur").as("j_cur"),
+          col("hops").as("j_hops"), col("done").as("j_done"))
+        state = state.join(hop, col("cur") === col("j_u"), "left")
+          .select(col("u"),
+            when(col("done") || col("j_u").isNull, col("cur"))
+              .otherwise(col("j_cur")).as("cur"),
+            when(col("done") || col("j_u").isNull, col("hops"))
+              .otherwise(col("hops") + col("j_hops")).as("hops"),
+            when(col("done"), lit(true))
+              .otherwise(coalesce(col("j_done"), lit(false))).as("done"))
+          .truncateLineage(eager = false)
+      }
     }
     state.select(col("u").as("url"),
       when(col("done"), col("cur")).otherwise(lit("")).as("final_url"),

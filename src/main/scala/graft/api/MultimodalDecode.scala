@@ -78,6 +78,73 @@ object MultimodalDecode {
     ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
       javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next())
 
+  /** Pooled audio providers — the audio twin of the image pools above:
+    * every `AudioSystem.getAudioInputStream`/`write` call re-enters the
+    * JDK's synchronized provider lookup (JDK13Services), which under 32
+    * executor threads contends hard enough that pinning the decode
+    * stages to defaultParallelism ran 2-3x SLOWER than one task
+    * (x_audio_features 0.9s → 1.6s wall at 41 summed task-sec when the
+    * media repartition was widened). The provider list is loaded ONCE;
+    * WAV/AIFF reader and writer instances are stateless parsers, safe
+    * to share across threads. Semantics match AudioSystem exactly:
+    * first provider that accepts the stream wins; none → null (the
+    * callers' loud ok=false arm).
+    */
+  private val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+  private val audioWriters: Array[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  /** Registry-free `AudioSystem.getAudioInputStream`: first pooled
+    * provider that accepts the bytes, or null for undecodable input.
+    */
+  private def audioStream(c: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < audioReaders.length) {
+      try return audioReaders(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(c))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => ()
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Registry-free `AudioSystem.write`: first pooled provider that
+    * supports the container type for this stream (same pick order as
+    * AudioSystem). Fixture encoders only — a miss is a programming
+    * error, loud.
+    */
+  private def writeAudio(st: javax.sound.sampled.AudioInputStream,
+                         tpe: javax.sound.sampled.AudioFileFormat.Type,
+                         out: java.io.OutputStream): Unit = {
+    var i = 0
+    while (i < audioWriters.length) {
+      if (audioWriters(i).isFileTypeSupported(tpe, st)) {
+        audioWriters(i).write(st, tpe, out)
+        return
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"writeAudio: no provider for container type $tpe")
+  }
+
   private val PngSig =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -752,12 +819,7 @@ object MultimodalDecode {
   def decodeAudioOne(in: MediaIn): AudioMeta = {
     val c = if (in.content == null) Array.emptyByteArray else in.content
     val st =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(c))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException => null
-      }
+      audioStream(c)
     if (st == null)
       AudioMeta(in.doc_id, in.mime, c.length.toLong, 0, 0, 0L, ok = false)
     else {
@@ -788,12 +850,7 @@ object MultimodalDecode {
   def audioFeaturesOne(in: MediaIn): AudioFeat = {
     val c = if (in.content == null) Array.emptyByteArray else in.content
     val st =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(c))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException => null
-      }
+      audioStream(c)
     if (st == null || st.getFormat.getSampleSizeInBits != 16 ||
         st.getFormat.getChannels < 1)
       return AudioFeat(in.doc_id, 0L, 0L, 0L, ok = false)
@@ -858,12 +915,7 @@ object MultimodalDecode {
     val bad = Seq(VadSeg(in.doc_id, 0L, 0L, 0L, 0L, ok = false))
     val c = if (in.content == null) Array.emptyByteArray else in.content
     val st =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(c))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException => null
-      }
+      audioStream(c)
     if (st == null || st.getFormat.getSampleSizeInBits != 16 ||
         st.getFormat.getChannels < 1) return bad
     val ch = st.getFormat.getChannels
@@ -955,8 +1007,7 @@ object MultimodalDecode {
     val st = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(st,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writeAudio(st, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -971,8 +1022,7 @@ object MultimodalDecode {
   def encodeWav(frames: Int, seed: Long, sampleRate: Int = 8000,
                 channels: Int = 1): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      pcmStream(frames, seed, sampleRate, channels, bigEndian = false),
+    writeAudio(pcmStream(frames, seed, sampleRate, channels, bigEndian = false),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -986,8 +1036,7 @@ object MultimodalDecode {
   def encodeAiff(frames: Int, seed: Long, sampleRate: Int = 8000,
                  channels: Int = 1): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      pcmStream(frames, seed, sampleRate, channels, bigEndian = true),
+    writeAudio(pcmStream(frames, seed, sampleRate, channels, bigEndian = true),
       javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
     bos.toByteArray
   }

@@ -786,9 +786,17 @@ object LlmQueries extends QueryPack {
     // the documents table often reads as a single split (one small
     // parquet file), which would serialize every encode onto one task —
     // the round-9 single-split lesson, re-caught by the round-10 sf1
-    // rehearsal on x_audio_decode (14x at 10x data before this shuffle)
+    // rehearsal on x_audio_decode (14x at 10x data before this shuffle).
+    // The partition count is EXPLICIT (user-pinned counts are exempt
+    // from AQE coalescing): these stages are CPU-bound per ROW while
+    // their shuffled bytes are just 8-byte ids, so the r15 size-based
+    // coalescing (parallelismFirst=false, 16 MB advisory) silently
+    // folded every media decode back onto ONE task — the exact
+    // regression the shuffle exists to prevent. defaultParallelism
+    // scales with the cluster; rows-per-task grows with data, which is
+    // the right shape for a map-only stage.
     Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val png = graft.api.MultimodalDecode.encodePng(
@@ -824,7 +832,7 @@ object LlmQueries extends QueryPack {
   def mmDecodeJpeg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val jpg = graft.api.MultimodalDecode.encodeJpeg(
@@ -852,7 +860,7 @@ object LlmQueries extends QueryPack {
     import s.implicits._
     val fmts = Array("png", "jpeg", "gif", "bmp", "tiff")
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val fmt = fmts((id % 5).toInt)
@@ -898,7 +906,7 @@ object LlmQueries extends QueryPack {
   def mmPhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           // 16+ px sources so the 9x8 fingerprint DOWNSCALES (averaging
@@ -931,7 +939,7 @@ object LlmQueries extends QueryPack {
   def mmPhashRot(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val b = (id % 105).toInt
@@ -971,7 +979,7 @@ object LlmQueries extends QueryPack {
   def mmPhashOrient(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val b = (id % 105).toInt
@@ -1005,7 +1013,7 @@ object LlmQueries extends QueryPack {
   def mmPhashNear(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           // 16+ px sources so the 9x8 fingerprint DOWNSCALES (averaging
@@ -1056,7 +1064,7 @@ object LlmQueries extends QueryPack {
   def mmCaptionConflict(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           // same (w, h, seed) triple as x_mm_phash_dedup: ids congruent
@@ -1099,7 +1107,7 @@ object LlmQueries extends QueryPack {
     // same single-split guard as mediaPngTable — WAV synthesis is the
     // most expensive per-row codec here (~3 KB PCM per doc)
     Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val frames = 800 + (id % 1600).toInt
@@ -1160,7 +1168,7 @@ object LlmQueries extends QueryPack {
   def audioVad(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val wav = graft.api.MultimodalDecode.encodeWavVad(
@@ -1187,7 +1195,7 @@ object LlmQueries extends QueryPack {
   def audioProbeMp3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val mp3 = graft.api.MultimodalDecode.encodeMp3(
@@ -1221,7 +1229,7 @@ object LlmQueries extends QueryPack {
   def audioProbeFlac(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val flac = graft.api.MultimodalDecode.encodeFlac(
@@ -1258,7 +1266,7 @@ object LlmQueries extends QueryPack {
   def mmExif(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val jpg = graft.api.MultimodalDecode.encodeExif(
@@ -1292,7 +1300,7 @@ object LlmQueries extends QueryPack {
   def subtitleCues(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val srt = graft.api.MultimodalDecode.encodeSrt(
@@ -1326,7 +1334,7 @@ object LlmQueries extends QueryPack {
   def warcProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val warc = graft.api.MultimodalDecode.encodeWarc(
@@ -1362,7 +1370,7 @@ object LlmQueries extends QueryPack {
   def warcGzProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         graft.api.MediaIn(id, graft.api.MultimodalDecode.encodeWarcGz(
           id, nRecords = 1 + (id % 4).toInt), "application/warc+gzip")
@@ -1391,7 +1399,7 @@ object LlmQueries extends QueryPack {
   def charsetProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         graft.api.MediaIn(id,
           graft.api.MultimodalDecode.encodeCharsetDoc(id), "text/html")
@@ -1418,7 +1426,7 @@ object LlmQueries extends QueryPack {
     import s.implicits._
     // same single-split guard as mediaPngTable/mediaWavTable
     Tables.documents(s, d).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val mp4 = graft.api.MultimodalDecode.encodeMp4(
