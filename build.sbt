@@ -39,5 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // set once for every session created in this JVM (keeps Tables pure —
   // no per-read session-conf mutation).
   "-Dspark.sql.legacy.parquet.nanosAsLong=true",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): local[32] runs 32 concurrent tasks, each
+  // allocating execution-memory pages (64 MB TaskMemoryManager pages per
+  // hash/sort operator) — at 8g the resulting GC pressure showed up as
+  // 0.2-0.8s of non-CPU runtime on EVERY task of every 32-task stage
+  // (x_bitext_mine 22 -> 1.1 summed task-sec, x_perplexity_bi 13 -> 0.6
+  // at 24g, same queries same data). The box holds 128 GiB; override
+  // with SPARK_DRIVER_MEM where it doesn't.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
