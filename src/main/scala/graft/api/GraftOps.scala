@@ -2680,6 +2680,13 @@ object GraftOps {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
+    // merge rounds run stage-fused ([[withLoopConf]]): each round is one
+    // vocab-bounded pair aggregate + a 1-row argmax collect, which under
+    // AQE cost 2-3 stage jobs of scheduling latency apiece; the partition
+    // count is inherited from the already-materialized vocabulary cache
+    // (AQE's own size-based choice for exactly this table).
+    val loopParts = math.max(1, wordFreq.rdd.getNumPartitions)
+    withLoopConf(spark, loopParts) {
     while (r <= rounds && !exhausted) {
       // adjacent symbol pairs weighted by word frequency; single-symbol
       // words drop out (size < 2 — the guard matters: Spark's
@@ -2710,6 +2717,7 @@ object GraftOps {
             lit(s"<$l><$rr>"), lit(s"<$l$rr>")))
         r += 1
       }
+    }
     }
     import spark.implicits._
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
