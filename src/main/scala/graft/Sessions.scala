@@ -28,19 +28,23 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // Partition-count hygiene (optimization guide §2.2): by default
-      // AQE's coalescer runs "parallelism first" — it refuses to coalesce
-      // below the cluster's default parallelism, so a 50 KB shuffle still
-      // schedules 32 tasks on local[32] and every tiny stage pays ~32
-      // task launches of pure overhead. Size-based coalescing is the
-      // scale-adaptive behavior: partitions derive from actual shuffle
-      // bytes (advisory target below), so fixture-scale stages collapse
-      // to a handful of tasks while a 100-TB shuffle still fans out to
-      // bytes/advisory partitions. The advisory size is parameterised:
-      // 16 MB locally (keeps sf0.1's mid-size shuffles spread over the
-      // box), 128-512 MB is the right production range (guide §2.2).
+      // Partition-count hygiene (optimization guide §2.2): AQE's
+      // coalescer stays at its DEFAULT "parallelism first" mode — the
+      // target partition size is max(shuffleBytes/defaultParallelism,
+      // minPartitionSize 1m), so KB-scale shuffles still collapse to one
+      // task while byte-light-but-CPU-dense stages keep cluster-wide
+      // fan-out. Round 15 had flipped this to pure advisory-size
+      // coalescing (16 MB target); the round-16 10x rehearsal showed
+      // that mode strangling every CPU-per-byte-heavy cached pipeline at
+      // scale (x_dedup_contain 12s -> 41s at sf1, x_dedup_ngram /
+      // x_knn_graph / x_lsh_recall all pushed superlinear), and the r15
+      // latency win it bought at sf0.1 disappeared once the 24g heap
+      // removed the per-task GC tax (interleaved A/B: flat-to-better at
+      // sf0.1, 1.3-3.5x faster at sf1 with parallelism-first). The
+      // advisory size stays env-parameterised for clusters that want
+      // size-based targets (guide §2.2's 128-512 MB production range).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "false")
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
       // Let AQE coalesce CACHED plan output too (off by default): without

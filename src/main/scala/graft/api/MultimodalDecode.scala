@@ -107,18 +107,44 @@ object MultimodalDecode {
     buf.toArray
   }
 
+  /** The JDK ships a MIDI-backed AudioFileReader (Gervill's
+    * SoftMidiAudioFileReader) FIRST in provider order, and its accept
+    * probe calls MidiSystem.getSequence — which re-enters the
+    * synchronized JDK13Services registry on EVERY call: thread dumps of
+    * a 32-task sf1 audio stage showed 675/800 executor samples BLOCKED
+    * on that monitor (parallel decode ran slower than serial). Sampled
+    * audio (RIFF/WAVE, FORM/AIFF, .snd) can never be MIDI, so the MIDI
+    * reader is ordered last and skipped outright for RIFF/FORM payloads
+    * — the non-MIDI readers reject genuinely-MIDI bytes first under
+    * AudioSystem's own semantics, so outcomes are unchanged.
+    */
+  private val audioReadersOrdered
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val (midi, rest) = audioReaders.partition(
+      _.getClass.getName.contains("SoftMidiAudioFileReader"))
+    rest ++ midi
+  }
+  private def looksRiffOrForm(c: Array[Byte]): Boolean =
+    c.length >= 4 &&
+      ((c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F') ||
+        (c(0) == 'F' && c(1) == 'O' && c(2) == 'R' && c(3) == 'M'))
+
   /** Registry-free `AudioSystem.getAudioInputStream`: first pooled
     * provider that accepts the bytes, or null for undecodable input.
     */
   private def audioStream(c: Array[Byte])
       : javax.sound.sampled.AudioInputStream = {
+    val skipMidi = looksRiffOrForm(c)
     var i = 0
-    while (i < audioReaders.length) {
-      try return audioReaders(i).getAudioInputStream(
-        new java.io.ByteArrayInputStream(c))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException => ()
+    while (i < audioReadersOrdered.length) {
+      val r = audioReadersOrdered(i)
+      if (!(skipMidi &&
+          r.getClass.getName.contains("SoftMidiAudioFileReader"))) {
+        try return r.getAudioInputStream(new java.io.ByteArrayInputStream(c))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => ()
+        }
       }
       i += 1
     }
